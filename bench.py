@@ -1,0 +1,52 @@
+"""Benchmark harness — one JSON line of per-query wall times.
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is forced
+with the noop sink (full execution, no driver-side collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from near_real_time_data_warehouse_spark import driver_api
+    from near_real_time_data_warehouse_spark.session import get_spark
+
+    spark = get_spark("nrtdw_bench")
+    qs = driver_api.queries()
+
+    only = sys.argv[1:] or None
+    timings: dict[str, float] = {}
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

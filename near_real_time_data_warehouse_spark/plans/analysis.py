@@ -1,0 +1,667 @@
+"""The reference's 20 OLAP analysis queries, Spark-first.
+
+Each query q01–q20 from /root/reference/Analysis_Queries.sql is expressed
+twice, side by side so the dialects cannot drift:
+
+- ``spark``: a DataFrame function over the star tables from
+  :mod:`..plans.star` (J3 star joins → broadcast-hash; aggregations are
+  hash-aggregates with map-side partials; top-k compiles to
+  TakeOrderedAndProject).
+- ``oracle``: the equivalent DuckDB SQL (query body only — the star CTE
+  prefix from ``star.with_star`` is prepended by the harness), which the
+  driver runs differentially at sf0.01.
+
+Determinism rules for hash-exact oracle matches:
+- money is DECIMAL(18,2) end-to-end and summed as decimal (exact,
+  order-independent); only the final aggregate is cast to double;
+- every ORDER BY that feeds a LIMIT carries full tie-break keys;
+- averages are written as sum/count (a single IEEE division) because
+  engine-native AVG types differ;
+- ROLLUP null-subtotal keys are COALESCEd to -1 so integer columns stay
+  non-nullable across both engines.
+
+Queries the reference declared but left blank (q09, q12, q15, q19 —
+Analysis_Queries.sql:78,107,126,166) are implemented here with documented
+semantics (SURVEY.md §2.5): q09 month-over-month growth via a lag window,
+q12 customer spend deciles via ntile, q15 monthly-revenue volatility via an
+exact-decimal variance computation, q19 top-10 customer lifetime value.
+
+MySQL-dialect deviations (SURVEY.md §7): the reference compares lowercase
+day/month names under a case-insensitive collation (Analysis_Queries.sql:83,
+97,151-159); we implement the author's intent with ``lower()``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .star import CURRENT_DATE, CURRENT_YEAR
+
+Star = dict[str, DataFrame]
+
+
+@dataclass(frozen=True)
+class AnalysisQuery:
+    name: str
+    description: str
+    spark: Callable[[Star], DataFrame]
+    oracle: str | None  # query body; None → rows-only check
+
+
+def _money(alias: str) -> F.Column:
+    return F.sum("purchase_amount").cast("double").alias(alias)
+
+
+_MONEY = "CAST(SUM(purchase_amount) AS DOUBLE)"
+
+
+def _fact_prod_time(star: Star) -> DataFrame:
+    return (
+        star["salefact"]
+        .join(F.broadcast(star["product_dim"]), "product_id")
+        .join(F.broadcast(star["time_dim"]), "date_id")
+    )
+
+
+def _fact_cust(star: Star) -> DataFrame:
+    return star["salefact"].join(F.broadcast(star["customer_dim"]), "customer_id")
+
+
+def _day_type(col: str = "day_of_week", lower: bool = False) -> F.Column:
+    c = F.col(col)
+    if lower:
+        return F.when(F.lower(c).isin("saturday", "sunday"), "weekend").otherwise("weekday")
+    return F.when(c.isin("Saturday", "Sunday"), "weekend").otherwise("weekday")
+
+
+def q01(star: Star) -> DataFrame:
+    """Top 5 (product, month, day-type) cells by revenue for the current year
+    (Analysis_Queries.sql:3-15)."""
+    return (
+        _fact_prod_time(star)
+        .filter(F.col("year") == CURRENT_YEAR)
+        .withColumn("day_type", _day_type())
+        .groupBy("product_id", "product_category", "month", "day_type")
+        .agg(_money("total_revenue"))
+        .orderBy(F.desc("total_revenue"), "product_id", "month", "day_type")
+        .limit(5)
+    )
+
+
+Q01_SQL = f"""
+SELECT product_id, product_category, month,
+       CASE WHEN day_of_week IN ('Saturday','Sunday') THEN 'weekend' ELSE 'weekday' END AS day_type,
+       {_MONEY} AS total_revenue
+FROM salefact JOIN product_dim USING (product_id) JOIN time_dim USING (date_id)
+WHERE year = {CURRENT_YEAR}
+GROUP BY product_id, product_category, month, day_type
+ORDER BY total_revenue DESC, product_id, month, day_type
+LIMIT 5
+"""
+
+
+def q02(star: Star) -> DataFrame:
+    """Total purchase by gender, age, city category (Analysis_Queries.sql:17-22)."""
+    return (
+        _fact_cust(star)
+        .groupBy("gender", "age", "city_category")
+        .agg(_money("total_purchase"))
+    )
+
+
+Q02_SQL = f"""
+SELECT gender, age, city_category, {_MONEY} AS total_purchase
+FROM salefact JOIN customer_dim USING (customer_id)
+GROUP BY gender, age, city_category
+"""
+
+
+def q03(star: Star) -> DataFrame:
+    """Sales per product category by customer occupation (Analysis_Queries.sql:24-29)."""
+    return (
+        _fact_cust(star)
+        .join(F.broadcast(star["product_dim"]), "product_id")
+        .groupBy("product_category", "occupation")
+        .agg(_money("total_sales"))
+    )
+
+
+Q03_SQL = f"""
+SELECT product_category, occupation, {_MONEY} AS total_sales
+FROM salefact JOIN customer_dim USING (customer_id) JOIN product_dim USING (product_id)
+GROUP BY product_category, occupation
+"""
+
+
+def q04(star: Star) -> DataFrame:
+    """Quarterly purchase by gender and age, current year (Analysis_Queries.sql:31-41)."""
+    return (
+        _fact_cust(star)
+        .join(F.broadcast(star["time_dim"]), "date_id")
+        .filter(F.col("year") == CURRENT_YEAR)
+        .groupBy("gender", "age", "quarter")
+        .agg(_money("total_purchase"))
+    )
+
+
+Q04_SQL = f"""
+SELECT gender, age, quarter, {_MONEY} AS total_purchase
+FROM salefact JOIN customer_dim USING (customer_id) JOIN time_dim USING (date_id)
+WHERE year = {CURRENT_YEAR}
+GROUP BY gender, age, quarter
+"""
+
+
+def q05(star: Star) -> DataFrame:
+    """Top 5 rows of (category, occupation) sales ordered by category then
+    sales (Analysis_Queries.sql:43-50 — LIMIT applies after the category
+    sort, faithfully mirrored)."""
+    return (
+        _fact_cust(star)
+        .join(F.broadcast(star["product_dim"]), "product_id")
+        .groupBy("product_category", "occupation")
+        .agg(_money("total_sales"))
+        .orderBy("product_category", F.desc("total_sales"), "occupation")
+        .limit(5)
+    )
+
+
+Q05_SQL = f"""
+SELECT product_category, occupation, {_MONEY} AS total_sales
+FROM salefact JOIN customer_dim USING (customer_id) JOIN product_dim USING (product_id)
+GROUP BY product_category, occupation
+ORDER BY product_category, total_sales DESC, occupation
+LIMIT 5
+"""
+
+
+def q06(star: Star) -> DataFrame:
+    """Purchases by city category and marital status over the past 6 months
+    from the anchor date (Analysis_Queries.sql:52-59)."""
+    return (
+        _fact_cust(star)
+        .join(F.broadcast(star["time_dim"]), "date_id")
+        .filter(F.col("full_date") >= F.add_months(F.lit(CURRENT_DATE).cast("date"), -6))
+        .groupBy("city_category", "marital_status", "month")
+        .agg(_money("total_purchase"))
+    )
+
+
+Q06_SQL = f"""
+SELECT city_category, marital_status, month, {_MONEY} AS total_purchase
+FROM salefact JOIN customer_dim USING (customer_id) JOIN time_dim USING (date_id)
+WHERE full_date >= DATE '{CURRENT_DATE}' - INTERVAL 6 MONTH
+GROUP BY city_category, marital_status, month
+"""
+
+
+def q07(star: Star) -> DataFrame:
+    """Average purchase by city tenure and gender (Analysis_Queries.sql:61-66).
+    Written as sum/count so both engines produce the identical double."""
+    return (
+        _fact_cust(star)
+        .groupBy("stay_in_current_city_years", "gender")
+        .agg(
+            (F.sum("purchase_amount").cast("double") / F.count(F.lit(1))).alias("avg_purchase")
+        )
+    )
+
+
+Q07_SQL = """
+SELECT stay_in_current_city_years, gender,
+       CAST(SUM(purchase_amount) AS DOUBLE) / COUNT(*) AS avg_purchase
+FROM salefact JOIN customer_dim USING (customer_id)
+GROUP BY stay_in_current_city_years, gender
+"""
+
+
+def q08(star: Star) -> DataFrame:
+    """Top 5 (city category, product category) cells by revenue
+    (Analysis_Queries.sql:68-76)."""
+    return (
+        _fact_cust(star)
+        .join(F.broadcast(star["product_dim"]), "product_id")
+        .groupBy("city_category", "product_category")
+        .agg(_money("total_revenue"))
+        .orderBy(F.desc("total_revenue"), "city_category", "product_category")
+        .limit(5)
+    )
+
+
+Q08_SQL = f"""
+SELECT city_category, product_category, {_MONEY} AS total_revenue
+FROM salefact JOIN customer_dim USING (customer_id) JOIN product_dim USING (product_id)
+GROUP BY city_category, product_category
+ORDER BY total_revenue DESC, city_category, product_category
+LIMIT 5
+"""
+
+
+def q09(star: Star) -> DataFrame:
+    """Month-over-month sales growth %% per product category, current year
+    (declared blank at Analysis_Queries.sql:78-79; implemented per SURVEY.md
+    §2.5 with a lag window)."""
+    monthly = (
+        _fact_prod_time(star)
+        .filter(F.col("year") == CURRENT_YEAR)
+        .withColumn("month_num", F.month("full_date").cast("long"))
+        .groupBy("product_category", "month_num")
+        .agg(_money("revenue"))
+    )
+    w = Window.partitionBy("product_category").orderBy("month_num")
+    return (
+        monthly.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .filter(F.col("prev_revenue").isNotNull())
+        .select(
+            "product_category",
+            "month_num",
+            "prev_revenue",
+            "revenue",
+            (((F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue")) * 100).alias(
+                "growth_pct"
+            ),
+        )
+    )
+
+
+Q09_SQL = f"""
+WITH monthly AS (
+  SELECT product_category, CAST(month(full_date) AS BIGINT) AS month_num,
+         {_MONEY} AS revenue
+  FROM salefact JOIN product_dim USING (product_id) JOIN time_dim USING (date_id)
+  WHERE year = {CURRENT_YEAR}
+  GROUP BY product_category, month_num
+), lagged AS (
+  SELECT product_category, month_num,
+         lag(revenue) OVER (PARTITION BY product_category ORDER BY month_num) AS prev_revenue,
+         revenue
+  FROM monthly
+)
+SELECT product_category, month_num, prev_revenue, revenue,
+       ((revenue - prev_revenue) / prev_revenue) * 100 AS growth_pct
+FROM lagged WHERE prev_revenue IS NOT NULL
+"""
+
+
+def q10(star: Star) -> DataFrame:
+    """Weekend-vs-weekday sales by age group, current year
+    (Analysis_Queries.sql:81-89; lowercase day names per the reference's
+    ci-collation intent)."""
+    return (
+        _fact_cust(star)
+        .join(F.broadcast(star["time_dim"]), "date_id")
+        .filter(F.col("year") == CURRENT_YEAR)
+        .withColumn("day_type", _day_type(lower=True))
+        .groupBy("age", "day_type")
+        .agg(_money("total_sales"))
+    )
+
+
+Q10_SQL = f"""
+SELECT age,
+       CASE WHEN lower(day_of_week) IN ('saturday','sunday') THEN 'weekend' ELSE 'weekday' END AS day_type,
+       {_MONEY} AS total_sales
+FROM salefact JOIN customer_dim USING (customer_id) JOIN time_dim USING (date_id)
+WHERE year = {CURRENT_YEAR}
+GROUP BY age, day_type
+"""
+
+
+def q11(star: Star) -> DataFrame:
+    """Top 5 (category, month, day-type) revenue cells, current year
+    (Analysis_Queries.sql:91-105)."""
+    return (
+        _fact_prod_time(star)
+        .filter(F.col("year") == CURRENT_YEAR)
+        .withColumn("day_type", _day_type(lower=True))
+        .groupBy("product_category", "month", "day_type")
+        .agg(_money("total_revenue"))
+        .orderBy(F.desc("total_revenue"), "product_category", "month", "day_type")
+        .limit(5)
+    )
+
+
+Q11_SQL = f"""
+SELECT product_category, month,
+       CASE WHEN lower(day_of_week) IN ('saturday','sunday') THEN 'weekend' ELSE 'weekday' END AS day_type,
+       {_MONEY} AS total_revenue
+FROM salefact JOIN product_dim USING (product_id) JOIN time_dim USING (date_id)
+WHERE year = {CURRENT_YEAR}
+GROUP BY product_category, month, day_type
+ORDER BY total_revenue DESC, product_category, month, day_type
+LIMIT 5
+"""
+
+
+def q12(star: Star) -> DataFrame:
+    """Customer spend deciles (declared blank at Analysis_Queries.sql:107;
+    defined as: decile customers by lifetime spend, report each decile's
+    size and revenue share inputs)."""
+    spend = (
+        star["salefact"]
+        .groupBy("customer_id")
+        .agg(_money("total_spend"))
+    )
+    w = Window.orderBy(F.desc("total_spend"), "customer_id")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("total_spend").cast("decimal(18,2)")).cast("double").alias("decile_revenue"),
+        )
+    )
+
+
+Q12_SQL = """
+WITH spend AS (
+  SELECT customer_id, CAST(SUM(purchase_amount) AS DOUBLE) AS total_spend
+  FROM salefact GROUP BY customer_id
+), ranked AS (
+  SELECT customer_id, total_spend,
+         CAST(ntile(10) OVER (ORDER BY total_spend DESC, customer_id) AS BIGINT) AS decile
+  FROM spend
+)
+SELECT decile, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(total_spend AS DECIMAL(18,2))) AS DOUBLE) AS decile_revenue
+FROM ranked GROUP BY decile
+"""
+
+
+def q13(star: Star) -> DataFrame:
+    """Supplier sales contribution by store and product
+    (Analysis_Queries.sql:109-115). Presentation-only sort omitted — the
+    correctness hash is order-insensitive and a full sort is a pure-cost
+    shuffle at scale."""
+    return (
+        star["salefact"]
+        .join(F.broadcast(star["product_dim"]), "product_id")
+        .groupBy(
+            "store_id", "store_name", "supplier_id", "supplier_name",
+            "product_id", "product_category",
+        )
+        .agg(_money("total_sales"))
+    )
+
+
+Q13_SQL = f"""
+SELECT store_id, store_name, supplier_id, supplier_name, product_id, product_category,
+       {_MONEY} AS total_sales
+FROM salefact JOIN product_dim USING (product_id)
+GROUP BY store_id, store_name, supplier_id, supplier_name, product_id, product_category
+"""
+
+
+def q14(star: Star) -> DataFrame:
+    """Seasonal product sales drill-down (Analysis_Queries.sql:117-124)."""
+    return (
+        _fact_prod_time(star)
+        .groupBy("product_id", "product_category", "season")
+        .agg(_money("total_sales"))
+    )
+
+
+Q14_SQL = f"""
+SELECT product_id, product_category, season, {_MONEY} AS total_sales
+FROM salefact JOIN product_dim USING (product_id) JOIN time_dim USING (date_id)
+GROUP BY product_id, product_category, season
+"""
+
+
+def q15(star: Star) -> DataFrame:
+    """Store/supplier monthly revenue volatility (declared blank at
+    Analysis_Queries.sql:126; defined as the sample standard deviation of
+    monthly revenue per (store, supplier)). Computed from exact decimal
+    sums — sum and sum-of-squares — so the oracle matches bit-for-bit;
+    engine-native STDDEV over doubles is partition-order dependent."""
+    monthly = (
+        _fact_prod_time(star)
+        .withColumn("month_num", F.month("full_date").cast("long"))
+        .groupBy("store_id", "supplier_id", "year", "month_num")
+        .agg((F.sum("purchase_amount") * 100).cast("long").alias("rev_c"))  # exact cents
+    )
+    rev_d = F.col("rev_c").cast("decimal(19,0)")
+    per_group = (
+        monthly.groupBy("store_id", "supplier_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.sum("rev_c").alias("s1"),
+            F.sum(rev_d * rev_d).alias("s2"),  # decimal(38,0), exact
+        )
+        .filter(F.col("n_months") > 1)
+    )
+    n = F.col("n_months")
+    s1d = F.col("s1").cast("decimal(19,0)")
+    # n·Σx² − (Σx)² stays in exact decimal arithmetic; one cast to double at
+    # the end, then scalar IEEE ops — bit-identical across engines.
+    num = (F.col("s2") * n - s1d * s1d).cast("double")
+    return per_group.select(
+        "store_id",
+        "supplier_id",
+        "n_months",
+        (F.sqrt(num / (n * (n - 1))) / 100).alias("monthly_revenue_volatility"),
+    )
+
+
+Q15_SQL = """
+WITH monthly AS (
+  SELECT store_id, supplier_id, year, CAST(month(full_date) AS BIGINT) AS month_num,
+         CAST(SUM(purchase_amount) * 100 AS BIGINT) AS rev_c
+  FROM salefact JOIN product_dim USING (product_id) JOIN time_dim USING (date_id)
+  GROUP BY store_id, supplier_id, year, month_num
+), per_group AS (
+  SELECT store_id, supplier_id,
+         COUNT(*) AS n_months,
+         CAST(SUM(rev_c) AS HUGEINT) AS s1,
+         SUM(CAST(rev_c AS HUGEINT) * CAST(rev_c AS HUGEINT)) AS s2
+  FROM monthly GROUP BY store_id, supplier_id
+)
+SELECT store_id, supplier_id, n_months,
+       sqrt(CAST(s2 * n_months - s1 * s1 AS DOUBLE) / (n_months * (n_months - 1))) / 100
+         AS monthly_revenue_volatility
+FROM per_group WHERE n_months > 1
+"""
+
+
+def q16(star: Star) -> DataFrame:
+    """Top 5 product pairs purchased together (Analysis_Queries.sql:128-137):
+    self-join on order_id with a ``<`` theta residual — equi on the order
+    key plus a range filter, exactly how Catalyst plans it."""
+    f = star["salefact"].select("order_id", "product_id")
+    a, b = f.alias("a"), f.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.product_id") < F.col("b.product_id")),
+        )
+        .groupBy(
+            F.col("a.product_id").alias("product_01"),
+            F.col("b.product_id").alias("product_02"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "product_01", "product_02")
+        .limit(5)
+    )
+
+
+Q16_SQL = """
+SELECT a.product_id AS product_01, b.product_id AS product_02, COUNT(*) AS pair_count
+FROM salefact a JOIN salefact b
+  ON a.order_id = b.order_id AND a.product_id < b.product_id
+GROUP BY a.product_id, b.product_id
+ORDER BY pair_count DESC, product_01, product_02
+LIMIT 5
+"""
+
+
+def q17(star: Star) -> DataFrame:
+    """Yearly revenue ROLLUP over (store, supplier, product), current year
+    (Analysis_Queries.sql:139-147). Subtotal NULL keys are coalesced to -1
+    so the integer columns stay non-nullable in both engines."""
+    rolled = (
+        _fact_prod_time(star)
+        .filter(F.col("year") == CURRENT_YEAR)
+        .rollup("store_id", "supplier_id", "product_id")
+        .agg(_money("total_revenue"))
+    )
+    return rolled.select(
+        F.coalesce("store_id", F.lit(-1)).alias("store_id"),
+        F.coalesce("supplier_id", F.lit(-1)).alias("supplier_id"),
+        F.coalesce("product_id", F.lit(-1)).alias("product_id"),
+        "total_revenue",
+    )
+
+
+Q17_SQL = f"""
+SELECT COALESCE(store_id, -1) AS store_id,
+       COALESCE(supplier_id, -1) AS supplier_id,
+       COALESCE(product_id, -1) AS product_id,
+       total_revenue
+FROM (
+  SELECT store_id, supplier_id, product_id, {_MONEY} AS total_revenue
+  FROM salefact JOIN product_dim USING (product_id) JOIN time_dim USING (date_id)
+  WHERE year = {CURRENT_YEAR}
+  GROUP BY ROLLUP (store_id, supplier_id, product_id)
+)
+"""
+
+_H1 = "('january','february','march','april','may','june')"
+_H2 = "('july','august','september','october','november','december')"
+
+
+def q18(star: Star) -> DataFrame:
+    """H1/H2 revenue and volume per product (Analysis_Queries.sql:149-164;
+    lowercase month-name lists per the ci-collation intent; absent halves
+    coalesced to 0 so the sums stay non-null)."""
+    h1 = F.lower(F.col("month")).isin(
+        "january", "february", "march", "april", "may", "june"
+    )
+    zero_money = F.lit(0).cast("decimal(18,2)")
+    return (
+        _fact_prod_time(star)
+        .groupBy("product_id")
+        .agg(
+            F.coalesce(F.sum(F.when(h1, F.col("purchase_amount"))), zero_money)
+            .cast("double").alias("half_01_revenue"),
+            F.coalesce(F.sum(F.when(~h1, F.col("purchase_amount"))), zero_money)
+            .cast("double").alias("half_02_revenue"),
+            _money("yearly_revenue"),
+            F.coalesce(F.sum(F.when(h1, F.col("quantity"))), F.lit(0)).cast("long").alias("half_01_qty"),
+            F.coalesce(F.sum(F.when(~h1, F.col("quantity"))), F.lit(0)).cast("long").alias("half_02_qty"),
+            F.sum("quantity").cast("long").alias("yearly_qty"),
+        )
+    )
+
+
+Q18_SQL = f"""
+SELECT product_id,
+       CAST(COALESCE(SUM(CASE WHEN lower(month) IN {_H1} THEN purchase_amount END), 0) AS DOUBLE) AS half_01_revenue,
+       CAST(COALESCE(SUM(CASE WHEN lower(month) IN {_H2} THEN purchase_amount END), 0) AS DOUBLE) AS half_02_revenue,
+       {_MONEY} AS yearly_revenue,
+       CAST(COALESCE(SUM(CASE WHEN lower(month) IN {_H1} THEN quantity END), 0) AS BIGINT) AS half_01_qty,
+       CAST(COALESCE(SUM(CASE WHEN lower(month) IN {_H2} THEN quantity END), 0) AS BIGINT) AS half_02_qty,
+       CAST(SUM(quantity) AS BIGINT) AS yearly_qty
+FROM salefact JOIN product_dim USING (product_id) JOIN time_dim USING (date_id)
+GROUP BY product_id
+"""
+
+
+def q19(star: Star) -> DataFrame:
+    """Top-10 customer lifetime value with segment (declared blank at
+    Analysis_Queries.sql:166; defined as total spend + distinct orders per
+    customer, top 10 by spend)."""
+    return (
+        _fact_cust(star)
+        .groupBy("customer_id", "city_category")
+        .agg(
+            _money("total_spend"),
+            F.countDistinct("order_id").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), "customer_id")
+        .limit(10)
+    )
+
+
+Q19_SQL = f"""
+SELECT customer_id, city_category, {_MONEY} AS total_spend,
+       COUNT(DISTINCT order_id) AS n_orders
+FROM salefact JOIN customer_dim USING (customer_id)
+GROUP BY customer_id, city_category
+ORDER BY total_spend DESC, customer_id
+LIMIT 10
+"""
+
+
+def q20(star: Star) -> DataFrame:
+    """The store_quarterly_sales view body (Analysis_Queries.sql:168-176,
+    the reference's only CREATE VIEW — S9). ``register_views`` exposes it
+    as a temp view; here we return its contents."""
+    return (
+        _fact_prod_time(star)
+        .groupBy("store_name", "quarter")
+        .agg(_money("total_revenue"))
+    )
+
+
+Q20_SQL = f"""
+SELECT store_name, quarter, {_MONEY} AS total_revenue
+FROM salefact JOIN product_dim USING (product_id) JOIN time_dim USING (date_id)
+GROUP BY store_name, quarter
+"""
+
+
+QUERIES: dict[str, AnalysisQuery] = {
+    "q01_top5_product_daytype_revenue": AnalysisQuery(
+        "q01_top5_product_daytype_revenue", q01.__doc__, q01, Q01_SQL),
+    "q02_purchase_by_gender_age_city": AnalysisQuery(
+        "q02_purchase_by_gender_age_city", q02.__doc__, q02, Q02_SQL),
+    "q03_category_sales_by_occupation": AnalysisQuery(
+        "q03_category_sales_by_occupation", q03.__doc__, q03, Q03_SQL),
+    "q04_quarterly_purchase_gender_age": AnalysisQuery(
+        "q04_quarterly_purchase_gender_age", q04.__doc__, q04, Q04_SQL),
+    "q05_top_occupations_per_category": AnalysisQuery(
+        "q05_top_occupations_per_category", q05.__doc__, q05, Q05_SQL),
+    "q06_city_marital_past6months": AnalysisQuery(
+        "q06_city_marital_past6months", q06.__doc__, q06, Q06_SQL),
+    "q07_avg_purchase_stay_gender": AnalysisQuery(
+        "q07_avg_purchase_stay_gender", q07.__doc__, q07, Q07_SQL),
+    "q08_top5_city_category_revenue": AnalysisQuery(
+        "q08_top5_city_category_revenue", q08.__doc__, q08, Q08_SQL),
+    "q09_mom_growth_by_category": AnalysisQuery(
+        "q09_mom_growth_by_category", q09.__doc__, q09, Q09_SQL),
+    "q10_age_weekend_weekday_sales": AnalysisQuery(
+        "q10_age_weekend_weekday_sales", q10.__doc__, q10, Q10_SQL),
+    "q11_top5_category_month_daytype": AnalysisQuery(
+        "q11_top5_category_month_daytype", q11.__doc__, q11, Q11_SQL),
+    "q12_customer_spend_deciles": AnalysisQuery(
+        "q12_customer_spend_deciles", q12.__doc__, q12, Q12_SQL),
+    "q13_supplier_store_contribution": AnalysisQuery(
+        "q13_supplier_store_contribution", q13.__doc__, q13, Q13_SQL),
+    "q14_seasonal_product_sales": AnalysisQuery(
+        "q14_seasonal_product_sales", q14.__doc__, q14, Q14_SQL),
+    "q15_monthly_revenue_volatility": AnalysisQuery(
+        "q15_monthly_revenue_volatility", q15.__doc__, q15, Q15_SQL),
+    "q16_market_basket_pairs": AnalysisQuery(
+        "q16_market_basket_pairs", q16.__doc__, q16, Q16_SQL),
+    "q17_rollup_store_supplier_product": AnalysisQuery(
+        "q17_rollup_store_supplier_product", q17.__doc__, q17, Q17_SQL),
+    "q18_h1_h2_product_analysis": AnalysisQuery(
+        "q18_h1_h2_product_analysis", q18.__doc__, q18, Q18_SQL),
+    "q19_customer_lifetime_value": AnalysisQuery(
+        "q19_customer_lifetime_value", q19.__doc__, q19, Q19_SQL),
+    "q20_store_quarterly_sales_view": AnalysisQuery(
+        "q20_store_quarterly_sales_view", q20.__doc__, q20, Q20_SQL),
+}
+
+
+def register_views(star: Star) -> None:
+    """S9: register star tables and the store_quarterly_sales view for
+    spark.sql access."""
+    for name, df in star.items():
+        df.createOrReplaceTempView(name)
+    q20(star).createOrReplaceTempView("store_quarterly_sales")

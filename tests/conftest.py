@@ -1,0 +1,14 @@
+from __future__ import annotations
+
+import pytest
+
+from near_real_time_data_warehouse_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("nrtdw_tests", shuffle_partitions=8)
+    yield s
