@@ -1,1 +1,338 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over the ``documents`` table.
+
+The large-scale dedup toolbox (BASELINE.json north star):
+
+- **exact** — hash-groupBy on a normalized-content fingerprint; one
+  shuffle on the hash key, trivially scalable.
+- **n-gram Jaccard** — shingle inverted index + self-join on shingle;
+  the all-pairs verify is capped to a deterministic id range (the scale
+  path is the MinHash variant below).
+- **MinHash + LSH** — 32-permutation signatures (md5-derived, portable
+  across engines), banded into 8×4; candidate pairs only where a band
+  collides, then verified with true Jaccard. At 100 TB this is the
+  standard near-dup pipeline: cost is linear in corpus + candidate
+  pairs, never all-pairs.
+- **SimHash** — 32-bit sign-aggregated token hashes; Hamming-distance
+  candidates over the capped range (banding extends it the same way).
+
+Everything is built from Catalyst primitives (split/explode/groupBy/join,
+bit ops) — no Python UDFs. All hashing is md5-prefix → bigint, identical
+in Spark and DuckDB, so even the LSH candidate sets match the oracle
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import registry
+from .text import _NORM_SQL, _norm_col
+
+# Deterministic id cap for all-pairs verification variants.
+DOC_CAP = 1000
+# Near-dup thresholds.
+JACCARD_THRESHOLD = 0.2
+HAMMING_THRESHOLD = 3
+# MinHash configuration: 32 permutations, 8 bands × 4 rows.
+N_PERM = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per normalized-content
+    fingerprint, report group size. One hash shuffle; at scale this is a
+    map-side-combined groupBy on a 128-bit key."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.md5(_norm_col()).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+EXACT_SQL = f"""
+SELECT md5({_NORM_SQL}) AS fingerprint,
+       MIN(doc_id) AS kept_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY fingerprint
+"""
+
+
+# --- shingles -------------------------------------------------------------
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    toks = F.split(_norm_col(), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+# DuckDB twin (1-based list indexing; range(1, len-1) = 1..len-2).
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents {{where}})
+  WHERE len(t) >= 3
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard ≥ threshold over the capped id
+    range. Inverted-index join on shingle (never a cross join); Jaccard is
+    one integer division at the end."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < DOC_CAP)
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    out = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+NGRAM_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL.format(where=f"WHERE doc_id < {DOC_CAP}")}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       n_common / (sa.n + sb.n - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+def _hash64(col: F.Column) -> F.Column:
+    """Portable 60-bit hash: bigint from the md5 hex prefix — identical in
+    Spark and DuckDB, unlike engine-native hash()/xxhash64()."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8×4) near-dup pairs, verified with true Jaccard.
+
+    Pipeline: shingle → 32 hashed permutations (explode) → min per
+    (doc, perm) → band signatures → join on (band, signature) → distinct
+    candidate pairs → verify. No all-pairs stage anywhere, so the same
+    plan runs at 100 TB; candidate volume is controlled by the band/row
+    choice, and AQE handles skewed buckets."""
+    d = _docs(spark, sf_dir)
+    sh = _shingles(d)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1))).alias("perm")
+    hashed = sh.select("doc_id", perms, F.col("shingle")).withColumn(
+        "h", _hash64(F.concat_ws(":", F.col("perm"), F.col("shingle")))
+    )
+    sig = hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("sig"))
+    bands = (
+        sig.withColumn("band", (F.col("perm") / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("perm", "sig"))),
+                        lambda s: s["sig"].cast("string"),
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Verify candidates with true Jaccard (candidates only — cheap).
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa_sh, "doc_a")
+        .join(sb_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL.format(where="")}),
+hashed AS (
+  SELECT doc_id, perm,
+         CAST(('0x' || substr(md5(CAST(perm AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh, (SELECT unnest(range(0, {N_PERM})) AS perm)
+),
+sig AS (SELECT doc_id, perm, MIN(h) AS sig FROM hashed GROUP BY doc_id, perm),
+bands AS (
+  SELECT doc_id, CAST(perm / {ROWS_PER_BAND} AS INT) AS band,
+         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)) AS band_sig
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common / (sa.n + sb.n - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- SimHash --------------------------------------------------------------
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per bit position, the sign of the sum
+    of ±1 votes from each distinct token's hash bit. Integer arithmetic
+    end-to-end — exact and portable."""
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split(_norm_col(), " "))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    hashed = toks.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        "h",
+    ).withColumn("vote", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"))
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")).alias(
+                "simhash"
+            )
+        )
+    )
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(range(0, 32)) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: Hamming distance ≤ threshold over the
+    capped id range (the banding trick extends this to full scale exactly
+    like MinHash-LSH)."""
+    sh = simhash(spark, sf_dir).filter(F.col("doc_id") < DOC_CAP)
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents WHERE doc_id < {DOC_CAP}
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(range(0, 32)) AS bit)
+  GROUP BY doc_id, bit
+),
+sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+"""
+
+
+registry.register("dedup_exact", exact_dedup, EXACT_SQL)
+registry.register("dedup_ngram_jaccard", ngram_jaccard_pairs, NGRAM_SQL)
+registry.register("dedup_minhash_lsh", minhash_lsh_pairs, MINHASH_SQL)
+registry.register("dedup_simhash", simhash, SIMHASH_SQL)
+registry.register("dedup_simhash_pairs", simhash_pairs, SIMHASH_PAIRS_SQL)

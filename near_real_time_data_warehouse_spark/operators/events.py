@@ -1,1 +1,168 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-stream analytics over the ``events`` table — batch twins of the
+streaming surface (tumbling windows, sessionization, stream dedup).
+
+Structured Streaming runs the *same logical plans* against
+``readStream`` (see streaming/pipeline.py); these batch forms are the
+oracle-checkable versions the driver verifies.
+
+Portability notes: the events parquet stores TIMESTAMP(NANOS), which
+Spark only reads with ``spark.sql.legacy.parquet.nanosAsLong`` (set
+per-session in the reader — the driver's session doesn't pre-set it).
+All bucketing is *integer* epoch arithmetic (exact division on µs), so
+results are independent of session timezone in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import registry
+
+SESSION_GAP_MIN = 30
+_HOUR_US = 3_600_000_000
+_MINUTE_US = 60_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``us``: event time as integer epoch microseconds."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("us", F.expr("ts div 1000"))
+
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event type: count, exact decimal value
+    sum, sum/count mean. The streaming twin is ``window(ts, '1 hour')`` +
+    watermark; aggregation is map-side-combinable either way."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.expr(f"us div {_HOUR_US} * 3600").alias("hour_epoch_s"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+            ).alias("mean_value"),
+        )
+    )
+
+
+TUMBLING_SQL = f"""
+SELECT epoch_us(ts) // {_HOUR_US} * 3600 AS hour_epoch_s,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value
+FROM events
+GROUP BY hour_epoch_s, event_type
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): per user, session
+    count, event count, and longest session length in events. Batch form
+    of ``session_window(ts, gap)`` — lag + running sum of session starts."""
+    e = _events(spark, sf_dir).select("user_id", "event_id", "us")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > gap_us), 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("longest_session_events"),
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT user_id, us, event_id,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+       MAX(n) AS longest_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream dedup: first event per (user_id, event_type, minute) keyed by
+    lowest event_id — the batch twin of ``dropDuplicates`` with watermark
+    state. Returns per-key kept id + duplicate count."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            "user_id",
+            "event_type",
+            F.expr(f"us div {_MINUTE_US} * 60").alias("minute_epoch_s"),
+        )
+        .agg(
+            F.min("event_id").alias("kept_event_id"),
+            F.count(F.lit(1)).alias("n_in_key"),
+        )
+    )
+
+
+DEDUP_EVENTS_SQL = f"""
+SELECT user_id, event_type,
+       epoch_us(ts) // {_MINUTE_US} * 60 AS minute_epoch_s,
+       MIN(event_id) AS kept_event_id,
+       COUNT(*) AS n_in_key
+FROM events
+GROUP BY user_id, event_type, minute_epoch_s
+"""
+
+
+def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by total event value (TakeOrderedAndProject top-k)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(20)
+    )
+
+
+TOP_USERS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 20
+"""
+
+
+registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)
+registry.register("events_sessionize", sessionize, SESSIONIZE_SQL)
+registry.register("events_dedup_first_per_key", dedup_events, DEDUP_EVENTS_SQL)
+registry.register("events_top_users_by_value", top_users_by_value, TOP_USERS_SQL)

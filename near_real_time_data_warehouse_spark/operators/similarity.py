@@ -1,1 +1,229 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Two paths (BASELINE.json north star):
+
+- **Brute-force cosine top-k** — the exactness baseline. Queries (capped
+  id range) × corpus via a broadcast-joined flat pair stream; at scale
+  the corpus stays partitioned and only the query block broadcasts.
+- **LSH-bucketed ANN** — random-hyperplane signs bucket the corpus; only
+  same-bucket pairs are scored. Hyperplanes are derived deterministically
+  from md5, so the oracle reproduces the exact same buckets. This is the
+  scale path: bucket fan-out is tunable, no all-pairs stage.
+- **Embedding near-dup** — cosine ≥ threshold pairs within the capped
+  range (dedup-by-embedding for training pipelines).
+
+Float-determinism design: embeddings are quantized once to integer
+micro-units (round(x·10⁴)); dot products and norms are then *exact
+integer* aggregations (order-independent, engine-independent), and cosine
+is a single double division at the end — so Spark and DuckDB produce
+bit-identical scores and identical rankings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import registry
+
+QUERY_CAP = 100     # queries in the brute-force baseline
+CORPUS_CAP = 2000   # corpus for capped all-pairs variants
+TOP_K = 5
+# Near-dup threshold: this synthetic corpus has no planted duplicates (max
+# pairwise cosine ≈ 0.48), so 0.4 keeps the operator's output non-trivial;
+# a production dedup would use ~0.95.
+NEAR_DUP_COSINE = 0.4
+N_TABLES = 16       # LSH hash tables (candidate union over tables)
+N_PLANES = 4        # hyperplanes per table → 16 buckets/table
+QUANT = 10000       # quantization: micro-units per 1.0
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _quantized(df: DataFrame) -> DataFrame:
+    """vec_id, q: array<long> of round(x·QUANT), plus exact squared norm."""
+    q = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") * QUANT, 0).cast("long"))
+    return df.select(
+        "vec_id",
+        "label",
+        q.alias("q"),
+    ).withColumn(
+        "norm_sq",
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+    )
+
+
+_QUANT_SQL = f"""
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}, 0) AS BIGINT)) AS q
+  FROM embeddings
+"""
+
+_NORM_SQL = """
+  SELECT vec_id, label, q,
+         list_sum(list_transform(q, x -> x * x)) AS norm_sq
+  FROM quant
+"""
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(dot: F.Column, na: F.Column, nb: F.Column) -> F.Column:
+    return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: queries (vec_id < QUERY_CAP) against the capped
+    corpus. Query block is broadcast; ranking is a per-query window with
+    full tie-breaks."""
+    e = _quantized(_emb(spark, sf_dir))
+    queries = e.filter(F.col("vec_id") < QUERY_CAP).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("norm_sq").alias("na")
+    )
+    corpus = e.filter(F.col("vec_id") < CORPUS_CAP).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("norm_sq").alias("nb")
+    )
+    pairs = corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        _cosine(_dot("qa", "qb"), F.col("na"), F.col("nb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+BRUTE_SQL = f"""
+WITH quant AS ({_QUANT_SQL}),
+normed AS ({_NORM_SQL}),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
+  FROM normed a JOIN normed b ON a.vec_id < {QUERY_CAP} AND b.vec_id < {CORPUS_CAP}
+   AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _plane_weights(table: int, plane: int, dims: int = 64) -> list[int]:
+    """Deterministic ±1 hyperplane weights: parity of md5(f"{t}:{p}:{d}").
+    Computed driver-side once and embedded as literals — the executor does
+    pure integer arithmetic."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"{table}:{plane}:{d}".encode()).digest()[0] % 2 == 0 else -1
+        for d in range(dims)
+    ]
+
+
+def _bucketed(e: DataFrame, dims: int = 64) -> DataFrame:
+    """Multi-table random-hyperplane LSH: emits (vec_id, table, bucket)
+    rows — one bucket id per hash table, packing the sign bit of q·w_p for
+    each of that table's planes. Candidate pairs are unioned across
+    tables, the standard recall/cost dial (L tables × k planes)."""
+    buckets = []
+    for t in range(N_TABLES):
+        bucket = F.lit(0)
+        for p in range(N_PLANES):
+            w = F.array(*[F.lit(v) for v in _plane_weights(t, p, dims)])
+            dot_p = F.aggregate(
+                F.zip_with(F.col("q"), w, lambda x, wv: x * wv.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dot_p > 0, F.lit(2**p)).otherwise(0)
+        buckets.append(F.struct(F.lit(t).alias("tbl"), bucket.cast("long").alias("bucket")))
+    return e.withColumn("tb", F.explode(F.array(*buckets))).select(
+        "*", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    ).drop("tb")
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via multi-table hyperplane LSH: candidates are pairs
+    sharing a bucket in ≥1 of the L tables; only candidates are scored.
+    Approximate — recall vs the brute-force baseline is asserted in tests.
+    At 100 TB this is the scale path: cost ∝ corpus + candidates, and the
+    (L, k) choice tunes recall against candidate volume."""
+    e = _bucketed(_quantized(_emb(spark, sf_dir)))
+    queries = e.filter(F.col("vec_id") < QUERY_CAP).select(
+        F.col("vec_id").alias("query_id"), "tbl", F.col("bucket").alias("qbucket")
+    ).alias("qs")
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket").alias("cs")
+    cand = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cs.tbl") == F.col("qs.tbl"))
+            & (F.col("cs.bucket") == F.col("qs.qbucket"))
+            & (F.col("qs.query_id") != F.col("cs.neighbor_id")),
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = _quantized(_emb(spark, sf_dir))
+    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("norm_sq").alias("na"))
+    cv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("norm_sq").alias("nb"))
+    scored = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        _cosine(_dot("qa", "qb"), F.col("na"), F.col("nb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold) within
+    the capped range — exact integer dot products, one double division."""
+    e = _quantized(_emb(spark, sf_dir)).filter(F.col("vec_id") < CORPUS_CAP)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("norm_sq").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("norm_sq").alias("nb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        _cosine(_dot("qa", "qb"), F.col("na"), F.col("nb")).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= NEAR_DUP_COSINE)
+
+
+NEAR_DUP_SQL = f"""
+WITH quant AS ({_QUANT_SQL}),
+normed AS ({_NORM_SQL})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOUBLE)
+         / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
+FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+WHERE a.vec_id < {CORPUS_CAP} AND b.vec_id < {CORPUS_CAP}
+  AND CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOUBLE)
+        / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) >= {NEAR_DUP_COSINE}
+"""
+
+
+registry.register("sim_bruteforce_topk", brute_force_topk, BRUTE_SQL)
+registry.register("sim_ann_lsh_topk", ann_lsh_topk, None)  # recall-tested vs brute force
+registry.register("sim_embedding_near_dup", embedding_near_dup, NEAR_DUP_SQL)

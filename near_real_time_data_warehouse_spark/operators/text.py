@@ -1,1 +1,187 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data-pipeline surface (BASELINE.json north star):
+token counting (whitespace + BPE-ish regex), quality scoring,
+language-ID (stopword heuristic), and document fingerprinting. All are
+single-pass, JVM-side Catalyst expressions — no Python UDFs — so they
+scan-and-project at full codegen speed and scale linearly with input
+splits (no shuffle except the final aggregation where present).
+
+Each operator has a DuckDB oracle twin registered alongside; outputs are
+integers, strings, or single-division doubles so hashes match bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import registry
+
+# Shared normalization: lowercase, collapse whitespace, trim.
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' '))"
+
+
+def _norm_col() -> F.Column:
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation.
+_BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens, BPE-ish pieces, chars."""
+    d = _docs(spark, sf_dir)
+    norm = _norm_col()
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.regexp_count(norm, F.lit(_BPE_RE)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                 ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all({_NORM_SQL}, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+_STOPWORDS = "the|a|and|of|to|in|is"
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features + composite score per document:
+    mean token length, stopword ratio, alpha-char ratio. The composite is
+    a fixed-order linear blend — deterministic IEEE arithmetic."""
+    d = _docs(spark, sf_dir)
+    norm = _norm_col()
+    n_tokens = F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(F.split(norm, " "))).cast("long")
+    n_chars = F.length(norm).cast("long")
+    n_alpha = F.length(F.regexp_replace(norm, "[^a-z]", "")).cast("long")
+    n_stop = F.regexp_count(norm, F.lit(rf"\b({_STOPWORDS})\b")).cast("long")
+    feats = d.select(
+        "doc_id",
+        n_chars.alias("n_chars_norm"),
+        n_tokens.alias("n_tokens"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stopwords"),
+    )
+    nt = F.col("n_tokens")
+    safe_nt = F.when(nt == 0, F.lit(1)).otherwise(nt)
+    mean_tok = F.col("n_alpha") / safe_nt
+    stop_ratio = F.col("n_stopwords") / safe_nt
+    alpha_ratio = F.col("n_alpha") / F.when(F.col("n_chars_norm") == 0, F.lit(1)).otherwise(F.col("n_chars_norm"))
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        mean_tok.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+    )
+
+
+QUALITY_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(length({_NORM_SQL}) AS BIGINT) AS n_chars_norm,
+         CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                   ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace({_NORM_SQL}, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(len(regexp_extract_all({_NORM_SQL}, '\\b({_STOPWORDS})\\b')) AS BIGINT) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_stopwords,
+       n_alpha / CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END AS mean_token_len,
+       n_stopwords / CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END AS stopword_ratio,
+       n_alpha / CASE WHEN n_chars_norm = 0 THEN 1 ELSE n_chars_norm END AS alpha_ratio
+FROM feats
+"""
+
+# Language-ID stopword sets; CJK detected by literal char-range.
+_LANG_PATTERNS = {
+    "en": r"\b(the|and|of|to|is|was|with)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein)\b",
+    "es": r"\b(el|los|las|y|es|una|que)\b",
+    "fr": r"\b(le|les|et|est|une|dans|pour)\b",
+}
+_CJK_RANGE = "[一-鿿]"
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language heuristic: per-language match counts with a
+    deterministic argmax (CJK presence wins; then en ≥ de ≥ es ≥ fr)."""
+    d = _docs(spark, sf_dir)
+    norm = _norm_col()
+    counts = {k: F.regexp_count(norm, F.lit(p)).cast("long") for k, p in _LANG_PATTERNS.items()}
+    cjk = F.regexp_count(F.col("text"), F.lit(_CJK_RANGE)).cast("long")
+    en, de, es, fr = counts["en"], counts["de"], counts["es"], counts["fr"]
+    pred = (
+        F.when(cjk > 0, "zh")
+        .when((en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("c_en"),
+        de.alias("c_de"),
+        es.alias("c_es"),
+        fr.alias("c_fr"),
+        cjk.alias("c_cjk"),
+        pred.alias("predicted_lang"),
+    )
+
+
+_LANG_COUNT_SQL = ",\n       ".join(
+    f"CAST(len(regexp_extract_all({_NORM_SQL}, '{p}')) AS BIGINT) AS c_{k}"
+    for k, p in _LANG_PATTERNS.items()
+)
+
+LANG_ID_SQL = f"""
+WITH c AS (
+  SELECT doc_id, lang AS labeled_lang,
+       {_LANG_COUNT_SQL},
+       CAST(len(regexp_extract_all(text, '{_CJK_RANGE}')) AS BIGINT) AS c_cjk
+  FROM documents
+)
+SELECT doc_id, labeled_lang, c_en, c_de, c_es, c_fr, c_cjk,
+       CASE WHEN c_cjk > 0 THEN 'zh'
+            WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_es >= c_fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM c
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercase text —
+    the key for exact dedup and shard-stable sampling."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(_norm_col()).alias("fingerprint"),
+    )
+
+
+FINGERPRINT_SQL = f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents"
+
+
+registry.register("text_token_stats", token_stats, TOKEN_STATS_SQL)
+registry.register("text_quality_score", quality_score, QUALITY_SQL)
+registry.register("text_lang_id", lang_id, LANG_ID_SQL)
+registry.register("text_fingerprint", fingerprint, FINGERPRINT_SQL)
