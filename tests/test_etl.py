@@ -1,0 +1,142 @@
+"""ETL property tests (SURVEY.md §5.3) and batch≡stream equivalence (§5.4)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_spark import etl
+from near_real_time_data_warehouse_spark.streaming.pipeline import run_streaming_etl
+
+from .fixtures import write_fixture_csvs
+
+
+@pytest.fixture(scope="module")
+def paths(tmp_path_factory):
+    base = tmp_path_factory.mktemp("etl_fixture")
+    return write_fixture_csvs(base)
+
+
+@pytest.fixture(scope="module")
+def star(spark, paths, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    return etl.run_batch_etl(
+        spark,
+        str(paths["transactions"]),
+        str(paths["customer"]),
+        str(paths["product"]),
+        wh,
+    )
+
+
+def test_fk_integrity(star):
+    """Every fact row must join all three dims (starSchema.sql:43-45)."""
+    fact = star["salefact"]
+    for dim, key in (
+        ("customer_dim", "customer_id"),
+        ("product_dim", "product_id"),
+        ("time_dim", "date_id"),
+    ):
+        if dim == "product_dim":
+            # product leg is LEFT: unknown products keep the fact row
+            continue
+        orphans = fact.join(star[dim], key, "left_anti").count()
+        assert orphans == 0, f"{orphans} fact rows orphaned on {dim}"
+
+
+def test_eviction_inner_join_semantics(spark, star, paths):
+    """Facts = stream rows with known Customer_ID (J1, hybrid_join.py:229-231)."""
+    txns = etl.read_transactions(spark, str(paths["transactions"]))
+    cust = etl.read_customer_master(spark, str(paths["customer"]))
+    expected = txns.join(
+        cust.select(F.col("customer_id").alias("Customer_ID")), "Customer_ID", "inner"
+    ).count()
+    assert star["salefact"].count() == expected
+
+
+def test_purchase_amount_derivation(star):
+    """purchase_amount == round(quantity * master price, 2)
+    (hybrid_join.py:451-453); null price (unknown product) → null amount."""
+    f = star["salefact"].join(star["product_dim"], "product_id", "left")
+    bad = f.filter(
+        F.col("price").isNotNull()
+        & (F.col("purchase_amount") != F.round(F.col("quantity") * F.col("price"), 2))
+    ).count()
+    assert bad == 0
+    missing_price_nonnull = f.filter(
+        F.col("price").isNull() & F.col("purchase_amount").isNotNull()
+    ).count()
+    assert missing_price_nonnull == 0
+
+
+def test_time_dim_unique_and_derived(star):
+    """time_dim unique on full_date (hybrid_join.py:381-388) with the
+    reference's derivations (:429-444)."""
+    td = star["time_dim"]
+    assert td.count() == td.select("full_date").distinct().count()
+    assert td.count() == td.select("date_id").distinct().count()
+    bad_season = td.filter(
+        ~(
+            (F.month("full_date").isin(12, 1, 2) & (F.col("season") == "Winter"))
+            | (F.month("full_date").isin(3, 4, 5) & (F.col("season") == "Spring"))
+            | (F.month("full_date").isin(6, 7, 8) & (F.col("season") == "Summer"))
+            | (F.month("full_date").isin(9, 10, 11) & (F.col("season") == "Autumn"))
+        )
+    ).count()
+    assert bad_season == 0
+    bad_dow = td.filter(F.col("day_of_week") != F.date_format("full_date", "EEEE")).count()
+    assert bad_dow == 0
+
+
+def test_age_lower_bound(star):
+    """Age buckets stored as int lower bound ('55+'→55, hybrid_join.py:402)."""
+    ages = {r.age for r in star["customer_dim"].select("age").distinct().collect()}
+    assert ages <= {0, 18, 26, 36, 46, 51, 55}
+
+
+def test_dim_upsert_idempotent_under_replay(spark, star, paths, tmp_path_factory):
+    """Replaying the same batch must not duplicate dimension rows (S5
+    first-writer-wins, hybrid_join.py:365-378)."""
+    wh = str(tmp_path_factory.mktemp("warehouse_replay"))
+    for _ in range(2):
+        etl.run_batch_etl(
+            spark,
+            str(paths["transactions"]),
+            str(paths["customer"]),
+            str(paths["product"]),
+            wh,
+        )
+    replayed = etl.read_star(spark, wh)
+    for dim, key in (
+        ("customer_dim", "customer_id"),
+        ("product_dim", "product_id"),
+        ("time_dim", "date_id"),
+    ):
+        total = replayed[dim].count()
+        distinct = replayed[dim].select(key).distinct().count()
+        assert total == distinct, f"{dim}: {total} rows, {distinct} keys after replay"
+    # facts are append-only: replay doubles them (at-least-once without
+    # checkpoint; the streaming path's checkpoint prevents this)
+    assert replayed["salefact"].count() == 2 * star["salefact"].count()
+
+
+def test_stream_equals_batch(spark, star, paths, tmp_path_factory):
+    """Structured Streaming (availableNow) produces the same star schema
+    as the batch path (SURVEY.md §5.4)."""
+    wh = str(tmp_path_factory.mktemp("warehouse_stream"))
+    ckpt = str(tmp_path_factory.mktemp("checkpoint"))
+    run_streaming_etl(
+        spark,
+        str(paths["transactions"]),
+        str(paths["customer"]),
+        str(paths["product"]),
+        wh,
+        ckpt,
+    )
+    streamed = etl.read_star(spark, wh)
+    for name in etl.STAR_TABLES:
+        b = {tuple(str(v) for v in r) for r in star[name].collect()}
+        s = {tuple(str(v) for v in r) for r in streamed[name].collect()}
+        assert b == s, f"{name}: batch and stream diverge"
