@@ -71,14 +71,19 @@ GROUP BY fingerprint
 # --- shingles -------------------------------------------------------------
 
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
-    toks = F.split(_norm_col(), " ")
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    The token array is materialized as a column first — referencing the
+    split expression inside the transform lambda would re-run the whole
+    lower/regexp/split chain per element_at (measured ~10× slower)."""
+    tokenized = docs.select("doc_id", F.split(_norm_col(), " ").alias("t"))
+    toks = F.col("t")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
     )
     return (
-        docs.filter(F.size(toks) >= n)
+        tokenized.filter(F.size(toks) >= n)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
@@ -136,42 +141,71 @@ WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 
 # --- MinHash + LSH --------------------------------------------------------
 
-def _hash64(col: F.Column) -> F.Column:
-    """Portable 60-bit hash: bigint from the md5 hex prefix — identical in
-    Spark and DuckDB, unlike engine-native hash()/xxhash64()."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+# Universal-hash permutations over a 31-bit prime field: h_i = (a_i·h + b_i)
+# mod P. One md5 per shingle (the base hash); the 32 permutations are pure
+# integer arithmetic — products stay < 2^62, portable to DuckDB bigints.
+MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_constants(n: int = N_PERM) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(n):
+        d = hashlib.md5(f"perm:{i}".encode()).digest()
+        a = int.from_bytes(d[:8], "big") % (MERSENNE_P - 1) + 1
+        b = int.from_bytes(d[8:], "big") % MERSENNE_P
+        out.append((a, b))
+    return out
+
+
+def _band_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) from shingles — no row explosion: the 32
+    signature mins are array expressions over the per-doc base-hash list."""
+    consts = _perm_constants()
+    base = sh.withColumn(
+        "h31",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long") % MERSENNE_P,
+    )
+    hs = base.groupBy("doc_id").agg(F.collect_list("h31").alias("hs"))
+    def perm_min(a: int, b: int) -> F.Column:
+        return F.array_min(F.transform(F.col("hs"), lambda h: (h * a + b) % MERSENNE_P))
+
+    sig = F.array(*[perm_min(a, b) for a, b in consts])
+    with_sig = hs.withColumn("sig", sig)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("sig"), t * ROWS_PER_BAND + j + 1).cast("string")
+                            for j in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for t in range(N_BANDS)
+        ]
+    )
+    return with_sig.select("doc_id", F.explode(bands_arr).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig")
+    )
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8×4) near-dup pairs, verified with true Jaccard.
 
-    Pipeline: shingle → 32 hashed permutations (explode) → min per
-    (doc, perm) → band signatures → join on (band, signature) → distinct
-    candidate pairs → verify. No all-pairs stage anywhere, so the same
-    plan runs at 100 TB; candidate volume is controlled by the band/row
-    choice, and AQE handles skewed buckets."""
+    Pipeline: shingle → base md5 hash → 32 universal-hash mins (array
+    expressions, one row per doc) → band signatures → join on (band,
+    signature) → distinct candidate pairs → verify. No all-pairs stage
+    anywhere, so the same plan runs at 100 TB; candidate volume is
+    controlled by the band/row choice, and AQE handles skewed buckets."""
     d = _docs(spark, sf_dir)
     sh = _shingles(d)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1))).alias("perm")
-    hashed = sh.select("doc_id", perms, F.col("shingle")).withColumn(
-        "h", _hash64(F.concat_ws(":", F.col("perm"), F.col("shingle")))
-    )
-    sig = hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("sig"))
-    bands = (
-        sig.withColumn("band", (F.col("perm") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("perm", "sig"))),
-                        lambda s: s["sig"].cast("string"),
-                    ),
-                )
-            ).alias("band_sig")
-        )
-    )
+    bands = _band_signatures(sh)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -202,19 +236,33 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", "jaccard")
 
 
+def _minhash_bands_sql() -> str:
+    """DuckDB twin of ``_band_signatures`` — same constants, same md5-base
+    hash, same band concatenation."""
+    consts = _perm_constants()
+
+    def sig_expr(a: int, b: int) -> str:
+        return f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_P}))"
+
+    band_rows = []
+    for t in range(N_BANDS):
+        parts = " || ',' || ".join(
+            f"CAST({sig_expr(*consts[t * ROWS_PER_BAND + j])} AS VARCHAR)"
+            for j in range(ROWS_PER_BAND)
+        )
+        band_rows.append(f"SELECT doc_id, {t} AS band, md5({parts}) AS band_sig FROM hs")
+    return " UNION ALL ".join(band_rows)
+
+
 MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL.format(where="")}),
-hashed AS (
-  SELECT doc_id, perm,
-         CAST(('0x' || substr(md5(CAST(perm AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT) AS h
-  FROM sh, (SELECT unnest(range(0, {N_PERM})) AS perm)
+base AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % {MERSENNE_P} AS h31
+  FROM sh
 ),
-sig AS (SELECT doc_id, perm, MIN(h) AS sig FROM hashed GROUP BY doc_id, perm),
-bands AS (
-  SELECT doc_id, CAST(perm / {ROWS_PER_BAND} AS INT) AS band,
-         md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm)) AS band_sig
-  FROM sig GROUP BY doc_id, band
-),
+hs AS (SELECT doc_id, list(h31) AS hs FROM base GROUP BY doc_id),
+bands AS ({_minhash_bands_sql()}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b

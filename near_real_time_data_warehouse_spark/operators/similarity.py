@@ -21,6 +21,10 @@ bit-identical scores and identical rankings.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -81,6 +85,24 @@ def _cosine(dot: F.Column, na: F.Column, nb: F.Column) -> F.Column:
     return dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
 
 
+# --- numpy fast path ------------------------------------------------------
+# Quantized vectors are integers, so numpy int64 matmuls are EXACT and the
+# final cosine (one sqrt/mul/div chain) is the same IEEE arithmetic the SQL
+# oracle performs — results stay bit-identical while running at BLAS speed
+# instead of per-element Catalyst lambda evaluation.
+
+def _quant_np(col: pd.Series) -> np.ndarray:
+    """round(x·QUANT) half-away-from-zero, matching Spark/DuckDB round()."""
+    v = np.vstack(col.values).astype(np.float64) * QUANT
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+
+
+def _collect_quantized(df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, Q) for a bounded (capped/broadcastable) vector block."""
+    pdf = df.select("vec_id", "embedding").toPandas()
+    return pdf["vec_id"].to_numpy(np.int64), _quant_np(pdf["embedding"])
+
+
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: queries (vec_id < QUERY_CAP) against the capped
     corpus. Query block is broadcast; ranking is a per-query window with
@@ -138,25 +160,34 @@ def _plane_weights(table: int, plane: int, dims: int = 64) -> list[int]:
 
 
 def _bucketed(e: DataFrame, dims: int = 64) -> DataFrame:
-    """Multi-table random-hyperplane LSH: emits (vec_id, table, bucket)
-    rows — one bucket id per hash table, packing the sign bit of q·w_p for
-    each of that table's planes. Candidate pairs are unioned across
-    tables, the standard recall/cost dial (L tables × k planes)."""
-    buckets = []
-    for t in range(N_TABLES):
-        bucket = F.lit(0)
-        for p in range(N_PLANES):
-            w = F.array(*[F.lit(v) for v in _plane_weights(t, p, dims)])
-            dot_p = F.aggregate(
-                F.zip_with(F.col("q"), w, lambda x, wv: x * wv.cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+    """Multi-table random-hyperplane LSH: emits (vec_id, tbl, bucket) rows
+    — one bucket id per hash table, packing the sign bit of q·w_p for each
+    of that table's planes. Candidate pairs are unioned across tables, the
+    standard recall/cost dial (L tables × k planes). Computed as one
+    int64 matmul against the (L·k × dims) weight matrix per Arrow batch."""
+    W = np.array(
+        [_plane_weights(t, p, dims) for t in range(N_TABLES) for p in range(N_PLANES)],
+        dtype=np.int64,
+    )
+    pow2 = 2 ** np.arange(N_PLANES, dtype=np.int64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            q = _quant_np(pdf["embedding"])
+            signs = (q @ W.T > 0).astype(np.int64).reshape(len(pdf), N_TABLES, N_PLANES)
+            bkt = (signs * pow2).sum(axis=2)  # (n, N_TABLES)
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, N_TABLES),
+                    "tbl": np.tile(np.arange(N_TABLES), len(pdf)),
+                    "bucket": bkt.reshape(-1),
+                }
             )
-            bucket = bucket + F.when(dot_p > 0, F.lit(2**p)).otherwise(0)
-        buckets.append(F.struct(F.lit(t).alias("tbl"), bucket.cast("long").alias("bucket")))
-    return e.withColumn("tb", F.explode(F.array(*buckets))).select(
-        "*", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-    ).drop("tb")
+
+    return e.mapInPandas(batches, "vec_id long, tbl int, bucket long")
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,7 +196,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate — recall vs the brute-force baseline is asserted in tests.
     At 100 TB this is the scale path: cost ∝ corpus + candidates, and the
     (L, k) choice tunes recall against candidate volume."""
-    e = _bucketed(_quantized(_emb(spark, sf_dir)))
+    emb = _emb(spark, sf_dir)
+    e = _bucketed(emb)
     queries = e.filter(F.col("vec_id") < QUERY_CAP).select(
         F.col("vec_id").alias("query_id"), "tbl", F.col("bucket").alias("qbucket")
     ).alias("qs")
@@ -180,14 +212,33 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    vecs = _quantized(_emb(spark, sf_dir))
-    qv = vecs.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("norm_sq").alias("na"))
-    cv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("norm_sq").alias("nb"))
-    scored = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").select(
-        "query_id",
-        "neighbor_id",
-        _cosine(_dot("qa", "qb"), F.col("na"), F.col("nb")).alias("cosine"),
+    # Score candidates: neighbor vectors stream through in Arrow batches,
+    # the bounded query block rides along as a broadcast numpy matrix.
+    qids, qmat = _collect_quantized(emb.filter(F.col("vec_id") < QUERY_CAP))
+    qpos = {int(v): i for i, v in enumerate(qids)}
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((qpos, qmat, qnorm))
+
+    with_vec = cand.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id"
     )
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qpos_, qmat_, qnorm_ = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            nq = _quant_np(pdf["embedding"])
+            s = nq @ qmat_.T  # exact int64
+            nn = np.sqrt((nq * nq).sum(axis=1).astype(np.float64))
+            idx = pdf["query_id"].map(qpos_).to_numpy(np.int64)
+            rows = np.arange(len(pdf))
+            cos = s[rows, idx] / (nn * qnorm_[idx])
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "neighbor_id": pdf["neighbor_id"], "cosine": cos}
+            )
+
+    scored = with_vec.mapInPandas(score, "query_id long, neighbor_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -198,17 +249,33 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold) within
-    the capped range — exact integer dot products, one double division."""
-    e = _quantized(_emb(spark, sf_dir)).filter(F.col("vec_id") < CORPUS_CAP)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("norm_sq").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("norm_sq").alias("nb"))
-    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    scored = pairs.select(
-        "vec_a",
-        "vec_b",
-        _cosine(_dot("qa", "qb"), F.col("na"), F.col("nb")).alias("cosine"),
-    )
-    return scored.filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    the capped range — exact integer dot products, one double division.
+
+    The capped block rides along as a broadcast numpy matrix; each Arrow
+    batch does one int64 matmul against it. At full scale the uncapped
+    path is LSH-bucketed (ann_lsh_topk's bucketer) instead of block-dense."""
+    capped = _emb(spark, sf_dir).filter(F.col("vec_id") < CORPUS_CAP)
+    cids, cmat = _collect_quantized(capped)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids_, cmat_, cnorm_ = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            q = _quant_np(pdf["embedding"])
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            s = q @ cmat_.T  # exact int64
+            nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+            cos = s / (nrm[:, None] * cnorm_[None, :])
+            mask = (ids[:, None] < cids_[None, :]) & (cos >= NEAR_DUP_COSINE)
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"vec_a": ids[ai], "vec_b": cids_[bj], "cosine": cos[ai, bj]}
+            )
+
+    return capped.mapInPandas(batches, "vec_a long, vec_b long, cosine double")
 
 
 NEAR_DUP_SQL = f"""
