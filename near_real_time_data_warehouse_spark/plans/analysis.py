@@ -659,6 +659,23 @@ QUERIES: dict[str, AnalysisQuery] = {
 }
 
 
+# Spark SQL bodies (SURVEY.md §3.2: every query exists as both a DataFrame
+# function and a spark.sql string). The oracle bodies are ANSI enough to run
+# on Spark verbatim against the registered star views — except q15, whose
+# HUGEINT arithmetic maps to DECIMAL(38,0) here.
+_SPARK_SQL_OVERRIDES = {
+    "q15_monthly_revenue_volatility": Q15_SQL.replace("AS HUGEINT", "AS DECIMAL(38,0)"),
+}
+
+
+def spark_sql_text(name: str) -> str | None:
+    """The spark.sql form of an analysis query (run after register_views)."""
+    q = QUERIES[name]
+    if q.oracle is None:
+        return None
+    return _SPARK_SQL_OVERRIDES.get(name, q.oracle)
+
+
 def register_views(star: Star) -> None:
     """S9: register star tables and the store_quarterly_sales view for
     spark.sql access."""

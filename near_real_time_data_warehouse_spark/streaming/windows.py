@@ -1,0 +1,110 @@
+"""Streaming analytics over the events stream: watermarked windows and a
+custom stateful operator (north-star T4 surface; the reference itself has
+no event-time ops — SURVEY.md §2.6).
+
+The batch twins in operators/events.py are the oracle-checked versions;
+tests assert stream == batch on a drained source.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_LONG_TS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), True),  # nanos (parquet TIMESTAMP(NANOS))
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events parquet as a file stream with a proper event-time column.
+
+    The file-stream source requires a *directory*; testdata is read-only,
+    so the single parquet file is exposed through a symlink in a temp dir."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    raw = spark.readStream.schema(EVENTS_LONG_TS_SCHEMA).parquet(stream_dir)
+    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_by_type(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling 1-hour window per event type — the streaming
+    twin of operators/events.tumbling_hourly. At scale, state is bounded
+    by the watermark horizon; aggregation is map-side partial before the
+    keyed state store."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_STATE_SCHEMA = "n LONG, total DOUBLE"
+_OUTPUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+
+
+def _user_totals_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: running per-user totals. State survives
+    across micro-batches; each batch emits the updated running totals."""
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState: per-user running event count/value totals —
+    the 'custom stateful operator' escape hatch for semantics the built-in
+    windows can't express."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
+    """Drain a streaming DataFrame into an in-memory table synchronously."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,47 @@
+"""Streaming window/stateful operators equal their batch twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_spark.operators import events as batch_events
+from near_real_time_data_warehouse_spark.streaming import windows as sw
+
+from .conftest import SF_SMALL
+
+
+def test_hourly_window_stream_equals_batch(spark):
+    # complete mode: append would (correctly) hold back the final
+    # still-open windows past the watermark; equivalence needs them all.
+    stream = sw.read_event_stream(spark, SF_SMALL)
+    sw.run_to_memory(sw.hourly_by_type(stream), "hourly_out", "complete")
+    streamed = {
+        (r.hour_epoch_s, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM hourly_out").collect()
+    }
+    batch = {
+        (r.hour_epoch_s, r.event_type): (r.n_events, r.total_value)
+        for r in batch_events.tumbling_hourly(spark, SF_SMALL)
+        .drop("mean_value")
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_running_user_totals_state(spark):
+    stream = sw.read_event_stream(spark, SF_SMALL)
+    sw.run_to_memory(sw.running_user_totals(stream), "user_totals_out", "update")
+    # last update per user is the final running total
+    out = spark.sql(
+        "SELECT user_id, n_events FROM user_totals_out"
+    ).groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    streamed = {(r.user_id, r.n_events) for r in out.collect()}
+    batch = {
+        (r.user_id, r.n)
+        for r in spark.read.schema(sw.EVENTS_LONG_TS_SCHEMA)
+        .parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == batch
