@@ -40,5 +40,6 @@ def _load_all() -> None:
     if _LOADED:
         return
     from . import dedup, similarity, text, events  # noqa: F401  (self-registering)
+    from ..plans import classics  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the plans we designed for are the
+plans Catalyst actually produces (SURVEY.md §4). A correctness-green but
+plan-degraded change (lost broadcast, lost pushdown, full sort where
+top-k suffices) fails here before it costs 10× at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from near_real_time_data_warehouse_spark import driver_api
+from near_real_time_data_warehouse_spark.plans import analysis
+from near_real_time_data_warehouse_spark.plans.star import build_star
+
+from .conftest import SF_SMALL
+
+QUERIES = driver_api.queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+@pytest.fixture(scope="module")
+def star(spark):
+    return build_star(spark, SF_SMALL)
+
+
+def test_star_joins_are_broadcast(star):
+    """Dims are bounded → every star join must be broadcast-hash; a
+    sort-merge join here means a 100 TB shuffle of the fact table."""
+    plan = plan_of(analysis.QUERIES["q02_purchase_by_gender_age_city"].spark(star))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fact_scan_prunes_columns(star):
+    """q02 touches 3 lineitem columns; the scan must read exactly those."""
+    plan = plan_of(analysis.QUERIES["q02_purchase_by_gender_age_city"].spark(star))
+    assert "struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>" in plan.replace(" ", "")
+
+
+def test_topk_compiles_to_take_ordered(star):
+    """ORDER BY + LIMIT must be TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(analysis.QUERIES["q01_top5_product_daytype_revenue"].spark(star))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_pushed_to_parquet(spark):
+    """The pricing-summary shipdate filter must reach the parquet scan."""
+    plan = plan_of(QUERIES["classic_pricing_summary"](spark, SF_SMALL))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_no_cartesian_products(star):
+    """The q16 theta self-join must plan as an equi-join on order_id with
+    a residual predicate, never a cartesian product."""
+    plan = plan_of(analysis.QUERIES["q16_market_basket_pairs"].spark(star))
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_single_expand(star):
+    """ROLLUP must use one Expand node (no per-grouping-set re-scan)."""
+    plan = plan_of(analysis.QUERIES["q17_rollup_store_supplier_product"].spark(star))
+    # exactly one Expand: the three rollup grouping sets never re-scan input
+    assert plan.count("Expand") == 1
