@@ -340,20 +340,22 @@ LIMIT 5
 def q12(star: Star) -> DataFrame:
     """Customer spend deciles (declared blank at Analysis_Queries.sql:107;
     defined as: decile customers by lifetime spend, report each decile's
-    size and revenue share inputs)."""
+    size and revenue share inputs). Uses the distributed ntile from
+    operators/ranking — ``Window.orderBy`` without a partition key would
+    sort every customer on one task (see operators/ranking.py)."""
+    from ..operators.ranking import scalable_ntile
+
     spend = (
         star["salefact"]
         .groupBy("customer_id")
         .agg(_money("total_spend"))
     )
-    w = Window.orderBy(F.desc("total_spend"), "customer_id")
-    return (
-        spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("total_spend").cast("decimal(18,2)")).cast("double").alias("decile_revenue"),
-        )
+    deciled = scalable_ntile(
+        spend, [F.desc("total_spend"), F.col("customer_id")], 10, bucket_col="decile"
+    )
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("total_spend").cast("decimal(18,2)")).cast("double").alias("decile_revenue"),
     )
 
 
