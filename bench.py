@@ -25,8 +25,28 @@ def main() -> None:
     spark = get_spark("nrtdw_bench")
     qs = driver_api.queries()
 
+    # Warm the JVM (codegen, parquet footer readers, noop sink) so the
+    # alphabetically-first query doesn't absorb one-time session cost.
+    from pyspark.sql import functions as F  # noqa: N812
+
+    spark.range(1_000_000).select((F.col("id") % 97).alias("k")).groupBy("k").agg(
+        F.count(F.lit(1))
+    ).write.format("noop").mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode("overwrite").save()
+
     only = sys.argv[1:] or None
     timings: dict[str, float] = {}
+
+    # The warehouse load (star ETL) happens once, like the reference's load
+    # phase (hybrid_join.py:356-477); bill it as its own line item rather
+    # than inside whichever star query runs first.
+    if only is None or "star_etl_load" in only:
+        from near_real_time_data_warehouse_spark.plans.star import star_tables
+
+        t0 = time.perf_counter()
+        for df in star_tables(spark, sf_dir).values():
+            df.write.format("noop").mode("overwrite").save()
+        timings["star_etl_load"] = round(time.perf_counter() - t0, 3)
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue

@@ -13,14 +13,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .plans import analysis
-from .plans.star import build_star, with_star
+from .plans.star import star_tables, with_star
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _star_query(q: analysis.AnalysisQuery) -> QueryFn:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return q.spark(build_star(spark, sf_dir))
+        return q.spark(star_tables(spark, sf_dir))
 
     run.__name__ = q.name
     run.__doc__ = q.description

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.testdata import load_table_parallel
 from . import registry
 from .text import _NORM_SQL, _norm_col
 
@@ -41,7 +42,33 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return load_table_parallel(spark, sf_dir, "documents")
+
+
+# Shingle sets are consumed by several downstream legs (signatures, sizes,
+# verify joins) and their lineage is a LARGE expression tree (normalize →
+# split → n-gram transform → explode). Re-using them via plain persist()
+# keeps that tree alive in the cache manager, and every subsequent action
+# pays plan-canonicalization against it — measured as multi-second driver
+# stalls that GROW as query fns re-persist per call. localCheckpoint
+# materializes once and truncates the lineage to an RDD scan; the memo
+# keyed on (session, sf_dir, cap) makes repeat calls free. At cluster
+# scale the same role is played by a bucketed intermediate table.
+_SHINGLE_MEMO: dict[tuple[str, str, int | None], DataFrame] = {}
+
+
+def _shingles_materialized(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, cap)
+    sh = _SHINGLE_MEMO.get(key)
+    if sh is None:
+        d = _docs(spark, sf_dir)
+        if cap is not None:
+            d = d.filter(F.col("doc_id") < cap)
+        sh = _shingles(d).localCheckpoint(eager=False)
+        _SHINGLE_MEMO[key] = sh
+    return sh
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,8 +129,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram Jaccard ≥ threshold over the capped id
     range. Inverted-index join on shingle (never a cross join); Jaccard is
     one integer division at the end."""
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < DOC_CAP)
-    sh = _shingles(d)
+    sh = _shingles_materialized(spark, sf_dir, cap=DOC_CAP)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -203,9 +229,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature) → distinct candidate pairs → verify. No all-pairs stage
     anywhere, so the same plan runs at 100 TB; candidate volume is
     controlled by the band/row choice, and AQE handles skewed buckets."""
-    d = _docs(spark, sf_dir)
-    sh = _shingles(d)
-    bands = _band_signatures(sh)
+    sh = _shingles_materialized(spark, sf_dir)
+    # The signature tree (32 permutation mins + 8 band md5s) feeds BOTH
+    # sides of the candidate self-join; checkpoint it so the huge
+    # expression tree is built once and the join reads a plain scan.
+    bands = _band_signatures(sh).localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

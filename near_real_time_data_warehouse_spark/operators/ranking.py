@@ -3,18 +3,57 @@
 SINGLE partition (the classic 100 TB cliff: one task sorts everything).
 
 ``global_row_number`` produces exactly the same ranks as
-``row_number().over(Window.orderBy(cols))`` but stays distributed:
-range-repartition on the sort keys (Spark's sampled range partitioner
-gives totally-ordered partitions), sort within partitions, then
-``zipWithIndex`` — partition-local indices plus cumulative partition
-offsets. ``scalable_ntile`` derives ntile's exact bucket assignment
-(first N%k buckets one row larger) arithmetically from the global rank.
+``row_number().over(Window.orderBy(cols))`` but stays distributed and
+JVM-only: range-repartition on the sort keys (Spark's sampled range
+partitioner gives totally-ordered partitions), sort within partitions,
+take the partition-local record number from the low 33 bits of
+``monotonically_increasing_id`` (its documented layout: partition id in
+the high bits, per-partition record number in the low 33), and add the
+cumulative offset of all earlier partitions — a driver-side collect of
+one count per partition, i.e. O(num_partitions), never O(rows).
+``scalable_ntile`` derives ntile's exact bucket assignment (first N%k
+buckets one row larger) arithmetically from the global rank.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOCAL_MASK = (1 << 33) - 1
+
+
+def _ranked(
+    df: DataFrame, order_by: list[Column], rank_col: str, num_partitions: int | None
+) -> tuple[DataFrame, int]:
+    """Rank + total row count in two jobs over one persisted sort pass."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Persist the arranged data: the range partitioner samples, so the
+    # counts pass and the output must see the SAME partition boundaries.
+    arranged = (
+        df.repartitionByRange(n, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__local", F.monotonically_increasing_id().bitwiseAND(_LOCAL_MASK))
+        .persist()
+    )
+    sizes = {r["__pid"]: r["cnt"] for r in
+             arranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(sizes):
+        offsets[pid] = running
+        running += sizes[pid]
+    offset_expr = F.lit(0).cast("long")
+    if offsets:
+        pairs: list[Column] = []
+        for pid, off in offsets.items():
+            pairs.extend((F.lit(pid), F.lit(off)))
+        offset_expr = F.element_at(F.create_map(*pairs), F.col("__pid")).cast("long")
+    out = arranged.withColumn(
+        rank_col, (F.col("__local") + offset_expr + 1).cast("long")
+    ).drop("__pid", "__local")
+    return out, running
 
 
 def global_row_number(
@@ -24,13 +63,10 @@ def global_row_number(
 
     Equivalent to ``F.row_number().over(Window.orderBy(*order_by))`` —
     include tie-break keys in ``order_by`` for determinism — but executes
-    as rangepartition → local sort → zipWithIndex instead of a
-    single-partition window."""
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    arranged = df.repartitionByRange(n, *order_by).sortWithinPartitions(*order_by)
-    indexed = arranged.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + 1))
-    schema = arranged.schema.add(rank_col, "long", False)
-    return df.sparkSession.createDataFrame(indexed, schema)
+    as rangepartition → local sort → local index + partition offsets, all
+    JVM-side (no RDD round trip, no single-partition window)."""
+    out, _ = _ranked(df, order_by, rank_col, num_partitions)
+    return out
 
 
 def scalable_ntile(
@@ -43,8 +79,7 @@ def scalable_ntile(
 
     ntile gives the first ``N % n`` buckets ``⌈N/n⌉`` rows and the rest
     ``⌊N/n⌋``; given the global rank r that assignment is closed-form."""
-    ranked = global_row_number(df, order_by, rank_col="__rank")
-    total = ranked.count()
+    ranked, total = _ranked(df, order_by, "__rank", None)
     base, rem = divmod(total, n_buckets)
     big = base + 1
     split = rem * big  # ranks 1..split live in the first `rem` buckets

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.testdata import load_table_parallel
 from . import registry
 
 QUERY_CAP = 100     # queries in the brute-force baseline
@@ -43,7 +44,7 @@ QUANT = 10000       # quantization: micro-units per 1.0
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return load_table_parallel(spark, sf_dir, "embeddings")
 
 
 def _quantized(df: DataFrame) -> DataFrame:
@@ -197,11 +198,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the scale path: cost ∝ corpus + candidates, and the
     (L, k) choice tunes recall against candidate volume."""
     emb = _emb(spark, sf_dir)
-    e = _bucketed(emb)
-    queries = e.filter(F.col("vec_id") < QUERY_CAP).select(
+    # Bucket the tiny query block separately — bucketing is deterministic,
+    # so this matches the corpus pass without streaming the corpus twice.
+    queries = _bucketed(emb.filter(F.col("vec_id") < QUERY_CAP)).select(
         F.col("vec_id").alias("query_id"), "tbl", F.col("bucket").alias("qbucket")
     ).alias("qs")
-    corpus = e.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket").alias("cs")
+    corpus = _bucketed(emb).select(
+        F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
+    ).alias("cs")
     cand = (
         corpus.join(
             F.broadcast(queries),

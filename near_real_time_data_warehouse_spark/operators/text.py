@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.testdata import load_table_parallel
 from . import registry
 
 # Shared normalization: lowercase, collapse whitespace, trim.
@@ -27,7 +28,7 @@ def _norm_col() -> F.Column:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return load_table_parallel(spark, sf_dir, "documents")
 
 
 # BPE-ish pre-tokenizer: letter runs, single digits, single punctuation.

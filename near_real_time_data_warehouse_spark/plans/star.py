@@ -164,6 +164,26 @@ def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     }
 
 
+# Warehouse semantics: the ETL loads the star once; queries then serve from
+# the loaded tables (reference: load path hybrid_join.py:356-477 runs once,
+# Analysis_Queries.sql reads the stored schema many times). Re-deriving the
+# ETL per query would bill every query for the whole load. ``star_tables``
+# materializes the star once per (session, sf_dir) via persist() — the
+# local-mode analog of the warehouse's stored Parquet tables; at cluster
+# scale this is a one-time ``saveAsTable`` into bucketed Parquet instead.
+_STAR_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def star_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Cached, persisted star tables for query serving."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    star = _STAR_CACHE.get(key)
+    if star is None:
+        star = {name: df.persist() for name, df in build_star(spark, sf_dir).items()}
+        _STAR_CACHE[key] = star
+    return star
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins — assembled into every oracle query as a WITH prefix.
 # ---------------------------------------------------------------------------

@@ -22,6 +22,10 @@ def plan_of(df) -> str:
 
 @pytest.fixture(scope="module")
 def star(spark):
+    # Cached star tables from other test modules would make CacheManager
+    # substitute InMemoryRelation into matching fragments, hiding the
+    # parquet scans these plan assertions inspect.
+    spark.catalog.clearCache()
     return build_star(spark, SF_SMALL)
 
 
