@@ -162,6 +162,59 @@ LIMIT 20
 """
 
 
+def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward, inclusive) join: each click event picks up the
+    most recent error event of the same user at-or-before it.
+
+    Spark has no native as-of join, so this is the canonical distributed
+    composition: union both sides, one window pass per user carrying the
+    last error timestamp forward (``last(..., ignorenulls)`` over rows
+    unbounded-preceding..current), then keep the probe side. One shuffle
+    on the partition key, no per-row Python, no range self-join blowup —
+    the same plan sort-merges at 100 TB. Ties (equal timestamp) resolve
+    by event_id order, encoded identically in the oracle."""
+    e = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "us")
+    relevant = e.filter(F.col("event_type").isin("click", "error"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = relevant.withColumn(
+        "last_error_us",
+        F.last(F.when(F.col("event_type") == "error", F.col("us")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("us").alias("click_us"),
+            "last_error_us",
+            ((F.col("us") - F.col("last_error_us")) / F.lit(1_000_000.0)).alias("gap_seconds"),
+        )
+    )
+
+
+ASOF_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('click', 'error')
+),
+carried AS (
+  SELECT event_id, user_id, event_type, us,
+         last_value(CASE WHEN event_type = 'error' THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_error_us
+  FROM e
+)
+SELECT event_id, user_id, us AS click_us, last_error_us,
+       (us - last_error_us) / 1000000.0 AS gap_seconds
+FROM carried WHERE event_type = 'click'
+"""
+
+
+registry.register("events_asof_last_error", asof_last_error, ASOF_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)
 registry.register("events_sessionize", sessionize, SESSIONIZE_SQL)
 registry.register("events_dedup_first_per_key", dedup_events, DEDUP_EVENTS_SQL)

@@ -141,6 +141,64 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → a scale-tracking media table: payload = utf-8 bytes of
+    the text (a deterministic opaque binary), kind assigned round-robin.
+    This is how a real multimodal lakehouse table looks to the engine —
+    an opaque binary column plus typed metadata — so the whole decode
+    pipeline is exercised on driver-scaled data with an exact oracle."""
+    from ..sources.testdata import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: decode/featurize the document-derived media table via
+    the Arrow-batched pipeline; emit the byte count and a deterministic
+    left-fold checksum of the feature vector (float32 values accumulated
+    in index order as doubles — reproducible bit-for-bit in SQL)."""
+    feats = extract_features(media_from_documents(spark, sf_dir))
+    checksum = F.aggregate(
+        F.col("feature"), F.lit(0.0).cast("double"), lambda acc, x: acc + x.cast("double")
+    )
+    return feats.select("media_id", "kind", "n_bytes", checksum.alias("feature_checksum"))
+
+
+def _feature_terms_sql(dim: int = 8) -> str:
+    """The fake decoder's feature vector in SQL: byte i of md5(payload),
+    /255.0 as double, narrowed to float32 (REAL) exactly like the Arrow
+    array<float>, then widened back for the fold."""
+    terms = [
+        f"CAST(CAST(CAST(('0x' || substr(md5(text), {2 * i + 1}, 2)) AS BIGINT)"
+        f" / 255.0 AS REAL) AS DOUBLE)"
+        for i in range(dim)
+    ]
+    folded = "CAST(0.0 AS DOUBLE)"
+    for t in terms:
+        folded = f"({folded} + {t})"
+    return folded
+
+
+MULTIMODAL_SQL = f"""
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       {_feature_terms_sql()} AS feature_checksum
+FROM documents
+"""
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explode one row per sampled frame
     timestamp (computed from metadata Spark-side); the frame grab itself is
@@ -153,3 +211,8 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         ).alias("frame_ms"),
         "payload",
     ).withColumn("frame", F.lit(None).cast("binary"))  # stub: real grab decodes here
+
+
+from . import registry  # noqa: E402
+
+registry.register("multimodal_features", multimodal_features, MULTIMODAL_SQL)

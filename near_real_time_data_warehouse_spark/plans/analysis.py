@@ -661,12 +661,97 @@ QUERIES: dict[str, AnalysisQuery] = {
 }
 
 
+def star_cube(star: Star) -> DataFrame:
+    """CUBE over (store_id, quarter): all four grouping combinations in a
+    single Expand pass — the reference only exercises ROLLUP (q17); CUBE
+    completes the multi-dimensional subtotal surface. Subtotal NULL keys
+    are coalesced to -1 (same convention as q17) so the integer columns
+    stay non-nullable in both engines."""
+    return (
+        _fact_prod_time(star)
+        .cube("store_id", "quarter")
+        .agg(_money("total_sales"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce(F.col("store_id").cast("long"), F.lit(-1)).alias("store_id"),
+            F.coalesce(F.col("quarter").cast("long"), F.lit(-1)).alias("quarter"),
+            "total_sales",
+            "n_rows",
+        )
+    )
+
+
+STAR_CUBE_SQL = f"""
+SELECT COALESCE(CAST(store_id AS BIGINT), -1) AS store_id,
+       COALESCE(CAST(quarter AS BIGINT), -1) AS quarter,
+       {_MONEY} AS total_sales,
+       COUNT(*) AS n_rows
+FROM salefact JOIN product_dim USING (product_id) JOIN time_dim USING (date_id)
+GROUP BY CUBE (store_id, quarter)
+"""
+
+
+def star_rolling_revenue(star: Star) -> DataFrame:
+    """Rolling 7-day revenue per store: daily decimal revenue, then a
+    RANGE window over epoch-day (-6..0) — calendar-correct across date
+    gaps, unlike a ROWS window. Partitioned by store, so the window sort
+    is distributed (never the single-partition global-window cliff); the
+    rolling sum stays DECIMAL until the final cast."""
+    daily = (
+        star["salefact"]
+        .join(F.broadcast(star["product_dim"].select("product_id", "store_id")), "product_id")
+        .join(F.broadcast(star["time_dim"].select("date_id", "full_date")), "date_id")
+        .groupBy("store_id", "date_id", "full_date")
+        .agg(F.sum("purchase_amount").alias("day_rev"))
+        .withColumn("epoch_day", F.datediff(F.col("full_date"), F.lit("1970-01-01").cast("date")).cast("long"))
+    )
+    w = Window.partitionBy("store_id").orderBy("epoch_day").rangeBetween(-6, 0)
+    return daily.select(
+        "store_id",
+        "date_id",
+        F.col("day_rev").cast("double").alias("day_revenue"),
+        F.sum("day_rev").over(w).cast("double").alias("rolling_7d_revenue"),
+    )
+
+
+STAR_ROLLING_SQL = """
+WITH daily AS (
+  SELECT store_id, date_id, full_date, SUM(purchase_amount) AS day_rev
+  FROM salefact JOIN product_dim USING (product_id) JOIN time_dim USING (date_id)
+  GROUP BY store_id, date_id, full_date
+)
+SELECT store_id, date_id,
+       CAST(day_rev AS DOUBLE) AS day_revenue,
+       CAST(SUM(day_rev) OVER (
+              PARTITION BY store_id
+              ORDER BY datediff('day', DATE '1970-01-01', full_date)
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS rolling_7d_revenue
+FROM daily
+"""
+
+
+QUERIES.update(
+    {
+        "star_cube_store_quarter": AnalysisQuery(
+            "star_cube_store_quarter", star_cube.__doc__, star_cube, STAR_CUBE_SQL),
+        "star_rolling_7day_revenue": AnalysisQuery(
+            "star_rolling_7day_revenue", star_rolling_revenue.__doc__,
+            star_rolling_revenue, STAR_ROLLING_SQL),
+    }
+)
+
+
 # Spark SQL bodies (SURVEY.md §3.2: every query exists as both a DataFrame
 # function and a spark.sql string). The oracle bodies are ANSI enough to run
 # on Spark verbatim against the registered star views — except q15, whose
 # HUGEINT arithmetic maps to DECIMAL(38,0) here.
 _SPARK_SQL_OVERRIDES = {
     "q15_monthly_revenue_volatility": Q15_SQL.replace("AS HUGEINT", "AS DECIMAL(38,0)"),
+    # DuckDB datediff('day', start, end) vs Spark datediff(end, start).
+    "star_rolling_7day_revenue": STAR_ROLLING_SQL.replace(
+        "datediff('day', DATE '1970-01-01', full_date)",
+        "datediff(full_date, DATE '1970-01-01')",
+    ),
 }
 
 

@@ -166,6 +166,90 @@ GROUP BY n_name
 """
 
 
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — LEFT SEMI join: orders having ≥1 returned line
+    item, counted per priority. Semi-join never duplicates the left side,
+    so no post-join distinct is needed; at scale Catalyst can pick a
+    broadcast semi when the filtered key set is small, else a shuffled
+    semi with only the key column moving."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        t["orders"]
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def parts_never_shipped_recently(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: parts with no shipment on/after 2001-06-01, counted
+    per brand. The anti side is projected to its join key before the join
+    — at 100 TB only one bigint column of lineitem crosses the wire."""
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    recent = (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp"))
+        .select("l_partkey")
+    )
+    return (
+        t["part"]
+        .join(recent, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_partkey").alias("min_partkey"),
+        )
+    )
+
+
+PARTS_ANTI_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts, MIN(p_partkey) AS min_partkey
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey
+                    AND l_shipdate >= TIMESTAMP '2001-06-01 00:00:00')
+GROUP BY p_brand
+"""
+
+
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — LEFT OUTER join + two-level aggregate: order
+    count per customer (zero-order customers kept by the outer join),
+    then the distribution of those counts. Both aggregations are
+    map-side-combinable; the join shuffles on the customer key."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+CUSTOMER_HISTOGRAM_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers FROM per_cust GROUP BY n_orders
+"""
+
+
 registry.register("classic_pricing_summary", pricing_summary, PRICING_SQL)
 registry.register("classic_shipping_priority", shipping_priority, SHIPPING_SQL)
 registry.register("classic_local_supplier_volume", local_supplier_volume, LOCAL_SUPPLIER_SQL)
+registry.register("classic_order_priority_semi", order_priority_semi, ORDER_PRIORITY_SQL)
+registry.register("classic_parts_never_shipped", parts_never_shipped_recently, PARTS_ANTI_SQL)
+registry.register("classic_customer_order_histogram", customer_order_histogram, CUSTOMER_HISTOGRAM_SQL)

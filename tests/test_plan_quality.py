@@ -67,3 +67,34 @@ def test_rollup_single_expand(star):
     plan = plan_of(analysis.QUERIES["q17_rollup_store_supplier_product"].spark(star))
     # exactly one Expand: the three rollup grouping sets never re-scan input
     assert plan.count("Expand") == 1
+
+
+def test_semi_join_stays_semi(spark):
+    """EXISTS must plan as a semi join (no duplication + dedup pass)."""
+    plan = plan_of(QUERIES["classic_order_priority_semi"](spark, SF_SMALL))
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_stays_anti(spark):
+    """NOT EXISTS must plan as an anti join."""
+    plan = plan_of(QUERIES["classic_parts_never_shipped"](spark, SF_SMALL))
+    assert "LeftAnti" in plan
+
+
+def test_cube_single_expand(star):
+    """CUBE's four grouping sets must share one Expand pass."""
+    plan = plan_of(analysis.QUERIES["star_cube_store_quarter"].spark(star))
+    assert plan.count("Expand") == 1
+
+
+def test_rolling_window_is_partitioned(star):
+    """The rolling-revenue window must carry a partition key — an empty
+    windowspec would funnel 100 TB through one task."""
+    plan = plan_of(analysis.QUERIES["star_rolling_7day_revenue"].spark(star))
+    assert "windowspecdefinition(store_id" in plan
+
+
+def test_asof_window_is_partitioned(spark):
+    """The as-of join's carry-forward window partitions by user."""
+    plan = plan_of(QUERIES["events_asof_last_error"](spark, SF_SMALL))
+    assert "windowspecdefinition(user_id" in plan
