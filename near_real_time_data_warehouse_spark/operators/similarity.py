@@ -9,6 +9,9 @@ Two paths (BASELINE.json north star):
   same-bucket pairs are scored. Hyperplanes are derived deterministically
   from md5, so the oracle reproduces the exact same buckets. This is the
   scale path: bucket fan-out is tunable, no all-pairs stage.
+- **IVF ANN** — corpus partitioned into inverted lists by nearest
+  centroid; queries probe N_PROBE lists. At scale the lists are physical
+  partitions and probing is partition pruning. Recall-tested like LSH.
 - **Embedding near-dup** — cosine ≥ threshold pairs within the capped
   range (dedup-by-embedding for training pipelines).
 
@@ -216,8 +219,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    # Score candidates: neighbor vectors stream through in Arrow batches,
-    # the bounded query block rides along as a broadcast numpy matrix.
+    return _topk_over_candidates(spark, emb, cand)
+
+
+def _topk_over_candidates(spark: SparkSession, emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Score (query_id, neighbor_id) candidate pairs and keep the top-k
+    per query. Neighbor vectors stream through in Arrow batches; the
+    bounded query block rides along as a broadcast numpy matrix, so each
+    batch is one exact int64 matmul."""
     qids, qmat = _collect_quantized(emb.filter(F.col("vec_id") < QUERY_CAP))
     qpos = {int(v): i for i, v in enumerate(qids)}
     qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
@@ -249,6 +258,63 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+N_CENTROIDS = 16   # IVF list count (≈√corpus at these sf; √N at scale)
+N_PROBE = 6        # probed lists per query (synthetic corpus is weakly
+                   # clustered, so recall needs a deeper probe than the
+                   # 1-2 lists a clustered production corpus would)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) partitioning: every corpus vector
+    is assigned to its nearest centroid (one pass, Arrow-batched matmul
+    against the broadcast centroid block); each query probes its N_PROBE
+    nearest lists and scores only vectors in them.
+
+    Centroids are the first N_CENTROIDS corpus vectors — deterministic and
+    engine-independent; a production build would k-means them, which
+    changes recall, not the dataflow. At 100 TB: write the corpus
+    partitioned by centroid id and probing becomes partition pruning —
+    cost ∝ corpus/centroids × probes, never the full corpus."""
+    emb = _emb(spark, sf_dir)
+    cids, cmat = _collect_quantized(emb.filter(F.col("vec_id") < N_CENTROIDS))
+    order = np.argsort(cids)
+    cmat = cmat[order]
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((cmat, cnorm))
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmat_, cnorm_ = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            q = _quant_np(pdf["embedding"])
+            nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+            cos = (q @ cmat_.T) / (nrm[:, None] * cnorm_[None, :])
+            yield pd.DataFrame(
+                {"neighbor_id": pdf["vec_id"], "centroid": cos.argmax(axis=1).astype(np.int32)}
+            )
+
+    assigned = emb.mapInPandas(assign, "neighbor_id long, centroid int")
+
+    # Probe lists per query: the query block is bounded, so the top-N_PROBE
+    # centroid choice is a driver-side numpy argsort on a (Q × C) matrix.
+    qids, qmat = _collect_quantized(emb.filter(F.col("vec_id") < QUERY_CAP))
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
+    qcos = (qmat @ cmat.T) / (qnorm[:, None] * cnorm[None, :])
+    probe_idx = np.argsort(-qcos, axis=1)[:, :N_PROBE]
+    probes = [
+        (int(qids[i]), int(c)) for i in range(len(qids)) for c in probe_idx[i]
+    ]
+    probe_df = spark.createDataFrame(probes, "query_id long, centroid int")
+
+    cand = (
+        assigned.join(F.broadcast(probe_df), "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return _topk_over_candidates(spark, emb, cand)
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,5 +362,6 @@ WHERE a.vec_id < {CORPUS_CAP} AND b.vec_id < {CORPUS_CAP}
 
 
 registry.register("sim_bruteforce_topk", brute_force_topk, BRUTE_SQL)
-registry.register("sim_ann_lsh_topk", ann_lsh_topk, None)  # recall-tested vs brute force
+registry.register("sim_ann_lsh_topk", ann_lsh_topk, None)   # recall-tested vs brute force
+registry.register("sim_ann_ivf_topk", ann_ivf_topk, None)   # recall-tested vs brute force
 registry.register("sim_embedding_near_dup", embedding_near_dup, NEAR_DUP_SQL)

@@ -1,0 +1,45 @@
+"""Similarity-search quality: both ANN paths (LSH, IVF) must recover most
+of the exact brute-force top-k, and their scores must be bit-identical to
+the exact scorer for every (query, neighbor) they return."""
+
+from __future__ import annotations
+
+import pytest
+
+from near_real_time_data_warehouse_spark.operators.similarity import (
+    TOP_K,
+    ann_ivf_topk,
+    ann_lsh_topk,
+    brute_force_topk,
+)
+
+from .conftest import SF_SMALL
+
+MIN_RECALL = 0.6
+
+
+@pytest.fixture(scope="module")
+def exact(spark):
+    rows = brute_force_topk(spark, SF_SMALL).collect()
+    truth: dict[int, set[int]] = {}
+    scores: dict[tuple[int, int], float] = {}
+    for r in rows:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+        scores[(r.query_id, r.neighbor_id)] = r.cosine
+    return truth, scores
+
+
+@pytest.mark.parametrize("ann_fn", [ann_lsh_topk, ann_ivf_topk], ids=["lsh", "ivf"])
+def test_ann_recall_and_exact_scores(spark, exact, ann_fn):
+    truth, scores = exact
+    got = ann_fn(spark, SF_SMALL).collect()
+    by_query: dict[int, set[int]] = {}
+    for r in got:
+        by_query.setdefault(r.query_id, set()).add(r.neighbor_id)
+        # any returned pair that brute force also scored must agree exactly
+        key = (r.query_id, r.neighbor_id)
+        if key in scores:
+            assert r.cosine == scores[key], f"score drift at {key}"
+    hits = sum(len(by_query.get(q, set()) & t) for q, t in truth.items())
+    recall = hits / (len(truth) * TOP_K)
+    assert recall >= MIN_RECALL, f"recall@{TOP_K} = {recall:.2f}"
