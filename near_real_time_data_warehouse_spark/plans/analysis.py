@@ -730,6 +730,64 @@ FROM daily
 """
 
 
+def star_pivot(star: Star) -> DataFrame:
+    """Native pivot: quarterly revenue per product category as columns.
+    The explicit value list ([1..4]) skips the extra distinct-scan job a
+    bare ``pivot`` needs and fixes the output schema — which is what a
+    100 TB plan wants anyway (one Expand-free aggregation pass, same
+    physical shape as the manual CASE pivot of q18)."""
+    pivoted = (
+        _fact_prod_time(star)
+        .groupBy("product_category")
+        .pivot("quarter", [1, 2, 3, 4])
+        .agg(F.sum("purchase_amount"))
+    )
+    return pivoted.select(
+        "product_category",
+        *[
+            F.coalesce(F.col(str(q)), F.lit(0)).cast("double").alias(f"q{q}_revenue")
+            for q in (1, 2, 3, 4)
+        ],
+    )
+
+
+STAR_PIVOT_SQL = """
+SELECT product_category,
+       CAST(COALESCE(SUM(CASE WHEN quarter = 1 THEN purchase_amount END), 0) AS DOUBLE) AS q1_revenue,
+       CAST(COALESCE(SUM(CASE WHEN quarter = 2 THEN purchase_amount END), 0) AS DOUBLE) AS q2_revenue,
+       CAST(COALESCE(SUM(CASE WHEN quarter = 3 THEN purchase_amount END), 0) AS DOUBLE) AS q3_revenue,
+       CAST(COALESCE(SUM(CASE WHEN quarter = 4 THEN purchase_amount END), 0) AS DOUBLE) AS q4_revenue
+FROM salefact JOIN product_dim USING (product_id) JOIN time_dim USING (date_id)
+GROUP BY product_category
+"""
+
+
+def star_store_stats(star: Star) -> DataFrame:
+    """Distinct aggregation + exact median per store: COUNT(DISTINCT
+    customer) forces the two-phase distinct-agg plan; the median is the
+    exact interpolated percentile. At 100 TB the distinct-agg's partial
+    dedup happens map-side; for the percentile, approx_percentile is the
+    sketch-based drop-in when exactness isn't required."""
+    df = star["salefact"].join(
+        F.broadcast(star["product_dim"].select("product_id", "store_id")), "product_id"
+    )
+    return df.groupBy("store_id").agg(
+        F.countDistinct("customer_id").alias("n_customers"),
+        F.expr("percentile(CAST(purchase_amount AS DOUBLE), 0.5)").alias("median_sale"),
+        _money("total_sales"),
+    )
+
+
+STAR_STORE_STATS_SQL = """
+SELECT store_id,
+       COUNT(DISTINCT customer_id) AS n_customers,
+       quantile_cont(CAST(purchase_amount AS DOUBLE), 0.5) AS median_sale,
+       CAST(SUM(purchase_amount) AS DOUBLE) AS total_sales
+FROM salefact JOIN product_dim USING (product_id)
+GROUP BY store_id
+"""
+
+
 QUERIES.update(
     {
         "star_cube_store_quarter": AnalysisQuery(
@@ -737,6 +795,11 @@ QUERIES.update(
         "star_rolling_7day_revenue": AnalysisQuery(
             "star_rolling_7day_revenue", star_rolling_revenue.__doc__,
             star_rolling_revenue, STAR_ROLLING_SQL),
+        "star_pivot_quarter_revenue": AnalysisQuery(
+            "star_pivot_quarter_revenue", star_pivot.__doc__, star_pivot, STAR_PIVOT_SQL),
+        "star_store_customer_stats": AnalysisQuery(
+            "star_store_customer_stats", star_store_stats.__doc__,
+            star_store_stats, STAR_STORE_STATS_SQL),
     }
 )
 
@@ -751,6 +814,10 @@ _SPARK_SQL_OVERRIDES = {
     "star_rolling_7day_revenue": STAR_ROLLING_SQL.replace(
         "datediff('day', DATE '1970-01-01', full_date)",
         "datediff(full_date, DATE '1970-01-01')",
+    ),
+    # DuckDB quantile_cont ≡ Spark percentile (exact interpolated).
+    "star_store_customer_stats": STAR_STORE_STATS_SQL.replace(
+        "quantile_cont(", "percentile("
     ),
 }
 

@@ -65,6 +65,19 @@ def hourly_by_type(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Native session windows (gap-based, merge-on-overlap) per user —
+    the streaming form of operators/events.sessionize. State closes a
+    session ``gap`` after its last event once the watermark passes; at
+    scale state size ∝ open sessions, not history."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "n")
+    )
+
+
 _STATE_SCHEMA = "n LONG, total DOUBLE"
 _OUTPUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
 

@@ -45,3 +45,27 @@ def test_running_user_totals_state(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_session_window_stream_equals_batch_sessionize(spark):
+    """Native streaming session_window produces the same per-user session
+    structure (session count + per-session sizes) as the batch
+    lag/running-sum sessionization in operators/events.py."""
+    stream = sw.read_event_stream(spark, SF_SMALL)
+    sw.run_to_memory(sw.session_windows(stream), "sessions_out", "complete")
+    streamed = {
+        (r.user_id, r.n_sessions, r.n_events, r.longest)
+        for r in spark.sql("SELECT * FROM sessions_out")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("longest"),
+        )
+        .collect()
+    }
+    batch = {
+        (r.user_id, r.n_sessions, r.n_events, r.longest_session_events)
+        for r in batch_events.sessionize(spark, SF_SMALL).collect()
+    }
+    assert streamed == batch
