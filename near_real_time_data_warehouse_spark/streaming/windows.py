@@ -78,6 +78,38 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+def clicks_with_recent_errors(
+    events: DataFrame, horizon_min: int = 10, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each click paired with every error of
+    the same user in the preceding ``horizon_min`` minutes (inclusive).
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so state retention is finite (watermark + horizon) — the
+    canonical scalable stream-stream join shape. Inner-join matches emit
+    as soon as both sides arrive; the watermark only bounds state."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("event_time").alias("click_time"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("err_user_id"),
+        F.col("event_time").alias("error_time"),
+    )
+    return (
+        clicks.withWatermark("click_time", watermark)
+        .join(
+            errors.withWatermark("error_time", watermark),
+            (F.col("user_id") == F.col("err_user_id"))
+            & (F.col("error_time") <= F.col("click_time"))
+            & (F.col("error_time") >= F.col("click_time") - F.expr(f"INTERVAL {horizon_min} MINUTES")),
+            "inner",
+        )
+        .select("click_id", "error_id", "user_id")
+    )
+
+
 _STATE_SCHEMA = "n LONG, total DOUBLE"
 _OUTPUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
 

@@ -69,3 +69,34 @@ def test_session_window_stream_equals_batch_sessionize(spark):
         for r in batch_events.sessionize(spark, SF_SMALL).collect()
     }
     assert streamed == batch
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """The stream-stream interval join emits exactly the pairs the batch
+    join over the same condition produces."""
+    stream = sw.read_event_stream(spark, SF_SMALL)
+    sw.run_to_memory(sw.clicks_with_recent_errors(stream), "ss_join_out", "append")
+    streamed = {
+        (r.click_id, r.error_id) for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    }
+    e = (
+        spark.read.schema(sw.EVENTS_LONG_TS_SCHEMA)
+        .parquet(f"{SF_SMALL}/events.parquet")
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    clicks = e.filter(e.event_type == "click").selectExpr(
+        "event_id AS click_id", "user_id", "event_time AS click_time"
+    )
+    errors = e.filter(e.event_type == "error").selectExpr(
+        "event_id AS error_id", "user_id AS err_user_id", "event_time AS error_time"
+    )
+    batch = {
+        (r.click_id, r.error_id)
+        for r in clicks.join(
+            errors,
+            (F.col("user_id") == F.col("err_user_id"))
+            & (F.col("error_time") <= F.col("click_time"))
+            & (F.col("error_time") >= F.col("click_time") - F.expr("INTERVAL 10 MINUTES")),
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
