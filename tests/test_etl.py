@@ -140,3 +140,27 @@ def test_stream_equals_batch(spark, star, paths, tmp_path_factory):
         b = {tuple(str(v) for v in r) for r in star[name].collect()}
         s = {tuple(str(v) for v in r) for r in streamed[name].collect()}
         assert b == s, f"{name}: batch and stream diverge"
+
+
+def test_fact_year_partition_pruning(spark, paths, tmp_path_factory):
+    """The year-partitioned fact layout must prune partitions at the scan
+    for the reference's year-filtered query class (P3/P4)."""
+    wh = str(tmp_path_factory.mktemp("warehouse_pruned"))
+    etl.run_batch_etl(
+        spark,
+        str(paths["transactions"]),
+        str(paths["customer"]),
+        str(paths["product"]),
+        wh,
+    )
+    fact = spark.read.parquet(f"{wh}/salefact")
+    years = sorted(r.year for r in fact.select("year").distinct().collect())
+    plan = (
+        fact.filter(F.col("year") == years[0])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "year" in plan
+    # the filter must NOT appear as a post-scan data filter on year
+    assert "PartitionFilters: []" not in plan
