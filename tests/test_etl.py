@@ -164,3 +164,38 @@ def test_fact_year_partition_pruning(spark, paths, tmp_path_factory):
     assert "PartitionFilters" in plan and "year" in plan
     # the filter must NOT appear as a post-scan data filter on year
     assert "PartitionFilters: []" not in plan
+
+
+def test_streaming_restart_exactly_once(spark, paths, tmp_path_factory):
+    """T5: re-running the streaming ETL on the same checkpoint must not
+    duplicate facts (crash-restart = rerun); new source files afterwards
+    are picked up incrementally, exactly once."""
+    import shutil
+
+    base = tmp_path_factory.mktemp("restart")
+    txn_dir = base / "txns"
+    txn_dir.mkdir()
+    src = Path(paths["transactions"]) / "transactions.csv"
+    lines = src.read_text().splitlines()
+    header, rows = lines[0], lines[1:]
+    half = len(rows) // 2
+    (txn_dir / "t1.csv").write_text("\n".join([header] + rows[:half]) + "\n")
+
+    wh = str(base / "wh")
+    ckpt = str(base / "ckpt")
+    args = (str(txn_dir), str(paths["customer"]), str(paths["product"]), wh, ckpt)
+
+    run_streaming_etl(spark, *args)
+    n1 = spark.read.parquet(f"{wh}/salefact").count()
+
+    # restart with no new data: nothing reprocessed
+    run_streaming_etl(spark, *args)
+    assert spark.read.parquet(f"{wh}/salefact").count() == n1
+
+    # add the second half: only the delta is appended
+    (txn_dir / "t2.csv").write_text("\n".join([header] + rows[half:]) + "\n")
+    run_streaming_etl(spark, *args)
+    n3 = spark.read.parquet(f"{wh}/salefact").count()
+    run_streaming_etl(spark, *args)  # idempotent again
+    assert spark.read.parquet(f"{wh}/salefact").count() == n3
+    assert n3 > n1
