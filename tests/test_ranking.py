@@ -63,3 +63,40 @@ def test_distributed_plan_has_no_single_partition_window(spark):
     ranked = global_row_number(df, [F.desc("v"), F.col("id")], num_partitions=8)
     plan = ranked._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "Window" not in plan
+
+
+def test_ntile_properties_random():
+    """Property check (hypothesis): for random (n, k, partitions), the
+    distributed ntile matches the closed-form ntile spec — bucket sizes
+    differ by at most 1, larger buckets first, ranks stay contiguous."""
+    from hypothesis import given, settings, strategies as st
+
+    from near_real_time_data_warehouse_spark.session import get_spark
+
+    spark = get_spark("nrtdw_tests", shuffle_partitions=8)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        k=st.integers(min_value=1, max_value=17),
+        parts=st.integers(min_value=1, max_value=9),
+    )
+    def check(n: int, k: int, parts: int):
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") * 48271 % 97).alias("v")
+        )
+        order = [F.desc("v"), F.col("id")]
+        ranked = global_row_number(df, order, num_partitions=parts)
+        buckets = scalable_ntile(df, order, k)
+        rns = sorted(r.rn for r in ranked.collect())
+        assert rns == list(range(1, n + 1))
+        sizes = {}
+        for r in buckets.collect():
+            sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+        counts = [sizes.get(b, 0) for b in sorted(sizes)]
+        assert sum(counts) == n
+        assert max(counts) - min(counts) <= 1
+        assert counts == sorted(counts, reverse=True)
+        assert len(sizes) == min(n, k)
+
+    check()
