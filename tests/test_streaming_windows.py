@@ -100,3 +100,47 @@ def test_stream_stream_interval_join_equals_batch(spark):
         ).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path_factory):
+    """Late-data semantics: an event older than the watermark is dropped
+    from the windowed aggregation; on-time windows emit exactly once in
+    append mode. (The watermark a batch FILTERS with is the one committed
+    at the end of the batch before it, so the late file arrives two
+    batches after the watermark-advancing data.)"""
+    import datetime as dt
+    import time as _time
+
+    import pyspark.sql.types as T
+
+    base = tmp_path_factory.mktemp("late_events")
+    schema = T.StructType(
+        [T.StructField("event_time", T.TimestampType()), T.StructField("v", T.LongType())]
+    )
+
+    def write_file(name, times):
+        spark.createDataFrame(
+            [(t, 1) for t in times], schema
+        ).coalesce(1).write.parquet(f"{base}/{name}")
+
+    d = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_file("b1", [d(10, 1), d(10, 11), d(10, 21), d(10, 31), d(10, 58)])
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    write_file("b2", [d(10, 59)])  # advances nothing new; watermark now active
+    _time.sleep(1.1)
+    write_file("b3", [d(9, 5)])  # 9:05 < watermark (10:48) -> dropped
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        f"{base}/*"
+    )
+    agg = (
+        stream.withWatermark("event_time", "10 minutes")
+        .groupBy(F.window("event_time", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("window.start", "HH:mm").alias("w"), "n")
+    )
+    sw.run_to_memory(agg, "late_out", "append")
+    emitted = {(r.w, r.n) for r in spark.sql("SELECT * FROM late_out").collect()}
+    # the four windows closed by the watermark emit once each; the late
+    # 09:00 window and the still-open 10:50 window do not
+    assert emitted == {("10:00", 1), ("10:10", 1), ("10:20", 1), ("10:30", 1)}
