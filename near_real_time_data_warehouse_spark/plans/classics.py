@@ -70,7 +70,11 @@ GROUP BY l_returnflag, l_linestatus
 
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: customer⋈orders⋈lineitem, revenue per unshipped
-    order, top 10. Customer side broadcasts; top-k is TakeOrdered."""
+    order, top 10; top-k is TakeOrdered.
+
+    No broadcast hint on customer: it SCALES with the dataset (unlike the
+    bounded retail dims), so pinning it would OOM executors at 100 TB.
+    AQE broadcasts it adaptively while its measured size fits."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
     cutoff = F.lit("1996-03-15").cast("timestamp")
     revenue = (
@@ -80,7 +84,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"].filter(F.col("l_shipdate") > cutoff)
         .join(t["orders"].filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+            t["customer"].filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -115,8 +119,13 @@ LIMIT 10
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-way join (region→nation→customer/supplier→
     orders→lineitem) with the customer-nation = supplier-nation equality;
-    revenue per nation. All dimension legs broadcast — the fact table is
-    the only large input."""
+    revenue per nation.
+
+    Broadcast hints pin only the FIXED-cardinality tables (region: 5,
+    nation: 25). customer/supplier scale with the dataset, so their join
+    strategy is left to AQE — adaptively broadcast while small, shuffled
+    when not. The hinted plan must never be the one that breaks at
+    100 TB."""
     t = load_tables(
         spark, sf_dir, ("region", "nation", "customer", "supplier", "orders", "lineitem")
     )
@@ -136,9 +145,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
