@@ -788,8 +788,32 @@ GROUP BY store_id
 """
 
 
+GROUPING_SETS_SQL = """
+SELECT COALESCE(CAST(store_id AS BIGINT), -1) AS store_id,
+       COALESCE(season, 'ALL') AS season,
+       CAST(SUM(purchase_amount) AS DOUBLE) AS total_sales
+FROM salefact JOIN product_dim USING (product_id) JOIN time_dim USING (date_id)
+GROUP BY GROUPING SETS ((store_id), (season))
+"""
+
+
+def star_grouping_sets(star: Star) -> DataFrame:
+    """Arbitrary GROUPING SETS — ((store_id), (season)): two independent
+    aggregations in ONE Expand pass over one scan, completing the grouping
+    family next to q17's ROLLUP and the CUBE query. The DataFrame API only
+    exposes rollup/cube, so this one IS the SQL form (SURVEY §3.2: every
+    query exists as SQL; here SQL is the canonical form)."""
+    spark = star["salefact"].sparkSession
+    for name in ("salefact", "product_dim", "time_dim"):
+        star[name].createOrReplaceTempView(name)
+    return spark.sql(GROUPING_SETS_SQL)
+
+
 QUERIES.update(
     {
+        "star_grouping_sets_store_season": AnalysisQuery(
+            "star_grouping_sets_store_season", star_grouping_sets.__doc__,
+            star_grouping_sets, GROUPING_SETS_SQL),
         "star_cube_store_quarter": AnalysisQuery(
             "star_cube_store_quarter", star_cube.__doc__, star_cube, STAR_CUBE_SQL),
         "star_rolling_7day_revenue": AnalysisQuery(
