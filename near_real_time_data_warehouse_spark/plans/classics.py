@@ -256,9 +256,53 @@ SELECT n_orders, COUNT(*) AS n_customers FROM per_cust GROUP BY n_orders
 """
 
 
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction of conjunctive
+    brand/size/quantity branches. One scan — the common join key is
+    factored out of the OR so Catalyst keeps a single lineitem⋈part
+    equi-join with the disjunction as a residual filter (never a union of
+    three scans); per-branch range predicates still push to the scan as
+    a derived quantity bound."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    qty = F.col("l_quantity").cast("long")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35)) & qty.between(20, 30))
+    )
+    revenue = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .groupBy("p_brand")
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+DISJUNCTIVE_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+         AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+         AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)
+GROUP BY p_brand
+"""
+
+
 registry.register("classic_pricing_summary", pricing_summary, PRICING_SQL)
 registry.register("classic_shipping_priority", shipping_priority, SHIPPING_SQL)
 registry.register("classic_local_supplier_volume", local_supplier_volume, LOCAL_SUPPLIER_SQL)
 registry.register("classic_order_priority_semi", order_priority_semi, ORDER_PRIORITY_SQL)
 registry.register("classic_parts_never_shipped", parts_never_shipped_recently, PARTS_ANTI_SQL)
 registry.register("classic_customer_order_histogram", customer_order_histogram, CUSTOMER_HISTOGRAM_SQL)
+registry.register("classic_disjunctive_revenue", disjunctive_revenue, DISJUNCTIVE_SQL)
