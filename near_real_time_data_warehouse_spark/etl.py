@@ -181,10 +181,12 @@ def load_star_batch(
         # Physical layout: the fact is partitioned by year so the year-
         # filtered query class (P3/P4 — q01 q04 q06 q10 q14) prunes whole
         # partitions at the file-listing step instead of scanning 100 TB.
-        # At cluster scale the unit would be year+month or date.
-        (attrs["date_id"] / 10000).cast("int").alias("year"),
+        # Named sale_year: `year` would collide with time_dim.year in SQL
+        # over the joined star views. At cluster scale the unit would be
+        # year+month or date.
+        (attrs["date_id"] / 10000).cast("int").alias("sale_year"),
     )
-    fact.write.mode("append").partitionBy("year").parquet(f"{warehouse_dir}/salefact")
+    fact.write.mode("append").partitionBy("sale_year").parquet(f"{warehouse_dir}/salefact")
     enriched.unpersist()
 
 

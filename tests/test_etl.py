@@ -154,14 +154,14 @@ def test_fact_year_partition_pruning(spark, paths, tmp_path_factory):
         wh,
     )
     fact = spark.read.parquet(f"{wh}/salefact")
-    years = sorted(r.year for r in fact.select("year").distinct().collect())
+    years = sorted(r.sale_year for r in fact.select("sale_year").distinct().collect())
     plan = (
-        fact.filter(F.col("year") == years[0])
+        fact.filter(F.col("sale_year") == years[0])
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "PartitionFilters" in plan and "year" in plan
+    assert "PartitionFilters" in plan and "sale_year" in plan
     # the filter must NOT appear as a post-scan data filter on year
     assert "PartitionFilters: []" not in plan
 
