@@ -199,3 +199,18 @@ def test_streaming_restart_exactly_once(spark, paths, tmp_path_factory):
     run_streaming_etl(spark, *args)  # idempotent again
     assert spark.read.parquet(f"{wh}/salefact").count() == n3
     assert n3 > n1
+
+
+def test_sql_text_runs_over_warehouse_views(spark, star):
+    """The spark.sql query texts must run against views registered from
+    the LOADED warehouse (read_star), not just fixture-built stars — the
+    warehouse schema carries the sale_year partition column, and a name
+    collision here breaks every SQL-text user (regression: year vs
+    time_dim.year ambiguity)."""
+    from near_real_time_data_warehouse_spark.plans import analysis
+
+    analysis.register_views(star)
+    for name in ("q01_top5_product_daytype_revenue", "q17_rollup_store_supplier_product",
+                 "q02_purchase_by_gender_age_city"):
+        sql = analysis.spark_sql_text(name)
+        spark.sql(sql).collect()  # must analyze and execute cleanly
