@@ -123,8 +123,17 @@ _CJK_RANGE = "[一-鿿]"
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword language heuristic: per-language match counts with a
-    deterministic argmax (CJK presence wins; then en ≥ de ≥ es ≥ fr)."""
-    d = _docs(spark, sf_dir)
+    deterministic argmax (CJK presence wins; then en ≥ de ≥ es ≥ fr).
+
+    NB: the driver's synthetic corpus labels `lang` randomly over
+    English-ish word soup, so label agreement is not meaningful there;
+    classifier quality is asserted on a real multilingual fixture in
+    tests/test_text_quality.py via :func:`lang_id_df`."""
+    return lang_id_df(_docs(spark, sf_dir))
+
+
+def lang_id_df(d: DataFrame) -> DataFrame:
+    """The classifier core over any (doc_id, lang, text) DataFrame."""
     norm = _norm_col()
     counts = {k: F.regexp_count(norm, F.lit(p)).cast("long") for k, p in _LANG_PATTERNS.items()}
     cjk = F.regexp_count(F.col("text"), F.lit(_CJK_RANGE)).cast("long")
