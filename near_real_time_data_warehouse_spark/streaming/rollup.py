@@ -1,0 +1,90 @@
+"""Continuous aggregate (hypertable-style rollup): an hourly pre-aggregate
+table maintained incrementally by the stream.
+
+Each micro-batch computes partial aggregates (count + decimal sum — both
+re-mergeable), merges them with the stored partials for ONLY the hours the
+batch touched, and rewrites exactly those hour partitions via dynamic
+partition overwrite. Cost per batch ∝ touched hours, never the table's
+history — the property that makes continuous aggregates viable at 100 TB:
+a day's late data rewrites 24 partitions, not 3 years of rollup.
+
+The result equals the from-scratch batch aggregation (asserted in
+tests/test_rollup.py) because (count, sum) partials form a monoid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HOUR_US = 3_600_000_000
+
+
+def _hourly_partial(events: DataFrame) -> DataFrame:
+    """Partial (re-mergeable) hourly aggregate of one slice of events."""
+    return (
+        events.withColumn("us", F.expr("ts div 1000"))
+        .groupBy(
+            F.expr(f"us div {_HOUR_US} * 3600").alias("hour_epoch_s"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+        )
+    )
+
+
+def _merge_into(spark: SparkSession, partial: DataFrame, out_dir: str) -> None:
+    """Merge a batch's partials into the stored rollup: read ONLY the
+    touched hour partitions, re-aggregate, dynamically overwrite them."""
+    import os
+
+    touched = [r.hour_epoch_s for r in partial.select("hour_epoch_s").distinct().collect()]
+    if not touched:
+        return
+    merged = partial
+    if os.path.exists(out_dir):
+        existing = spark.read.parquet(out_dir).filter(F.col("hour_epoch_s").isin(touched))
+        merged = partial.unionByName(existing)
+    result = (
+        merged.groupBy("hour_epoch_s", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        result.write.mode("overwrite").partitionBy("hour_epoch_s").parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def run_continuous_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Maintain the hourly rollup from a file stream of events; drains the
+    available input (availableNow) with one merge per micro-batch."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
+        _merge_into(batch_df.sparkSession, _hourly_partial(batch_df), out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,49 @@
+"""Continuous aggregate: the incrementally-maintained hourly rollup must
+equal the from-scratch batch aggregation, across multiple micro-batches
+(including a batch that revisits already-written hours)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_spark.streaming.rollup import (
+    _hourly_partial,
+    run_continuous_rollup,
+)
+from near_real_time_data_warehouse_spark.streaming.windows import EVENTS_LONG_TS_SCHEMA
+
+from .conftest import SF_SMALL
+
+
+def test_incremental_rollup_equals_batch(spark, tmp_path_factory):
+    import time as _time
+
+    base = tmp_path_factory.mktemp("rollup")
+    events = spark.read.schema(EVENTS_LONG_TS_SCHEMA).parquet(f"{SF_SMALL}/events.parquet")
+
+    # Three overlapping slices (odd/even/first-200) so later batches
+    # revisit hours already written by earlier ones.
+    slices = (
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+        events.filter(F.col("event_id") < 200),
+    )
+    src = base / "stream"
+    src.mkdir()
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(f"{src}/part{i}")
+        _time.sleep(1.1)  # file order = modification time
+
+    out, ckpt = str(base / "rollup_out"), str(base / "ckpt")
+    run_continuous_rollup(spark, f"{src}/*", EVENTS_LONG_TS_SCHEMA, out, ckpt)
+
+    got = {
+        (r.hour_epoch_s, r.event_type): (r.n_events, float(r.total_value))
+        for r in spark.read.parquet(out).collect()
+    }
+    union = slices[0].unionByName(slices[1]).unionByName(slices[2])
+    want = {
+        (r.hour_epoch_s, r.event_type): (r.n_events, float(r.total_value))
+        for r in _hourly_partial(union).collect()
+    }
+    assert got == want
