@@ -214,6 +214,44 @@ FROM carried WHERE event_type = 'click'
 """
 
 
+def value_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a genuinely skewed key: only a
+    handful of event types exist, so a plain groupBy funnels everything
+    into that many reducer tasks. Salting aggregates on (type, salt)
+    first — full parallelism — then merges the partials per type. Output
+    is identical to the plain GROUP BY (the oracle) because count/sum
+    partials form a monoid; decimal sums keep the merge order-exact."""
+    from .skew import salted_aggregate
+
+    e = _events(spark, sf_dir)
+    out = salted_aggregate(
+        e.select("event_type", "value"),
+        ["event_type"],
+        aggs=lambda: [
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        ],
+        merge=lambda: [
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").alias("total_value"),
+        ],
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+VALUE_BY_TYPE_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+registry.register("events_value_by_type_salted", value_by_type_salted, VALUE_BY_TYPE_SQL)
 registry.register("events_asof_last_error", asof_last_error, ASOF_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)
 registry.register("events_sessionize", sessionize, SESSIONIZE_SQL)
