@@ -251,6 +251,21 @@ GROUP BY event_type
 """
 
 
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type — the sketch
+    path for COUNT(DISTINCT) at 100 TB (constant memory, one pass,
+    mergeable across partitions; the exact two-phase distinct is the
+    star_store_customer_stats entry). No SQL oracle: sketch estimates are
+    engine-specific; accuracy vs the exact count is asserted in
+    tests/test_sketches.py."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+registry.register("events_approx_distinct_users", approx_distinct_users, None)
 registry.register("events_value_by_type_salted", value_by_type_salted, VALUE_BY_TYPE_SQL)
 registry.register("events_asof_last_error", asof_last_error, ASOF_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)

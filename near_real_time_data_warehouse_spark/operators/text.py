@@ -191,6 +191,37 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 FINGERPRINT_SQL = f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents"
 
 
+def shard_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-stable train/val/test split: bucket = content-fingerprint
+    bigint mod 10 → train (0-7) / val (8) / test (9). Content-keyed, so
+    the assignment survives re-ingestion, re-partitioning, and engine
+    changes — the property random() splits lack — and exact duplicates
+    always land in the same split (no train/test leakage through dups).
+    Pure hash arithmetic: embarrassingly parallel at any scale."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(_norm_col()), 1, 15), 16, 10).cast("long"), F.lit(10)
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket <= 7, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
+
+
+SHARD_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5({_NORM_SQL}), 1, 15)) AS BIGINT) % 10 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket <= 7 THEN 'train' WHEN bucket = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+registry.register("text_shard_split", shard_split, SHARD_SPLIT_SQL)
 registry.register("text_token_stats", token_stats, TOKEN_STATS_SQL)
 registry.register("text_quality_score", quality_score, QUALITY_SQL)
 registry.register("text_lang_id", lang_id, LANG_ID_SQL)

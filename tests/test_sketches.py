@@ -1,0 +1,39 @@
+"""Sketch-based operators: HLL estimates must land within tolerance of
+the exact answer; the hash-stable split must be deterministic, leakage-
+free for duplicate content, and roughly proportioned."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_spark.operators.events import _events, approx_distinct_users
+from near_real_time_data_warehouse_spark.operators.text import shard_split
+
+from .conftest import SF_SMALL
+
+
+def test_hll_within_tolerance(spark):
+    approx = {
+        r.event_type: r.approx_users for r in approx_distinct_users(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in _events(spark, SF_SMALL)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+
+
+def test_shard_split_proportions_and_determinism(spark):
+    df = shard_split(spark, SF_SMALL)
+    counts = {r.split: r.n for r in df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert 0.6 <= counts["train"] / total <= 0.95
+    assert counts["val"] > 0 and counts["test"] > 0
+    # deterministic under re-evaluation
+    again = {(r.doc_id, r.split) for r in shard_split(spark, SF_SMALL).collect()}
+    assert {(r.doc_id, r.split) for r in df.collect()} == again
