@@ -313,6 +313,83 @@ WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 """
 
 
+# --- Connected components over the near-dup graph -------------------------
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Distributed connected components by hash-min label propagation:
+    every vertex starts labeled with its own id; each round every vertex
+    takes the min of its label and its neighbors' labels; converged when
+    no label shrinks. Rounds needed = graph diameter (≪ max_iterations
+    for near-dup graphs, whose components are small and dense).
+
+    The iterative-algorithm pattern done right on Spark: each round ends
+    in ``localCheckpoint`` — without it, iteration N's plan nests N copies
+    of the whole lineage and the driver dies re-optimizing it long before
+    the executors break (at cluster scale: ``checkpoint`` to durable
+    storage instead). ``vertices``: (doc_id); ``edges``: (src, dst),
+    undirected edges given in both directions."""
+    labels = vertices.select(F.col("doc_id"), F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component"))
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the 3-gram-Jaccard
+    pair graph (capped id range), singletons included — the grouping step
+    a cluster-level dedup policy (keep-best, keep-first) builds on."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    vertices = _docs(spark, sf_dir).filter(F.col("doc_id") < DOC_CAP).select("doc_id")
+    return connected_components(vertices, edges)
+
+
+# DuckDB twin: recursive label closure — UNION (not UNION ALL) dedups rows,
+# so the recursion reaches a fixpoint; min over each vertex's reachable
+# label set equals the propagation result on an undirected graph.
+COMPONENTS_SQL = f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id FROM documents WHERE doc_id < {DOC_CAP}),
+pairs AS (SELECT doc_a, doc_b FROM ({NGRAM_SQL})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+comp(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.doc_id
+)
+SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id
+"""
+
+
 # --- SimHash --------------------------------------------------------------
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,6 +485,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 
 
 registry.register("dedup_exact", exact_dedup, EXACT_SQL)
+registry.register("dedup_connected_components", dedup_components, COMPONENTS_SQL)
 registry.register("dedup_ngram_jaccard", ngram_jaccard_pairs, NGRAM_SQL)
 registry.register("dedup_minhash_lsh", minhash_lsh_pairs, MINHASH_SQL)
 registry.register("dedup_simhash", simhash, SIMHASH_SQL)
