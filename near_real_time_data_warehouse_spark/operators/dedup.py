@@ -390,6 +390,65 @@ SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup policy: within each near-dup component keep the
+    doc with the most whitespace tokens (tie-break: lowest doc_id) — the
+    "keep the longest version" rule of training pipelines. The rank
+    window partitions by component, so it's distributed; the policy is
+    pure integer ordering, hence oracle hash-exact."""
+    from pyspark.sql import Window
+
+    comps = dedup_components(spark, sf_dir)
+    norm = _norm_col()
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    joined = comps.join(toks, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), "doc_id")
+    return joined.select(
+        "doc_id",
+        "component",
+        "n_tokens",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).cast("long").alias("kept"),
+    )
+
+
+KEEP_BEST_SQL = f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id FROM documents WHERE doc_id < {DOC_CAP}),
+pairs AS (SELECT doc_a, doc_b FROM ({NGRAM_SQL})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+comp(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.doc_id
+),
+comps AS (SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id),
+tok AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                   ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT c.doc_id, component, n_tokens,
+         row_number() OVER (PARTITION BY component ORDER BY n_tokens DESC, c.doc_id) AS rn
+  FROM comps c JOIN tok USING (doc_id)
+)
+SELECT doc_id, component, n_tokens,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM ranked
+"""
+
+
 # --- SimHash --------------------------------------------------------------
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,6 +545,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 
 registry.register("dedup_exact", exact_dedup, EXACT_SQL)
 registry.register("dedup_connected_components", dedup_components, COMPONENTS_SQL)
+registry.register("dedup_keep_best", dedup_keep_best, KEEP_BEST_SQL)
 registry.register("dedup_ngram_jaccard", ngram_jaccard_pairs, NGRAM_SQL)
 registry.register("dedup_minhash_lsh", minhash_lsh_pairs, MINHASH_SQL)
 registry.register("dedup_simhash", simhash, SIMHASH_SQL)
