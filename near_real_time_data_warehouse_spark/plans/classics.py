@@ -299,7 +299,53 @@ GROUP BY p_brand
 """
 
 
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery: revenue from line
+    items whose quantity is below 20% of their part's average quantity.
+    The DataFrame form IS the decorrelated plan Catalyst rewrites the
+    subquery into — a per-part aggregate joined back to the fact — which
+    keeps the "subquery" a single shuffle instead of a per-row probe.
+    The threshold comparison stays in exact DECIMAL arithmetic."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    per_part = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("avg_partkey"))
+        .agg(
+            (
+                (F.sum(qty) / F.count(F.lit(1))).cast("decimal(18,6)")
+                * F.lit(0.2).cast("decimal(18,6)")
+            ).cast("decimal(18,6)").alias("qty_threshold")
+        )
+    )
+    small = (
+        t["lineitem"]
+        .join(t["part"].filter(F.col("p_size") < 10), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(qty < F.col("qty_threshold"))
+    )
+    return small.groupBy("p_brand").agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SMALL_QTY_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size < 10
+  AND CAST(l_quantity AS DECIMAL(18,6)) <
+      (SELECT CAST(CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) / COUNT(*) AS DECIMAL(18,6))
+                   * CAST(0.2 AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS DECIMAL(18,6))
+       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+
 registry.register("classic_pricing_summary", pricing_summary, PRICING_SQL)
+registry.register("classic_small_quantity_revenue", small_quantity_revenue, SMALL_QTY_SQL)
 registry.register("classic_shipping_priority", shipping_priority, SHIPPING_SQL)
 registry.register("classic_local_supplier_volume", local_supplier_volume, LOCAL_SUPPLIER_SQL)
 registry.register("classic_order_priority_semi", order_priority_semi, ORDER_PRIORITY_SQL)
