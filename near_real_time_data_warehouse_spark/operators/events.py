@@ -265,6 +265,67 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event-gap statistics via grouped-map
+    ``applyInPandas`` — the escape hatch for per-group sequence logic
+    that's awkward as window expressions. Each group arrives as one
+    pandas frame (bounded: one user's events), gaps are sorted integer
+    microseconds, and the p50/p90 are *index-selected* (floor((n-1)·q))
+    rather than interpolated, so the result is pure integers and the SQL
+    oracle matches bit-for-bit. At scale: one shuffle on user_id; group
+    size = one user's history, never the table."""
+    import pandas as pd
+
+    e = _events(spark, sf_dir).select("user_id", "us")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        us = pdf["us"].sort_values().to_numpy()
+        if len(us) < 2:
+            return pd.DataFrame(
+                {"user_id": pdf["user_id"].iloc[:1], "n_gaps": [0],
+                 "p50_gap_us": [None], "p90_gap_us": [None]}
+            )
+        gaps = (us[1:] - us[:-1])
+        gaps.sort()
+        n = len(gaps)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[:1],
+                "n_gaps": [n],
+                "p50_gap_us": [int(gaps[int((n - 1) * 0.5)])],
+                "p90_gap_us": [int(gaps[int((n - 1) * 0.9)])],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        stats, "user_id long, n_gaps long, p50_gap_us long, p90_gap_us long"
+    )
+
+
+USER_GAP_SQL = """
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+gaps AS (
+  SELECT user_id, us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+  FROM seq
+),
+agg AS (
+  SELECT user_id, list_sort(list(gap)) AS gs, COUNT(gap) AS n
+  FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
+),
+users AS (SELECT DISTINCT user_id FROM seq)
+SELECT u.user_id,
+       COALESCE(n, 0) AS n_gaps,
+       CASE WHEN n IS NULL THEN NULL
+            ELSE gs[CAST(floor((n - 1) * 0.5) AS BIGINT) + 1] END AS p50_gap_us,
+       CASE WHEN n IS NULL THEN NULL
+            ELSE gs[CAST(floor((n - 1) * 0.9) AS BIGINT) + 1] END AS p90_gap_us
+FROM users u LEFT JOIN agg USING (user_id)
+"""
+
+
+registry.register("events_user_gap_stats", user_gap_stats, USER_GAP_SQL)
 registry.register("events_approx_distinct_users", approx_distinct_users, None)
 registry.register("events_value_by_type_salted", value_by_type_salted, VALUE_BY_TYPE_SQL)
 registry.register("events_asof_last_error", asof_last_error, ASOF_SQL)
