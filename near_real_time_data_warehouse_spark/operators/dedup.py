@@ -449,6 +449,36 @@ FROM ranked
 """
 
 
+def dedup_components_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the UNCAPPED MinHash-LSH pair graph —
+    the full-corpus scale path (candidate generation is banded LSH, never
+    all-pairs). Same propagation kernel as the capped variant."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    vertices = _docs(spark, sf_dir).select("doc_id")
+    return connected_components(vertices, edges)
+
+
+COMPONENTS_MINHASH_SQL = f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id FROM documents),
+pairs AS (SELECT doc_a, doc_b FROM ({MINHASH_SQL})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+comp(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.doc_id
+)
+SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id
+"""
+
+
 # --- SimHash --------------------------------------------------------------
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,6 +576,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 registry.register("dedup_exact", exact_dedup, EXACT_SQL)
 registry.register("dedup_connected_components", dedup_components, COMPONENTS_SQL)
 registry.register("dedup_keep_best", dedup_keep_best, KEEP_BEST_SQL)
+registry.register("dedup_components_minhash", dedup_components_minhash, COMPONENTS_MINHASH_SQL)
 registry.register("dedup_ngram_jaccard", ngram_jaccard_pairs, NGRAM_SQL)
 registry.register("dedup_minhash_lsh", minhash_lsh_pairs, MINHASH_SQL)
 registry.register("dedup_simhash", simhash, SIMHASH_SQL)
