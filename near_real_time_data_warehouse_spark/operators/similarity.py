@@ -264,6 +264,7 @@ N_CENTROIDS = 16   # IVF list count (≈√corpus at these sf; √N at scale)
 N_PROBE = 6        # probed lists per query (synthetic corpus is weakly
                    # clustered, so recall needs a deeper probe than the
                    # 1-2 lists a clustered production corpus would)
+KMEANS_ITERATIONS = 2  # Lloyd refinement steps for the IVF centroids
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,36 +273,66 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the broadcast centroid block); each query probes its N_PROBE
     nearest lists and scores only vectors in them.
 
-    Centroids are the first N_CENTROIDS corpus vectors — deterministic and
-    engine-independent; a production build would k-means them, which
-    changes recall, not the dataflow. At 100 TB: write the corpus
-    partitioned by centroid id and probing becomes partition pruning —
-    cost ∝ corpus/centroids × probes, never the full corpus."""
+    Centroids: seeded from the first N_CENTROIDS corpus vectors, then
+    refined by KMEANS_ITERATIONS deterministic Lloyd steps (integer
+    centroid updates — order-independent across partitions, so every run
+    yields identical lists). At 100 TB: write the corpus partitioned by
+    centroid id and probing becomes partition pruning — cost ∝
+    corpus/centroids × probes, never the full corpus."""
     emb = _emb(spark, sf_dir)
     cids, cmat = _collect_quantized(emb.filter(F.col("vec_id") < N_CENTROIDS))
     order = np.argsort(cids)
     cmat = cmat[order]
-    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
-    bc = spark.sparkContext.broadcast((cmat, cnorm))
 
-    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cmat_, cnorm_ = bc.value
-        for pdf in it:
-            if pdf.empty:
-                continue
-            q = _quant_np(pdf["embedding"])
-            nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
-            cos = (q @ cmat_.T) / (nrm[:, None] * cnorm_[None, :])
-            yield pd.DataFrame(
-                {"neighbor_id": pdf["vec_id"], "centroid": cos.argmax(axis=1).astype(np.int32)}
-            )
+    def assigner(cmat_now: np.ndarray):
+        cnorm_now = np.sqrt((cmat_now * cmat_now).sum(axis=1).astype(np.float64))
+        bc = spark.sparkContext.broadcast((cmat_now, cnorm_now))
 
-    assigned = emb.mapInPandas(assign, "neighbor_id long, centroid int")
+        def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cm, cn = bc.value
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                q = _quant_np(pdf["embedding"])
+                nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+                cos = (q @ cm.T) / (nrm[:, None] * cn[None, :])
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": pdf["vec_id"],
+                        "centroid": cos.argmax(axis=1).astype(np.int32),
+                    }
+                )
+
+        return assign
+
+    # Deterministic integer k-means refinement (Lloyd steps): per-dimension
+    # centroid update = floor(sum of quantized coords / count) — int64 sums
+    # are order-independent across partitions, so every run produces the
+    # same centroids. Refinement steers recall only; scoring stays exact.
+    for _ in range(KMEANS_ITERATIONS):
+        assigned_i = emb.mapInPandas(assigner(cmat), "neighbor_id long, centroid int")
+        q = F.transform(
+            F.col("embedding"), lambda x: F.round(x.cast("double") * QUANT, 0).cast("long")
+        )
+        sums = (
+            assigned_i.join(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
+            .select("centroid", F.posexplode(q).alias("pos", "val"))
+            .groupBy("centroid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cmat.copy()
+        for r in sums:
+            new[r.centroid, r.pos] = r.s // r.n
+        cmat = new
+
+    assigned = emb.mapInPandas(assigner(cmat), "neighbor_id long, centroid int")
 
     # Probe lists per query: the query block is bounded, so the top-N_PROBE
     # centroid choice is a driver-side numpy argsort on a (Q × C) matrix.
     qids, qmat = _collect_quantized(emb.filter(F.col("vec_id") < QUERY_CAP))
     qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
     qcos = (qmat @ cmat.T) / (qnorm[:, None] * cnorm[None, :])
     probe_idx = np.argsort(-qcos, axis=1)[:, :N_PROBE]
     probes = [
