@@ -344,8 +344,69 @@ GROUP BY p_brand
 """
 
 
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — cross-nation trade volume: revenue between two
+    nations in either direction (the symmetric OR pair predicate), per
+    (supplier nation, customer nation, year). The nation filter reduces
+    to two keys, applied to supplier and customer BEFORE their joins so
+    the fact-side rows shrink early; nation is fixed-cardinality →
+    broadcast-safe."""
+    t = load_tables(
+        spark, sf_dir, ("nation", "customer", "supplier", "orders", "lineitem")
+    )
+    n1, n2 = "NATION_1", "NATION_2"
+    nations = t["nation"].filter(F.col("n_name").isin(n1, n2)).select(
+        "n_nationkey", "n_name"
+    )
+    supp = t["supplier"].join(
+        F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = t["customer"].join(
+        F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    revenue = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .join(t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").cast("long").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+VOLUME_SHIPPING_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
 registry.register("classic_pricing_summary", pricing_summary, PRICING_SQL)
 registry.register("classic_small_quantity_revenue", small_quantity_revenue, SMALL_QTY_SQL)
+registry.register("classic_volume_shipping", volume_shipping, VOLUME_SHIPPING_SQL)
 registry.register("classic_shipping_priority", shipping_priority, SHIPPING_SQL)
 registry.register("classic_local_supplier_volume", local_supplier_volume, LOCAL_SUPPLIER_SQL)
 registry.register("classic_order_priority_semi", order_priority_semi, ORDER_PRIORITY_SQL)
