@@ -136,10 +136,19 @@ def load_star_batch(
     customer_dim: DataFrame,
     product_dim: DataFrame,
     warehouse_dir: str,
+    epoch_id: int | None = None,
 ) -> None:
     """Load one (micro-)batch into the Parquet star schema. Replaces the
     reference's per-row inserts + per-row time-dim SELECT
-    (hybrid_join.py:398-463) with four set-oriented writes."""
+    (hybrid_join.py:398-463) with four set-oriented writes.
+
+    ``epoch_id`` (streaming): the fact append lands under
+    ``salefact/epoch=<id>`` with overwrite semantics, so a replayed
+    micro-batch (crash after the write, before the checkpoint commit)
+    rewrites the same directory instead of duplicating rows — this plus
+    the idempotent (left-anti) dim upserts makes the streaming load
+    exactly-once end to end. Batch loads (epoch_id=None) keep the plain
+    append layout."""
     os.makedirs(warehouse_dir, exist_ok=True)
     enriched = enriched.cache()
 
@@ -186,7 +195,12 @@ def load_star_batch(
         # year+month or date.
         (attrs["date_id"] / 10000).cast("int").alias("sale_year"),
     )
-    fact.write.mode("append").partitionBy("sale_year").parquet(f"{warehouse_dir}/salefact")
+    if epoch_id is None:
+        fact.write.mode("append").partitionBy("sale_year").parquet(f"{warehouse_dir}/salefact")
+    else:
+        fact.write.mode("overwrite").partitionBy("sale_year").parquet(
+            f"{warehouse_dir}/salefact/epoch={epoch_id}"
+        )
     enriched.unpersist()
 
 
@@ -207,4 +221,9 @@ def run_batch_etl(
 
 
 def read_star(spark: SparkSession, warehouse_dir: str) -> dict[str, DataFrame]:
-    return {t: spark.read.parquet(f"{warehouse_dir}/{t}") for t in STAR_TABLES}
+    out = {t: spark.read.parquet(f"{warehouse_dir}/{t}") for t in STAR_TABLES}
+    # Stream-loaded warehouses carry the epoch=<id> idempotence partition
+    # (see load_star_batch); it is bookkeeping, not part of the star schema.
+    if "epoch" in out["salefact"].columns:
+        out["salefact"] = out["salefact"].drop("epoch")
+    return out

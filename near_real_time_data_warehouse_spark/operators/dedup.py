@@ -331,6 +331,7 @@ def connected_components(
     storage instead). ``vertices``: (doc_id); ``edges``: (src, dst),
     undirected edges given in both directions."""
     labels = vertices.select(F.col("doc_id"), F.col("doc_id").alias("label")).localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["doc_id"])
@@ -353,7 +354,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Unconverged labels would silently split clusters downstream
+        # (keep-best would then keep multiple "best" docs per true
+        # component) — fail loudly instead. Diameter > 25 means the pair
+        # graph has long chains, which for near-dup graphs signals a
+        # threshold bug more often than a real topology.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the cap); raise max_iterations"
+        )
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
@@ -523,9 +535,15 @@ votes AS (
   GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
+# ^ The outer CAST matters: DuckDB SUM(BIGINT) yields HUGEINT (int128),
+# which pandas/arrow fetch paths coerce to float64/decimal128 — the value
+# hash then differs from Spark's int64 even though the numbers are equal
+# (the round-1 driver-only hash mismatch). fetchall() hides this (Python
+# ints), so the harness pins it with an arrow-schema audit instead
+# (tests/test_analysis_oracle.py::test_no_hugeint_oracle_outputs).
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

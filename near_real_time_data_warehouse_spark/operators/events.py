@@ -26,9 +26,21 @@ _MINUTE_US = 60_000_000
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``us``: event time as integer epoch microseconds."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("us", F.expr("ts div 1000"))
+
+
+def _ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Sessions from session.get_spark already carry nanosAsLong=true (see
+    the comment there); foreign sessions (the driver's) need it before the
+    first events.parquet scan. Idempotent no-op when already set — so this
+    never *changes* observable session state mid-run; a set/restore scope
+    would be wrong because the returned DataFrame is lazy and reads the
+    conf again at action time."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, None) != "true":
+        spark.conf.set(key, "true")
 
 
 def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,14 +28,19 @@ def _ranked(
 ) -> tuple[DataFrame, int]:
     """Rank + total row count in two jobs over one persisted sort pass."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Persist the arranged data: the range partitioner samples, so the
-    # counts pass and the output must see the SAME partition boundaries.
+    # Materialize the arranged data: the range partitioner SAMPLES, so the
+    # counts pass and the output must see the same partition boundaries —
+    # a recompute could re-sample and mis-rank. localCheckpoint (not
+    # persist) because its blocks are pinned (no eviction-recompute path)
+    # and freed by the ContextCleaner once the caller drops the DataFrame,
+    # whereas persist() entries accumulate in the CacheManager until an
+    # explicit unpersist (the round-1 leak).
     arranged = (
         df.repartitionByRange(n, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn("__local", F.monotonically_increasing_id().bitwiseAND(_LOCAL_MASK))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sizes = {r["__pid"]: r["cnt"] for r in
              arranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}

@@ -10,8 +10,12 @@ Stream-static joins re-read the static side per micro-batch — strictly
 better than the reference, which loads master data once at startup
 (:59-60) and never refreshes. ``Trigger.AvailableNow`` gives the same
 drain-and-stop semantics as the reference's EOF shutdown (:162-163,
-:209-211) but with checkpointed exactly-once batches instead of
-commit/rollback-per-batch at-least-once (:465-471, T5 in SURVEY.md §2.6).
+:209-211). End-to-end exactly-once comes from checkpointed offsets plus
+an idempotent sink (foreachBatch alone is at-least-once): dim upserts are
+left-anti (replay-safe) and the fact append overwrites a per-epoch_id
+directory, so a replayed batch rewrites rather than duplicates — vs the
+reference's commit/rollback-per-batch at-least-once (:465-471, T5 in
+SURVEY.md §2.6).
 """
 
 from __future__ import annotations
@@ -52,7 +56,13 @@ def run_streaming_etl(
     enriched = enrich(stream, cust, prod)
 
     def sink(batch_df, epoch_id: int) -> None:  # noqa: ANN001
-        load_star_batch(batch_df.sparkSession, batch_df, cust, prod, warehouse_dir)
+        # epoch_id keys the fact write's overwrite directory: foreachBatch
+        # alone is at-least-once, and a crash between the fact append and
+        # the checkpoint commit would replay the batch; the per-epoch
+        # overwrite (+ left-anti dim upserts) makes the replay idempotent.
+        load_star_batch(
+            batch_df.sparkSession, batch_df, cust, prod, warehouse_dir, epoch_id=epoch_id
+        )
 
     query = (
         enriched.writeStream.foreachBatch(sink)

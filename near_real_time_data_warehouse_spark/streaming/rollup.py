@@ -53,6 +53,13 @@ def _merge_into(spark: SparkSession, partial: DataFrame, out_dir: str) -> None:
             F.sum("n_events").alias("n_events"),
             F.sum("total_value").alias("total_value"),
         )
+        # Materialize BEFORE the overwrite: `merged` lazily reads out_dir,
+        # and writing a path that the same job reads is the classic
+        # "cannot overwrite a path being read from" hazard — a mid-write
+        # failure could otherwise lose the touched hours' stored partials.
+        # The slice is bounded (touched hours only), so this is cheap; at
+        # cluster scale a staging-dir + swap plays the same role.
+        .localCheckpoint(eager=True)
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -29,17 +29,36 @@ EVENTS_LONG_TS_SCHEMA = T.StructType(
 )
 
 
+# One symlink dir per source parquet for the process lifetime (reused on
+# repeat calls, removed at exit) — a fresh mkdtemp per call would leak a
+# dir+symlink each time (round-1 advisory).
+_STREAM_DIR_MEMO: dict[str, str] = {}
+
+
+def _stream_dir_for(sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    d = _STREAM_DIR_MEMO.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _STREAM_DIR_MEMO[sf_dir] = d
+    return d
+
+
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events parquet as a file stream with a proper event-time column.
 
     The file-stream source requires a *directory*; testdata is read-only,
     so the single parquet file is exposed through a symlink in a temp dir."""
-    import os
-    import tempfile
+    from ..operators.events import _ensure_nanos_as_long
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    _ensure_nanos_as_long(spark)
+    stream_dir = _stream_dir_for(sf_dir)
     raw = spark.readStream.schema(EVENTS_LONG_TS_SCHEMA).parquet(stream_dir)
     return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -34,3 +34,18 @@ def test_rows_only(spark, name):
     # No oracle (non-SQL-expressible op) — weaker check: runs and yields rows.
     df = QUERIES[name](spark, SF_SMALL)
     assert df.count() >= 0
+
+
+# DuckDB widens integer SUMs to HUGEINT (int128); pandas/arrow fetch paths
+# then coerce the column to float64/decimal128, so the driver's value hash
+# diverges from Spark's int64 even when every number is equal (the round-1
+# dedup_simhash failure — fetchall() gives Python ints and hides it). Any
+# oracle output column must therefore be an explicitly-cast concrete type.
+_UNPORTABLE = {"HUGEINT", "UHUGEINT"}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_no_hugeint_oracle_outputs(con, name):
+    schema = con.execute("DESCRIBE " + ORACLES[name]).fetchall()
+    bad = [(c, t) for c, t, *_ in schema if t.upper() in _UNPORTABLE]
+    assert not bad, f"{name}: oracle outputs unportable types {bad}; add CAST"

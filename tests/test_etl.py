@@ -201,6 +201,26 @@ def test_streaming_restart_exactly_once(spark, paths, tmp_path_factory):
     assert n3 > n1
 
 
+def test_fact_epoch_replay_idempotent(spark, paths, tmp_path_factory):
+    """A replayed micro-batch (same epoch_id — foreachBatch's crash-replay
+    contract) must rewrite its fact directory, not duplicate rows; a new
+    epoch_id appends."""
+    wh = str(tmp_path_factory.mktemp("warehouse_epoch"))
+    cust = etl.read_customer_master(spark, str(paths["customer"]))
+    prod = etl.read_product_master(spark, str(paths["product"]))
+    txns = etl.read_transactions(spark, str(paths["transactions"]))
+    enriched = etl.enrich(txns, cust, prod)
+
+    etl.load_star_batch(spark, enriched, cust, prod, wh, epoch_id=0)
+    n1 = spark.read.parquet(f"{wh}/salefact").count()
+    etl.load_star_batch(spark, enriched, cust, prod, wh, epoch_id=0)  # replay
+    assert spark.read.parquet(f"{wh}/salefact").count() == n1
+    etl.load_star_batch(spark, enriched, cust, prod, wh, epoch_id=1)  # next batch
+    assert spark.read.parquet(f"{wh}/salefact").count() == 2 * n1
+    # read_star hides the idempotence partition from the star schema
+    assert "epoch" not in etl.read_star(spark, wh)["salefact"].columns
+
+
 def test_sql_text_runs_over_warehouse_views(spark, star):
     """The spark.sql query texts must run against views registered from
     the LOADED warehouse (read_star), not just fixture-built stars — the
