@@ -12,8 +12,9 @@ The large-scale dedup toolbox (BASELINE.json north star):
   collides, then verified with true Jaccard. At 100 TB this is the
   standard near-dup pipeline: cost is linear in corpus + candidate
   pairs, never all-pairs.
-- **SimHash** — 32-bit sign-aggregated token hashes; Hamming-distance
-  candidates over the capped range (banding extends it the same way).
+- **SimHash** — 32-bit sign-aggregated token hashes; near-dup pairs via
+  Hamming *banding* (4×8-bit band equi-join — pigeonhole over the ≤3-bit
+  threshold), uncapped, verified pair-identical to brute force.
 
 Everything is built from Catalyst primitives (split/explode/groupBy/join,
 bit ops) — no Python UDFs. All hashing is md5-prefix → bigint, identical
@@ -546,28 +547,85 @@ FROM votes GROUP BY doc_id
 # (tests/test_analysis_oracle.py::test_no_hugeint_oracle_outputs).
 
 
-def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: Hamming distance ≤ threshold over the
-    capped id range (the banding trick extends this to full scale exactly
-    like MinHash-LSH)."""
-    sh = simhash(spark, sf_dir).filter(F.col("doc_id") < DOC_CAP)
-    a, b = sh.alias("a"), sh.alias("b")
+# Hamming banding: split the 32-bit simhash into 4 disjoint 8-bit bands.
+# Pigeonhole: ≤ HAMMING_THRESHOLD(=3) bit flips can touch at most 3 bands,
+# so any qualifying pair agrees EXACTLY on ≥1 band — an equi-join on
+# (band, byte) therefore finds the complete pair set with zero nested-loop
+# stages (same shape as the MinHash band join). Completeness is proved by
+# the all-pairs DuckDB oracle on dedup_simhash_banded.
+N_SIMHASH_BANDS = HAMMING_THRESHOLD + 1
+
+
+def _simhash_banded_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming ≤ threshold via the band
+    equi-join; ``sh`` is (doc_id, simhash)."""
+    # The simhash aggregation tree feeds both join sides — materialize once.
+    sh = sh.localCheckpoint(eager=False)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), 8 * b)
+                .bitwiseAND(F.lit(255))
+                .cast("int")
+                .alias("byte"),
+            )
+            for b in range(N_SIMHASH_BANDS)
+        ]
+    )
+    bands = sh.select("doc_id", "simhash", F.explode(band_arr).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("long").alias("hamming"),
         )
+        # Hamming BEFORE the dedup shuffle: the verify is a per-row bit op,
+        # so non-qualifying candidates never enter the exchange.
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .distinct()  # a pair can collide on several bands
     )
 
 
-SIMHASH_PAIRS_SQL = f"""
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ threshold) over the capped id
+    range. Candidates come from the band equi-join (no all-pairs stage);
+    the cap only keeps this entry's oracle aligned with round-1 history —
+    ``dedup_simhash_banded`` is the uncapped form."""
+    sh = simhash(spark, sf_dir).filter(F.col("doc_id") < DOC_CAP)
+    return _simhash_banded_pairs(sh)
+
+
+def simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncapped SimHash near-dup pairs over the FULL corpus via Hamming
+    banding. The oracle is the brute-force all-pairs filter, so a green
+    row certifies the band join finds the *identical* pair set.
+
+    Scale note: band-bucket sizes drive candidate volume. With 32 bits and
+    4 bands a byte has 256 values, so buckets ∝ N/256 — fine at bench
+    scale; at 100 TB you widen the fingerprint (64-bit simhash, 16-bit
+    bands → 65536 bucket values) exactly like production simhash systems,
+    keeping the same plan shape."""
+    return _simhash_banded_pairs(simhash(spark, sf_dir))
+
+
+def _simhash_allpairs_sql(where: str) -> str:
+    """Brute-force all-pairs Hamming oracle (ground truth the band join
+    must reproduce exactly)."""
+    return f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-  FROM documents WHERE doc_id < {DOC_CAP}
+  FROM documents {where}
 ),
 hashed AS (
   SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
@@ -591,6 +649,10 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
 """
 
 
+SIMHASH_PAIRS_SQL = _simhash_allpairs_sql(f"WHERE doc_id < {DOC_CAP}")
+SIMHASH_BANDED_SQL = _simhash_allpairs_sql("")
+
+
 registry.register("dedup_exact", exact_dedup, EXACT_SQL)
 registry.register("dedup_connected_components", dedup_components, COMPONENTS_SQL)
 registry.register("dedup_keep_best", dedup_keep_best, KEEP_BEST_SQL)
@@ -599,3 +661,4 @@ registry.register("dedup_ngram_jaccard", ngram_jaccard_pairs, NGRAM_SQL)
 registry.register("dedup_minhash_lsh", minhash_lsh_pairs, MINHASH_SQL)
 registry.register("dedup_simhash", simhash, SIMHASH_SQL)
 registry.register("dedup_simhash_pairs", simhash_pairs, SIMHASH_PAIRS_SQL)
+registry.register("dedup_simhash_banded", simhash_banded, SIMHASH_BANDED_SQL)

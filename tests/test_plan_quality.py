@@ -94,6 +94,16 @@ def test_rolling_window_is_partitioned(star):
     assert "windowspecdefinition(store_id" in plan
 
 
+def test_simhash_banding_has_no_nested_loop(spark):
+    """The uncapped SimHash pair search must plan as a band equi-join —
+    a BroadcastNestedLoopJoin/CartesianProduct here is the all-pairs
+    O(N²) stage banding exists to eliminate."""
+    for name in ("dedup_simhash_banded", "dedup_simhash_pairs"):
+        plan = plan_of(QUERIES[name](spark, SF_SMALL))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_asof_window_is_partitioned(spark):
     """The as-of join's carry-forward window partitions by user."""
     plan = plan_of(QUERIES["events_asof_last_error"](spark, SF_SMALL))
