@@ -277,6 +277,43 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Accuracy contract for the HLL sketch (same bound tests/test_sketches.py
+# enforces): |approx − exact| ≤ max(1, 5%·exact). rsd=0.02 gives ~2% σ, so
+# 5% is ≈2.5σ of headroom.
+HLL_REL_ERROR_BOUND = 0.05
+
+
+def approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy gate for the HLL path: per event type,
+    the exact distinct-user count (oracle-verified bit-exactly) plus a
+    boolean asserting the sketch landed within the error bound. Sketch
+    estimates are engine-specific so the estimate itself cannot have a
+    DuckDB twin; the oracle instead pins the exact side and encodes the
+    contract as a constant ``true`` — an HLL regression flips the Spark
+    boolean and the driver's value hash goes red."""
+    e = _events(spark, sf_dir)
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users"))
+    bound = F.greatest(F.lit(1.0), F.lit(HLL_REL_ERROR_BOUND) * F.col("exact_users"))
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (err <= bound).alias("within_bound"),
+    )
+
+
+APPROX_DISTINCT_ERROR_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
 def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event-gap statistics via grouped-map
     ``applyInPandas`` — the escape hatch for per-group sequence logic
@@ -339,6 +376,7 @@ FROM users u LEFT JOIN agg USING (user_id)
 
 registry.register("events_user_gap_stats", user_gap_stats, USER_GAP_SQL)
 registry.register("events_approx_distinct_users", approx_distinct_users, None)
+registry.register("events_approx_distinct_error", approx_distinct_error, APPROX_DISTINCT_ERROR_SQL)
 registry.register("events_value_by_type_salted", value_by_type_salted, VALUE_BY_TYPE_SQL)
 registry.register("events_asof_last_error", asof_last_error, ASOF_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)
