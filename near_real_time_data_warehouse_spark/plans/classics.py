@@ -404,6 +404,164 @@ GROUP BY supp_nation, cust_nation, l_year
 """
 
 
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: per order-year, the share
+    of ASIA-region PROMO-part revenue supplied from NATION_1. The deepest
+    join in the library (lineitem⋈part⋈orders⋈customer⋈nation⋈region +
+    supplier⋈nation) — the case that exercises join-reorder depth; the
+    share is a conditional aggregate ratio, one pass, no self-join.
+
+    Fixed-cardinality sides (nation, region, the two bounded lookup
+    products) broadcast; scaling sides (customer, supplier, orders) are
+    left to AQE. Exactness: both sums are DECIMAL(18,4) accumulations
+    cast to DOUBLE before one final division — bit-equal in DuckDB."""
+    t = load_tables(
+        spark, sf_dir,
+        ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"),
+    )
+    asia_nations = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cust_nationkey"))
+    supp = t["supplier"].join(
+        F.broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    revenue = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    per_year = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cust_nationkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", revenue).otherwise(zero))
+            .cast("double")
+            .alias("nation_revenue"),
+            F.sum(revenue).cast("double").alias("total_revenue"),
+        )
+    )
+    return per_year.select(
+        "o_year",
+        "nation_revenue",
+        "total_revenue",
+        (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+    )
+
+
+MARKET_SHARE_SQL = """
+WITH per_year AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+         CAST(SUM(CASE WHEN ns.n_name = 'NATION_1'
+                       THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                                 AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_revenue,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY o_year
+)
+SELECT o_year, nation_revenue, total_revenue,
+       nation_revenue / total_revenue AS mkt_share
+FROM per_year
+"""
+
+
+def potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — nested semi-join chain: suppliers who shipped a
+    MAJORITY of some PROMO part's 1996 volume, with their nation. Three
+    nesting levels (part filter → per-(supplier, part) volume vs per-part
+    total → supplier list), each a semi join, so no level duplicates rows
+    and only join keys cross the wire. The majority test is ``2·qty >
+    total_qty`` — integer-exact, no float threshold. (TPC-H Q20 filters
+    to one nation; this corpus has ~1 supplier per nation at small sf, so
+    the nation is reported instead of filtered to keep the result set
+    non-degenerate at every scale.)"""
+    t = load_tables(spark, sf_dir, ("nation", "supplier", "part", "lineitem"))
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("tot_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    qualifying = (
+        shipped.join(part_total, F.col("l_partkey") == F.col("tot_partkey"))
+        .filter(F.col("qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+POTENTIAL_PROMOTION_SQL = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  GROUP BY l_suppkey, l_partkey
+),
+part_total AS (
+  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total_qty FROM shipped GROUP BY l_partkey
+),
+qualifying AS (
+  SELECT DISTINCT l_suppkey
+  FROM shipped JOIN part_total USING (l_partkey)
+  WHERE qty * 2 > total_qty
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
+"""
+
+
+registry.register("classic_market_share", market_share, MARKET_SHARE_SQL)
+registry.register("classic_potential_promotion", potential_promotion, POTENTIAL_PROMOTION_SQL)
 registry.register("classic_pricing_summary", pricing_summary, PRICING_SQL)
 registry.register("classic_small_quantity_revenue", small_quantity_revenue, SMALL_QTY_SQL)
 registry.register("classic_volume_shipping", volume_shipping, VOLUME_SHIPPING_SQL)
