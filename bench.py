@@ -3,15 +3,56 @@
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is forced
 with the noop sink (full execution, no driver-side collect cost).
+
+Besides timings the line carries a normalized physical-plan hash per
+query ("plans") and, when a previous round's BENCH_r*.json with plan
+hashes exists, the list of queries whose plan changed ("plan_changes").
+The host is co-tenant and noisy, so timing deltas alone can't separate
+plan regressions from scheduler noise — the plan hash can: same hash +
+slower time = host noise; changed hash = a real plan change to review.
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import re
 import sys
 import time
+
+
+def plan_hash(df) -> str:
+    """Stable fingerprint of the physical plan: strips per-run tokens
+    (expression ids, JVM addresses, shuffle/plan ids, file paths) so the
+    hash only changes when the plan SHAPE changes."""
+    s = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"0x[0-9a-f]+", "0x", s)
+    s = re.sub(r"(plan_id|id)=\d+", r"\1=", s)
+    s = re.sub(r"file:[^\s,\]\)]+", "file:", s)
+    s = re.sub(r"\s+", " ", s)
+    return hashlib.md5(s.encode()).hexdigest()[:10]
+
+
+def previous_plans() -> dict[str, str]:
+    """Plan hashes from the newest recorded round that has them."""
+    best: dict[str, str] = {}
+    best_n = -1
+    for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        plans = data.get("plans") or (data.get("parsed") or {}).get("plans")
+        if plans and int(m.group(1)) > best_n:
+            best, best_n = plans, int(m.group(1))
+    return best
 
 
 def main() -> None:
@@ -68,28 +109,34 @@ def main() -> None:
                 )
             )
         timings["star_etl_load"] = round(time.perf_counter() - t0, 3)
+    plans: dict[str, str] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
         best = float("inf")
+        df = None
         for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        plans[name] = plan_hash(df)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    prev = previous_plans()
+    out = {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "plans": plans,
+    }
+    if prev:
+        out["plan_changes"] = sorted(
+            n for n, h in plans.items() if n in prev and prev[n] != h
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
