@@ -162,6 +162,38 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming duplicate drop with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+    watermark passes it, so state size ∝ keys per watermark horizon —
+    the 100 TB requirement plain ``dropDuplicates`` (state ∝ all keys
+    ever) violates. Emits the first-arriving event per key; re-sends
+    within the horizon are suppressed. Batch twin of the *kept id* set:
+    ``operators/events.dedup_events`` (min event_id per key)."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def rocksdb_state_confs() -> dict[str, str]:
+    """State-store config for production streaming: the default
+    HDFS-backed in-memory store bounds state by executor heap; RocksDB
+    spills to local disk, bounding it by disk instead — required for
+    large keyed state (sessionization over many users, stream-stream
+    join horizons). Changelog checkpointing keeps commit cost
+    incremental. Set these on the session BEFORE the first stateful
+    query starts (state-store provider is fixed per query run)."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str) -> None:
     """Drain a streaming DataFrame into an in-memory table synchronously."""
     q = (

