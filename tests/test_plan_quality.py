@@ -104,6 +104,24 @@ def test_simhash_banding_has_no_nested_loop(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_market_share_join_shape(spark):
+    """Q8's 8-way join: fixed-cardinality sides broadcast, never a
+    cartesian product, and the conditional-ratio aggregate stays a single
+    aggregation (no self-join of the fact)."""
+    plan = plan_of(QUERIES["classic_market_share"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") <= 4  # one partial+final pair per stage, no dual scan
+
+
+def test_potential_promotion_semi_chain(spark):
+    """Q20's nesting must stay semi joins end to end — an inner join at
+    either level would duplicate rows and need a dedup pass."""
+    plan = plan_of(QUERIES["classic_potential_promotion"](spark, SF_SMALL))
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_window_is_partitioned(spark):
     """The as-of join's carry-forward window partitions by user."""
     plan = plan_of(QUERIES["events_asof_last_error"](spark, SF_SMALL))
