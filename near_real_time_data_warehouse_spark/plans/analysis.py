@@ -503,8 +503,11 @@ LIMIT 5
 
 def q17(star: Star) -> DataFrame:
     """Yearly revenue ROLLUP over (store, supplier, product), current year
-    (Analysis_Queries.sql:139-147). Subtotal NULL keys are coalesced to -1
-    so the integer columns stay non-nullable in both engines."""
+    (Analysis_Queries.sql:139-147). Subtotal NULL keys are stringified and
+    coalesced to '-1' so the query is key-type-agnostic: the driver star
+    uses integer ids, the reference warehouse string ids ('P00000010') —
+    an integer sentinel would ANSI-cast-fail on the latter (found via
+    demo.py, which replays the reference timeline with reference ids)."""
     rolled = (
         _fact_prod_time(star)
         .filter(F.col("year") == CURRENT_YEAR)
@@ -512,17 +515,17 @@ def q17(star: Star) -> DataFrame:
         .agg(_money("total_revenue"))
     )
     return rolled.select(
-        F.coalesce("store_id", F.lit(-1)).alias("store_id"),
-        F.coalesce("supplier_id", F.lit(-1)).alias("supplier_id"),
-        F.coalesce("product_id", F.lit(-1)).alias("product_id"),
+        F.coalesce(F.col("store_id").cast("string"), F.lit("-1")).alias("store_id"),
+        F.coalesce(F.col("supplier_id").cast("string"), F.lit("-1")).alias("supplier_id"),
+        F.coalesce(F.col("product_id").cast("string"), F.lit("-1")).alias("product_id"),
         "total_revenue",
     )
 
 
 Q17_SQL = f"""
-SELECT COALESCE(store_id, -1) AS store_id,
-       COALESCE(supplier_id, -1) AS supplier_id,
-       COALESCE(product_id, -1) AS product_id,
+SELECT COALESCE(CAST(store_id AS STRING), '-1') AS store_id,
+       COALESCE(CAST(supplier_id AS STRING), '-1') AS supplier_id,
+       COALESCE(CAST(product_id AS STRING), '-1') AS product_id,
        total_revenue
 FROM (
   SELECT store_id, supplier_id, product_id, {_MONEY} AS total_revenue

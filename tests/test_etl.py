@@ -222,15 +222,25 @@ def test_fact_epoch_replay_idempotent(spark, paths, tmp_path_factory):
 
 
 def test_sql_text_runs_over_warehouse_views(spark, star):
-    """The spark.sql query texts must run against views registered from
-    the LOADED warehouse (read_star), not just fixture-built stars — the
-    warehouse schema carries the sale_year partition column, and a name
-    collision here breaks every SQL-text user (regression: year vs
-    time_dim.year ambiguity)."""
+    """EVERY spark.sql query text must run against views registered from
+    the LOADED warehouse (read_star) — reference-style STRING ids
+    ('P00000010'), the sale_year partition column, the reference timeline
+    (latest year 2020). Year constants are rewritten to the fixture
+    timeline as demo.py does, so the queries actually see rows: a query
+    that only "passes" on an empty input hides type errors (regression:
+    q17's integer -1 sentinel ANSI-cast-failed on string product ids,
+    invisible while the year filter matched nothing)."""
     from near_real_time_data_warehouse_spark.plans import analysis
 
     analysis.register_views(star)
-    for name in ("q01_top5_product_daytype_revenue", "q17_rollup_store_supplier_product",
-                 "q02_purchase_by_gender_age_city"):
+    nonempty = 0
+    for name in analysis.QUERIES:
         sql = analysis.spark_sql_text(name)
-        spark.sql(sql).collect()  # must analyze and execute cleanly
+        if sql is None:
+            continue
+        sql = sql.replace(f"= {analysis.CURRENT_YEAR}", "= 2020").replace(
+            analysis.CURRENT_DATE, "2020-12-31"
+        )
+        rows = spark.sql(sql).collect()  # must analyze and execute cleanly
+        nonempty += bool(rows)
+    assert nonempty >= 15  # the fixture timeline feeds rows to most queries
