@@ -35,7 +35,8 @@ def test_incremental_rollup_equals_batch(spark, tmp_path_factory):
         _time.sleep(1.1)  # file order = modification time
 
     out, ckpt = str(base / "rollup_out"), str(base / "ckpt")
-    run_continuous_rollup(spark, f"{src}/*", EVENTS_LONG_TS_SCHEMA, out, ckpt)
+    day_out = str(base / "rollup_day_out")
+    run_continuous_rollup(spark, f"{src}/*", EVENTS_LONG_TS_SCHEMA, out, ckpt, day_dir=day_out)
 
     got = {
         (r.hour_epoch_s, r.event_type): (r.n_events, float(r.total_value))
@@ -47,3 +48,23 @@ def test_incremental_rollup_equals_batch(spark, tmp_path_factory):
         for r in _hourly_partial(union).collect()
     }
     assert got == want
+
+    # Chained day rollup (maintained from the hour table, one refresh per
+    # micro-batch) must equal the from-scratch day aggregation of all events.
+    got_day = {
+        (r.day_epoch_s, r.event_type): (r.n_events, float(r.total_value))
+        for r in spark.read.parquet(day_out).collect()
+    }
+    want_day = {
+        (r.day_epoch_s, r.event_type): (r.n_events, float(r.total_value))
+        for r in (
+            _hourly_partial(union)
+            .groupBy(
+                F.expr("hour_epoch_s div 86400 * 86400").alias("day_epoch_s"),
+                "event_type",
+            )
+            .agg(F.sum("n_events").alias("n_events"), F.sum("total_value").alias("total_value"))
+            .collect()
+        )
+    }
+    assert got_day == want_day
