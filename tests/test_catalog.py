@@ -69,6 +69,96 @@ def test_stats_flip_join_strategy(cbo_tables):
     assert "BroadcastHashJoin" in after, after
 
 
+@pytest.fixture(scope="module")
+def snowflake_tables(spark):
+    """7-table snowflake: fact → store → region, fact → prod → cat,
+    fact → cust → seg, with cardinalities spanning 5 orders of magnitude."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS sn_test")
+    spark.range(200_000).select(
+        F.col("id").alias("sale_id"),
+        (F.col("id") % 5_000).alias("store_id"),
+        (F.col("id") % 20_000).alias("prod_id"),
+        (F.col("id") % 50_000).alias("cust_id"),
+        (F.col("id") % 97).alias("amt"),
+    ).write.mode("overwrite").saveAsTable("sn_test.fact")
+    dims = {
+        "store": (5_000, "store_id", "region_id", 50),
+        "prod": (20_000, "prod_id", "cat_id", 200),
+        "cust": (50_000, "cust_id", "seg_id", 10),
+    }
+    for name, (n, pk, fk, nleaf) in dims.items():
+        spark.range(n).select(
+            F.col("id").alias(pk),
+            (F.col("id") % nleaf).alias(fk),
+            F.concat(F.lit("x" * 32), F.col("id").cast("string")).alias(f"{name}_pay"),
+        ).write.mode("overwrite").saveAsTable(f"sn_test.{name}")
+    for name, (n, pk) in {"region": (50, "region_id"), "cat": (200, "cat_id"),
+                          "seg": (10, "seg_id")}.items():
+        spark.range(n).select(
+            F.col("id").alias(pk), F.col("id").cast("string").alias(f"{name}_name")
+        ).write.mode("overwrite").saveAsTable(f"sn_test.{name}")
+    catalog.enable_cbo(spark)
+    yield spark
+    for k in catalog.CBO_CONFS:
+        spark.conf.unset(k)
+    spark.sql("DROP DATABASE sn_test CASCADE")
+
+
+_SNOWFLAKE_Q = """
+SELECT r.region_name, c.cat_name, s2.seg_name, SUM(f.amt) AS total
+FROM sn_test.cust cu
+JOIN sn_test.fact f ON f.cust_id = cu.cust_id
+JOIN sn_test.store st ON f.store_id = st.store_id
+JOIN sn_test.prod p ON f.prod_id = p.prod_id AND p.cat_id < 4
+JOIN sn_test.region r ON st.region_id = r.region_id
+JOIN sn_test.cat c ON p.cat_id = c.cat_id
+JOIN sn_test.seg s2 ON cu.seg_id = s2.seg_id
+GROUP BY r.region_name, c.cat_name, s2.seg_name
+"""
+
+
+def _join_leaf_order(spark) -> list[str]:
+    import re
+
+    plan = spark.sql(_SNOWFLAKE_Q)._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    return re.findall(r"sn_test\.(\w+)", plan)
+
+
+def test_stats_reorder_snowflake_join(snowflake_tables):
+    """Join-ORDER stress: a 7-table snowflake written in a deliberately bad
+    lexical order — every leaf join (region/cat/seg) trails AFTER all the
+    fact-side joins, so each leg's intermediate carries the fat dim payload
+    through the fact join. Without stats Catalyst keeps query order; with
+    ANALYZE stats, CBO's joinReorder collapses each snowflake leg
+    (dim ⋈ its leaf) before the expensive fact joins — the reorder depth
+    no 2-table broadcast-flip test exercises. The exact leg sequence CBO
+    picks varies with session confs, so the assertion is the structural
+    property (legs collapsed), not one specific order."""
+    spark = snowflake_tables
+    before = _join_leaf_order(spark)
+    # No stats → no reorder: leaves appear in query order, worst-first.
+    assert before[:2] == ["cust", "fact"], before
+    legs = [("store", "region"), ("prod", "cat"), ("cust", "seg")]
+    adjacent_before = sum(
+        abs(before.index(d) - before.index(leaf)) == 1 for d, leaf in legs
+    )
+    assert adjacent_before == 0, before  # query order interleaves every leg
+    stat_cols = {
+        "fact": "store_id,prod_id,cust_id", "store": "store_id,region_id",
+        "prod": "prod_id,cat_id", "cust": "cust_id,seg_id",
+        "region": "region_id", "cat": "cat_id", "seg": "seg_id",
+    }
+    for t, cols in stat_cols.items():
+        spark.sql(f"ANALYZE TABLE sn_test.{t} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE sn_test.{t} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    after = _join_leaf_order(spark)
+    assert after != before, after
+    adjacent_after = sum(
+        abs(after.index(d) - after.index(leaf)) == 1 for d, leaf in legs
+    )
+    assert adjacent_after >= 2, after  # stats collapsed the snowflake legs
+
+
 def test_star_catalog_registers_and_analyzes(spark):
     star = star_tables(spark, SF_SMALL)
     catalog.register_star_catalog(spark, star, database="nrtdw_test")
