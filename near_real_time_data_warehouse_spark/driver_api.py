@@ -58,6 +58,8 @@ _PRIORITY = [
     "events_approx_distinct_error",
     "classic_market_share",
     "classic_potential_promotion",
+    "text_stopword_ratios",
+    "dedup_cluster_stats",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -80,6 +82,11 @@ _DEPRIORITIZED = [
     "events_tumbling_hourly",
     "events_sessionize",
     "events_dedup_first_per_key",
+    # ceded this round for the two new entries: md5-norm fingerprint is
+    # exercised in-window by text_shard_split + dedup_exact; CUBE shares
+    # the Expand kernel with star_grouping_sets and q17's ROLLUP.
+    "text_fingerprint",
+    "star_cube_store_quarter",
 ]
 
 

@@ -653,7 +653,75 @@ SIMHASH_PAIRS_SQL = _simhash_allpairs_sql(f"WHERE doc_id < {DOC_CAP}")
 SIMHASH_BANDED_SQL = _simhash_allpairs_sql("")
 
 
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash document clustering, cluster-level view: one row per
+    near-dup cluster over the UNCAPPED LSH component graph — size, total
+    tokens, and the representative doc under the keep-longest policy
+    (max tokens, tie-break lowest doc_id). This is the table a corpus
+    curation pass reads ("how much is duplicated, what do we keep"):
+    both the rank window and the aggregate partition by `component`, so
+    after the components step it is one shuffle on the cluster key."""
+    from pyspark.sql import Window
+
+    comps = dedup_components_minhash(spark, sf_dir)
+    norm = _norm_col()
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    joined = comps.join(toks, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), "doc_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("representative_doc"),
+        )
+    )
+
+
+CLUSTER_STATS_SQL = f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id FROM documents),
+pairs AS (SELECT doc_a, doc_b FROM ({MINHASH_SQL})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+comp(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.doc_id
+),
+comps AS (SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id),
+tok AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                   ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT c.doc_id, component, n_tokens,
+         row_number() OVER (PARTITION BY component ORDER BY n_tokens DESC, c.doc_id) AS rn
+  FROM comps c JOIN tok USING (doc_id)
+)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS representative_doc
+FROM ranked
+GROUP BY component
+"""
+
+
 registry.register("dedup_exact", exact_dedup, EXACT_SQL)
+registry.register("dedup_cluster_stats", dedup_cluster_stats, CLUSTER_STATS_SQL)
 registry.register("dedup_connected_components", dedup_components, COMPONENTS_SQL)
 registry.register("dedup_keep_best", dedup_keep_best, KEEP_BEST_SQL)
 registry.register("dedup_components_minhash", dedup_components_minhash, COMPONENTS_MINHASH_SQL)

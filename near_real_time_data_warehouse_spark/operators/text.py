@@ -179,6 +179,67 @@ FROM c
 """
 
 
+def stopword_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stopword ratios: each language's stopword-match count
+    normalized by the doc's token count (single bigint/bigint division —
+    bit-exact across engines), plus the ratio-argmax language. Unlike
+    ``lang_id``'s raw-count argmax, ratios are comparable across documents
+    of different lengths — the form a quality-filter threshold wants.
+    Same single-pass scan-and-project shape as the other text ops."""
+    d = _docs(spark, sf_dir)
+    norm = _norm_col()
+    n_tokens = (
+        F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(F.split(norm, " "))).cast("long")
+    )
+    safe_nt = F.when(n_tokens == 0, F.lit(1)).otherwise(n_tokens)
+    ratios = {
+        k: (F.regexp_count(norm, F.lit(p)).cast("long") / safe_nt)
+        for k, p in _LANG_PATTERNS.items()
+    }
+    en, de, es, fr = ratios["en"], ratios["de"], ratios["es"], ratios["fr"]
+    best = (
+        F.when((en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        en.alias("r_en"),
+        de.alias("r_de"),
+        es.alias("r_es"),
+        fr.alias("r_fr"),
+        best.alias("best_lang"),
+    )
+
+
+_RATIO_SQL = ",\n       ".join(
+    f"CAST(len(regexp_extract_all({_NORM_SQL}, '{p}')) AS BIGINT)"
+    f" / CASE WHEN n_tokens = 0 THEN 1 ELSE n_tokens END AS r_{k}"
+    for k, p in _LANG_PATTERNS.items()
+)
+
+STOPWORD_RATIOS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                   ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+       {_RATIO_SQL}
+  FROM t
+)
+SELECT doc_id, n_tokens, r_en, r_de, r_es, r_fr,
+       CASE WHEN r_en >= r_de AND r_en >= r_es AND r_en >= r_fr THEN 'en'
+            WHEN r_de >= r_es AND r_de >= r_fr THEN 'de'
+            WHEN r_es >= r_fr THEN 'es'
+            ELSE 'fr' END AS best_lang
+FROM r
+"""
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 over whitespace-normalized lowercase text —
     the key for exact dedup and shard-stable sampling."""
@@ -225,4 +286,5 @@ registry.register("text_shard_split", shard_split, SHARD_SPLIT_SQL)
 registry.register("text_token_stats", token_stats, TOKEN_STATS_SQL)
 registry.register("text_quality_score", quality_score, QUALITY_SQL)
 registry.register("text_lang_id", lang_id, LANG_ID_SQL)
+registry.register("text_stopword_ratios", stopword_ratios, STOPWORD_RATIOS_SQL)
 registry.register("text_fingerprint", fingerprint, FINGERPRINT_SQL)
