@@ -36,6 +36,37 @@ def plan_hash(df) -> str:
     return hashlib.md5(s.encode()).hexdigest()[:10]
 
 
+def _stage_snapshot(sc) -> dict[tuple[int, int], tuple[int, int]]:
+    """(stageId, attemptId) → (shuffleWriteBytes, shuffleReadBytes) for all
+    finished stages, from the REST monitoring API. Shuffle volume is a
+    deterministic function of plan + data — unlike wall time on this
+    co-tenant host — so per-query deltas catch plan regressions that
+    timing noise hides. Returns {} (disabling the metric, not the bench)
+    if the UI/REST server is unavailable."""
+    import urllib.request
+
+    try:
+        url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            data = json.load(r)
+        return {
+            (s["stageId"], s["attemptId"]): (s["shuffleWriteBytes"], s["shuffleReadBytes"])
+            for s in data
+            if s["status"] in ("COMPLETE", "FAILED")
+        }
+    except Exception:  # noqa: BLE001
+        return {}
+
+
+def _drain_listener_bus(sc) -> None:
+    """Block until queued stage-completion events reach the status store,
+    so a snapshot taken now sees everything the last job did."""
+    try:
+        sc._jsc.sc().listenerBus().waitUntilEmpty()  # noqa: SLF001
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def previous_plans() -> dict[str, str]:
     """Plan hashes from the newest recorded round that has them."""
     best: dict[str, str] = {}
@@ -59,6 +90,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")  # REST API for shuffle bytes
 
     from near_real_time_data_warehouse_spark import driver_api
     from near_real_time_data_warehouse_spark.session import get_spark
@@ -109,19 +142,34 @@ def main() -> None:
                 )
             )
         timings["star_etl_load"] = round(time.perf_counter() - t0, 3)
+    sc = spark.sparkContext
     plans: dict[str, str] = {}
+    shuffle_write: dict[str, int] = {}
+    shuffle_read: dict[str, int] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
         best = float("inf")
         df = None
-        for _ in range(runs):
+        pre: dict = {}
+        for i in range(runs):
+            if i == runs - 1:
+                # Bytes are measured on the LAST run only: steady-state
+                # (memoized ETL warm), and one deterministic execution.
+                _drain_listener_bus(sc)
+                pre = _stage_snapshot(sc)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         plans[name] = plan_hash(df)
+        _drain_listener_bus(sc)
+        post = _stage_snapshot(sc)
+        if post:
+            new = [v for k, v in post.items() if k not in pre]
+            shuffle_write[name] = sum(v[0] for v in new)
+            shuffle_read[name] = sum(v[1] for v in new)
 
     prev = previous_plans()
     out = {
@@ -132,6 +180,10 @@ def main() -> None:
         "sf": sf,
         "plans": plans,
     }
+    if shuffle_write:
+        out["shuffle_write_bytes"] = shuffle_write
+        out["shuffle_read_bytes"] = shuffle_read
+        out["total_shuffle_write_bytes"] = sum(shuffle_write.values())
     if prev:
         out["plan_changes"] = sorted(
             n for n, h in plans.items() if n in prev and prev[n] != h

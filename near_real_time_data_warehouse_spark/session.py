@@ -26,7 +26,14 @@ def get_spark(app_name: str = "nrtdw_spark", shuffle_partitions: int | None = No
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (tests don't want the server); bench.py turns it
+        # on (random port) to read per-stage shuffle bytes from the REST
+        # monitoring API — a host-noise-immune regression signal.
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI", "").lower() in ("1", "true") else "false",
+        )
+        .config("spark.ui.port", "0")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet stores TIMESTAMP(NANOS), which Spark only reads as
