@@ -60,6 +60,8 @@ _PRIORITY = [
     "classic_potential_promotion",
     "text_stopword_ratios",
     "dedup_cluster_stats",
+    "classic_waiting_suppliers",
+    "events_quantile_sketch_error",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -82,11 +84,14 @@ _DEPRIORITIZED = [
     "events_tumbling_hourly",
     "events_sessionize",
     "events_dedup_first_per_key",
-    # ceded this round for the two new entries: md5-norm fingerprint is
-    # exercised in-window by text_shard_split + dedup_exact; CUBE shares
-    # the Expand kernel with star_grouping_sets and q17's ROLLUP.
+    # ceded this round for the new entries, kernels covered in-window:
+    # md5-norm fingerprint by text_shard_split + dedup_exact; the Expand
+    # kernel (CUBE/GROUPING SETS) by q17's ROLLUP; conditional-agg pivot
+    # by q18's manual pivot.
     "text_fingerprint",
     "star_cube_store_quarter",
+    "star_grouping_sets_store_season",
+    "star_pivot_quarter_revenue",
 ]
 
 

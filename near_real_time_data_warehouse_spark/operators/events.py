@@ -314,6 +314,52 @@ GROUP BY event_type
 """
 
 
+# Rank-error budget for the quantile sketch: percentile_approx(accuracy=
+# 10000) guarantees rank error ≤ n/10000; the VALUE tolerance below is a
+# generous translation (5% of the p05–p95 spread) so boundary jitter in
+# the sketch never flips the boolean.
+QUANTILE_VALUE_TOLERANCE = 0.05
+
+
+def quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy gate for the quantile-sketch path
+    (percentile_approx — the one-pass mergeable summary that replaces
+    exact sorts for percentile dashboards at 100 TB). Per event type:
+    exact p50/p95 via percentile_disc — actual data values, no
+    interpolation, so DuckDB's quantile_disc matches bit-for-bit — plus
+    booleans asserting the sketch landed within 5% of the p05–p95 spread.
+    Same oracle trick as the HLL gate: the oracle pins the exact side and
+    a constant true; a sketch regression flips the Spark boolean and the
+    value hash goes red."""
+    e = _events(spark, sf_dir)
+    agg = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50_exact"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95_exact"),
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias("p05_exact"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx"),
+    )
+    spread = F.col("p95_exact") - F.col("p05_exact")
+    tol = F.lit(QUANTILE_VALUE_TOLERANCE) * spread
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        "p95_exact",
+        (F.abs(F.col("approx")[0] - F.col("p50_exact")) <= tol).alias("p50_within_bound"),
+        (F.abs(F.col("approx")[1] - F.col("p95_exact")) <= tol).alias("p95_within_bound"),
+    )
+
+
+QUANTILE_SKETCH_ERROR_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50_exact,
+       quantile_disc(value, 0.95) AS p95_exact,
+       true AS p50_within_bound,
+       true AS p95_within_bound
+FROM events
+GROUP BY event_type
+"""
+
+
 def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event-gap statistics via grouped-map
     ``applyInPandas`` — the escape hatch for per-group sequence logic
@@ -377,6 +423,7 @@ FROM users u LEFT JOIN agg USING (user_id)
 registry.register("events_user_gap_stats", user_gap_stats, USER_GAP_SQL)
 registry.register("events_approx_distinct_users", approx_distinct_users, None)
 registry.register("events_approx_distinct_error", approx_distinct_error, APPROX_DISTINCT_ERROR_SQL)
+registry.register("events_quantile_sketch_error", quantile_sketch_error, QUANTILE_SKETCH_ERROR_SQL)
 registry.register("events_value_by_type_salted", value_by_type_salted, VALUE_BY_TYPE_SQL)
 registry.register("events_asof_last_error", asof_last_error, ASOF_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)

@@ -560,7 +560,69 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
 """
 
 
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the SOLE late supplier on a
+    multi-supplier order ("late" = shipped >365 days after the order
+    date, scaled to this corpus's synthetic date spread). The classic
+    correlated EXISTS + NOT-EXISTS double self-join, decorrelated the
+    way a distributed engine wants it: the late-lines set is computed
+    once, then a LEFT SEMI join keeps lines whose order has another
+    supplier and a LEFT ANTI join drops lines whose order has another
+    LATE supplier — three hash joins co-partitioned on the order key,
+    no correlated subquery re-execution per row."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    late = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = t["lineitem"].select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    other_late = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    sole_late = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "leftsemi",
+        ).join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "leftanti",
+        )
+    )
+    return (
+        sole_late.groupBy(F.col("l_suppkey").alias("supp"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "supp")
+        .limit(100)
+    )
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+)
+SELECT l1.l_suppkey AS supp, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY l1.l_suppkey
+ORDER BY numwait DESC, supp
+LIMIT 100
+"""
+
+
 registry.register("classic_market_share", market_share, MARKET_SHARE_SQL)
+registry.register("classic_waiting_suppliers", waiting_suppliers, WAITING_SUPPLIERS_SQL)
 registry.register("classic_potential_promotion", potential_promotion, POTENTIAL_PROMOTION_SQL)
 registry.register("classic_pricing_summary", pricing_summary, PRICING_SQL)
 registry.register("classic_small_quantity_revenue", small_quantity_revenue, SMALL_QTY_SQL)

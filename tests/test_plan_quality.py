@@ -122,6 +122,18 @@ def test_potential_promotion_semi_chain(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_waiting_suppliers_join_shape(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must decorrelate to one LeftSemi and
+    one LeftAnti hash join on the order key — a nested-loop or cartesian
+    stage here is the per-row correlated re-execution the decorrelated
+    form exists to avoid."""
+    plan = plan_of(QUERIES["classic_waiting_suppliers"](spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_asof_window_is_partitioned(spark):
     """The as-of join's carry-forward window partitions by user."""
     plan = plan_of(QUERIES["events_asof_last_error"](spark, SF_SMALL))
