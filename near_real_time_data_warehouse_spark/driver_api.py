@@ -62,6 +62,7 @@ _PRIORITY = [
     "dedup_cluster_stats",
     "classic_waiting_suppliers",
     "events_quantile_sketch_error",
+    "events_incident_window_join",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -92,6 +93,8 @@ _DEPRIORITIZED = [
     "star_cube_store_quarter",
     "star_grouping_sets_store_season",
     "star_pivot_quarter_revenue",
+    # regexp-count + ratio kernel covered in-window by text_stopword_ratios
+    "text_quality_score",
 ]
 
 

@@ -360,6 +360,80 @@ GROUP BY event_type
 """
 
 
+# Incident windows: 10 minutes after each error event.
+_INCIDENT_US = 600_000_000
+
+
+def incident_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed RANGE JOIN — the scale path for inequality-only joins.
+    Semantics: for every event, how many incident windows contain it,
+    where each error event opens the window [ts, ts+10min) and an event
+    never matches its own window. There is NO equi key (any event can
+    fall in any error's window), so the naive plan is an O(N·M)
+    nested-loop — the oracle states exactly that naive form. The Spark
+    plan instead derives one: quantize time into buckets the size of the
+    window span, explode each window to the (≤2) buckets it overlaps,
+    and equi-join on the bucket with the range predicate as a residual.
+    Each (event, window) pair can only meet in the event's single bucket,
+    so no post-join dedup is needed. Plan-tested: hash join, no
+    BroadcastNestedLoopJoin/CartesianProduct. At 100 TB the bucket column
+    is also the natural partition key for both sides."""
+    e = _events(spark, sf_dir)
+    b = _INCIDENT_US  # bucket span == window span → ≤2 buckets per window
+    windows = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("us").alias("w_start"),
+            (F.col("us") + F.lit(_INCIDENT_US)).alias("w_end"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"w_start div {b}"), F.expr(f"(w_end - 1) div {b}")
+                )
+            ),
+        )
+    )
+    ev = e.select("event_id", "us", F.expr(f"us div {b}").alias("bucket"))
+    matched = (
+        ev.join(
+            windows,
+            (ev.bucket == windows.bucket)
+            & (F.col("us") >= F.col("w_start"))
+            & (F.col("us") < F.col("w_end"))
+            & (F.col("event_id") != F.col("incident_id")),
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_incidents"))
+    )
+    return (
+        e.select("event_id")
+        .join(matched, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_incidents", F.lit(0)).cast("long").alias("n_incidents"),
+        )
+    )
+
+
+INCIDENT_WINDOW_SQL = f"""
+WITH inc AS (
+  SELECT event_id AS incident_id, epoch_us(ts) AS w_start
+  FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id,
+       CAST(COUNT(i.incident_id) AS BIGINT) AS n_incidents
+FROM events e
+LEFT JOIN inc i
+  ON epoch_us(e.ts) >= i.w_start
+ AND epoch_us(e.ts) < i.w_start + {_INCIDENT_US}
+ AND i.incident_id <> e.event_id
+GROUP BY e.event_id
+"""
+
+
 def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event-gap statistics via grouped-map
     ``applyInPandas`` — the escape hatch for per-group sequence logic
@@ -424,6 +498,7 @@ registry.register("events_user_gap_stats", user_gap_stats, USER_GAP_SQL)
 registry.register("events_approx_distinct_users", approx_distinct_users, None)
 registry.register("events_approx_distinct_error", approx_distinct_error, APPROX_DISTINCT_ERROR_SQL)
 registry.register("events_quantile_sketch_error", quantile_sketch_error, QUANTILE_SKETCH_ERROR_SQL)
+registry.register("events_incident_window_join", incident_window_join, INCIDENT_WINDOW_SQL)
 registry.register("events_value_by_type_salted", value_by_type_salted, VALUE_BY_TYPE_SQL)
 registry.register("events_asof_last_error", asof_last_error, ASOF_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)

@@ -134,6 +134,17 @@ def test_waiting_suppliers_join_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_range_join_is_bucketed(spark):
+    """The incident range join has NO natural equi key; the bucketed form
+    must plan as a hash join on the derived bucket — a nested-loop here
+    is the O(N·M) naive range join the bucketing exists to eliminate
+    (the DuckDB oracle deliberately states that naive form)."""
+    plan = plan_of(QUERIES["events_incident_window_join"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
 def test_asof_window_is_partitioned(spark):
     """The as-of join's carry-forward window partitions by user."""
     plan = plan_of(QUERIES["events_asof_last_error"](spark, SF_SMALL))
