@@ -63,6 +63,8 @@ _PRIORITY = [
     "classic_waiting_suppliers",
     "events_quantile_sketch_error",
     "events_incident_window_join",
+    "events_heavy_hitters",
+    "docs_curation_pipeline",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -95,6 +97,11 @@ _DEPRIORITIZED = [
     "star_pivot_quarter_revenue",
     # regexp-count + ratio kernel covered in-window by text_stopword_ratios
     "text_quality_score",
+    # the full LSH chain (shingles→minhash→bands→pairs) is embedded in
+    # docs_curation_pipeline's oracle and dedup_cluster_stats (both
+    # in-window); whitespace-token counting in the same two + keep_best
+    "dedup_minhash_lsh",
+    "text_token_stats",
 ]
 
 

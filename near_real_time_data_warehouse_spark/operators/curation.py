@@ -1,0 +1,100 @@
+"""The end-to-end corpus-curation pass — the single query a
+training-data pipeline runs nightly: near-dup clustering, keep-best
+selection, quality gating, and hash-stable split assignment composed
+into one DataFrame.
+
+Composes kernels that are each individually driver-verified
+(dedup_components_minhash, text_token_stats, text_shard_split), so this
+entry certifies their *composition*: one uncapped LSH component pass,
+one shuffle on the cluster key for the keep-best window, and
+scan-local projections for quality + split. Nothing here is new
+machinery — that is the point: a curation pass should be a plan, not a
+framework.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import registry
+from .dedup import MINHASH_SQL, _docs, dedup_components_minhash
+from .text import _NORM_SQL, _norm_col
+
+# Quality gate: at least this many whitespace tokens (≈ p10 of the
+# synthetic corpus, so both branches are populated at every SF).
+MIN_TOKENS = 24
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: near-dup cluster, keep-best flag (longest in its
+    cluster, tie-break lowest doc_id), quality flag, content-hash split,
+    and the final ``selected`` verdict (cluster representative AND
+    passes quality). ``selected`` rows are what ships to training."""
+    comps = dedup_components_minhash(spark, sf_dir)
+    norm = _norm_col()
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.pmod(
+            F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long"), F.lit(10)
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), "doc_id")
+    joined = comps.join(docs, "doc_id")
+    return joined.select(
+        "doc_id",
+        "component",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("is_representative"),
+        (F.col("n_tokens") >= MIN_TOKENS).alias("passes_quality"),
+        F.when(F.col("bucket") <= 7, "train")
+        .when(F.col("bucket") == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).withColumn(
+        "selected", F.col("is_representative") & F.col("passes_quality")
+    )
+
+
+CURATION_SQL = f"""
+WITH RECURSIVE
+docs AS (SELECT doc_id FROM documents),
+pairs AS (SELECT doc_a, doc_b FROM ({MINHASH_SQL})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+comp(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.doc_id
+),
+comps AS (SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id),
+feat AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                   ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5({_NORM_SQL}), 1, 15)) AS BIGINT) % 10 AS bucket
+  FROM documents
+),
+ranked AS (
+  SELECT c.doc_id, component, n_tokens, bucket,
+         row_number() OVER (PARTITION BY component ORDER BY n_tokens DESC, c.doc_id) AS rn
+  FROM comps c JOIN feat USING (doc_id)
+)
+SELECT doc_id, component, n_tokens,
+       rn = 1 AS is_representative,
+       n_tokens >= {MIN_TOKENS} AS passes_quality,
+       CASE WHEN bucket <= 7 THEN 'train' WHEN bucket = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       (rn = 1 AND n_tokens >= {MIN_TOKENS}) AS selected
+FROM ranked
+"""
+
+
+registry.register("docs_curation_pipeline", curation_pipeline, CURATION_SQL)

@@ -364,6 +364,34 @@ GROUP BY event_type
 _INCIDENT_US = 600_000_000
 
 
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types via the approx_top_k frequent-items sketch —
+    the third sketch family (after HLL and quantiles): one-pass,
+    mergeable, constant memory. With distinct values ≤ the sketch's
+    tracked capacity (10k) the sketch is provably exact, which is what
+    lets the oracle be a bit-exact GROUP BY + ORDER + LIMIT; at
+    100 TB-cardinality columns the identical plan degrades gracefully
+    to the approximate guarantee instead of OOMing."""
+    e = _events(spark, sf_dir)
+    return (
+        e.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        .select(F.explode("tk").alias("x"))
+        .select(
+            F.col("x.item").alias("event_type"),
+            F.col("x.count").cast("long").alias("n_events"),
+        )
+    )
+
+
+HEAVY_HITTERS_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY n_events DESC, event_type
+LIMIT 3
+"""
+
+
 def incident_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed RANGE JOIN — the scale path for inequality-only joins.
     Semantics: for every event, how many incident windows contain it,
@@ -499,6 +527,7 @@ registry.register("events_approx_distinct_users", approx_distinct_users, None)
 registry.register("events_approx_distinct_error", approx_distinct_error, APPROX_DISTINCT_ERROR_SQL)
 registry.register("events_quantile_sketch_error", quantile_sketch_error, QUANTILE_SKETCH_ERROR_SQL)
 registry.register("events_incident_window_join", incident_window_join, INCIDENT_WINDOW_SQL)
+registry.register("events_heavy_hitters", heavy_hitters, HEAVY_HITTERS_SQL)
 registry.register("events_value_by_type_salted", value_by_type_salted, VALUE_BY_TYPE_SQL)
 registry.register("events_asof_last_error", asof_last_error, ASOF_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)
