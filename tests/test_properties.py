@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the two kernels with the most
+subtle failure modes:
+
+- iterative connected components vs a pure-Python union-find reference —
+  random graphs probe convergence/termination cases (chains, stars,
+  singletons, self-loops, duplicate edges) that fixed fixtures miss;
+- SimHash Hamming banding vs brute-force — the pigeonhole argument
+  ("≤3 flips leave ≥1 of 4 bands untouched") must hold for EVERY 32-bit
+  value pair, not just corpus-derived fingerprints.
+
+Examples are kept tiny (≤16 nodes / ≤20 fingerprints) so each Spark
+round-trip stays sub-second; max_examples is tuned to keep the module
+under a minute.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_spark.operators.dedup import (
+    HAMMING_THRESHOLD,
+    _simhash_banded_pairs,
+    connected_components,
+)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _union_find_components(nodes: set[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = {n: n for n in nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        roots.setdefault(r, n)
+        roots[r] = min(roots[r], n)
+    return {n: roots[find(n)] for n in nodes}
+
+
+@given(
+    n_nodes=st.integers(min_value=1, max_value=16),
+    edge_picks=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), max_size=20
+    ),
+)
+@_SETTINGS
+def test_connected_components_matches_union_find(spark, n_nodes, edge_picks):
+    nodes = set(range(n_nodes))
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edge_picks]
+    want = _union_find_components(nodes, edges)
+
+    vertices = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    sym = edges + [(b, a) for a, b in edges]
+    edge_df = spark.createDataFrame(sym or [], "src long, dst long")
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(vertices, edge_df).collect()
+    }
+    assert got == want
+
+
+@given(
+    hashes=st.lists(
+        st.integers(min_value=0, max_value=2**32 - 1),
+        min_size=2,
+        max_size=20,
+        unique=True,
+    )
+)
+@_SETTINGS
+def test_simhash_banding_finds_exact_hamming_pairs(spark, hashes):
+    sh = spark.createDataFrame(list(enumerate(hashes)), "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in _simhash_banded_pairs(sh).collect()
+    }
+    want = {
+        (i, j, (hashes[i] ^ hashes[j]).bit_count())
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+        if (hashes[i] ^ hashes[j]).bit_count() <= HAMMING_THRESHOLD
+    }
+    assert got == want
+
+
+def test_banding_boundary_exactly_threshold_plus_one(spark):
+    """Deterministic boundary: Hamming == threshold+1 pairs may collide on
+    a band but must be filtered; Hamming == threshold pairs must survive."""
+    base = 0x12345678
+    at = base ^ ((1 << 31) | (1 << 15) | (1 << 7))  # 3 flips, 3 bands
+    over = at ^ (1 << 23)  # 4th flip, 4th band
+    sh = spark.createDataFrame(
+        [(0, base), (1, at), (2, over)], "doc_id long, simhash long"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming for r in _simhash_banded_pairs(sh).collect()
+    }
+    assert pairs.get((0, 1)) == HAMMING_THRESHOLD
+    assert (0, 2) not in pairs  # hamming 4: dropped by the verify
+    assert pairs.get((1, 2)) == 1
