@@ -462,16 +462,30 @@ FROM ranked
 """
 
 
+# The minhash component labels feed three driver entries (components,
+# cluster stats, the curation pipeline). Label propagation is iterative —
+# the most expensive dedup stage — so the final labels are memoized like
+# the shingles above (localCheckpoint: materialized once, lineage
+# truncated). At cluster scale this is the persisted `doc_components`
+# intermediate table every curation pipeline maintains.
+_COMPONENTS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def dedup_components_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the UNCAPPED MinHash-LSH pair graph —
     the full-corpus scale path (candidate generation is banded LSH, never
     all-pairs). Same propagation kernel as the capped variant."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    vertices = _docs(spark, sf_dir).select("doc_id")
-    return connected_components(vertices, edges)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _COMPONENTS_MEMO.get(key)
+    if got is None:
+        pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        vertices = _docs(spark, sf_dir).select("doc_id")
+        got = connected_components(vertices, edges).localCheckpoint(eager=False)
+        _COMPONENTS_MEMO[key] = got
+    return got
 
 
 COMPONENTS_MINHASH_SQL = f"""
