@@ -142,6 +142,27 @@ def main() -> None:
                 )
             )
         timings["star_etl_load"] = round(time.perf_counter() - t0, 3)
+
+    # Shared one-time builds (memoized per session, like the star ETL):
+    # billed as their own line items so the per-entry timings below
+    # honestly measure steady-state marginal cost — min-of-N with a memo
+    # would otherwise silently drop the build cost from the total.
+    def _ann_build(s, d):
+        from near_real_time_data_warehouse_spark.operators import similarity
+
+        similarity.brute_force_topk(s, d).write.format("noop").mode("overwrite").save()
+        similarity.ann_ivf_topk(s, d).write.format("noop").mode("overwrite").save()
+
+    def _graph_build(s, d):
+        from near_real_time_data_warehouse_spark.operators import dedup
+
+        dedup.dedup_components_minhash(s, d).write.format("noop").mode("overwrite").save()
+
+    for build_name, build in (("ann_index_build", _ann_build), ("dedup_graph_build", _graph_build)):
+        if only is None or build_name in only:
+            t0 = time.perf_counter()
+            build(spark, sf_dir)
+            timings[build_name] = round(time.perf_counter() - t0, 3)
     sc = spark.sparkContext
     plans: dict[str, str] = {}
     shuffle_write: dict[str, int] = {}

