@@ -157,6 +157,7 @@ def main() -> None:
         from near_real_time_data_warehouse_spark.operators import dedup
 
         dedup.dedup_components_minhash(s, d).write.format("noop").mode("overwrite").save()
+        dedup.dedup_components(s, d).write.format("noop").mode("overwrite").save()
 
     for build_name, build in (("ann_index_build", _ann_build), ("dedup_graph_build", _graph_build)):
         if only is None or build_name in only:

@@ -374,12 +374,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the 3-gram-Jaccard
     pair graph (capped id range), singletons included — the grouping step
     a cluster-level dedup policy (keep-best, keep-first) builds on."""
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    vertices = _docs(spark, sf_dir).filter(F.col("doc_id") < DOC_CAP).select("doc_id")
-    return connected_components(vertices, edges)
+
+    def build() -> DataFrame:
+        pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        vertices = _docs(spark, sf_dir).filter(F.col("doc_id") < DOC_CAP).select("doc_id")
+        return connected_components(vertices, edges)
+
+    return _memoized_components("ngram", spark, sf_dir, build)
 
 
 # DuckDB twin: recursive label closure — UNION (not UNION ALL) dedups rows,
@@ -462,30 +466,39 @@ FROM ranked
 """
 
 
-# The minhash component labels feed three driver entries (components,
-# cluster stats, the curation pipeline). Label propagation is iterative —
-# the most expensive dedup stage — so the final labels are memoized like
-# the shingles above (localCheckpoint: materialized once, lineage
-# truncated). At cluster scale this is the persisted `doc_components`
-# intermediate table every curation pipeline maintains.
-_COMPONENTS_MEMO: dict[tuple[str, str], DataFrame] = {}
+# Component labels feed multiple driver entries (capped: components +
+# keep_best; minhash: components + cluster stats + the curation
+# pipeline). Label propagation is iterative — the most expensive dedup
+# stage — so the final labels are memoized like the shingles above
+# (localCheckpoint: materialized once, lineage truncated). At cluster
+# scale this is the persisted `doc_components` intermediate table every
+# curation pipeline maintains.
+_COMPONENTS_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memoized_components(tag: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    key = (tag, spark.sparkContext.applicationId, sf_dir)
+    got = _COMPONENTS_MEMO.get(key)
+    if got is None:
+        got = build().localCheckpoint(eager=False)
+        _COMPONENTS_MEMO[key] = got
+    return got
 
 
 def dedup_components_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the UNCAPPED MinHash-LSH pair graph —
     the full-corpus scale path (candidate generation is banded LSH, never
     all-pairs). Same propagation kernel as the capped variant."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    got = _COMPONENTS_MEMO.get(key)
-    if got is None:
+
+    def build() -> DataFrame:
         pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
         edges = pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         vertices = _docs(spark, sf_dir).select("doc_id")
-        got = connected_components(vertices, edges).localCheckpoint(eager=False)
-        _COMPONENTS_MEMO[key] = got
-    return got
+        return connected_components(vertices, edges)
+
+    return _memoized_components("minhash", spark, sf_dir, build)
 
 
 COMPONENTS_MINHASH_SQL = f"""
