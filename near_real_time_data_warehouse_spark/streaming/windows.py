@@ -129,6 +129,60 @@ def clicks_with_recent_errors(
     )
 
 
+def incident_window_matches(
+    events: DataFrame, window_min: int = 10, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of the batch bucketed range join
+    (operators/events.incident_window_join): each (event, incident) pair
+    where the event falls in the 10-minute window after an error event,
+    with NO natural equi key. The bucket derivation is exactly what makes
+    this expressible as a stream-stream join at all — streaming state
+    lookup needs an equality key, and an inequality-only join has none
+    until time quantization derives one. The integer bucket/range
+    conditions give exact batch-equal semantics; the event-time interval
+    condition on the watermarked columns is what lets Spark expire state
+    (watermark + window horizon)."""
+    b = window_min * 60 * 1_000_000
+    ev = events.select(
+        "event_id",
+        F.expr("ts div 1000").alias("us"),
+        "event_time",
+    ).withColumn("bucket", F.expr(f"us div {b}"))
+    inc = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.expr("ts div 1000").alias("w_start"),
+            F.col("event_time").alias("incident_time"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"w_start div {b}"), F.expr(f"(w_start + {b} - 1) div {b}")
+                )
+            ),
+        )
+    )
+    return (
+        ev.withWatermark("event_time", watermark)
+        .join(
+            inc.withWatermark("incident_time", watermark),
+            (ev.bucket == inc.bucket)
+            & (F.col("us") >= F.col("w_start"))
+            & (F.col("us") < F.col("w_start") + F.lit(b))
+            & (F.col("event_id") != F.col("incident_id"))
+            & (F.col("event_time") >= F.col("incident_time"))
+            & (
+                F.col("event_time")
+                <= F.col("incident_time") + F.expr(f"INTERVAL {window_min} MINUTES")
+            ),
+            "inner",
+        )
+        .select("event_id", "incident_id")
+    )
+
+
 _STATE_SCHEMA = "n LONG, total DOUBLE"
 _OUTPUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
 

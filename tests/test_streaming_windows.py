@@ -102,6 +102,37 @@ def test_stream_stream_interval_join_equals_batch(spark):
     assert streamed == batch and len(streamed) > 0
 
 
+def test_streaming_bucketed_range_join_equals_batch(spark):
+    """The NO-equi-key incident range join, streamed: the bucketed
+    rewrite (the same one the batch operator uses) is what makes it a
+    legal stream-stream join, and the drained stream must emit exactly
+    the naive batch range-join pair set."""
+    stream = sw.read_event_stream(spark, SF_SMALL)
+    sw.run_to_memory(sw.incident_window_matches(stream), "range_join_out", "append")
+    streamed = {
+        (r.event_id, r.incident_id)
+        for r in spark.sql("SELECT * FROM range_join_out").collect()
+    }
+    e = spark.read.schema(sw.EVENTS_LONG_TS_SCHEMA).parquet(
+        f"{SF_SMALL}/events.parquet"
+    ).withColumn("us", F.expr("ts div 1000"))
+    inc = e.filter(e.event_type == "error").selectExpr(
+        "event_id AS incident_id", "us AS w_start"
+    )
+    batch = {
+        (r.event_id, r.incident_id)
+        for r in e.select("event_id", "us")
+        .join(
+            inc,
+            (F.col("us") >= F.col("w_start"))
+            & (F.col("us") < F.col("w_start") + F.lit(600_000_000))
+            & (F.col("event_id") != F.col("incident_id")),
+        )
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
 def test_watermark_drops_late_data(spark, tmp_path_factory):
     """Late-data semantics: an event older than the watermark is dropped
     from the windowed aggregation; on-time windows emit exactly once in
