@@ -65,6 +65,8 @@ _PRIORITY = [
     "events_incident_window_join",
     "events_heavy_hitters",
     "docs_curation_pipeline",
+    "classic_revenue_concentration",
+    "classic_top_balance_inactive",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -102,6 +104,10 @@ _DEPRIORITIZED = [
     # in-window); whitespace-token counting in the same two + keep_best
     "dedup_minhash_lsh",
     "text_token_stats",
+    # regexp-count argmax kernel in text_stopword_ratios; md5-bucket split
+    # kernel embedded in docs_curation_pipeline (both in-window)
+    "text_lang_id",
+    "text_shard_split",
 ]
 
 

@@ -621,8 +621,122 @@ LIMIT 100
 """
 
 
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: suppliers whose revenue exceeds a fixed fraction
+    of GLOBAL revenue — the aggregate-filtered-by-global-scalar pattern.
+    The scalar is a one-row aggregate cross-joined (broadcast, free) into
+    the per-supplier aggregate: both aggregates shuffle once and share
+    the scan via Spark's plan; no correlated re-execution. Money stays
+    DECIMAL until the final comparison/emission (single double cast)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    revenue = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("supp_rev"))
+    total = li.agg(F.sum(revenue).alias("total_rev"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("supp_rev").cast("double")
+            > F.col("total_rev").cast("double") * F.lit(0.005)
+        )
+        .select(
+            F.col("l_suppkey").alias("supp"),
+            F.col("supp_rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "supp")
+    )
+
+
+_REV = """CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          AS DECIMAL(18,4))"""
+
+REVENUE_CONCENTRATION_SQL = f"""
+WITH per_supp AS (
+  SELECT l_suppkey AS supp, SUM({_REV}) AS supp_rev
+  FROM lineitem GROUP BY l_suppkey
+),
+total AS (SELECT SUM({_REV}) AS total_rev FROM lineitem)
+SELECT supp, CAST(supp_rev AS DOUBLE) AS revenue
+FROM per_supp, total
+WHERE CAST(supp_rev AS DOUBLE) > CAST(total_rev AS DOUBLE) * 0.005
+ORDER BY revenue DESC, supp
+"""
+
+
+def top_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive account
+    balance and no RECENT orders (the trailing 30 days of the order
+    timeline), summarized per nation. Three decorrelations in one query:
+    the scalar-avg subquery and the timeline-max cutoff each become a
+    broadcast one-row aggregate (avg as exact decimal-sum/count, the
+    repo's standard), and NOT EXISTS(recent orders) becomes a LEFT ANTI
+    hash join on the customer key. (Plain NOT EXISTS(any order) is
+    vacuously empty on this corpus — every rich customer has orders —
+    which would hide regressions exactly like q17's empty-year trap.)"""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cust = t["customer"].select(
+        "c_custkey", "c_nationkey", _dec("c_acctbal").alias("bal")
+    )
+    threshold = (
+        cust.filter(F.col("bal") > 0)
+        .agg(
+            (F.sum("bal").cast("double") / F.count(F.lit(1))).alias("avg_bal")
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(threshold)).filter(
+        F.col("bal").cast("double") > F.col("avg_bal")
+    )
+    cutoff = t["orders"].agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 30 DAYS")).alias("cut")
+    )
+    recent = (
+        t["orders"]
+        .crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") > F.col("cut"))
+        .select("o_custkey")
+    )
+    inactive = rich.join(
+        recent,
+        rich.c_custkey == F.col("o_custkey"),
+        "leftanti",
+    )
+    return (
+        inactive.groupBy(F.col("c_nationkey").cast("long").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("nation_key")
+    )
+
+
+TOP_BALANCE_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer
+),
+threshold AS (
+  SELECT CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS avg_bal FROM cust WHERE bal > 0
+),
+cutoff AS (SELECT MAX(o_orderdate) - INTERVAL 30 DAY AS cut FROM orders),
+recent AS (SELECT o_custkey FROM orders, cutoff WHERE o_orderdate > cut)
+SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+FROM cust, threshold
+WHERE CAST(bal AS DOUBLE) > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY nation_key
+"""
+
+
 registry.register("classic_market_share", market_share, MARKET_SHARE_SQL)
 registry.register("classic_waiting_suppliers", waiting_suppliers, WAITING_SUPPLIERS_SQL)
+registry.register("classic_revenue_concentration", revenue_concentration, REVENUE_CONCENTRATION_SQL)
+registry.register("classic_top_balance_inactive", top_balance_inactive, TOP_BALANCE_SQL)
 registry.register("classic_potential_promotion", potential_promotion, POTENTIAL_PROMOTION_SQL)
 registry.register("classic_pricing_summary", pricing_summary, PRICING_SQL)
 registry.register("classic_small_quantity_revenue", small_quantity_revenue, SMALL_QTY_SQL)
