@@ -67,6 +67,7 @@ _PRIORITY = [
     "docs_curation_pipeline",
     "classic_revenue_concentration",
     "classic_top_balance_inactive",
+    "events_props_extract",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -108,6 +109,9 @@ _DEPRIORITIZED = [
     # kernel embedded in docs_curation_pipeline (both in-window)
     "text_lang_id",
     "text_shard_split",
+    # md5-norm fingerprint + hash-groupBy: the same expressions feed
+    # text_shard_split's bucket and the curation pipeline (in-window)
+    "dedup_exact",
 ]
 
 

@@ -364,6 +364,41 @@ GROUP BY event_type
 _INCIDENT_US = 600_000_000
 
 
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
+    column and aggregate it per event type. Extraction is
+    ``get_json_object`` — a JVM Catalyst expression inside whole-stage
+    codegen, NOT a Python UDF — and malformed/absent keys turn into
+    NULLs that are counted, not thrown. At 100 TB this is the pattern
+    for mining event payloads without a pre-declared schema; with one,
+    ``from_json`` + a column prune reaches the scan instead."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+PROPS_EXTRACT_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM x
+GROUP BY event_type
+"""
+
+
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 event types via the approx_top_k frequent-items sketch —
     the third sketch family (after HLL and quantiles): one-pass,
@@ -528,6 +563,7 @@ registry.register("events_approx_distinct_error", approx_distinct_error, APPROX_
 registry.register("events_quantile_sketch_error", quantile_sketch_error, QUANTILE_SKETCH_ERROR_SQL)
 registry.register("events_incident_window_join", incident_window_join, INCIDENT_WINDOW_SQL)
 registry.register("events_heavy_hitters", heavy_hitters, HEAVY_HITTERS_SQL)
+registry.register("events_props_extract", props_extract, PROPS_EXTRACT_SQL)
 registry.register("events_value_by_type_salted", value_by_type_salted, VALUE_BY_TYPE_SQL)
 registry.register("events_asof_last_error", asof_last_error, ASOF_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)
