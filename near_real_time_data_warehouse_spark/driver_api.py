@@ -112,6 +112,10 @@ _DEPRIORITIZED = [
     # md5-norm fingerprint + hash-groupBy: the same expressions feed
     # text_shard_split's bucket and the curation pipeline (in-window)
     "dedup_exact",
+    # new this round but deliberately OUT of the 50-window: shares the
+    # media pipeline with the in-window multimodal_features row; gets a
+    # driver row automatically if the window is larger than 50
+    "multimodal_frame_index",
 ]
 
 

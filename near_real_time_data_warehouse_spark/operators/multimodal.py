@@ -213,6 +213,37 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     ).withColumn("frame", F.lit(None).cast("binary"))  # stub: real grab decodes here
 
 
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the frame-sampling plumbing: videos of the
+    document-derived media table, duration derived deterministically from
+    payload length, one row per sampled frame via ``explode(sequence)``
+    (the same shape ``sample_frames`` uses on real metadata), then
+    per-media frame counts. The oracle states the closed form — the
+    explode must reproduce exactly ``dur div step + 1`` frames."""
+    m = media_from_documents(spark, sf_dir).filter(F.col("kind") == "video")
+    dur = F.length("payload").cast("long")
+    frames = m.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), dur, F.lit(250).cast("long"))).alias(
+            "frame_ms"
+        ),
+    )
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ms").alias("last_frame_ms"),
+    )
+
+
+FRAME_INDEX_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) // 250 + 1 AS BIGINT) AS n_frames,
+       CAST(octet_length(encode(text)) // 250 * 250 AS BIGINT) AS last_frame_ms
+FROM documents
+WHERE CAST(doc_id % 3 AS INT) = 2
+"""
+
+
 from . import registry  # noqa: E402
 
 registry.register("multimodal_features", multimodal_features, MULTIMODAL_SQL)
+registry.register("multimodal_frame_index", multimodal_frame_index, FRAME_INDEX_SQL)
