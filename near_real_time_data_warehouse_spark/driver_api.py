@@ -68,6 +68,7 @@ _PRIORITY = [
     "classic_revenue_concentration",
     "classic_top_balance_inactive",
     "events_props_extract",
+    "classic_customer_order_percentile",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -116,6 +117,10 @@ _DEPRIORITIZED = [
     # media pipeline with the in-window multimodal_features row; gets a
     # driver row automatically if the window is larger than 50
     "multimodal_frame_index",
+    # distinct-agg kernel = exact side of events_approx_distinct_error;
+    # exact-percentile selection = events_quantile_sketch_error's
+    # percentile_disc (both in-window)
+    "star_store_customer_stats",
 ]
 
 

@@ -74,6 +74,39 @@ def global_row_number(
     return out
 
 
+def scalable_percent_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    pct_col: str = "percent_rank",
+    cume_col: str = "cume_dist",
+) -> DataFrame:
+    """Exact global ``percent_rank()``/``cume_dist()`` without the
+    single-partition window.
+
+    SQL semantics: percent_rank = (rank−1)/(N−1) with ties sharing the
+    MINIMUM row number of their tie group; cume_dist = max row number of
+    the group / N. The distributed row number's order WITHIN a tie group
+    is arbitrary, but a tie group always occupies a contiguous rank
+    range, so min/max per distinct key value are order-independent —
+    the result is deterministic and bit-equal to the window form. Cost:
+    the range-partitioned sort + one equi-shuffle on the key columns."""
+    ranked, total = _ranked(df, [F.col(c) for c in order_cols], "__rn", None)
+    groups = ranked.groupBy(*order_cols).agg(
+        F.min("__rn").alias("__minrn"), F.max("__rn").alias("__maxrn")
+    )
+    out = ranked.join(groups, order_cols)
+    pct = (
+        ((F.col("__minrn") - 1) / F.lit(total - 1)).cast("double")
+        if total > 1
+        else F.lit(0.0)
+    )
+    return (
+        out.withColumn(pct_col, pct)
+        .withColumn(cume_col, (F.col("__maxrn") / F.lit(total)).cast("double"))
+        .drop("__rn", "__minrn", "__maxrn")
+    )
+
+
 def scalable_ntile(
     df: DataFrame,
     order_by: list[Column],

@@ -735,7 +735,44 @@ ORDER BY nation_key
 
 registry.register("classic_market_share", market_share, MARKET_SHARE_SQL)
 registry.register("classic_waiting_suppliers", waiting_suppliers, WAITING_SUPPLIERS_SQL)
+def customer_order_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percent_rank/cume_dist of each customer's total order value
+    — the ranking shape that tempts ``Window.orderBy`` with no partition
+    key (the single-partition 100 TB cliff). Runs on the distributed
+    kernel instead (operators/ranking.scalable_percent_rank): range
+    partition + local sort + offsets, then tie-correct min/max rank per
+    distinct value. The oracle is the true SQL window form, so the
+    kernel must match ``percent_rank() OVER (ORDER BY total)``
+    bit-for-bit, ties included."""
+    from ..operators.ranking import scalable_percent_rank
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    totals = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_value")
+    )
+    return scalable_percent_rank(totals, ["total_value"]).select(
+        F.col("o_custkey").alias("custkey"),
+        "total_value",
+        "percent_rank",
+        "cume_dist",
+    )
+
+
+CUSTOMER_PERCENTILE_SQL = """
+WITH totals AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, total_value,
+       percent_rank() OVER (ORDER BY total_value) AS percent_rank,
+       cume_dist() OVER (ORDER BY total_value) AS cume_dist
+FROM totals
+"""
+
+
 registry.register("classic_revenue_concentration", revenue_concentration, REVENUE_CONCENTRATION_SQL)
+registry.register("classic_customer_order_percentile", customer_order_percentile, CUSTOMER_PERCENTILE_SQL)
 registry.register("classic_top_balance_inactive", top_balance_inactive, TOP_BALANCE_SQL)
 registry.register("classic_potential_promotion", potential_promotion, POTENTIAL_PROMOTION_SQL)
 registry.register("classic_pricing_summary", pricing_summary, PRICING_SQL)
