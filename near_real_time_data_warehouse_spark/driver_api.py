@@ -69,6 +69,14 @@ _PRIORITY = [
     "classic_top_balance_inactive",
     "events_props_extract",
     "classic_customer_order_percentile",
+    # new this round, second session — the four classic shapes whose
+    # kernels nothing else in-window exercises: MIN-equality join-back
+    # (Q2), argmax-vs-global-scalar (Q15), HAVING-IN semi over an
+    # aggregate (Q18), COUNT(DISTINCT)+exclusion anti-join (Q16)
+    "classic_min_cost_supplier",
+    "classic_top_revenue_supplier",
+    "classic_large_volume_customers",
+    "classic_supplier_part_variety",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -121,6 +129,21 @@ _DEPRIORITIZED = [
     # exact-percentile selection = events_quantile_sketch_error's
     # percentile_disc (both in-window)
     "star_store_customer_stats",
+    # ceded this session for the four new classic kernels. Multi-key
+    # grouped SUM stays in-window via q04/q06/q13; CASE day-type via
+    # q01/q11/q18; groupBy+top-k via q01/q05 and classic_shipping_priority
+    "q02_purchase_by_gender_age_city",
+    "q03_category_sales_by_occupation",
+    "q08_top5_city_category_revenue",
+    "q10_age_weekend_weekday_sales",
+    # new this session but kernel-covered in-window: single-scan filtered
+    # aggregate (classic_pricing_summary), conditional-ratio
+    # (classic_market_share), join+group+top-k (classic_shipping_priority),
+    # multi-join grouped SUM (classic_local_supplier_volume)
+    "classic_forecast_revenue",
+    "classic_promo_revenue_share",
+    "classic_returned_customers",
+    "classic_nation_profit",
 ]
 
 

@@ -784,3 +784,420 @@ registry.register("classic_order_priority_semi", order_priority_semi, ORDER_PRIO
 registry.register("classic_parts_never_shipped", parts_never_shipped_recently, PARTS_ANTI_SQL)
 registry.register("classic_customer_order_histogram", customer_order_histogram, CUSTOMER_HISTOGRAM_SQL)
 registry.register("classic_disjunctive_revenue", disjunctive_revenue, DISJUNCTIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 completion of the classic suite: the remaining TPC-H shapes
+# expressible over the lean testdata schema (no partsupp / shipmode /
+# commitdate columns exist, so Q2/Q9/Q12/Q16 are adapted: supply cost is
+# proxied by observed lineitem prices and p_retailprice, and the Q12
+# shipmode split has no column to stand on). Same decimal discipline —
+# every intermediate that feeds a comparison or a sum is an explicit
+# DECIMAL cast, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — single-scan predicate aggregate: revenue uplift
+    from discounted small-quantity lines in one year. The entire query is
+    a scan with three pushed predicates and a map-side-combinable sum —
+    the canonical pushdown showcase (the plan must show PushedFilters on
+    the shipdate range and no shuffle beyond the final 1-row agg)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    uplift = (_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & _dec("l_discount").between(
+                F.lit(0.05).cast("decimal(18,2)"), F.lit(0.07).cast("decimal(18,2)")
+            )
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(uplift).cast("double").alias("forecast_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+         AS forecast_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(18,2))
+      BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+  AND l_quantity < 24
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional-ratio aggregate: per ship month of
+    1996, the percentage of revenue from PROMO-type parts. Both sums stay
+    exact DECIMAL until the final double division, so the ratio is the
+    same IEEE operation on identical operands in both engines. part is
+    not broadcast-hinted: it scales with the corpus (AQE may still pick
+    broadcast while its measured size fits)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    disc_price = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_share"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+PROMO_SHARE_SQL = """
+SELECT CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_month,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                                       AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                             AS DECIMAL(18,4))) AS DOUBLE) AS promo_share,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY ship_month
+"""
+
+
+def returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: top 20 customers by
+    revenue lost to returns in one quarter, with nation attributes.
+    Join + group + TakeOrderedAndProject; the custkey tie-break makes the
+    LIMIT boundary deterministic under the driver's order-insensitive
+    compare."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    disc_price = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"),
+            _dec("c_acctbal").cast("double").alias("acctbal"),
+        )
+        .agg(F.sum(disc_price).cast("double").alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+RETURNED_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(18,4))) AS DOUBLE) AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — argmax against a global scalar: the supplier(s)
+    whose quarterly revenue equals MAX(quarterly revenue). The max is a
+    1-row aggregate broadcast into an equality filter — Catalyst's
+    decorrelation of the classic `= (SELECT MAX(...))` view form. The
+    equality happens on the exact DECIMAL sum (never on a double), so
+    ties survive identically in both engines."""
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem"))
+    disc_price = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    srev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(disc_price).alias("total_rev_dec"))
+    )
+    best = srev.agg(F.max("total_rev_dec").alias("best_rev"))
+    return (
+        srev.join(F.broadcast(best), F.col("total_rev_dec") == F.col("best_rev"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+TOP_SUPPLIER_SQL = """
+WITH srev AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(18,4))) AS total_rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+FROM srev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM srev)
+"""
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-IN semi-join over an aggregate: customers
+    whose single order gathers > 250 units across its lines. The inner
+    groupBy-HAVING runs once and semi-joins back into orders (Catalyst's
+    rewrite of `o_orderkey IN (SELECT ... HAVING ...)`); the outer
+    re-aggregation keys on the order, so both shuffles hash the same key
+    and AQE coalesces them."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    qty = F.col("l_quantity").cast("long")
+    big = (
+        t["lineitem"].groupBy("l_orderkey").agg(F.sum(qty).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            _dec("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .agg(F.sum(qty).alias("total_qty"))
+    )
+
+
+LARGE_VOLUME_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated MIN with join-back: for each mid-size
+    part, the supplier(s) whose observed line price equals the part's
+    minimum observed line price (partsupp/supplycost don't exist in this
+    schema; observed l_extendedprice is the deal metric). MIN-equality
+    selection keeps ties — the decorrelated per-part aggregate joins back
+    on (partkey, exact DECIMAL price), never on a double."""
+    t = load_tables(spark, sf_dir, ("part", "supplier", "nation", "lineitem"))
+    price = _dec("l_extendedprice")
+    offers = (
+        t["lineitem"].select("l_partkey", "l_suppkey", price.alias("deal_price")).distinct()
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("best_partkey")).agg(
+        F.min("deal_price").alias("best_price")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("best_partkey"))
+            & (F.col("deal_price") == F.col("best_price")),
+        )
+        .join(
+            t["part"].filter(F.col("p_size").between(10, 20)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            _dec("s_acctbal").cast("double").alias("supp_acctbal"),
+            F.col("best_price").cast("double").alias("best_price"),
+        )
+    )
+
+
+MIN_COST_SQL = """
+WITH offers AS (
+  SELECT DISTINCT l_partkey, l_suppkey,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS deal_price
+  FROM lineitem
+), best AS (
+  SELECT l_partkey AS best_partkey, MIN(deal_price) AS best_price
+  FROM offers GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, p_brand,
+       s_suppkey AS supp_key, s_name AS supp_name, n_name AS nation,
+       CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS supp_acctbal,
+       CAST(best_price AS DOUBLE) AS best_price
+FROM offers
+JOIN best ON l_partkey = best_partkey AND deal_price = best_price
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_size BETWEEN 10 AND 20
+"""
+
+
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — distinct-count with an exclusion anti-join: per
+    (brand, type, size), how many distinct suppliers shipped the part,
+    excluding deadbeat suppliers (negative balance — the schema's stand-in
+    for Q16's complaint filter). NOT-IN is expressed as a left-anti join
+    (null-safe, scale-safe); COUNT(DISTINCT) expands to the two-level
+    Expand aggregate Catalyst plans for it."""
+    t = load_tables(spark, sf_dir, ("part", "supplier", "lineitem"))
+    deadbeats = t["supplier"].filter(_dec("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(deadbeats), F.col("l_suppkey") == F.col("bad_suppkey"), "left_anti")
+        .join(
+            t["part"].filter(F.col("p_brand") != "Brand#13"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+PART_VARIETY_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND NOT EXISTS (
+    SELECT 1 FROM supplier
+    WHERE s_suppkey = l_suppkey AND CAST(s_acctbal AS DECIMAL(18,2)) < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-profit rollup: per (supplier nation,
+    order year), profit on widget parts, where cost is proxied as 60% of
+    p_retailprice per unit (no ps_supplycost column exists). Every
+    arithmetic step is an explicit DECIMAL cast with exact scales (2dp ×
+    0.6 → 3dp fits (18,4); ×integer qty fits (18,6)), so no rounding
+    occurs anywhere and the double appears only at the final SUM cast."""
+    t = load_tables(spark, sf_dir, ("part", "supplier", "lineitem", "orders", "nation"))
+    disc_price = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    unit_cost = (_dec("p_retailprice") * F.lit(0.6).cast("decimal(18,2)")).cast(
+        "decimal(18,4)"
+    )
+    line_cost = (unit_cost * F.col("l_quantity").cast("decimal(18,2)")).cast(
+        "decimal(18,6)"
+    )
+    profit = disc_price.cast("decimal(18,6)") - line_cost
+    return (
+        t["lineitem"]
+        .join(
+            t["part"].filter(F.col("p_name").contains("widget")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+NATION_PROFIT_SQL = """
+SELECT n_name AS nation,
+       CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       CAST(SUM(
+         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(18,4)) AS DECIMAL(18,6))
+         - CAST(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(18,2))
+                     AS DECIMAL(18,4))
+                * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,6))
+       ) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)
+"""
+
+
+registry.register("classic_forecast_revenue", forecast_revenue, FORECAST_REVENUE_SQL)
+registry.register("classic_promo_revenue_share", promo_revenue_share, PROMO_SHARE_SQL)
+registry.register("classic_returned_customers", returned_customers, RETURNED_CUSTOMERS_SQL)
+registry.register("classic_top_revenue_supplier", top_revenue_supplier, TOP_SUPPLIER_SQL)
+registry.register("classic_large_volume_customers", large_volume_customers, LARGE_VOLUME_SQL)
+registry.register("classic_min_cost_supplier", min_cost_supplier, MIN_COST_SQL)
+registry.register("classic_supplier_part_variety", supplier_part_variety, PART_VARIETY_SQL)
+registry.register("classic_nation_profit", nation_profit, NATION_PROFIT_SQL)

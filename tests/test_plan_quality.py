@@ -149,3 +149,52 @@ def test_asof_window_is_partitioned(spark):
     """The as-of join's carry-forward window partitions by user."""
     plan = plan_of(QUERIES["events_asof_last_error"](spark, SF_SMALL))
     assert "windowspecdefinition(user_id" in plan
+
+
+def test_forecast_revenue_pushdown(spark):
+    """Q6 is the canonical pushdown showcase: the shipdate range and
+    quantity bound must reach the parquet scan as PushedFilters, and the
+    whole query is scan→partial agg→1-row final agg (no join, no wide
+    shuffle)."""
+    plan = plan_of(QUERIES["classic_forecast_revenue"](spark, SF_SMALL))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "Join" not in plan
+
+
+def test_large_volume_semi_stays_semi(spark):
+    """Q18's HAVING-IN subquery must decorrelate to a LeftSemi hash join
+    on the order key — an inner join would duplicate orders with multiple
+    qualifying aggregates' rows."""
+    plan = plan_of(QUERIES["classic_large_volume_customers"](spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_min_cost_supplier_equi_joinback(spark):
+    """Q2's MIN-equality selection must plan as an equi hash join on
+    (partkey, exact decimal price) — a nested-loop join-back is the
+    per-row correlated MIN re-execution decorrelation exists to avoid."""
+    plan = plan_of(QUERIES["classic_min_cost_supplier"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def test_supplier_variety_anti_and_expand(spark):
+    """Q16: the deadbeat exclusion stays a LeftAnti join and
+    COUNT(DISTINCT) plans as the two-level aggregate (partial distinct,
+    then count) — not a naive re-shuffle per distinct value."""
+    plan = plan_of(QUERIES["classic_supplier_part_variety"](spark, SF_SMALL))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_top_revenue_supplier_broadcast_max(spark):
+    """Q15's global-max scalar must broadcast into the equality filter —
+    the 1-row aggregate side must never drive a shuffle join."""
+    plan = plan_of(QUERIES["classic_top_revenue_supplier"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
