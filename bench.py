@@ -36,13 +36,16 @@ def plan_hash(df) -> str:
     return hashlib.md5(s.encode()).hexdigest()[:10]
 
 
-def _stage_snapshot(sc) -> dict[tuple[int, int], tuple[int, int]]:
-    """(stageId, attemptId) → (shuffleWriteBytes, shuffleReadBytes) for all
-    finished stages, from the REST monitoring API. Shuffle volume is a
-    deterministic function of plan + data — unlike wall time on this
+def _stage_snapshot(sc) -> dict[tuple[int, int], tuple[int, int, int, int]]:
+    """(stageId, attemptId) → (shuffleWriteBytes, shuffleReadBytes,
+    peakExecutionMemory, spilledBytes) for all finished stages, from the
+    REST monitoring API. Shuffle volume and peak execution memory are
+    deterministic functions of plan + data — unlike wall time on this
     co-tenant host — so per-query deltas catch plan regressions that
-    timing noise hides. Returns {} (disabling the metric, not the bench)
-    if the UI/REST server is unavailable."""
+    timing noise hides; any nonzero spill says the operator outgrew its
+    memory fraction at this SF (the 100 TB red flag). Returns {}
+    (disabling the metric, not the bench) if the UI/REST server is
+    unavailable."""
     import urllib.request
 
     try:
@@ -50,7 +53,12 @@ def _stage_snapshot(sc) -> dict[tuple[int, int], tuple[int, int]]:
         with urllib.request.urlopen(url, timeout=10) as r:
             data = json.load(r)
         return {
-            (s["stageId"], s["attemptId"]): (s["shuffleWriteBytes"], s["shuffleReadBytes"])
+            (s["stageId"], s["attemptId"]): (
+                s["shuffleWriteBytes"],
+                s["shuffleReadBytes"],
+                s.get("peakExecutionMemory", 0),
+                s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0),
+            )
             for s in data
             if s["status"] in ("COMPLETE", "FAILED")
         }
@@ -168,6 +176,8 @@ def main() -> None:
     plans: dict[str, str] = {}
     shuffle_write: dict[str, int] = {}
     shuffle_read: dict[str, int] = {}
+    peak_exec_mem: dict[str, int] = {}
+    spilled: dict[str, int] = {}
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
@@ -192,6 +202,10 @@ def main() -> None:
             new = [v for k, v in post.items() if k not in pre]
             shuffle_write[name] = sum(v[0] for v in new)
             shuffle_read[name] = sum(v[1] for v in new)
+            # Peak is per-stage (stages of one query may overlap, but the
+            # max is still the floor of what one executor needed at once).
+            peak_exec_mem[name] = max((v[2] for v in new), default=0)
+            spilled[name] = sum(v[3] for v in new)
 
     prev = previous_plans()
     out = {
@@ -206,6 +220,9 @@ def main() -> None:
         out["shuffle_write_bytes"] = shuffle_write
         out["shuffle_read_bytes"] = shuffle_read
         out["total_shuffle_write_bytes"] = sum(shuffle_write.values())
+        out["peak_execution_memory_bytes"] = peak_exec_mem
+        out["spilled_bytes"] = spilled
+        out["total_spilled_bytes"] = sum(spilled.values())
     if prev:
         out["plan_changes"] = sorted(
             n for n, h in plans.items() if n in prev and prev[n] != h
