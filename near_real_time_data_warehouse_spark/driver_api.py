@@ -77,6 +77,10 @@ _PRIORITY = [
     "classic_top_revenue_supplier",
     "classic_large_volume_customers",
     "classic_supplier_part_variety",
+    # benchmark decontamination: the one corpus op whose kernel (shingle
+    # inverted-index overlap ACROSS a content-keyed split boundary) no
+    # other in-window entry exercises
+    "docs_benchmark_contamination",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -144,6 +148,15 @@ _DEPRIORITIZED = [
     "classic_promo_revenue_share",
     "classic_returned_customers",
     "classic_nation_profit",
+    # ceded for docs_benchmark_contamination; q11's top-k + CASE day-type
+    # + month-grouping mix stays in-window via q01 (top-k, day-type) and
+    # q09 (month grouping)
+    "q11_top5_category_month_daytype",
+    # new corpus ops, kernel-covered in-window: hash-threshold selection
+    # = text_shard_split's bucket kernel inside docs_curation_pipeline;
+    # partitioned running-sum window = star_rolling_7day_revenue
+    "docs_stratified_sample",
+    "docs_token_packing",
 ]
 
 

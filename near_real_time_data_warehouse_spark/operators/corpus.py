@@ -1,0 +1,216 @@
+"""Corpus-preparation operators a training-data pipeline runs between
+dedup and export: benchmark decontamination, stratified (domain-mix)
+sampling, and token-budget packing.
+
+All three are pure DataFrame plans over the ``documents`` table — no
+Python in the hot path — and each has a bit-exact DuckDB oracle twin.
+Reference parity note: the reference engine has no corpus operators;
+these extend the engine for the LLM-pipeline brief (SURVEY.md §2 "+"
+rows), reusing the shingle and content-hash kernels that are already
+driver-verified (operators/dedup.py shingles, operators/text.py split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import registry
+from .dedup import _SHINGLES_SQL, _shingles_materialized
+from .text import _NORM_SQL, _docs, _norm_col
+
+# Contamination flag threshold: fraction of a train doc's 3-gram
+# shingles that also occur anywhere in the held-out (test) split.
+CONTAM_THRESHOLD = 0.2
+
+# Per-language sampling rates (domain-mixing weights), in exact
+# thousandths so the hash threshold comparison is integer-exact.
+SAMPLE_RATES = {"en": 500, "de": 750, "es": 250, "fr": 250, "zh": 250}
+DEFAULT_RATE = 100
+
+# Token budget per pack and shard fan-out for the packer. Shards bound
+# the per-reducer sequential scan — at cluster scale you raise the shard
+# count with the executor count (packing is per-output-shard sequential
+# by construction). Sized so packs actually spill over at the test SFs
+# (~60 docs/shard × ~50 tokens ≈ 6 packs per shard); production values
+# would be ~8k-token budgets and O(cluster) shards.
+PACK_BUDGET = 512
+PACK_SHARDS = 8
+
+
+def _shingle_hash(col: str = "shingle") -> F.Column:
+    # Same md5→bigint idiom as text.shard_split: joins shuffle an 8-byte
+    # key instead of the full shingle string.
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_SHINGLE_HASH_SQL = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
+
+_SPLIT_BUCKET_SQL = f"CAST(('0x' || substr(md5({_NORM_SQL}), 1, 15)) AS BIGINT) % 10"
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per TRAIN document: how many of its 3-gram shingles occur anywhere
+    in the TEST split — the decontamination check run before a benchmark
+    split ships. Inverted-index equi-join on the hashed shingle (never a
+    cross join); the eval shingle set scales with the corpus, so it is
+    NOT broadcast — AQE may still choose broadcast while it fits.
+
+    Exact duplicates can never straddle splits (the split is
+    content-keyed, text.shard_split), so every hit found here is a
+    *partial* overlap — exactly the leakage a dedup pass misses."""
+    from .text import shard_split
+
+    sh = _shingles_materialized(spark, sf_dir)
+    split = shard_split(spark, sf_dir).select("doc_id", "split")
+    hashed = sh.join(split, "doc_id").select(
+        "doc_id", "split", _shingle_hash().alias("h")
+    )
+    eval_set = hashed.filter(F.col("split") == "test").select("h").distinct()
+    train = hashed.filter(F.col("split") == "train").withColumnRenamed("h", "th")
+    joined = train.join(eval_set, train["th"] == eval_set["h"], "left")
+    contamination = F.count("h").cast("double") / F.count(F.lit(1)).cast("double")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("h").alias("n_contaminated"),  # count(col) skips nulls
+            contamination.alias("contamination"),
+            (contamination >= CONTAM_THRESHOLD).alias("is_contaminated"),
+        )
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL.format(where="")}),
+b AS (SELECT doc_id, {_SPLIT_BUCKET_SQL} AS bucket FROM documents),
+hashed AS (
+  SELECT sh.doc_id, b.bucket, {_SHINGLE_HASH_SQL} AS h
+  FROM sh JOIN b ON sh.doc_id = b.doc_id
+),
+ev AS (SELECT DISTINCT h FROM hashed WHERE bucket = 9),
+tr AS (SELECT doc_id, h AS th FROM hashed WHERE bucket <= 7)
+SELECT tr.doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(ev.h) AS n_contaminated,
+       CAST(COUNT(ev.h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contamination,
+       CAST(COUNT(ev.h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) >= {CONTAM_THRESHOLD}
+         AS is_contaminated
+FROM tr LEFT JOIN ev ON tr.th = ev.h
+GROUP BY tr.doc_id
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample (domain mixing): keep
+    a document iff its salted content hash mod 1000 falls under the
+    language's rate (thousandths — integer-exact, no float RNG). Kept
+    rows carry the inverse-rate importance weight, so downstream
+    aggregates stay unbiased. Content-keyed like shard_split (survives
+    re-ingestion and re-partitioning; random() cannot), salted with a
+    distinct prefix so the sample is independent of the split hash.
+    Embarrassingly parallel: scan-local projection + filter, no shuffle."""
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    strat = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("sample|"), _norm_col())), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(1000),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", strat.alias("strat"), rate.alias("rate_k"))
+        .filter(F.col("strat") < F.col("rate_k"))
+        .select(
+            "doc_id",
+            "lang",
+            "rate_k",
+            (F.lit(1000).cast("double") / F.col("rate_k").cast("double")).alias("weight"),
+        )
+    )
+
+
+_RATE_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+) + f" ELSE {DEFAULT_RATE} END"
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('sample|' || {_NORM_SQL}), 1, 15)) AS BIGINT) % 1000
+           AS strat,
+         {_RATE_CASE_SQL} AS rate_k
+  FROM documents
+)
+SELECT doc_id, lang, rate_k,
+       CAST(1000 AS DOUBLE) / CAST(rate_k AS DOUBLE) AS weight
+FROM s WHERE strat < rate_k
+"""
+
+
+def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: assign documents to fixed-budget packs
+    (sequence-length bins) within content-hashed shards. pack_id =
+    floor(exclusive running token count / budget) — the streaming-writer
+    contract: a pack holds consecutive docs until the budget spills over.
+
+    Per-shard sequential by construction (that is what packing means),
+    so parallelism = shard count; PACK_SHARDS scales with the cluster.
+    The running sum is a partitioned window — never a global sort."""
+    norm = _norm_col()
+    toks = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+    )
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("pack|"), _norm_col())), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(PACK_SHARDS),
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", shard.alias("shard"), toks.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(cum_before.cast("double") / F.lit(PACK_BUDGET)).cast("long").alias("pack_id"),
+    )
+
+
+TOKEN_PACKING_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('pack|' || {_NORM_SQL}), 1, 15)) AS BIGINT)
+           % {PACK_SHARDS} AS shard,
+         CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+              ELSE len(string_split({_NORM_SQL}, ' ')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+            / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM d
+"""
+
+
+registry.register("docs_benchmark_contamination", benchmark_contamination, CONTAMINATION_SQL)
+registry.register("docs_stratified_sample", stratified_sample, STRATIFIED_SAMPLE_SQL)
+registry.register("docs_token_packing", token_packing, TOKEN_PACKING_SQL)
+
+
+def shard_split_frame(spark: SparkSession, sf_dir: str):
+    """Test helper: the split assignment as pandas (tiny at test SFs)."""
+    from .text import shard_split
+
+    return shard_split(spark, sf_dir).toPandas()

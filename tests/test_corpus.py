@@ -1,0 +1,42 @@
+"""Invariants for the corpus-preparation operators (decontamination,
+stratified sampling, token packing) beyond their bit-exact oracles."""
+
+from __future__ import annotations
+
+from near_real_time_data_warehouse_spark.operators import corpus
+
+from .conftest import SF_SMALL
+
+
+def test_contamination_bounds_and_split(spark):
+    df = corpus.benchmark_contamination(spark, SF_SMALL).toPandas()
+    assert len(df) > 0
+    assert ((df.contamination >= 0) & (df.contamination <= 1)).all()
+    assert (df.n_contaminated <= df.n_shingles).all()
+    # only TRAIN docs appear (test-split docs are the reference side)
+    splits = corpus.shard_split_frame(spark, SF_SMALL)
+    train_ids = set(splits[splits.split == "train"].doc_id)
+    assert set(df.doc_id) <= train_ids
+
+
+def test_stratified_sample_weights_and_determinism(spark):
+    a = corpus.stratified_sample(spark, SF_SMALL).toPandas().sort_values("doc_id")
+    b = corpus.stratified_sample(spark, SF_SMALL).toPandas().sort_values("doc_id")
+    assert a.doc_id.tolist() == b.doc_id.tolist()  # content-keyed, not random()
+    assert len(a) > 0
+    assert (a.weight == 1000.0 / a.rate_k).all()
+    # every configured language retains at least one doc at this SF
+    assert set(a.lang) == set(corpus.SAMPLE_RATES)
+
+
+def test_token_packing_is_sequential_per_shard(spark):
+    df = (
+        corpus.token_packing(spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["shard", "doc_id"])
+    )
+    assert df.pack_id.max() > 0  # budget actually spills over at test SF
+    for _, g in df.groupby("shard"):
+        cum_before = g.n_tokens.cumsum().shift(fill_value=0)
+        assert (g.pack_id == cum_before // corpus.PACK_BUDGET).all()
+        assert g.pack_id.is_monotonic_increasing  # packs are consecutive docs

@@ -198,3 +198,20 @@ def test_top_revenue_supplier_broadcast_max(spark):
     plan = plan_of(QUERIES["classic_top_revenue_supplier"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_join_shape(spark):
+    """The decontamination overlap must stay an equi hash join on the
+    hashed shingle — a nested-loop against the eval set is the all-pairs
+    scan the inverted index exists to avoid."""
+    plan = plan_of(QUERIES["docs_benchmark_contamination"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def test_token_packing_window_is_sharded(spark):
+    """The packer's running sum must partition by shard — an unpartitioned
+    ORDER BY window is the single-reducer cliff."""
+    plan = plan_of(QUERIES["docs_token_packing"](spark, SF_SMALL))
+    assert "windowspecdefinition(shard" in plan
