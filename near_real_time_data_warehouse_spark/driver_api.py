@@ -81,6 +81,14 @@ _PRIORITY = [
     # inverted-index overlap ACROSS a content-keyed split boundary) no
     # other in-window entry exercises
     "docs_benchmark_contamination",
+    # new this round, third session — four kernels nothing else covers:
+    # stage-dependent chained aggregation (funnel), distinct-then-cohort
+    # self-join (retention), explode-mode counting (repetition), and
+    # zero-shuffle sequence/slice window explode (chunking)
+    "events_funnel_stages",
+    "events_retention_cohorts",
+    "text_repetition_stats",
+    "docs_chunk_windows",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -88,6 +96,13 @@ _PRIORITY = [
 # in-window (e.g. the components/minhash family via dedup_minhash_lsh,
 # windows/sessionization via the q* and star entries) and by pytest.
 _DEPRIORITIZED = [
+    # Head of this list fills any window slack (the first 50 minus
+    # _PRIORITY and the in-window core), best candidates first:
+    # multimodal_frame_index has no driver row in any round yet; q20 is
+    # the only S9-view entry; q06 the only add_months date-arithmetic.
+    "multimodal_frame_index",
+    "q20_store_quarterly_sales_view",
+    "q06_city_marital_past6months",
     "dedup_connected_components",
     "dedup_keep_best",
     "dedup_components_minhash",
@@ -125,10 +140,6 @@ _DEPRIORITIZED = [
     # md5-norm fingerprint + hash-groupBy: the same expressions feed
     # text_shard_split's bucket and the curation pipeline (in-window)
     "dedup_exact",
-    # new this round but deliberately OUT of the 50-window: shares the
-    # media pipeline with the in-window multimodal_features row; gets a
-    # driver row automatically if the window is larger than 50
-    "multimodal_frame_index",
     # distinct-agg kernel = exact side of events_approx_distinct_error;
     # exact-percentile selection = events_quantile_sketch_error's
     # percentile_disc (both in-window)
@@ -157,6 +168,18 @@ _DEPRIORITIZED = [
     # partitioned running-sum window = star_rolling_7day_revenue
     "docs_stratified_sample",
     "docs_token_packing",
+    # ceded this session for the four new kernels (all round-1
+    # driver-green, union-ledgered in COVERAGE.md): multi-key grouped SUM
+    # stays in-window via q13 (6 keys) and q01's grouping; groupBy+top-k
+    # via q01/q05→classic_shipping_priority; AVG via classic_pricing_summary;
+    # date-threshold pushdown via classic_pricing_summary; season/grouped
+    # sum via q13; CLV top-k via q01; the q20 view kernel (S9) keeps its
+    # round-1 row and a pytest SQL-api test every round
+    "q04_quarterly_purchase_gender_age",
+    "q05_top_occupations_per_category",
+    "q07_avg_purchase_stay_gender",
+    "q14_seasonal_product_sales",
+    "q19_customer_lifetime_value",
 ]
 
 

@@ -204,7 +204,69 @@ FROM d
 """
 
 
+# Token-window chunking: window length and stride (overlap = 64-48 = 16
+# tokens). Sized to the synthetic docs (~50 tokens) so multi-chunk docs
+# actually occur at test SFs; production values would be context-length
+# windows (e.g. 2048/1920).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the step between
+    packing and export that turns documents into training sequences
+    (and retrieval corpora into embedding inputs). Each document yields
+    windows of CHUNK_TOKENS tokens starting every CHUNK_STRIDE tokens;
+    the final window is allowed to be short.
+
+    Shape at scale: tokenize → ``sequence`` of window starts → explode →
+    ``slice`` — all narrow array expressions inside whole-stage codegen.
+    Zero shuffles, zero Python: output partitioning inherits input
+    partitioning, so the op is embarrassingly parallel at any scale."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(_norm_col(), " ").alias("toks")
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE)
+    )
+    chunked = d.select(
+        "doc_id", "toks", F.explode(starts).alias("start_tok")
+    ).select(
+        "doc_id",
+        "start_tok",
+        F.slice(F.col("toks"), F.col("start_tok") + 1, CHUNK_TOKENS).alias("chunk_toks"),
+    )
+    return chunked.select(
+        "doc_id",
+        (F.col("start_tok") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size("chunk_toks").cast("long").alias("n_chunk_tokens"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+    )
+
+
+CHUNK_WINDOWS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST(start_tok // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(list_slice(toks, start_tok + 1, start_tok + {CHUNK_TOKENS})) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start_tok + 1, start_tok + {CHUNK_TOKENS}), ' ')
+         AS chunk_text
+FROM s
+"""
+
+
 registry.register("docs_benchmark_contamination", benchmark_contamination, CONTAMINATION_SQL)
+registry.register("docs_chunk_windows", chunk_windows, CHUNK_WINDOWS_SQL)
 registry.register("docs_stratified_sample", stratified_sample, STRATIFIED_SAMPLE_SQL)
 registry.register("docs_token_packing", token_packing, TOKEN_PACKING_SQL)
 

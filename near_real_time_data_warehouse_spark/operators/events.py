@@ -497,6 +497,129 @@ GROUP BY e.event_id
 """
 
 
+_DAY_US = 86_400_000_000
+
+
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel view → click → purchase: per user,
+    the earliest view, the earliest click strictly after that view, and
+    the earliest purchase strictly after that click. This is the ordered-
+    stage kernel (each stage's filter depends on the previous stage's
+    aggregate) that plain conditional aggregation cannot express — the
+    product analytics twin of the reference's star queries, new surface
+    beyond `Analysis_Queries.sql` (the reference has no event-sequence
+    analytics).
+
+    Shape at scale: three per-user MIN aggregations chained by equi-joins
+    on user_id — every shuffle is keyed by user_id, each stage's input
+    shrinks (clicks ⊆ users with views, purchases ⊆ users with clicks),
+    and MIN is map-side combinable. No window over the full event set,
+    no Python."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "us")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view_us"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("us") > F.col("t_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click_us"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("us") > F.col("t_click_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase_us"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click_us").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_purchase_us").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view_us",
+            "t_click_us",
+            "t_purchase_us",
+            stage.cast("long").alias("stage_reached"),
+        )
+    )
+
+
+FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (
+  SELECT user_id, MIN(us) AS t_view_us FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.us) AS t_click_us
+  FROM e JOIN v ON e.user_id = v.user_id AND e.us > v.t_view_us
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.us) AS t_purchase_us
+  FROM e JOIN c ON e.user_id = c.user_id AND e.us > c.t_click_us
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view_us, c.t_click_us, p.t_purchase_us,
+       CAST(1 + CASE WHEN c.t_click_us IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN p.t_purchase_us IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS stage_reached
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day
+    (integer epoch day — timezone-free), counted on each later active
+    day as an offset from their cohort. The standard growth-analytics
+    rollup (cohort × day-offset triangle).
+
+    Shape at scale: distinct (user, day) first — collapses each user's
+    events to ≤days rows before anything else — then a per-user MIN and
+    one join keyed by user_id, then the final small aggregation. The
+    distinct is the only pass over the full table. Because activity is
+    already distinct per (user, day), the final COUNT(*) *is* the
+    distinct-user count — no expensive count-distinct at the end."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr(f"us div {_DAY_US}").alias("day")
+    )
+    activity = e.distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+RETENTION_SQL = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY c.cohort_day, day_offset
+"""
+
+
 def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event-gap statistics via grouped-map
     ``applyInPandas`` — the escape hatch for per-group sequence logic
@@ -557,6 +680,8 @@ FROM users u LEFT JOIN agg USING (user_id)
 """
 
 
+registry.register("events_funnel_stages", funnel_stages, FUNNEL_SQL)
+registry.register("events_retention_cohorts", retention_cohorts, RETENTION_SQL)
 registry.register("events_user_gap_stats", user_gap_stats, USER_GAP_SQL)
 registry.register("events_approx_distinct_users", approx_distinct_users, None)
 registry.register("events_approx_distinct_error", approx_distinct_error, APPROX_DISTINCT_ERROR_SQL)

@@ -240,6 +240,99 @@ FROM r
 """
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 filter family):
+    duplicate-token fraction, most-frequent-token mass, and
+    most-frequent-bigram mass per document. High values mark boilerplate
+    and degenerate pages that perplexity-free pipelines drop before
+    training.
+
+    Shape at scale: the distinct-token count is a pure array expression
+    (``array_distinct`` — zero shuffle); the two mode counts explode to
+    (doc_id, gram) and aggregate twice keyed by doc_id — fully parallel,
+    map-side combinable, never a global structure. Only MAX(count) is
+    returned (no token string), so ties cannot make output
+    nondeterministic."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split(_norm_col(), " ").alias("toks"))
+    stats = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
+    )
+    uni = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_token_count"))
+    )
+    bigrams = F.expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    big = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_bigram_count"))
+    )
+    return (
+        stats.join(uni, "doc_id", "left")
+        .join(big, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            ((F.col("n_tokens") - F.col("n_distinct_tokens")) / F.col("n_tokens")).alias(
+                "dup_token_frac"
+            ),
+            "top_token_count",
+            (F.col("top_token_count") / F.col("n_tokens")).alias("top_token_frac"),
+            "top_bigram_count",
+            (F.col("top_bigram_count") / (F.col("n_tokens") - 1)).alias("top_bigram_frac"),
+        )
+    )
+
+
+REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+),
+stats AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+  FROM t
+),
+uni AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_token_count FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+bgidx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t
+),
+big AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count FROM (
+    SELECT doc_id, bigram, COUNT(*) AS c
+    FROM (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram FROM bgidx)
+    GROUP BY doc_id, bigram
+  ) GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens, s.n_distinct_tokens,
+       (s.n_tokens - s.n_distinct_tokens) / s.n_tokens AS dup_token_frac,
+       u.top_token_count,
+       u.top_token_count / s.n_tokens AS top_token_frac,
+       b.top_bigram_count,
+       b.top_bigram_count / (s.n_tokens - 1) AS top_bigram_frac
+FROM stats s
+LEFT JOIN uni u ON s.doc_id = u.doc_id
+LEFT JOIN big b ON s.doc_id = b.doc_id
+"""
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 over whitespace-normalized lowercase text —
     the key for exact dedup and shard-stable sampling."""
@@ -287,4 +380,5 @@ registry.register("text_token_stats", token_stats, TOKEN_STATS_SQL)
 registry.register("text_quality_score", quality_score, QUALITY_SQL)
 registry.register("text_lang_id", lang_id, LANG_ID_SQL)
 registry.register("text_stopword_ratios", stopword_ratios, STOPWORD_RATIOS_SQL)
+registry.register("text_repetition_stats", repetition_stats, REPETITION_SQL)
 registry.register("text_fingerprint", fingerprint, FINGERPRINT_SQL)

@@ -215,3 +215,37 @@ def test_token_packing_window_is_sharded(spark):
     ORDER BY window is the single-reducer cliff."""
     plan = plan_of(QUERIES["docs_token_packing"](spark, SF_SMALL))
     assert "windowspecdefinition(shard" in plan
+
+
+def test_chunk_windows_has_no_shuffle(spark):
+    """Chunking is tokenize→sequence→explode→slice, all narrow: any
+    Exchange in this plan means the op stopped being embarrassingly
+    parallel."""
+    plan = plan_of(QUERIES["docs_chunk_windows"](spark, SF_SMALL))
+    # the only Exchange allowed is the testdata loader's round-robin
+    # split of the single small parquet file (local-parallelism helper);
+    # the operator itself must add no hash/range shuffle
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Generate explode" in plan
+
+
+def test_funnel_stages_all_equi_joins(spark):
+    """Every funnel stage chains through equi-joins on user_id; the
+    stage filters (us > t_view_us) must stay residual predicates, never
+    degrade the joins to nested loops."""
+    plan = plan_of(QUERIES["events_funnel_stages"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retention_distinct_before_join(spark):
+    """The cohort join must run on the distinct (user, day) activity
+    set, not raw events: exactly one aggregate keyed by user_id feeds
+    the join and the final rollup needs no distinct aggregate."""
+    plan = plan_of(QUERIES["events_retention_cohorts"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    # count(1), min(day) — never a count(distinct ...) fallback
+    assert "count(distinct" not in plan.lower()
