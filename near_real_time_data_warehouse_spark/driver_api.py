@@ -89,6 +89,11 @@ _PRIORITY = [
     "events_retention_cohorts",
     "text_repetition_stats",
     "docs_chunk_windows",
+    # compliance + tokenizer-prep surface: sequential multi-pattern
+    # regexp redaction and corpus-level token aggregation with top-K —
+    # kernels no other in-window entry exercises
+    "text_pii_redact",
+    "text_vocabulary",
 ]
 
 # Round-1-green entries that cede their budget slot when the total

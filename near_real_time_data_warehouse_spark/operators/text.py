@@ -333,6 +333,134 @@ LEFT JOIN big b ON s.doc_id = b.doc_id
 """
 
 
+# PII patterns (valid in both Java regex and DuckDB's RE2): email,
+# NANP-ish 555 phone, dotted-quad IP. Redaction order matters (emails
+# contain dots/digits) and is fixed: email → phone → ip.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# The synthetic corpus is PII-free word soup, so the driver entry
+# deterministically injects per-doc PII *inside the query* (same
+# expression in the oracle) — the scan/redact kernel is then exercised
+# on every row instead of vacuously matching nothing. Real pipelines
+# run the same scan/redact over the raw text column.
+_PII_AUG_SPARK = (
+    "concat(text, ' contact user', doc_id, '@example.com or call 555-',"
+    " lpad(cast(doc_id % 10000 as string), 4, '0'),"
+    " ' from 10.', doc_id % 256, '.0.', (doc_id * 7) % 256)"
+)
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@example.com or call 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)"
+)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction — the compliance pass every training-data
+    pipeline runs before export: count emails / phone numbers / IPs per
+    document and emit the text with each replaced by a typed placeholder.
+
+    Shape at scale: a fixed chain of regexp_count/regexp_replace —
+    JVM codegen expressions, scan-local projection, zero shuffle, zero
+    Python. The patterns are RE2-safe (no backtracking blowup), so cost
+    is linear in text size at any corpus scale."""
+    return pii_redact_df(_docs(spark, sf_dir), F.expr(_PII_AUG_SPARK))
+
+
+def pii_redact_df(d: DataFrame, text: F.Column) -> DataFrame:
+    """The scan/redact core over any (doc_id, …) frame and text column."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _PII_EMAIL, "[EMAIL]"), _PII_PHONE, "[PHONE]"
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    n_emails = F.regexp_count(text, F.lit(_PII_EMAIL)).cast("long")
+    n_phones = F.regexp_count(text, F.lit(_PII_PHONE)).cast("long")
+    n_ips = F.regexp_count(text, F.lit(_PII_IP)).cast("long")
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        ((n_emails + n_phones + n_ips) > 0).alias("has_pii"),
+        redacted.alias("redacted_text"),
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(aug, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       (len(regexp_extract_all(aug, '{_PII_EMAIL}'))
+        + len(regexp_extract_all(aug, '{_PII_PHONE}'))
+        + len(regexp_extract_all(aug, '{_PII_IP}'))) > 0 AS has_pii,
+       regexp_replace(regexp_replace(regexp_replace(
+         aug, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+         '{_PII_PHONE}', '[PHONE]', 'g'),
+         '{_PII_IP}', '[IP]', 'g') AS redacted_text
+FROM a
+"""
+
+# Vocabulary: top-K tokens by corpus frequency, K fixed so the result
+# is a driver-comparable table; ties break on the token string.
+VOCAB_TOP_K = 100
+
+
+def vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary building: corpus-level token statistics —
+    total occurrences and document frequency per token, top-K by count.
+    The first step of training a tokenizer (or an IDF table) over a
+    corpus.
+
+    Shape at scale: explode → two-phase aggregation keyed by token
+    (partial counts map-side), document frequency via distinct
+    (token, doc_id) pairs — also token-keyed — then TakeOrderedAndProject
+    for the top-K. No global sort, no driver-side collection; the token
+    key space is Zipf-skewed but counts are monoid partials, so AQE's
+    skew handling and map-side combine absorb the hot keys."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split(_norm_col(), " ").alias("toks"))
+    tok = d.select("doc_id", F.explode("toks").alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    df_ = (
+        tok.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        tf.join(df_, "token")
+        .select(
+            "token",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(VOCAB_TOP_K)
+    )
+
+
+VOCABULARY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+),
+tf AS (SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY token),
+df AS (
+  SELECT token, COUNT(*) AS n_docs
+  FROM (SELECT DISTINCT token, doc_id FROM tok) GROUP BY token
+)
+SELECT tf.token, CAST(tf.n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(df.n_docs AS BIGINT) AS n_docs
+FROM tf JOIN df ON tf.token = df.token
+ORDER BY n_occurrences DESC, tf.token
+LIMIT {VOCAB_TOP_K}
+"""
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint: md5 over whitespace-normalized lowercase text —
     the key for exact dedup and shard-stable sampling."""
@@ -381,4 +509,6 @@ registry.register("text_quality_score", quality_score, QUALITY_SQL)
 registry.register("text_lang_id", lang_id, LANG_ID_SQL)
 registry.register("text_stopword_ratios", stopword_ratios, STOPWORD_RATIOS_SQL)
 registry.register("text_repetition_stats", repetition_stats, REPETITION_SQL)
+registry.register("text_pii_redact", pii_redact, PII_REDACT_SQL)
+registry.register("text_vocabulary", vocabulary, VOCABULARY_SQL)
 registry.register("text_fingerprint", fingerprint, FINGERPRINT_SQL)

@@ -249,3 +249,21 @@ def test_retention_distinct_before_join(spark):
     assert "CartesianProduct" not in plan
     # count(1), min(day) — never a count(distinct ...) fallback
     assert "count(distinct" not in plan.lower()
+
+
+def test_pii_redact_has_no_shuffle(spark):
+    """PII scan/redact is a scan-local regexp projection: no Exchange
+    beyond the loader's round-robin split, no Python eval."""
+    plan = plan_of(QUERIES["text_pii_redact"](spark, SF_SMALL))
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocabulary_topk_is_take_ordered(spark):
+    """The vocab top-K must be TakeOrderedAndProject, not a global sort
+    of the whole token table."""
+    plan = plan_of(QUERIES["text_vocabulary"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -31,3 +31,28 @@ def test_lang_id_classifies_real_text(spark):
     wrong = [(r.labeled_lang, r.predicted_lang) for r in rows
              if r.predicted_lang != r.labeled_lang]
     assert not wrong, wrong
+
+
+def test_pii_redaction_on_organic_text(spark):
+    """The PII kernel on realistic prose (the driver entry exercises it
+    via deterministic injection; this pins behavior on organic text):
+    every pattern family is found and redacted, clean text is untouched."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators.text import pii_redact_df
+
+    docs = [
+        (0, "reach me at jane.doe+spam@mail-host.org for details"),
+        (1, "call 555-0199 or 555-0200 before noon"),
+        (2, "server at 192.168.1.17 timed out, fallback 10.0.0.1"),
+        (3, "no sensitive content in this row at all"),
+        (4, "mixed: bob@x.io, 555-1234, 8.8.8.8 in one line"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in pii_redact_df(df, F.col("text")).collect()}
+    assert (rows[0].n_emails, rows[0].n_phones, rows[0].n_ips) == (1, 0, 0)
+    assert "[EMAIL]" in rows[0].redacted_text and "@" not in rows[0].redacted_text
+    assert rows[1].n_phones == 2 and rows[1].redacted_text.count("[PHONE]") == 2
+    assert rows[2].n_ips == 2 and "192.168" not in rows[2].redacted_text
+    assert not rows[3].has_pii and rows[3].redacted_text == docs[3][1]
+    assert (rows[4].n_emails, rows[4].n_phones, rows[4].n_ips) == (1, 1, 1)
