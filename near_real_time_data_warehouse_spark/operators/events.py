@@ -5,11 +5,13 @@ Structured Streaming runs the *same logical plans* against
 ``readStream`` (see streaming/pipeline.py); these batch forms are the
 oracle-checkable versions the driver verifies.
 
-Portability notes: the events parquet stores TIMESTAMP(NANOS), which
-Spark only reads with ``spark.sql.legacy.parquet.nanosAsLong`` (set
-per-session in the reader — the driver's session doesn't pre-set it).
-All bucketing is *integer* epoch arithmetic (exact division on µs), so
-results are independent of session timezone in both engines.
+Portability notes: the events parquet has stored ``ts`` as either
+TIMESTAMP(NANOS) (readable only as int64 under
+``spark.sql.legacy.parquet.nanosAsLong``) or plain timestamp[us],
+depending on the testdata generation — ``functions/eventtime.us_expr``
+normalizes both to integer epoch microseconds. All bucketing is
+*integer* epoch arithmetic (exact division on µs), so results are
+independent of session timezone in both engines.
 """
 
 from __future__ import annotations
@@ -26,9 +28,11 @@ _MINUTE_US = 60_000_000
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``us``: event time as integer epoch microseconds."""
+    from ..functions.eventtime import us_expr
+
     _ensure_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("us", F.expr("ts div 1000"))
+    return df.withColumn("us", us_expr(df))
 
 
 def _ensure_nanos_as_long(spark: SparkSession) -> None:

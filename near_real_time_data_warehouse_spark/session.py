@@ -36,10 +36,10 @@ def get_spark(app_name: str = "nrtdw_spark", shuffle_partitions: int | None = No
         .config("spark.ui.port", "0")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.parquet stores TIMESTAMP(NANOS), which Spark only reads as
-        # int64 with this flag; every events operator does integer epoch
-        # arithmetic on it (`ts div 1000`), so the engine wants it on for
-        # the session's lifetime. Set HERE (not as a query side effect) so
+        # Some testdata generations store events.ts as TIMESTAMP(NANOS),
+        # which Spark only reads as int64 with this flag (others use
+        # timestamp[us], unaffected by it). Event operators normalize both
+        # via functions/eventtime. Set HERE (not as a query side effect) so
         # no query mutates shared session state mid-run — operators only
         # re-assert it for foreign sessions (e.g. the driver's).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -23,8 +23,10 @@ _DAY_S = 86_400
 
 def _hourly_partial(events: DataFrame) -> DataFrame:
     """Partial (re-mergeable) hourly aggregate of one slice of events."""
+    from ..functions.eventtime import us_expr
+
     return (
-        events.withColumn("us", F.expr("ts div 1000"))
+        events.withColumn("us", us_expr(events))
         .groupBy(
             F.expr(f"us div {_HOUR_US} * 3600").alias("hour_epoch_s"),
             "event_type",

@@ -17,16 +17,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_LONG_TS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), True),  # nanos (parquet TIMESTAMP(NANOS))
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """The events parquet's actual schema (a file stream needs one
+    up-front). Read from the footer via a batch scan, not pinned in code:
+    the testdata has stored ``ts`` as TIMESTAMP(NANOS)→int64 in some
+    generations and timestamp[us] in others, and the stream must match
+    whichever is on disk."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 # One symlink dir per source parquet for the process lifetime (reused on
@@ -55,12 +52,13 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The file-stream source requires a *directory*; testdata is read-only,
     so the single parquet file is exposed through a symlink in a temp dir."""
+    from ..functions.eventtime import event_time_expr
     from ..operators.events import _ensure_nanos_as_long
 
     _ensure_nanos_as_long(spark)
     stream_dir = _stream_dir_for(sf_dir)
-    raw = spark.readStream.schema(EVENTS_LONG_TS_SCHEMA).parquet(stream_dir)
-    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(events_schema(spark, sf_dir)).parquet(stream_dir)
+    return raw.withColumn("event_time", event_time_expr(raw))
 
 
 def hourly_by_type(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -142,17 +140,19 @@ def incident_window_matches(
     conditions give exact batch-equal semantics; the event-time interval
     condition on the watermarked columns is what lets Spark expire state
     (watermark + window horizon)."""
+    from ..functions.eventtime import us_expr
+
     b = window_min * 60 * 1_000_000
     ev = events.select(
         "event_id",
-        F.expr("ts div 1000").alias("us"),
+        us_expr(events).alias("us"),
         "event_time",
     ).withColumn("bucket", F.expr(f"us div {b}"))
     inc = (
         events.filter(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("incident_id"),
-            F.expr("ts div 1000").alias("w_start"),
+            us_expr(events).alias("w_start"),
             F.col("event_time").alias("incident_time"),
         )
         .withColumn(

@@ -1,0 +1,36 @@
+"""Event-time normalization is storage-type- and session-tz-independent.
+
+The driver's session controls its own timezone; if ``us_expr`` shifted
+with the zone (as ``cast(ts as timestamp)`` does for TIMESTAMP_NTZ),
+every events oracle would hash-mismatch on a non-UTC driver. Ground
+truth is DuckDB's ``epoch_us(ts)`` — exactly what the oracles use.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from near_real_time_data_warehouse_spark.functions import eventtime
+
+from .conftest import SF_SMALL
+
+
+def _spark_us(session, limit=200):
+    df = session.read.parquet(f"{SF_SMALL}/events.parquet").orderBy("event_id").limit(limit)
+    return [r.us for r in df.select("event_id", eventtime.us_expr(df).alias("us")).collect()]
+
+
+def test_epoch_us_matches_duckdb_and_ignores_session_tz(spark):
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT epoch_us(ts) FROM '{SF_SMALL}/events.parquet' ORDER BY event_id LIMIT 200"
+        ).fetchall()
+    ]
+    assert _spark_us(spark) == want
+
+    # Same SparkContext, isolated session state with a non-UTC zone —
+    # the epoch derivation must not move.
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    assert _spark_us(s2) == want

@@ -10,7 +10,6 @@ from near_real_time_data_warehouse_spark.streaming.rollup import (
     _hourly_partial,
     run_continuous_rollup,
 )
-from near_real_time_data_warehouse_spark.streaming.windows import EVENTS_LONG_TS_SCHEMA
 
 from .conftest import SF_SMALL
 
@@ -19,7 +18,7 @@ def test_incremental_rollup_equals_batch(spark, tmp_path_factory):
     import time as _time
 
     base = tmp_path_factory.mktemp("rollup")
-    events = spark.read.schema(EVENTS_LONG_TS_SCHEMA).parquet(f"{SF_SMALL}/events.parquet")
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
 
     # Three overlapping slices (odd/even/first-200) so later batches
     # revisit hours already written by earlier ones.
@@ -36,7 +35,7 @@ def test_incremental_rollup_equals_batch(spark, tmp_path_factory):
 
     out, ckpt = str(base / "rollup_out"), str(base / "ckpt")
     day_out = str(base / "rollup_day_out")
-    run_continuous_rollup(spark, f"{src}/*", EVENTS_LONG_TS_SCHEMA, out, ckpt, day_dir=day_out)
+    run_continuous_rollup(spark, f"{src}/*", events.schema, out, ckpt, day_dir=day_out)
 
     got = {
         (r.hour_epoch_s, r.event_type): (r.n_events, float(r.total_value))

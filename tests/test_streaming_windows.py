@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from near_real_time_data_warehouse_spark.functions import eventtime
 from near_real_time_data_warehouse_spark.operators import events as batch_events
 from near_real_time_data_warehouse_spark.streaming import windows as sw
 
@@ -38,8 +39,7 @@ def test_running_user_totals_state(spark):
     streamed = {(r.user_id, r.n_events) for r in out.collect()}
     batch = {
         (r.user_id, r.n)
-        for r in spark.read.schema(sw.EVENTS_LONG_TS_SCHEMA)
-        .parquet(f"{SF_SMALL}/events.parquet")
+        for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -79,11 +79,8 @@ def test_stream_stream_interval_join_equals_batch(spark):
     streamed = {
         (r.click_id, r.error_id) for r in spark.sql("SELECT * FROM ss_join_out").collect()
     }
-    e = (
-        spark.read.schema(sw.EVENTS_LONG_TS_SCHEMA)
-        .parquet(f"{SF_SMALL}/events.parquet")
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    e = e.withColumn("event_time", eventtime.event_time_expr(e))
     clicks = e.filter(e.event_type == "click").selectExpr(
         "event_id AS click_id", "user_id", "event_time AS click_time"
     )
@@ -113,9 +110,8 @@ def test_streaming_bucketed_range_join_equals_batch(spark):
         (r.event_id, r.incident_id)
         for r in spark.sql("SELECT * FROM range_join_out").collect()
     }
-    e = spark.read.schema(sw.EVENTS_LONG_TS_SCHEMA).parquet(
-        f"{SF_SMALL}/events.parquet"
-    ).withColumn("us", F.expr("ts div 1000"))
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    e = e.withColumn("us", eventtime.us_expr(e))
     inc = e.filter(e.event_type == "error").selectExpr(
         "event_id AS incident_id", "us AS w_start"
     )
