@@ -94,6 +94,11 @@ _PRIORITY = [
     # kernels no other in-window entry exercises
     "text_pii_redact",
     "text_vocabulary",
+    # fourth session — two kernels nothing else exercises: bit-interleave
+    # clustering stats (the z-order data-skipping layout) and windowed
+    # SCD2 change-compaction/versioning (lag-filter + lead intervals)
+    "lineitem_zorder_stats",
+    "orders_scd2_priority_history",
 ]
 
 # Round-1-green entries that cede their budget slot when the total

@@ -1,0 +1,79 @@
+"""SCD2 versioning invariants: minimal history, tiling validity
+intervals, exactly one open version per key."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_spark.operators import scd
+
+from .conftest import SF_SMALL
+
+
+def test_scd2_versions_small_known_history(spark):
+    d = dt.date
+    feed = spark.createDataFrame(
+        [
+            # key 1: A → A (dup, collapsed) → B → B (no-op, compacted) → A
+            (1, d(2024, 1, 1), "A", 10),
+            (1, d(2024, 1, 1), "Z", 11),  # same-day tie: min tie wins → A kept
+            (1, d(2024, 2, 1), "B", 12),
+            (1, d(2024, 3, 1), "B", 13),
+            (1, d(2024, 4, 1), "A", 14),
+            # key 2: single observation → one open version
+            (2, d(2024, 1, 15), "C", 20),
+        ],
+        "k long, ts date, attr string, tie long",
+    )
+    rows = {
+        (r.k, r.version_no): (r.valid_from, r.valid_to, r.attr, r.is_current)
+        for r in scd.scd2_versions(feed, "k", "ts", "attr", "tie").collect()
+    }
+    assert rows == {
+        (1, 1): (d(2024, 1, 1), d(2024, 2, 1), "A", False),
+        (1, 2): (d(2024, 2, 1), d(2024, 4, 1), "B", False),
+        (1, 3): (d(2024, 4, 1), None, "A", True),
+        (2, 1): (d(2024, 1, 15), None, "C", True),
+    }
+
+
+def test_scd2_history_invariants_on_orders(spark):
+    hist = scd.customer_priority_history(spark, SF_SMALL).cache()
+    try:
+        # exactly one current (open) version per customer
+        per_key = hist.groupBy("custkey").agg(
+            F.sum(F.col("is_current").cast("int")).alias("n_open"),
+            F.sum(F.col("valid_to").isNull().cast("int")).alias("n_null_to"),
+        )
+        bad = per_key.filter((F.col("n_open") != 1) | (F.col("n_null_to") != 1)).count()
+        assert bad == 0
+
+        # intervals tile: valid_to of version n == valid_from of n+1
+        w_next = (
+            hist.alias("a")
+            .join(
+                hist.alias("b"),
+                (F.col("a.custkey") == F.col("b.custkey"))
+                & (F.col("a.version_no") + 1 == F.col("b.version_no")),
+            )
+            .filter(F.col("a.valid_to") != F.col("b.valid_from"))
+            .count()
+        )
+        assert w_next == 0
+
+        # minimal history: consecutive versions always change the attribute
+        redundant = (
+            hist.alias("a")
+            .join(
+                hist.alias("b"),
+                (F.col("a.custkey") == F.col("b.custkey"))
+                & (F.col("a.version_no") + 1 == F.col("b.version_no")),
+            )
+            .filter(F.col("a.priority") == F.col("b.priority"))
+            .count()
+        )
+        assert redundant == 0
+    finally:
+        hist.unpersist()
