@@ -99,6 +99,9 @@ _PRIORITY = [
     # SCD2 change-compaction/versioning (lag-filter + lead intervals)
     "lineitem_zorder_stats",
     "orders_scd2_priority_history",
+    # temporal AS-OF dim join (equi key + validity-interval residual) —
+    # the SCD2 read side, distinct from the union+window events as-of
+    "orders_priority_asof_ship",
 ]
 
 # Round-1-green entries that cede their budget slot when the total

@@ -77,3 +77,28 @@ def test_scd2_history_invariants_on_orders(spark):
         assert redundant == 0
     finally:
         hist.unpersist()
+
+
+def test_asof_join_never_fans_out(spark):
+    """Tiling, non-overlapping intervals ⇒ at most one version matches
+    each fact row: the as-of join output has exactly one row per
+    lineitem, and NULL priority only before the customer's first
+    version."""
+    out = scd.priority_asof_ship(spark, SF_SMALL).cache()
+    try:
+        n_li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").count()
+        assert out.count() == n_li
+
+        hist = scd.customer_priority_history(spark, SF_SMALL)
+        first = hist.filter(F.col("version_no") == 1).select(
+            "custkey", F.col("valid_from").alias("first_from")
+        )
+        unmatched_late = (
+            out.filter(F.col("priority_at_ship").isNull())
+            .join(first, "custkey")
+            .filter(F.col("ship_date") >= F.col("first_from"))
+            .count()
+        )
+        assert unmatched_late == 0
+    finally:
+        out.unpersist()
