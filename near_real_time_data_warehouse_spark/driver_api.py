@@ -102,6 +102,9 @@ _PRIORITY = [
     # temporal AS-OF dim join (equi key + validity-interval residual) —
     # the SCD2 read side, distinct from the union+window events as-of
     "orders_priority_asof_ship",
+    # incremental SCD2 maintenance vs the full-recompute oracle: the
+    # driver hash-certifies the CDC merge path equals recomputation
+    "orders_scd2_incremental",
 ]
 
 # Round-1-green entries that cede their budget slot when the total

@@ -30,16 +30,13 @@ from ..sources.testdata import load_tables
 from . import registry
 
 
-def scd2_versions(
-    feed: DataFrame, key: str, ts: str, attr: str, tie: str
-) -> DataFrame:
-    """Minimal SCD2 history from a raw change feed.
+def _collapse(feed: DataFrame, key: str, ts: str, attr: str, tie: str) -> DataFrame:
+    return feed.groupBy(key, ts).agg(F.min_by(attr, tie).alias(attr))
 
-    ``feed`` rows are observations (key, ts, attr, tie); ``tie`` must be
-    unique per (key, ts) so the same-timestamp collapse is deterministic.
-    Output: one row per retained version with version_no, valid_from,
-    valid_to (null = open), is_current."""
-    collapsed = feed.groupBy(key, ts).agg(F.min_by(attr, tie).alias(attr))
+
+def _versions_from_collapsed(
+    collapsed: DataFrame, key: str, ts: str, attr: str
+) -> DataFrame:
     w = Window.partitionBy(key).orderBy(ts)
     changes = (
         collapsed.withColumn("_prev", F.lag(attr).over(w))
@@ -56,17 +53,57 @@ def scd2_versions(
     )
 
 
+def scd2_versions(
+    feed: DataFrame, key: str, ts: str, attr: str, tie: str
+) -> DataFrame:
+    """Minimal SCD2 history from a raw change feed.
+
+    ``feed`` rows are observations (key, ts, attr, tie); ``tie`` must be
+    unique per (key, ts) so the same-timestamp collapse is deterministic.
+    Output: one row per retained version with version_no, valid_from,
+    valid_to (null = open), is_current."""
+    return _versions_from_collapsed(_collapse(feed, key, ts, attr, tie), key, ts, attr)
+
+
+def scd2_apply_increment(
+    history: DataFrame, feed: DataFrame, key: str, ts: str, attr: str, tie: str
+) -> DataFrame:
+    """Incremental SCD2 maintenance: merge a new change-feed batch into
+    an existing history, recomputing ONLY the touched keys.
+
+    A history row *is* its key's compacted feed (one (ts, attr)
+    observation per retained version), so the merge re-derives versions
+    from `touched keys' old rows ∪ the batch's collapsed observations`
+    and unions the untouched keys back unchanged. Cost ∝ touched keys'
+    history — never the full dimension — which is what makes nightly
+    dim maintenance viable when the history holds billions of rows.
+
+    Exactness contract: bit-equal to a full recompute (tested) when
+    batches partition the feed into increasing time ranges — every
+    observation in a batch at-or-after everything already applied — the
+    normal CDC cadence. Out-of-order *within* a batch is fine (the
+    window sorts), but an observation time-traveling *behind* an
+    already-applied batch can diverge: compaction drops no-op
+    observations, so a retro-insert between two stored versions can't
+    resurrect a dropped observation that the insert turns back into a
+    real change. (Supporting full out-of-order would mean keeping every
+    collapsed observation, i.e. not compacting until read time.)"""
+    collapsed_new = _collapse(feed, key, ts, attr, tie)
+    touched = collapsed_new.select(key).distinct()
+    old_feed = history.join(touched, key).select(
+        key, F.col("valid_from").alias(ts), attr
+    )
+    merged = old_feed.unionByName(collapsed_new)
+    recomputed = _versions_from_collapsed(merged, key, ts, attr)
+    untouched = history.join(touched, key, "left_anti")
+    return untouched.unionByName(recomputed)
+
+
 def customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history of each customer's order priority: orders are the
     change feed (one observation per order day, min-orderkey wins the
     day), compacted to actual changes and versioned."""
-    o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    feed = o.select(
-        "o_custkey",
-        F.col("o_orderdate").cast("date").alias("change_date"),
-        "o_orderpriority",
-        "o_orderkey",
-    )
+    feed = _orders_feed(spark, sf_dir)
     hist = scd2_versions(feed, "o_custkey", "change_date", "o_orderpriority", "o_orderkey")
     return hist.select(
         F.col("o_custkey").alias("custkey"),
@@ -169,5 +206,44 @@ FROM f LEFT JOIN scd2_hist h
 """
 
 
+def _orders_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("change_date"),
+        "o_orderpriority",
+        "o_orderkey",
+    )
+
+
+_INCR_CUT = "1996-01-01"
+
+
+def scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 history computed INCREMENTALLY — base history from orders
+    before {cut}, then the later orders merged as a CDC batch — with the
+    full-recompute SQL as its oracle, so the driver hash-certifies that
+    the incremental maintenance path is bit-equal to recomputation."""
+    feed = _orders_feed(spark, sf_dir)
+    base = scd2_versions(
+        feed.filter(F.col("change_date") < F.lit(_INCR_CUT)),
+        "o_custkey", "change_date", "o_orderpriority", "o_orderkey",
+    )
+    merged = scd2_apply_increment(
+        base,
+        feed.filter(F.col("change_date") >= F.lit(_INCR_CUT)),
+        "o_custkey", "change_date", "o_orderpriority", "o_orderkey",
+    )
+    return merged.select(
+        F.col("o_custkey").alias("custkey"),
+        "version_no",
+        "valid_from",
+        "valid_to",
+        F.col("o_orderpriority").alias("priority"),
+        "is_current",
+    )
+
+
 registry.register("orders_scd2_priority_history", customer_priority_history, SCD2_SQL)
 registry.register("orders_priority_asof_ship", priority_asof_ship, ASOF_SHIP_SQL)
+registry.register("orders_scd2_incremental", scd2_incremental, SCD2_SQL)

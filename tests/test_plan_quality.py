@@ -267,3 +267,24 @@ def test_vocabulary_topk_is_take_ordered(spark):
     plan = plan_of(QUERIES["text_vocabulary"](spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_dim_join_is_equi_not_nested_loop(spark):
+    """The SCD2 AS-OF join carries its validity interval as a residual on
+    an equi key; if the equality ever fell out of the join condition the
+    plan would degrade to BroadcastNestedLoopJoin — a per-probe scan of
+    the whole history at scale."""
+    plan = plan_of(QUERIES["orders_priority_asof_ship"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_zorder_stats_single_agg_shuffle(spark):
+    """Morton coding is pure projection (broadcast 1-row maxes, no
+    Python): the only hash exchange in the stats plan is the final
+    bucket aggregation, and partial aggregation runs map-side."""
+    plan = plan_of(QUERIES["lineitem_zorder_stats"](spark, SF_SMALL))
+    assert plan.count("hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan

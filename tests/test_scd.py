@@ -79,6 +79,56 @@ def test_scd2_history_invariants_on_orders(spark):
         hist.unpersist()
 
 
+def test_incremental_equals_full_recompute_three_batches(spark):
+    """Time-partitioned CDC batches applied one at a time end bit-equal
+    to the single-shot recompute over the whole feed."""
+    from near_real_time_data_warehouse_spark.operators.scd import (
+        _orders_feed,
+        scd2_apply_increment,
+        scd2_versions,
+    )
+
+    feed = _orders_feed(spark, SF_SMALL)
+    args = ("o_custkey", "change_date", "o_orderpriority", "o_orderkey")
+    cuts = ["1994-01-01", "1996-06-01"]
+    h = scd2_versions(feed.filter(F.col("change_date") < cuts[0]), *args)
+    h = scd2_apply_increment(
+        h,
+        feed.filter((F.col("change_date") >= cuts[0]) & (F.col("change_date") < cuts[1])),
+        *args,
+    )
+    h = scd2_apply_increment(h, feed.filter(F.col("change_date") >= cuts[1]), *args)
+    full = scd2_versions(feed, *args)
+    assert h.exceptAll(full).count() == 0 and full.exceptAll(h).count() == 0
+
+
+def test_incremental_flip_flop_and_noop_batches(spark):
+    """An increment whose first observation repeats the open version's
+    attribute adds no version; a later flip re-opens correctly."""
+    import datetime as dtm
+
+    from near_real_time_data_warehouse_spark.operators.scd import (
+        scd2_apply_increment,
+        scd2_versions,
+    )
+
+    d = dtm.date
+    schema = "k long, ts date, attr string, tie long"
+    b1 = spark.createDataFrame([(1, d(2024, 1, 1), "A", 1), (1, d(2024, 2, 1), "B", 2)], schema)
+    b2 = spark.createDataFrame(
+        [(1, d(2024, 3, 1), "B", 3), (1, d(2024, 4, 1), "A", 4), (2, d(2024, 3, 15), "X", 5)],
+        schema,
+    )
+    h = scd2_apply_increment(scd2_versions(b1, "k", "ts", "attr", "tie"), b2, "k", "ts", "attr", "tie")
+    got = {(r.k, r.version_no): (r.valid_from, r.valid_to, r.attr, r.is_current) for r in h.collect()}
+    assert got == {
+        (1, 1): (d(2024, 1, 1), d(2024, 2, 1), "A", False),
+        (1, 2): (d(2024, 2, 1), d(2024, 4, 1), "B", False),  # 3/1 B was a no-op
+        (1, 3): (d(2024, 4, 1), None, "A", True),
+        (2, 1): (d(2024, 3, 15), None, "X", True),
+    }
+
+
 def test_asof_join_never_fans_out(spark):
     """Tiling, non-overlapping intervals ⇒ at most one version matches
     each fact row: the as-of join output has exactly one row per
