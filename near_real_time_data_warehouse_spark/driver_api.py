@@ -105,6 +105,9 @@ _PRIORITY = [
     # incremental SCD2 maintenance vs the full-recompute oracle: the
     # driver hash-certifies the CDC merge path equals recomputation
     "orders_scd2_incremental",
+    # ingestion-time dedup: batch screened against the standing corpus
+    # (cross-group LSH + fingerprint semi-join), cost ∝ batch not corpus²
+    "dedup_incremental",
 ]
 
 # Round-1-green entries that cede their budget slot when the total

@@ -747,6 +747,148 @@ GROUP BY component
 """
 
 
+# --- Ingestion-time (cross-corpus) dedup ----------------------------------
+
+# An id-keyed batch split (unlike the content-keyed shard split, which by
+# construction never lets an exact duplicate straddle splits): every 5th
+# doc_id plays the "incoming crawl batch", the rest the standing corpus.
+_BATCH_MOD = 5
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch AGAINST the standing corpus — the
+    production mode, where a new crawl is screened at ingestion and the
+    corpus is never re-paired with itself. Cost ∝ batch (its shingles,
+    its bands, its candidates), not corpus²: the corpus side contributes
+    a fingerprint set (one semi-joinable hash per doc) and its LSH band
+    table, both of which are write-once artifacts a real pipeline keeps
+    materialized between crawls.
+
+    Per batch doc: exact-dup flag (normalized-content fingerprint seen
+    in the corpus), LSH candidate count, verified near-dup count
+    (Jaccard >= threshold), and the best verified similarity."""
+    d = _docs(spark, sf_dir)
+    in_batch = F.col("doc_id") % _BATCH_MOD == 0
+    fps = d.select("doc_id", F.md5(_norm_col()).alias("fingerprint"))
+    corpus_fp = fps.filter(~in_batch).select("fingerprint").distinct()
+    exact = (
+        fps.filter(in_batch)
+        .join(corpus_fp.withColumn("_hit", F.lit(1)), "fingerprint", "left")
+        .select("doc_id", F.col("_hit").isNotNull().alias("is_exact_dup"))
+    )
+
+    sh = _shingles_materialized(spark, sf_dir)
+    bands = _band_signatures(sh).localCheckpoint(eager=False)
+    cand = (
+        bands.filter(F.col("doc_id") % _BATCH_MOD == 0)
+        .alias("a")
+        .join(
+            bands.filter(F.col("doc_id") % _BATCH_MOD != 0).alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    verified = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    )
+    per_doc = (
+        cand.groupBy("doc_a").agg(F.count(F.lit(1)).alias("n_candidates"))
+        .join(
+            verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .groupBy("doc_a")
+            .agg(
+                F.count(F.lit(1)).alias("n_near_dups"),
+                F.max("jaccard").alias("max_jaccard"),
+            ),
+            "doc_a",
+            "left",
+        )
+    )
+    return (
+        exact.join(per_doc.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+            (F.coalesce("n_near_dups", F.lit(0)) > 0).alias("is_near_dup"),
+            "max_jaccard",
+        )
+    )
+
+
+INCREMENTAL_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL.format(where="")}),
+base AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % {MERSENNE_P} AS h31
+  FROM sh
+),
+hs AS (SELECT doc_id, list(h31) AS hs FROM base GROUP BY doc_id),
+bands AS ({{bands}}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig
+   AND a.doc_id % {_BATCH_MOD} = 0 AND b.doc_id % {_BATCH_MOD} <> 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT common.doc_a, n_common / (sa.n + sb.n - n_common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+per_doc AS (
+  SELECT c.doc_a,
+         (SELECT COUNT(*) FROM cand c2 WHERE c2.doc_a = c.doc_a) AS n_candidates,
+         COUNT(*) FILTER (WHERE v.jaccard >= {JACCARD_THRESHOLD}) AS n_near_dups,
+         MAX(v.jaccard) FILTER (WHERE v.jaccard >= {JACCARD_THRESHOLD}) AS max_jaccard
+  FROM (SELECT DISTINCT doc_a FROM cand) c
+  LEFT JOIN verified v ON v.doc_a = c.doc_a
+  GROUP BY c.doc_a
+),
+corpus_fp AS (
+  SELECT DISTINCT md5({_NORM_SQL}) AS fingerprint
+  FROM documents WHERE doc_id % {_BATCH_MOD} <> 0
+),
+batch AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
+  FROM documents WHERE doc_id % {_BATCH_MOD} = 0
+)
+SELECT b.doc_id,
+       cf.fingerprint IS NOT NULL AS is_exact_dup,
+       CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(p.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       COALESCE(p.n_near_dups, 0) > 0 AS is_near_dup,
+       p.max_jaccard
+FROM batch b
+LEFT JOIN corpus_fp cf ON cf.fingerprint = b.fingerprint
+LEFT JOIN per_doc p ON p.doc_a = b.doc_id
+"""
+
+
+def _incremental_sql() -> str:
+    return INCREMENTAL_SQL.format(bands=_minhash_bands_sql())
+
+
 registry.register("dedup_exact", exact_dedup, EXACT_SQL)
 registry.register("dedup_cluster_stats", dedup_cluster_stats, CLUSTER_STATS_SQL)
 registry.register("dedup_connected_components", dedup_components, COMPONENTS_SQL)
@@ -757,3 +899,4 @@ registry.register("dedup_minhash_lsh", minhash_lsh_pairs, MINHASH_SQL)
 registry.register("dedup_simhash", simhash, SIMHASH_SQL)
 registry.register("dedup_simhash_pairs", simhash_pairs, SIMHASH_PAIRS_SQL)
 registry.register("dedup_simhash_banded", simhash_banded, SIMHASH_BANDED_SQL)
+registry.register("dedup_incremental", incremental_dedup, _incremental_sql())
