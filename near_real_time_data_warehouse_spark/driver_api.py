@@ -108,6 +108,9 @@ _PRIORITY = [
     # ingestion-time dedup: batch screened against the standing corpus
     # (cross-group LSH + fingerprint semi-join), cost ∝ batch not corpus²
     "dedup_incremental",
+    # still has no driver row in any round — must stay inside the
+    # 50-entry window ahead of round-1-green core entries
+    "multimodal_frame_index",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -116,10 +119,8 @@ _PRIORITY = [
 # windows/sessionization via the q* and star entries) and by pytest.
 _DEPRIORITIZED = [
     # Head of this list fills any window slack (the first 50 minus
-    # _PRIORITY and the in-window core), best candidates first:
-    # multimodal_frame_index has no driver row in any round yet; q20 is
+    # _PRIORITY and the in-window core), best candidates first: q20 is
     # the only S9-view entry; q06 the only add_months date-arithmetic.
-    "multimodal_frame_index",
     "q20_store_quarterly_sales_view",
     "q06_city_marital_past6months",
     "dedup_connected_components",
