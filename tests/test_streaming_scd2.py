@@ -1,0 +1,41 @@
+"""The streamed, bucket-partitioned SCD2 history equals the batch
+recompute over the whole feed, across micro-batches that revisit keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from near_real_time_data_warehouse_spark.operators.scd import _orders_feed, scd2_versions
+from near_real_time_data_warehouse_spark.streaming.dimensions import run_streaming_scd2
+
+from .conftest import SF_SMALL
+
+
+def test_streaming_scd2_equals_batch(spark, tmp_path_factory):
+    import time as _time
+
+    base = tmp_path_factory.mktemp("scd2_stream")
+    feed = _orders_feed(spark, SF_SMALL)
+
+    # Time-partitioned slices (the increment contract): each file strictly
+    # later than the previous, many customers revisited.
+    cuts = ["1994-01-01", "1996-06-01"]
+    slices = (
+        feed.filter(F.col("change_date") < cuts[0]),
+        feed.filter((F.col("change_date") >= cuts[0]) & (F.col("change_date") < cuts[1])),
+        feed.filter(F.col("change_date") >= cuts[1]),
+    )
+    src = base / "stream"
+    src.mkdir()
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(f"{src}/part{i}")
+        _time.sleep(1.1)  # file order = modification time
+
+    out, ckpt = str(base / "hist"), str(base / "ckpt")
+    args = ("o_custkey", "change_date", "o_orderpriority", "o_orderkey")
+    run_streaming_scd2(spark, f"{src}/*", feed.schema, out, ckpt, *args)
+
+    got = spark.read.parquet(out).drop("bucket")
+    want = scd2_versions(feed, *args)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
