@@ -111,6 +111,10 @@ _PRIORITY = [
     # still has no driver row in any round — must stay inside the
     # 50-entry window ahead of round-1-green core entries
     "multimodal_frame_index",
+    # per-language discrete-percentile quality gate: the groupwise
+    # rank-position threshold kernel, portable across engines by
+    # construction (no engine quantile function)
+    "docs_adaptive_quality_filter",
 ]
 
 # Round-1-green entries that cede their budget slot when the total

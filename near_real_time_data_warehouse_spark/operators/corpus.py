@@ -265,6 +265,111 @@ FROM s
 """
 
 
+
+# Adaptive quality gate percentiles (discrete, 1-indexed rank CEIL(p*n)).
+MIN_TOKENS_PCT = 0.10   # drop the shortest decile per language
+MAX_STOP_PCT = 0.90     # drop the most stopword-heavy decile per language
+
+
+def adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality gate: thresholds are the language's
+    OWN distribution percentiles (p10 token count, p90 stopword ratio),
+    not corpus-wide constants — Chinese and German length distributions
+    differ too much for one cutoff. The discrete percentile is computed
+    with the portable rank construction (value at 1-indexed position
+    CEIL(p*n) in value order), NOT an engine quantile function, so both
+    engines agree bit-exactly including on ties. Two windows over the
+    same (lang, value-sorted) shuffle + one broadcast join-back of the
+    per-language threshold row; doubles come from long/long division so
+    their ordering is IEEE-identical in both engines."""
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "stopword_ratio")
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    scored = d.join(q, "doc_id")
+
+    def disc_threshold(value_col: str, pct: float, out: str) -> DataFrame:
+        w = Window.partitionBy("lang").orderBy(value_col)
+        ranked = scored.select(
+            "lang",
+            F.col(value_col).alias("v"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+        )
+        return (
+            ranked.filter(F.col("rn") == F.ceil(F.lit(pct) * F.col("n")).cast("int"))
+            .groupBy("lang")
+            .agg(F.min("v").alias(out))
+        )
+
+    thr = disc_threshold("n_tokens", MIN_TOKENS_PCT, "min_tokens_thr").join(
+        disc_threshold("stopword_ratio", MAX_STOP_PCT, "max_stop_thr"), "lang"
+    )
+    return scored.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "stopword_ratio",
+        "min_tokens_thr",
+        "max_stop_thr",
+        (
+            (F.col("n_tokens") >= F.col("min_tokens_thr"))
+            & (F.col("stopword_ratio") <= F.col("max_stop_thr"))
+        ).alias("keep"),
+    )
+
+
+ADAPTIVE_FILTER_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                   ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all({_NORM_SQL}, '\\b({{stopwords}})\\b')) AS BIGINT) AS n_stopwords
+  FROM documents
+),
+scored AS (
+  SELECT d.doc_id, d.lang, q.n_tokens,
+         CAST(q.n_stopwords AS DOUBLE)
+           / CASE WHEN q.n_tokens = 0 THEN 1 ELSE q.n_tokens END AS stopword_ratio
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+),
+rt AS (
+  SELECT lang, n_tokens AS v,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+),
+thr_tokens AS (
+  SELECT lang, MIN(v) AS min_tokens_thr FROM rt
+  WHERE rn = CAST(CEIL({MIN_TOKENS_PCT} * n) AS INT) GROUP BY lang
+),
+rs AS (
+  SELECT lang, stopword_ratio AS v,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY stopword_ratio) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+),
+thr_stop AS (
+  SELECT lang, MIN(v) AS max_stop_thr FROM rs
+  WHERE rn = CAST(CEIL({MAX_STOP_PCT} * n) AS INT) GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.n_tokens, s.stopword_ratio,
+       t.min_tokens_thr, p.max_stop_thr,
+       s.n_tokens >= t.min_tokens_thr AND s.stopword_ratio <= p.max_stop_thr AS keep
+FROM scored s
+JOIN thr_tokens t ON t.lang = s.lang
+JOIN thr_stop p ON p.lang = s.lang
+"""
+
+
+def _adaptive_filter_sql() -> str:
+    from .text import _STOPWORDS
+
+    return ADAPTIVE_FILTER_SQL.format(stopwords=_STOPWORDS)
+
+
 registry.register("docs_benchmark_contamination", benchmark_contamination, CONTAMINATION_SQL)
 registry.register("docs_chunk_windows", chunk_windows, CHUNK_WINDOWS_SQL)
 registry.register("docs_stratified_sample", stratified_sample, STRATIFIED_SAMPLE_SQL)
@@ -276,3 +381,4 @@ def shard_split_frame(spark: SparkSession, sf_dir: str):
     from .text import shard_split
 
     return shard_split(spark, sf_dir).toPandas()
+registry.register("docs_adaptive_quality_filter", adaptive_quality_filter, _adaptive_filter_sql())
