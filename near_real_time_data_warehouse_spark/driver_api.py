@@ -115,6 +115,9 @@ _PRIORITY = [
     # rank-position threshold kernel, portable across engines by
     # construction (no engine quantile function)
     "docs_adaptive_quality_filter",
+    # export-manifest kernel: order-independent modular content checksum
+    # (commutative aggregate, stable under any partitioning)
+    "docs_shard_manifest",
 ]
 
 # Round-1-green entries that cede their budget slot when the total

@@ -370,6 +370,63 @@ def _adaptive_filter_sql() -> str:
     return ADAPTIVE_FILTER_SQL.format(stopwords=_STOPWORDS)
 
 
+
+# Order-independent modular checksum: SUM(h mod P) mod P with h the
+# content-fingerprint bigint. P keeps the partial sums inside int64 at
+# any corpus size Spark can hold (n * P < 2^63 for n < 9.2e9 docs) and
+# the aggregate commutative/associative — safe under any partitioning.
+CHECKSUM_P = 1_000_000_007
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export manifest per split shard: doc count, token total, and an
+    order-independent content checksum. The manifest is what a consumer
+    verifies after copying an exported corpus — counts catch truncation,
+    the modular fingerprint sum catches content drift, and being
+    order-independent it is stable under shuffle/repartition (a plain
+    md5-of-concatenation would not be)."""
+    from .text import shard_split, token_stats
+
+    split = shard_split(spark, sf_dir).select("doc_id", "split")
+    toks = token_stats(spark, sf_dir).select("doc_id", "n_tokens")
+    fp = _docs(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(_norm_col()), 1, 15), 16, 10).cast("long")
+            % CHECKSUM_P
+        ).alias("h"),
+    )
+    return (
+        split.join(toks, "doc_id")
+        .join(fp, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("h") % CHECKSUM_P).alias("content_checksum"),
+        )
+    )
+
+
+SHARD_MANIFEST_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5({_NORM_SQL}), 1, 15)) AS BIGINT) % 10 AS bucket,
+         CAST(('0x' || substr(md5({_NORM_SQL}), 1, 15)) AS BIGINT) % {CHECKSUM_P} AS h,
+         CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                   ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT CASE WHEN bucket <= 7 THEN 'train' WHEN bucket = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(h) % {CHECKSUM_P} AS BIGINT) AS content_checksum
+FROM b
+GROUP BY split
+"""
+
+
 registry.register("docs_benchmark_contamination", benchmark_contamination, CONTAMINATION_SQL)
 registry.register("docs_chunk_windows", chunk_windows, CHUNK_WINDOWS_SQL)
 registry.register("docs_stratified_sample", stratified_sample, STRATIFIED_SAMPLE_SQL)
@@ -382,3 +439,4 @@ def shard_split_frame(spark: SparkSession, sf_dir: str):
 
     return shard_split(spark, sf_dir).toPandas()
 registry.register("docs_adaptive_quality_filter", adaptive_quality_filter, _adaptive_filter_sql())
+registry.register("docs_shard_manifest", shard_manifest, SHARD_MANIFEST_SQL)
