@@ -222,6 +222,22 @@ def _band_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
+# Band table memo: the signature tree (32 permutation mins + 8 band
+# md5s) feeds the LSH self-join, the ingestion-time cross-join, and the
+# components family — one checkpointed build per (session, sf_dir).
+_BANDS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bands_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    bands = _BANDS_MEMO.get(key)
+    if bands is None:
+        sh = _shingles_materialized(spark, sf_dir)
+        bands = _band_signatures(sh).localCheckpoint(eager=False)
+        _BANDS_MEMO[key] = bands
+    return bands
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8×4) near-dup pairs, verified with true Jaccard.
 
@@ -231,10 +247,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere, so the same plan runs at 100 TB; candidate volume is
     controlled by the band/row choice, and AQE handles skewed buckets."""
     sh = _shingles_materialized(spark, sf_dir)
-    # The signature tree (32 permutation mins + 8 band md5s) feeds BOTH
-    # sides of the candidate self-join; checkpoint it so the huge
-    # expression tree is built once and the join reads a plain scan.
-    bands = _band_signatures(sh).localCheckpoint(eager=False)
+    bands = _bands_materialized(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -778,7 +791,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sh = _shingles_materialized(spark, sf_dir)
-    bands = _band_signatures(sh).localCheckpoint(eager=False)
+    bands = _bands_materialized(spark, sf_dir)
     cand = (
         bands.filter(F.col("doc_id") % _BATCH_MOD == 0)
         .alias("a")
