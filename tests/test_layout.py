@@ -63,6 +63,63 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     assert single.avg_span / ranges.supp_range > 0.7
 
 
+def _rowgroup_prunable_fraction(path: str, col: str, lo: int, hi: int) -> float:
+    """Fraction of parquet row groups whose [min,max] footer stats miss
+    [lo, hi] — exactly the pruning a scan's predicate pushdown gets."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = pruned = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if st.max < lo or st.min > hi:
+                pruned += 1
+    assert total > 0
+    return pruned / total
+
+
+def test_zorder_layout_end_to_end_rowgroup_skipping(spark, tmp_path_factory):
+    """The measured payoff: after writing the z-ordered layout, a
+    selective predicate on EITHER clustered key prunes most row groups
+    from the footer stats alone, where the single-key-sorted layout
+    prunes only its own sort key."""
+    base = tmp_path_factory.mktemp("zorder_files")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select("l_partkey", "l_suppkey")
+    zdir, sdir = str(base / "zorder"), str(base / "sorted")
+    layout.zorder_layout(li, ["l_partkey", "l_suppkey"], partitions=16).write.parquet(zdir)
+    li.repartitionByRange(16, "l_partkey").sortWithinPartitions("l_partkey").write.parquet(sdir)
+
+    r = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).first()
+    # a mid-range ~10% slice of each dimension
+    def slice10(lo, hi):
+        mid, w = (lo + hi) // 2, max(1, (hi - lo) // 20)
+        return mid - w, mid + w
+
+    p_lo, p_hi = slice10(r[0], r[1])
+    s_lo, s_hi = slice10(r[2], r[3])
+
+    z_part = _rowgroup_prunable_fraction(zdir, "l_partkey", p_lo, p_hi)
+    z_supp = _rowgroup_prunable_fraction(zdir, "l_suppkey", s_lo, s_hi)
+    s_part = _rowgroup_prunable_fraction(sdir, "l_partkey", p_lo, p_hi)
+    s_supp = _rowgroup_prunable_fraction(sdir, "l_suppkey", s_lo, s_hi)
+
+    # single-key layout: excellent on its key, useless on the other
+    assert s_part > 0.8
+    assert s_supp < 0.2
+    # z-order: real pruning on BOTH keys (16 files ≈ 2 top bits per
+    # dimension, so each key's prunable fraction is bounded by quarters
+    # — and suppkey's tiny domain (10 values) coarsens its quantization)
+    assert z_part > 0.25 and z_supp > 0.35
+    assert min(z_part, z_supp) > min(s_part, s_supp) + 0.2
+
+
 def test_zorder_layout_preserves_rows(spark):
     li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
