@@ -31,6 +31,15 @@ def _bucket(key: str) -> F.Column:
     return F.pmod(F.xxhash64(F.col(key)), F.lit(N_BUCKETS))
 
 
+def _write_buckets(spark: SparkSession, df: DataFrame, out_dir: str) -> None:
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def _merge_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -39,14 +48,18 @@ def _merge_batch(
     ts: str,
     attr: str,
     tie: str,
+    current_dir: str | None = None,
 ) -> None:
     import os
 
     if batch.isEmpty():  # file sources can deliver marker-only batches
         return
     if not os.path.exists(out_dir):
-        hist = scd2_versions(batch, key, ts, attr, tie)
-        hist.withColumn("bucket", _bucket(key)).write.partitionBy("bucket").parquet(out_dir)
+        hist = scd2_versions(batch, key, ts, attr, tie).withColumn("bucket", _bucket(key))
+        hist = hist.localCheckpoint(eager=True)
+        hist.write.partitionBy("bucket").parquet(out_dir)
+        if current_dir is not None:
+            _write_buckets(spark, hist.filter(F.col("is_current")), current_dir)
         return
 
     touched = [r.b for r in batch.select(_bucket(key).alias("b")).distinct().collect()]
@@ -60,12 +73,13 @@ def _merge_batch(
         .withColumn("bucket", _bucket(key))
         .localCheckpoint(eager=True)
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _write_buckets(spark, merged, out_dir)
+    if current_dir is not None:
+        # Read-optimized serving snapshot: exactly one row per key, the
+        # open version — what a fact enrichment join actually wants.
+        # Same touched-bucket overwrite; rows come from the checkpointed
+        # merge, so no read-overwrite hazard on current_dir either.
+        _write_buckets(spark, merged.filter(F.col("is_current")), current_dir)
 
 
 def run_streaming_scd2(
@@ -79,9 +93,12 @@ def run_streaming_scd2(
     attr: str,
     tie: str,
     max_files_per_trigger: int = 1,
+    current_dir: str | None = None,
 ) -> None:
     """Drain the available change-feed files (availableNow), maintaining
-    the bucketed SCD2 history one micro-batch at a time."""
+    the bucketed SCD2 history one micro-batch at a time. With
+    ``current_dir``, also maintains the current-version-only snapshot
+    from the same per-bucket merge."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -89,7 +106,9 @@ def run_streaming_scd2(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
-        _merge_batch(batch_df.sparkSession, batch_df, out_dir, key, ts, attr, tie)
+        _merge_batch(
+            batch_df.sparkSession, batch_df, out_dir, key, ts, attr, tie, current_dir
+        )
 
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -32,10 +32,17 @@ def test_streaming_scd2_equals_batch(spark, tmp_path_factory):
         _time.sleep(1.1)  # file order = modification time
 
     out, ckpt = str(base / "hist"), str(base / "ckpt")
+    cur = str(base / "current")
     args = ("o_custkey", "change_date", "o_orderpriority", "o_orderkey")
-    run_streaming_scd2(spark, f"{src}/*", feed.schema, out, ckpt, *args)
+    run_streaming_scd2(spark, f"{src}/*", feed.schema, out, ckpt, *args, current_dir=cur)
 
     got = spark.read.parquet(out).drop("bucket")
     want = scd2_versions(feed, *args)
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # serving snapshot: exactly the open versions, one row per key
+    got_cur = spark.read.parquet(cur).drop("bucket")
+    want_cur = want.filter(F.col("is_current"))
+    assert got_cur.select("o_custkey").distinct().count() == got_cur.count()
+    assert got_cur.exceptAll(want_cur).count() == 0 and want_cur.exceptAll(got_cur).count() == 0
