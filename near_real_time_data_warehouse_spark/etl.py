@@ -117,6 +117,19 @@ def enrich(txns: DataFrame, customer_dim: DataFrame, product_dim: DataFrame) -> 
     )
 
 
+def orphan_transactions(txns: DataFrame, customer_dim: DataFrame) -> DataFrame:
+    """Transactions whose customer key has no master row yet. The
+    reference evicts these permanently (hybrid_join.py:229-231); a
+    near-real-time warehouse with refreshing masters parks them instead
+    and retries on later batches (streaming/pipeline.py retry path).
+    Kept in RAW transaction shape so a later ``enrich`` works on them
+    unchanged."""
+    keys = customer_dim.select(F.col("customer_id").alias("Customer_ID"))
+    return txns.filter(F.col("Customer_ID").isNotNull()).join(
+        F.broadcast(keys), "Customer_ID", "left_anti"
+    )
+
+
 # --- star loader (S4-S7) ---------------------------------------------------
 
 def _upsert_dim(new_rows: DataFrame, key: str, path: str, spark: SparkSession) -> None:

@@ -25,6 +25,7 @@ from pyspark.sql import SparkSession
 from ..etl import (
     enrich,
     load_star_batch,
+    orphan_transactions,
     read_customer_master,
     read_product_master,
     read_transactions,
@@ -66,6 +67,62 @@ def run_streaming_etl(
 
     query = (
         enriched.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def run_streaming_etl_with_retry(
+    spark: SparkSession,
+    transactions_dir: str,
+    customer_master_path: str,
+    product_master_path: str,
+    warehouse_dir: str,
+    checkpoint_dir: str,
+    orphans_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming ETL with late-arriving-dimension handling: transactions
+    whose customer has no master row are PARKED (raw shape) instead of
+    evicted, and every micro-batch retries batch ∪ parked against a
+    freshly-read master — so a master refresh between drains rescues
+    previously-orphaned facts (the reference drops them forever).
+
+    Facts stay exactly-once (per-epoch overwrite in load_star_batch).
+    The parked set is recomputed and overwritten each batch from
+    deterministic inputs; under a crash between the orphan write and the
+    checkpoint commit, the replayed union can double a parked line until
+    it loads — production would key parked rows by (source file, offset)
+    to close that window."""
+    import os
+
+    stream = read_transactions(spark, transactions_dir, streaming=True)
+    if max_files_per_trigger is not None:
+        stream = (
+            spark.readStream.format("csv")
+            .option("header", True)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .schema(stream.schema)
+            .load(transactions_dir)
+        )
+
+    def sink(batch_df, epoch_id: int) -> None:  # noqa: ANN001
+        s = batch_df.sparkSession
+        # Re-read masters per batch: the refresh is what rescues orphans.
+        cust = read_customer_master(s, customer_master_path)
+        prod = read_product_master(s, product_master_path)
+        full = batch_df
+        if os.path.exists(orphans_dir):
+            full = batch_df.unionByName(s.read.schema(batch_df.schema).parquet(orphans_dir))
+        # Materialize BEFORE overwriting orphans_dir (read-overwrite hazard).
+        orphans = orphan_transactions(full, cust).localCheckpoint(eager=True)
+        load_star_batch(s, enrich(full, cust, prod), cust, prod, warehouse_dir, epoch_id=epoch_id)
+        orphans.write.mode("overwrite").parquet(orphans_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
