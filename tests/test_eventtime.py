@@ -34,3 +34,41 @@ def test_epoch_us_matches_duckdb_and_ignores_session_tz(spark):
     s2 = spark.newSession()
     s2.conf.set("spark.sql.session.timeZone", "America/New_York")
     assert _spark_us(s2) == want
+
+
+# The timestamp-heaviest oracled entries, re-run bit-exact under a
+# non-UTC session (a full-registry non-UTC sweep at sf0.001 passed
+# 99/99 when this was added; this subset keeps the property pinned
+# per-round without doubling suite time). Entries here must not route
+# through session-memoized intermediates — those belong to the default
+# session.
+_TZ_SENSITIVE = [
+    "classic_pricing_summary",   # timestamp-literal pushdown filter
+    "classic_forecast_revenue",  # timestamp range filter
+    "orders_scd2_priority_history",  # timestamp→date casts + windows
+    "orders_priority_asof_ship",     # date interval join
+    "events_tumbling_hourly",        # epoch-µs bucketing
+    "events_sessionize",             # epoch gaps
+]
+
+
+def test_timestamp_entries_survive_non_utc_session(spark):
+    import pytest
+
+    from near_real_time_data_warehouse_spark import driver_api
+    from near_real_time_data_warehouse_spark.oracle_harness import (
+        compare,
+        duckdb_connection,
+    )
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    qs, oracles = driver_api.queries(), driver_api.oracle_sql()
+    con = duckdb_connection(SF_SMALL)
+    try:
+        for name in _TZ_SENSITIVE:
+            res = compare(name, qs[name](s2, SF_SMALL), con, oracles[name])
+            if not res.ok:
+                pytest.fail(f"non-UTC session divergence: {res}")
+    finally:
+        con.close()
