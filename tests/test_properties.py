@@ -114,3 +114,75 @@ def test_banding_boundary_exactly_threshold_plus_one(spark):
     assert pairs.get((0, 1)) == HAMMING_THRESHOLD
     assert (0, 2) not in pairs  # hamming 4: dropped by the verify
     assert pairs.get((1, 2)) == 1
+
+
+def _py_scd2(observations):
+    """Pure-Python SCD2 reference: collapse same-(key,ts) by min tie,
+    compact no-op changes, emit versions with lead validity."""
+    from collections import defaultdict
+
+    by_key = defaultdict(dict)  # key -> ts -> (tie, attr)
+    for k, ts, attr, tie in observations:
+        cur = by_key[k].get(ts)
+        if cur is None or tie < cur[0]:
+            by_key[k][ts] = (tie, attr)
+    out = {}
+    for k, m in by_key.items():
+        seq = [(ts, attr) for ts, (_, attr) in sorted(m.items())]
+        compacted = [x for i, x in enumerate(seq) if i == 0 or x[1] != seq[i - 1][1]]
+        for v, (ts, attr) in enumerate(compacted, start=1):
+            nxt = compacted[v][0] if v < len(compacted) else None
+            out[(k, v)] = (ts, nxt, attr, nxt is None)
+    return out
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 3),              # key
+            st.integers(0, 6),              # ts (day number)
+            st.sampled_from(["A", "B", "C"]),  # attr
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    cut=st.integers(1, 6),
+)
+@_SETTINGS
+def test_scd2_full_and_incremental_match_python_reference(spark, obs, cut):
+    """scd2_versions matches the pure-Python model on adversarial feeds
+    (same-day collisions, flip-flops), and applying the feed in two
+    time-partitioned batches through scd2_apply_increment lands on the
+    identical history."""
+    import datetime as dtm
+
+    from near_real_time_data_warehouse_spark.operators.scd import (
+        scd2_apply_increment,
+        scd2_versions,
+    )
+
+    rows = [
+        (k, dtm.date(2024, 1, 1 + ts), attr, i)  # unique tie per observation
+        for i, (k, ts, attr) in enumerate(obs)
+    ]
+    want = _py_scd2([(k, ts, a, t) for (k, ts, a, t) in rows])
+
+    schema = "k long, ts date, attr string, tie long"
+    feed = spark.createDataFrame(rows, schema)
+    full = {
+        (r.k, r.version_no): (r.valid_from, r.valid_to, r.attr, r.is_current)
+        for r in scd2_versions(feed, "k", "ts", "attr", "tie").collect()
+    }
+    assert full == want
+
+    cut_date = dtm.date(2024, 1, 1 + cut)
+    early = [r for r in rows if r[1] < cut_date]
+    late = [r for r in rows if r[1] >= cut_date]
+    if early and late:
+        h = scd2_versions(spark.createDataFrame(early, schema), "k", "ts", "attr", "tie")
+        h = scd2_apply_increment(h, spark.createDataFrame(late, schema), "k", "ts", "attr", "tie")
+        inc = {
+            (r.k, r.version_no): (r.valid_from, r.valid_to, r.attr, r.is_current)
+            for r in h.collect()
+        }
+        assert inc == want
