@@ -118,6 +118,9 @@ _PRIORITY = [
     # export-manifest kernel: order-independent modular content checksum
     # (commutative aggregate, stable under any partitioning)
     "docs_shard_manifest",
+    # size-desc striping via the distributed global ranking — the
+    # token-balanced export kernel (vs hash sharding's count balance)
+    "docs_balanced_shards",
 ]
 
 # Round-1-green entries that cede their budget slot when the total

@@ -427,6 +427,59 @@ GROUP BY split
 """
 
 
+
+# Balanced-shard export: size-desc striping across N output shards.
+N_EXPORT_SHARDS = 16
+
+
+def balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced export shards: rank documents by token count
+    descending (distributed global ranking — no single-partition window)
+    and stripe rank % N across shards, so every shard gets one document
+    from each size stratum. Hash sharding balances COUNTS but not token
+    totals (one shard can draw the long-document tail and straggle the
+    training job); striping bounds the per-shard token spread by the
+    largest single document. Output is the per-shard manifest; the
+    balance property itself is asserted in tests/test_corpus.py."""
+    from .ranking import global_row_number
+    from .text import token_stats
+
+    toks = token_stats(spark, sf_dir).select("doc_id", "n_tokens")
+    ranked = global_row_number(
+        toks, [F.desc("n_tokens"), F.col("doc_id")], rank_col="rn"
+    )
+    return (
+        ranked.withColumn("shard", (F.col("rn") - 1) % N_EXPORT_SHARDS)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("largest_doc_tokens"),
+        )
+    )
+
+
+BALANCED_SHARDS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                   ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM toks
+)
+SELECT (rn - 1) % {N_EXPORT_SHARDS} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MAX(n_tokens) AS largest_doc_tokens
+FROM ranked
+GROUP BY shard
+"""
+
+
 registry.register("docs_benchmark_contamination", benchmark_contamination, CONTAMINATION_SQL)
 registry.register("docs_chunk_windows", chunk_windows, CHUNK_WINDOWS_SQL)
 registry.register("docs_stratified_sample", stratified_sample, STRATIFIED_SAMPLE_SQL)
@@ -440,3 +493,4 @@ def shard_split_frame(spark: SparkSession, sf_dir: str):
     return shard_split(spark, sf_dir).toPandas()
 registry.register("docs_adaptive_quality_filter", adaptive_quality_filter, _adaptive_filter_sql())
 registry.register("docs_shard_manifest", shard_manifest, SHARD_MANIFEST_SQL)
+registry.register("docs_balanced_shards", balanced_shards, BALANCED_SHARDS_SQL)

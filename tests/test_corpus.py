@@ -40,3 +40,17 @@ def test_token_packing_is_sequential_per_shard(spark):
         cum_before = g.n_tokens.cumsum().shift(fill_value=0)
         assert (g.pack_id == cum_before // corpus.PACK_BUDGET).all()
         assert g.pack_id.is_monotonic_increasing  # packs are consecutive docs
+
+
+def test_balanced_shards_bound_token_spread(spark):
+    """Striping by size rank keeps per-shard token totals within one
+    largest-document of each other; hash sharding does not have that
+    bound (and at this SF visibly misses it)."""
+    from near_real_time_data_warehouse_spark.operators.corpus import balanced_shards
+
+    m = balanced_shards(spark, SF_SMALL)
+    rows = m.collect()
+    totals = [r.total_tokens for r in rows]
+    largest = max(r.largest_doc_tokens for r in rows)
+    assert len(rows) == 16
+    assert max(totals) - min(totals) <= largest
