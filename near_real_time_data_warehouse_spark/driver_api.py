@@ -121,6 +121,11 @@ _PRIORITY = [
     # size-desc striping via the distributed global ranking — the
     # token-balanced export kernel (vs hash sharding's count balance)
     "docs_balanced_shards",
+    # never driver-rowed (round-2 additions previously ceded as
+    # kernel-covered): first rows outrank round-1-green parity core for
+    # the final window slots
+    "docs_stratified_sample",
+    "docs_token_packing",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -193,11 +198,6 @@ _DEPRIORITIZED = [
     # + month-grouping mix stays in-window via q01 (top-k, day-type) and
     # q09 (month grouping)
     "q11_top5_category_month_daytype",
-    # new corpus ops, kernel-covered in-window: hash-threshold selection
-    # = text_shard_split's bucket kernel inside docs_curation_pipeline;
-    # partitioned running-sum window = star_rolling_7day_revenue
-    "docs_stratified_sample",
-    "docs_token_packing",
     # ceded this session for the four new kernels (all round-1
     # driver-green, union-ledgered in COVERAGE.md): multi-key grouped SUM
     # stays in-window via q13 (6 keys) and q01's grouping; groupBy+top-k
