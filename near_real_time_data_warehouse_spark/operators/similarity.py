@@ -538,8 +538,52 @@ FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {QUERY_CAP})
 """
 
 
+
+EMB_DIM = 64
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid — the k-means/IVF update step as a pure
+    JVM-side aggregation: element-wise sums of the integer-quantized
+    vectors (exact, map-side-combinable — each executor pre-sums its
+    partition before one shuffle of 64 longs per label) divided once by
+    the count (single IEEE division per element, hash-portable). At
+    100 TB this is THE way to re-train centroids on the full corpus:
+    no Python, no per-row state, shuffle volume ∝ labels × dims."""
+    e = _quantized(_emb(spark, sf_dir))
+    sums = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[
+            F.sum(F.element_at("q", i + 1)).alias(f"_s{i}")
+            for i in range(EMB_DIM)
+        ],
+    )
+    centroid = F.array(
+        *[(F.col(f"_s{i}") / F.col("n_vectors")).cast("double") for i in range(EMB_DIM)]
+    )
+    return sums.select("label", "n_vectors", centroid.alias("centroid_microunits"))
+
+
+LABEL_CENTROIDS_SQL = f"""
+WITH q AS ({_QUANT_SQL}),
+ex AS (
+  SELECT label, t.dim, q.q[t.dim] AS v
+  FROM q, range(1, {EMB_DIM + 1}) t(dim)
+),
+sums AS (
+  SELECT label, dim, CAST(SUM(v) AS BIGINT) AS s
+  FROM ex GROUP BY label, dim
+),
+n AS (SELECT label, COUNT(*) AS n_vectors FROM q GROUP BY label)
+SELECT n.label, n.n_vectors,
+       list(CAST(s AS DOUBLE) / n.n_vectors ORDER BY dim) AS centroid_microunits
+FROM sums JOIN n ON sums.label = n.label
+GROUP BY n.label, n.n_vectors
+"""
+
 registry.register("sim_bruteforce_topk", brute_force_topk, BRUTE_SQL)
 registry.register("sim_ann_lsh_topk", ann_lsh_topk, _lsh_topk_sql())
 registry.register("sim_ann_ivf_topk", ann_ivf_topk, None)   # recall-tested; see sim_ann_ivf_recall
 registry.register("sim_ann_ivf_recall", ann_ivf_recall, IVF_RECALL_SQL)
 registry.register("sim_embedding_near_dup", embedding_near_dup, NEAR_DUP_SQL)
+registry.register("emb_label_centroids", label_centroids, LABEL_CENTROIDS_SQL)
