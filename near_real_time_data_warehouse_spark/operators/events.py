@@ -695,7 +695,98 @@ registry.register("events_heavy_hitters", heavy_hitters, HEAVY_HITTERS_SQL)
 registry.register("events_props_extract", props_extract, PROPS_EXTRACT_SQL)
 registry.register("events_value_by_type_salted", value_by_type_salted, VALUE_BY_TYPE_SQL)
 registry.register("events_asof_last_error", asof_last_error, ASOF_SQL)
+
+
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly flags on the event stream — the
+    monitoring query a near-real-time warehouse serves: each (type,
+    hour)'s value total compared against its own prior-24-hour baseline;
+    |x − mean| > 3σ flags the hour. All moments come from exact
+    arithmetic (decimal hourly sums → integer micro-units; variance as
+    n·Σx² − (Σx)² in DECIMAL(38,0), one double cast then scalar IEEE
+    ops — the q15 discipline), so the flag itself is hash-portable.
+    The baseline window is a RANGE frame over the integer hour index
+    (gaps don't shrink it), per-type — one shuffle, state ∝ 24 rows."""
+    e = _events(spark, sf_dir)
+    hourly = (
+        e.groupBy(
+            F.expr(f"us div {_HOUR_US}").alias("hour_idx"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000)
+            .cast("long")
+            .alias("v_micro"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-24, -1)
+    )
+    vd = F.col("v_micro").cast("decimal(38,0)")
+    based = hourly.select(
+        "hour_idx",
+        "event_type",
+        "n_events",
+        "v_micro",
+        F.count(F.lit(1)).over(w).alias("b_n"),
+        F.sum("v_micro").over(w).cast("decimal(38,0)").alias("b1"),
+        F.sum(vd * vd).over(w).cast("decimal(38,0)").alias("b2"),
+    )
+    n = F.col("b_n")
+    num = (F.col("b2") * n - F.col("b1") * F.col("b1")).cast("double")
+    mean = (F.col("b1").cast("double") / n) / 1_000_000.0
+    std = F.sqrt(num / (n * (n - 1))) / 1_000_000.0
+    x = F.col("v_micro") / 1_000_000.0
+    return based.select(
+        (F.col("hour_idx") * 3600).alias("hour_epoch_s"),
+        "event_type",
+        "n_events",
+        x.alias("total_value"),
+        F.when(n >= 12, mean).alias("baseline_mean"),
+        F.when(n >= 12, std).alias("baseline_std"),
+        F.when(n >= 12, F.abs(x - mean) > 3 * std).alias("is_anomaly"),
+    )
+
+
+ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // {_HOUR_US} AS hour_idx,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v_micro
+  FROM events
+  GROUP BY hour_idx, event_type
+),
+based AS (
+  SELECT hour_idx, event_type, n_events, v_micro,
+         COUNT(*) OVER w AS b_n,
+         CAST(SUM(v_micro) OVER w AS DECIMAL(38,0)) AS b1,
+         CAST(SUM(CAST(v_micro AS DECIMAL(38,0)) * CAST(v_micro AS DECIMAL(38,0))) OVER w
+              AS DECIMAL(38,0)) AS b2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour_idx * 3600 AS hour_epoch_s,
+       event_type,
+       n_events,
+       v_micro / 1000000.0 AS total_value,
+       CASE WHEN b_n >= 12 THEN (CAST(b1 AS DOUBLE) / b_n) / 1000000.0 END AS baseline_mean,
+       CASE WHEN b_n >= 12
+            THEN sqrt(CAST(b2 * b_n - b1 * b1 AS DOUBLE) / (b_n * (b_n - 1))) / 1000000.0
+       END AS baseline_std,
+       CASE WHEN b_n >= 12
+            THEN abs(v_micro / 1000000.0 - (CAST(b1 AS DOUBLE) / b_n) / 1000000.0)
+                 > 3 * (sqrt(CAST(b2 * b_n - b1 * b1 AS DOUBLE) / (b_n * (b_n - 1))) / 1000000.0)
+       END AS is_anomaly
+FROM based
+"""
+
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)
 registry.register("events_sessionize", sessionize, SESSIONIZE_SQL)
 registry.register("events_dedup_first_per_key", dedup_events, DEDUP_EVENTS_SQL)
 registry.register("events_top_users_by_value", top_users_by_value, TOP_USERS_SQL)
+registry.register("events_hourly_anomalies", hourly_anomalies, ANOMALY_SQL)
