@@ -49,6 +49,8 @@ def _merge_batch(
     attr: str,
     tie: str,
     current_dir: str | None = None,
+    changes_dir: str | None = None,
+    epoch_id: int = 0,
 ) -> None:
     import os
 
@@ -60,6 +62,10 @@ def _merge_batch(
         hist.write.partitionBy("bucket").parquet(out_dir)
         if current_dir is not None:
             _write_buckets(spark, hist.filter(F.col("is_current")), current_dir)
+        if changes_dir is not None:
+            hist.drop("bucket").withColumn("_epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(changes_dir)
         return
 
     touched = [r.b for r in batch.select(_bucket(key).alias("b")).distinct().collect()]
@@ -73,6 +79,18 @@ def _merge_batch(
         .withColumn("bucket", _bucket(key))
         .localCheckpoint(eager=True)
     )
+    if changes_dir is not None:
+        # Change-data feed (the CDF analog): exactly the history rows
+        # this epoch created or rewrote — merged minus the pre-merge
+        # state of the touched buckets, stamped with the epoch. History
+        # rows are never deleted (valid_to/is_current just flip), so the
+        # multiset difference IS the complete delta, and a consumer
+        # reconstructs any point-in-time history as "latest row per
+        # (key, version_no) up to that epoch" (tested).
+        delta = merged.drop("bucket").exceptAll(existing).withColumn(
+            "_epoch", F.lit(epoch_id)
+        )
+        delta.write.mode("append").parquet(changes_dir)
     _write_buckets(spark, merged, out_dir)
     if current_dir is not None:
         # Read-optimized serving snapshot: exactly one row per key, the
@@ -94,20 +112,23 @@ def run_streaming_scd2(
     tie: str,
     max_files_per_trigger: int = 1,
     current_dir: str | None = None,
+    changes_dir: str | None = None,
 ) -> None:
     """Drain the available change-feed files (availableNow), maintaining
     the bucketed SCD2 history one micro-batch at a time. With
-    ``current_dir``, also maintains the current-version-only snapshot
-    from the same per-bucket merge."""
+    ``current_dir``, also maintains the current-version-only snapshot;
+    with ``changes_dir``, appends each epoch's created/rewritten history
+    rows as a change-data feed."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(feed_dir)
     )
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
         _merge_batch(
-            batch_df.sparkSession, batch_df, out_dir, key, ts, attr, tie, current_dir
+            batch_df.sparkSession, batch_df, out_dir, key, ts, attr, tie,
+            current_dir, changes_dir, epoch_id,
         )
 
     q = (

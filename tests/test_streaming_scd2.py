@@ -32,9 +32,12 @@ def test_streaming_scd2_equals_batch(spark, tmp_path_factory):
         _time.sleep(1.1)  # file order = modification time
 
     out, ckpt = str(base / "hist"), str(base / "ckpt")
-    cur = str(base / "current")
+    cur, chg = str(base / "current"), str(base / "changes")
     args = ("o_custkey", "change_date", "o_orderpriority", "o_orderkey")
-    run_streaming_scd2(spark, f"{src}/*", feed.schema, out, ckpt, *args, current_dir=cur)
+    run_streaming_scd2(
+        spark, f"{src}/*", feed.schema, out, ckpt, *args,
+        current_dir=cur, changes_dir=chg,
+    )
 
     got = spark.read.parquet(out).drop("bucket")
     want = scd2_versions(feed, *args)
@@ -46,3 +49,17 @@ def test_streaming_scd2_equals_batch(spark, tmp_path_factory):
     want_cur = want.filter(F.col("is_current"))
     assert got_cur.select("o_custkey").distinct().count() == got_cur.count()
     assert got_cur.exceptAll(want_cur).count() == 0 and want_cur.exceptAll(got_cur).count() == 0
+
+    # change feed: replaying "latest row per (key, version) by epoch"
+    # reconstructs the final history exactly
+    from pyspark.sql import Window
+
+    chg_df = spark.read.parquet(chg)
+    assert chg_df.count() > want.count()  # rewrites present, not just inserts
+    w = Window.partitionBy("o_custkey", "version_no").orderBy(F.desc("_epoch"))
+    replayed = (
+        chg_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_epoch")
+    )
+    assert replayed.exceptAll(want).count() == 0 and want.exceptAll(replayed).count() == 0
