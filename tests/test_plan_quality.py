@@ -288,3 +288,30 @@ def test_zorder_stats_single_agg_shuffle(spark):
     assert plan.count("hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_anomaly_window_is_partitioned(spark):
+    """The trailing-baseline window runs per event_type — a missing
+    partitionBy would funnel every hourly row through one task."""
+    plan = plan_of(QUERIES["events_hourly_anomalies"](spark, SF_SMALL))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_balanced_shards_avoids_single_partition_window(spark):
+    """The size ranking must come from the distributed global ranking
+    (whose range-partitioned sort is materialized behind a checkpoint —
+    the plan reads `Scan ExistingRDD`), never a bare Window.orderBy
+    (which would appear as a Window over SinglePartition)."""
+    plan = plan_of(QUERIES["docs_balanced_shards"](spark, SF_SMALL))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_label_centroids_single_agg_shuffle_no_python(spark):
+    """Element-wise centroid sums stay JVM-side with one hash exchange
+    (map-side partials before it)."""
+    plan = plan_of(QUERIES["emb_label_centroids"](spark, SF_SMALL))
+    assert plan.count("hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
