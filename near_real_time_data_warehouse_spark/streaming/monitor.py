@@ -11,10 +11,13 @@ Python equivalent), integer micro sums, variance as n·Σx² − (Σx)² in
 exact ints, then the identical float-op chain — so the drained stream's
 final emissions equal the batch DataFrame bit for bit (tested).
 
-State is the type's full hourly map here; production bounds it to the
-baseline horizon by evicting hours older than (max_hour − 24) once the
-watermark passes them — noted rather than implemented because eviction
-changes nothing observable in a drained test."""
+State is bounded: after each batch's emissions, hours older than the
+baseline horizon behind the type's max hour are evicted, so state size
+is ≤ HORIZON_HOURS + 1 entries per key regardless of stream length —
+the watermark-analog that makes the operator viable unbounded. An
+event arriving for an already-evicted hour would re-open it from zero;
+a real deployment pairs this with a watermark that drops such
+late-beyond-horizon events before the stateful operator."""
 
 from __future__ import annotations
 
@@ -28,6 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _HOUR_US = 3_600_000_000
 _SIX = Decimal("0.000001")
+HORIZON_HOURS = 25  # baseline lookback (24) + the open hour
 
 _STATE_SCHEMA = "hours ARRAY<LONG>, ns ARRAY<LONG>, vmicros ARRAY<LONG>, seq LONG"
 _OUTPUT_SCHEMA = (
@@ -80,15 +84,18 @@ def _monitor_fn(
             n_ev, vm = hourly.get(h, (0, 0))
             hourly[h] = (n_ev + 1, vm + _micro(float(value)))
     seq += 1
-    ordered = sorted(hourly)
-    state.update((
-        ordered,
-        [hourly[h][0] for h in ordered],
-        [hourly[h][1] for h in ordered],
-        seq,
-    ))
+    # Emit on the full pre-eviction map (an evicted hour's final flag was
+    # already emitted while it was live), then bound the stored state.
     out = _flags(hourly, seq)
     out.insert(0, "event_type", key[0])
+    horizon_floor = max(hourly) - HORIZON_HOURS if hourly else 0
+    retained = sorted(h for h in hourly if h >= horizon_floor)
+    state.update((
+        retained,
+        [hourly[h][0] for h in retained],
+        [hourly[h][1] for h in retained],
+        seq,
+    ))
     yield out
 
 

@@ -47,3 +47,56 @@ def test_streaming_anomalies_equal_batch(spark):
     # does, 73 of 3385); here assert the baselines were actually
     # evaluated, i.e. flags are decided (non-null) where history suffices
     assert any(v[4] is not None for v in streamed.values())
+
+
+def test_monitor_eviction_multi_batch_still_equals_batch(spark, tmp_path_factory):
+    """Time-ordered micro-batches spanning far beyond the 25-hour state
+    horizon: eviction engages between batches, yet the last emission per
+    hour still equals the batch operator — an evicted hour's final flag
+    was emitted while it was live and nothing after it can change it."""
+    import time as _time
+
+    base = tmp_path_factory.mktemp("monitor_evict")
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    e = e.withColumn("us", eventtime.us_expr(e))
+    lo, hi = e.agg(F.min("us"), F.max("us")).first()
+    third = (hi - lo) // 3
+    src = base / "stream"
+    src.mkdir()
+    for i in range(3):
+        s = e.filter(
+            (F.col("us") >= lo + i * third)
+            & (F.col("us") < (lo + (i + 1) * third if i < 2 else hi + 1))
+        )
+        s.coalesce(1).write.parquet(f"{src}/part{i}")
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sw.run_to_memory(streaming_hourly_anomalies(stream), "anomalies_evict_out", "update")
+
+    from pyspark.sql import Window
+
+    out = spark.sql("SELECT * FROM anomalies_evict_out")
+    w = Window.partitionBy("event_type", "hour_epoch_s").orderBy(F.desc("emit_seq"))
+    final = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "emit_seq")
+    )
+    streamed = {
+        (r.event_type, r.hour_epoch_s): (
+            r.n_events, r.total_value, r.baseline_mean, r.baseline_std, r.is_anomaly
+        )
+        for r in final.collect()
+    }
+    batch = {
+        (r.event_type, r.hour_epoch_s): (
+            r.n_events, r.total_value, r.baseline_mean, r.baseline_std, r.is_anomaly
+        )
+        for r in batch_events.hourly_anomalies(spark, SF_SMALL).collect()
+    }
+    assert streamed == batch
