@@ -775,6 +775,70 @@ registry.register("classic_revenue_concentration", revenue_concentration, REVENU
 registry.register("classic_customer_order_percentile", customer_order_percentile, CUSTOMER_PERCENTILE_SQL)
 registry.register("classic_top_balance_inactive", top_balance_inactive, TOP_BALANCE_SQL)
 registry.register("classic_potential_promotion", potential_promotion, POTENTIAL_PROMOTION_SQL)
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source reconciliation — the warehouse data-quality audit no
+    other entry's join kernel covers: a FULL OUTER join of the order
+    header totals against the lineitem-derived totals, classifying every
+    order as matched / amount_mismatch / missing on either side. At
+    scale this is one co-partitionable equi-join (both sides keyed on
+    orderkey — the bucketed layout in bucketing.py makes it
+    exchange-free); the classification is pure projection. Money stays
+    DECIMAL(18,2) end to end, so 'matched' means exact equality, not a
+    float tolerance."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    line = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("line_total"))
+    )
+    o = t["orders"].select("o_orderkey", _dec("o_totalprice").alias("header_total"))
+    j = o.join(line, o["o_orderkey"] == line["l_orderkey"], "full_outer")
+    status = (
+        F.when(F.col("o_orderkey").isNull(), "missing_order")
+        .when(F.col("l_orderkey").isNull(), "missing_lineitems")
+        .when(F.col("header_total") == F.col("line_total"), "matched")
+        .otherwise("amount_mismatch")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce("header_total", F.lit(0).cast("decimal(18,2)")).alias("h"),
+            F.coalesce("line_total", F.lit(0).cast("decimal(18,2)")).alias("l"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("h").cast("double").alias("header_total"),
+            F.sum("l").cast("double").alias("line_total"),
+        )
+    )
+
+
+RECONCILIATION_SQL = """
+WITH line AS (
+  SELECT l_orderkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS line_total
+  FROM lineitem GROUP BY l_orderkey
+),
+o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS header_total FROM orders),
+j AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'missing_order'
+              WHEN line.l_orderkey IS NULL THEN 'missing_lineitems'
+              WHEN o.header_total = line.line_total THEN 'matched'
+              ELSE 'amount_mismatch' END AS status,
+         COALESCE(o.header_total, CAST(0 AS DECIMAL(18,2))) AS h,
+         COALESCE(line.line_total, CAST(0 AS DECIMAL(18,2))) AS l
+  FROM o FULL OUTER JOIN line ON o.o_orderkey = line.l_orderkey
+)
+SELECT status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(h) AS DOUBLE) AS header_total,
+       CAST(SUM(l) AS DOUBLE) AS line_total
+FROM j
+GROUP BY status
+"""
+
+
+
 registry.register("classic_pricing_summary", pricing_summary, PRICING_SQL)
 registry.register("classic_small_quantity_revenue", small_quantity_revenue, SMALL_QTY_SQL)
 registry.register("classic_volume_shipping", volume_shipping, VOLUME_SHIPPING_SQL)
@@ -1201,3 +1265,4 @@ registry.register("classic_large_volume_customers", large_volume_customers, LARG
 registry.register("classic_min_cost_supplier", min_cost_supplier, MIN_COST_SQL)
 registry.register("classic_supplier_part_variety", supplier_part_variety, PART_VARIETY_SQL)
 registry.register("classic_nation_profit", nation_profit, NATION_PROFIT_SQL)
+registry.register("classic_order_reconciliation", order_reconciliation, RECONCILIATION_SQL)

@@ -315,3 +315,11 @@ def test_label_centroids_single_agg_shuffle_no_python(spark):
     plan = plan_of(QUERIES["emb_label_centroids"](spark, SF_SMALL))
     assert plan.count("hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_reconciliation_is_full_outer_hash_join(spark):
+    """The two-source audit must stay a single FULL OUTER equi-join —
+    no nested loop, both sides co-partitionable on orderkey."""
+    plan = plan_of(QUERIES["classic_order_reconciliation"](spark, SF_SMALL))
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
