@@ -186,3 +186,31 @@ def test_scd2_full_and_incremental_match_python_reference(spark, obs, cut):
             for r in h.collect()
         }
         assert inc == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+        min_size=2,
+        max_size=24,
+        unique=True,
+    )
+)
+@_SETTINGS
+def test_zvalue_interleave_matches_python(spark, pairs):
+    """Morton coding must place bit i of column k at position i·n+k for
+    arbitrary values; anchoring (0, 65535) in the set makes the max
+    scaling the identity so the pure interleave is exposed."""
+    from near_real_time_data_warehouse_spark.operators.layout import with_zvalue
+
+    pairs = list({(0, 0), (65535, 65535)} | set(pairs))
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {(r.a, r.b): r.zval for r in with_zvalue(df, ["a", "b"]).collect()}
+    assert got == {(a, b): morton(a, b) for a, b in pairs}
