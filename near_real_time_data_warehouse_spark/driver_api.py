@@ -38,20 +38,24 @@ def _star_query(q: analysis.AnalysisQuery) -> QueryFn:
 # exercised by in-window entries. Union coverage across rounds is
 # tracked in COVERAGE.md.
 _PRIORITY = [
-    # round-1 positions 51+ (registered, locally green, never evaluated)
+    # ROUND 3 HEAD: the only 7 registry entries with no driver row in
+    # any recorded round (locally differential-green; VERDICT r2 item 1).
+    # First driver rows here complete union coverage 105/105.
+    "emb_label_centroids",
+    "events_hourly_anomalies",
+    "classic_order_reconciliation",
+    "classic_forecast_revenue",
+    "classic_promo_revenue_share",
+    "classic_returned_customers",
+    "classic_nation_profit",
+    # Rewritten this round (de-Pythoned to pure JVM expressions, VERDICT
+    # r2 wrong-item 1); in-window to re-certify the identical hash.
+    "events_user_gap_stats",
+    # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
-    "classic_small_quantity_revenue",
-    "classic_volume_shipping",
     "classic_shipping_priority",
     "classic_local_supplier_volume",
-    "classic_order_priority_semi",
-    "classic_parts_never_shipped",
     "classic_customer_order_histogram",
-    "classic_disjunctive_revenue",
-    "events_top_users_by_value",
-    # round-1 driver hash-fail, root-caused this round (HUGEINT cast)
-    "dedup_simhash",
-    # new this round
     "dedup_simhash_banded",
     "sim_ann_lsh_topk",
     "sim_ann_ivf_recall",
@@ -125,7 +129,6 @@ _PRIORITY = [
     # kernel-covered): first rows outrank round-1-green parity core for
     # the final window slots
     "docs_stratified_sample",
-    "docs_token_packing",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -133,6 +136,21 @@ _PRIORITY = [
 # in-window (e.g. the components/minhash family via dedup_minhash_lsh,
 # windows/sessionization via the q* and star entries) and by pytest.
 _DEPRIORITIZED = [
+    # Ceded this round (all r2-green, union-ledgered in COVERAGE.md) for
+    # the 7 first-row entries: single-scan filtered agg kernel stays via
+    # classic_pricing_summary; CASE+join via the q* core; semi/anti via
+    # classic_waiting_suppliers / classic_supplier_part_variety;
+    # join+group+top-k via classic_shipping_priority; simhash Hamming
+    # banding via dedup_simhash_banded (+ the HUGEINT DESCRIBE-audit
+    # pytest guard).
+    "classic_small_quantity_revenue",
+    "classic_volume_shipping",
+    "docs_token_packing",
+    "classic_order_priority_semi",
+    "classic_parts_never_shipped",
+    "classic_disjunctive_revenue",
+    "events_top_users_by_value",
+    "dedup_simhash",
     # Head of this list fills any window slack (the first 50 minus
     # _PRIORITY and the in-window core), best candidates first: q20 is
     # the only S9-view entry; q06 the only add_months date-arithmetic.
@@ -146,7 +164,6 @@ _DEPRIORITIZED = [
     "sim_bruteforce_topk",
     "sim_ann_ivf_topk",
     "sim_embedding_near_dup",
-    "events_user_gap_stats",
     "events_approx_distinct_users",
     "events_value_by_type_salted",
     "events_asof_last_error",
@@ -186,14 +203,6 @@ _DEPRIORITIZED = [
     "q03_category_sales_by_occupation",
     "q08_top5_city_category_revenue",
     "q10_age_weekend_weekday_sales",
-    # new this session but kernel-covered in-window: single-scan filtered
-    # aggregate (classic_pricing_summary), conditional-ratio
-    # (classic_market_share), join+group+top-k (classic_shipping_priority),
-    # multi-join grouped SUM (classic_local_supplier_volume)
-    "classic_forecast_revenue",
-    "classic_promo_revenue_share",
-    "classic_returned_customers",
-    "classic_nation_profit",
     # ceded for docs_benchmark_contamination; q11's top-k + CASE day-type
     # + month-grouping mix stays in-window via q01 (top-k, day-type) and
     # q09 (month grouping)
