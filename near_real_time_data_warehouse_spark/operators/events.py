@@ -707,7 +707,14 @@ def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops — the q15 discipline), so the flag itself is hash-portable.
     The baseline window is a RANGE frame over the integer hour index
     (gaps don't shrink it), per-type — one shuffle, state ∝ 24 rows."""
-    e = _events(spark, sf_dir)
+    return hourly_anomalies_from(_events(spark, sf_dir))
+
+
+def hourly_anomalies_from(e: DataFrame) -> DataFrame:
+    """Core of :func:`hourly_anomalies` over any frame with
+    ``event_type``, ``us`` (epoch-µs) and ``value`` — shared with the
+    streaming twin's equivalence tests so batch and stream can be
+    compared on arbitrary (synthetic, dense) inputs."""
     hourly = (
         e.groupBy(
             F.expr(f"us div {_HOUR_US}").alias("hour_idx"),
