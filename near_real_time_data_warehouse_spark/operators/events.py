@@ -625,39 +625,37 @@ GROUP BY c.cohort_day, day_offset
 
 
 def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user inter-event-gap statistics via grouped-map
-    ``applyInPandas`` — the escape hatch for per-group sequence logic
-    that's awkward as window expressions. Each group arrives as one
-    pandas frame (bounded: one user's events), gaps are sorted integer
-    microseconds, and the p50/p90 are *index-selected* (floor((n-1)·q))
-    rather than interpolated, so the result is pure integers and the SQL
-    oracle matches bit-for-bit. At scale: one shuffle on user_id; group
-    size = one user's history, never the table."""
-    import pandas as pd
-
+    """Per-user inter-event-gap statistics as pure JVM expressions:
+    lag-window gaps, then ``sort_array(collect_list(gap))`` with
+    *index-selected* p50/p90 (floor((n-1)·q), no interpolation) via
+    ``element_at`` — so the result is pure integers and the SQL oracle
+    matches bit-for-bit. Formerly a grouped-map ``applyInPandas``; the
+    oracle proved the computation expressible with built-ins, and the
+    rewrite removes the only Python worker round-trip that had a
+    straightforward JVM replacement (round-2 verdict). Whole plan stays
+    in codegen (no-PythonRunner plan test). At scale: one shuffle on
+    user_id — Catalyst reuses the window's hash partitioning for the
+    groupBy — and per-group state is one user's gap list, never the
+    table. Tie-ordered lag is safe: equal timestamps yield the same
+    sorted gap multiset regardless of tie order."""
     e = _events(spark, sf_dir).select("user_id", "us")
+    w = Window.partitionBy("user_id").orderBy("us")
+    gaps = e.select("user_id", (F.col("us") - F.lag("us").over(w)).alias("gap"))
+    agg = gaps.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("gap")).alias("gs"),
+        F.count("gap").alias("n"),
+    )
+    n = F.col("n")
 
-    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        us = pdf["us"].sort_values().to_numpy()
-        if len(us) < 2:
-            return pd.DataFrame(
-                {"user_id": pdf["user_id"].iloc[:1], "n_gaps": [0],
-                 "p50_gap_us": [None], "p90_gap_us": [None]}
-            )
-        gaps = (us[1:] - us[:-1])
-        gaps.sort()
-        n = len(gaps)
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].iloc[:1],
-                "n_gaps": [n],
-                "p50_gap_us": [int(gaps[int((n - 1) * 0.5)])],
-                "p90_gap_us": [int(gaps[int((n - 1) * 0.9)])],
-            }
-        )
+    def _pick(q: float):
+        idx = (F.floor((n - 1) * F.lit(q)) + 1).cast("int")
+        return F.when(n > 0, F.element_at("gs", idx))
 
-    return e.groupBy("user_id").applyInPandas(
-        stats, "user_id long, n_gaps long, p50_gap_us long, p90_gap_us long"
+    return agg.select(
+        "user_id",
+        n.alias("n_gaps"),
+        _pick(0.5).alias("p50_gap_us"),
+        _pick(0.9).alias("p90_gap_us"),
     )
 
 

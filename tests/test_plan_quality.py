@@ -323,3 +323,16 @@ def test_reconciliation_is_full_outer_hash_join(spark):
     plan = plan_of(QUERIES["classic_order_reconciliation"](spark, SF_SMALL))
     assert "FullOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_user_gap_stats_is_pure_jvm_one_shuffle(spark):
+    """The per-user gap percentiles were the one grouped-map
+    applyInPandas with a straightforward built-in replacement (round-2
+    verdict); the rewrite must keep the whole plan in codegen — no
+    Python worker anywhere — and Catalyst must reuse the lag-window's
+    hash partitioning for the groupBy (one exchange total)."""
+    plan = plan_of(QUERIES["events_user_gap_stats"](spark, SF_SMALL))
+    for marker in ("Python", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
