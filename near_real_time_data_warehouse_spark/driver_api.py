@@ -51,6 +51,10 @@ _PRIORITY = [
     # Rewritten this round (de-Pythoned to pure JVM expressions, VERDICT
     # r2 wrong-item 1); in-window to re-certify the identical hash.
     "events_user_gap_stats",
+    # NEW this round: out-of-order SCD2 via the observation store —
+    # newest orders seed the store, everything earlier lands as one big
+    # retro-insert, and the full-recompute oracle hash-certifies it.
+    "orders_scd2_outoforder",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "classic_shipping_priority",
@@ -125,10 +129,6 @@ _PRIORITY = [
     # size-desc striping via the distributed global ranking — the
     # token-balanced export kernel (vs hash sharding's count balance)
     "docs_balanced_shards",
-    # never driver-rowed (round-2 additions previously ceded as
-    # kernel-covered): first rows outrank round-1-green parity core for
-    # the final window slots
-    "docs_stratified_sample",
 ]
 
 # Round-1-green entries that cede their budget slot when the total
@@ -146,6 +146,7 @@ _DEPRIORITIZED = [
     "classic_small_quantity_revenue",
     "classic_volume_shipping",
     "docs_token_packing",
+    "docs_stratified_sample",
     "classic_order_priority_semi",
     "classic_parts_never_shipped",
     "classic_disjunctive_revenue",

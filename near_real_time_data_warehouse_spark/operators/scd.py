@@ -8,13 +8,28 @@ can join the dimension AS OF their event time.
 
 Pipeline (all map-side-combinable or single-key-shuffle — scales):
   1. same-timestamp collapse: ``min_by(attr, tie)`` groupBy — exact
-     because the tie column is unique, and partially aggregable;
+     because the tie column is unique, and partially aggregable; the
+     winning tie (``min(tie)``) is kept as ``_tie`` so later merges can
+     re-collapse deterministically and exactly (collapse is associative
+     on (attr, tie) pairs under min-tie);
   2. change compaction: drop rows whose attribute equals the previous
      version's (lag over the key) — the step that makes the history
      minimal;
   3. versioning: ``valid_to = lead(valid_from)``, open-ended for the
      current row; version numbers by row_number.
 Steps 2-3 share one shuffle (same partitionBy key, same ordering).
+
+Two maintenance paths:
+  - ``scd2_apply_increment`` merges CDC batches into the *compacted*
+    history — cheapest state, exact for time-partitioned batches
+    (boundary-equal timestamps included: ``merged`` is re-collapsed on
+    (key, ts) with the carried tie before re-versioning);
+  - the *observation store* (``scd2_observations`` /
+    ``scd2_obs_apply`` / ``scd2_versions_from_observations``) keeps
+    every collapsed observation — no compaction loss — so batches may
+    arrive in ARBITRARY order, retro-inserts included, and versions
+    derived from the store are always bit-equal to a full recompute
+    (driver-hash-certified by ``orders_scd2_outoforder``).
 
 The driver entry versions each customer's order-priority from the
 orders table as the change feed; the oracle is the same window chain in
@@ -31,7 +46,18 @@ from . import registry
 
 
 def _collapse(feed: DataFrame, key: str, ts: str, attr: str, tie: str) -> DataFrame:
-    return feed.groupBy(key, ts).agg(F.min_by(attr, tie).alias(attr))
+    return feed.groupBy(key, ts).agg(
+        F.min_by(attr, tie).alias(attr), F.min(tie).alias("_tie")
+    )
+
+
+def _recollapse(merged: DataFrame, key: str, ts: str, attr: str) -> DataFrame:
+    """Collapse already-collapsed fragments on (key, ts) using the
+    carried winning tie — associative, so merging partial collapses
+    this way equals collapsing the original feed in one shot."""
+    return merged.groupBy(key, ts).agg(
+        F.min_by(attr, "_tie").alias(attr), F.min("_tie").alias("_tie")
+    )
 
 
 def _versions_from_collapsed(
@@ -50,6 +76,7 @@ def _versions_from_collapsed(
         F.lead(ts).over(w).alias("valid_to"),
         F.col(attr),
         F.lead(ts).over(w).isNull().alias("is_current"),
+        F.col("_tie"),
     )
 
 
@@ -61,7 +88,8 @@ def scd2_versions(
     ``feed`` rows are observations (key, ts, attr, tie); ``tie`` must be
     unique per (key, ts) so the same-timestamp collapse is deterministic.
     Output: one row per retained version with version_no, valid_from,
-    valid_to (null = open), is_current."""
+    valid_to (null = open), is_current, plus ``_tie`` (the version's
+    collapse-winning tie, carried so increments merge exactly)."""
     return _versions_from_collapsed(_collapse(feed, key, ts, attr, tie), key, ts, attr)
 
 
@@ -82,21 +110,59 @@ def scd2_apply_increment(
     batches partition the feed into increasing time ranges — every
     observation in a batch at-or-after everything already applied — the
     normal CDC cadence. Out-of-order *within* a batch is fine (the
-    window sorts), but an observation time-traveling *behind* an
-    already-applied batch can diverge: compaction drops no-op
-    observations, so a retro-insert between two stored versions can't
-    resurrect a dropped observation that the insert turns back into a
-    real change. (Supporting full out-of-order would mean keeping every
-    collapsed observation, i.e. not compacting until read time.)"""
+    window sorts), and a batch observation at a timestamp EQUAL to a
+    stored version's valid_from is exact too: ``merged`` is re-collapsed
+    on (key, ts) with the carried winning tie before re-versioning, so
+    the duplicate-(key, ts) nondeterminism the naive union would hit
+    cannot occur, and min-tie associativity makes the outcome identical
+    to collapsing the original feed. What remains out of contract is an
+    observation time-traveling strictly *between* already-applied
+    batches: compaction drops no-op observations, so a retro-insert
+    there can diverge from recompute. For arbitrary-order feeds use the
+    observation store (``scd2_obs_apply``), which keeps every collapsed
+    observation and is exact under any batch order."""
     collapsed_new = _collapse(feed, key, ts, attr, tie)
     touched = collapsed_new.select(key).distinct()
     old_feed = history.join(touched, key).select(
-        key, F.col("valid_from").alias(ts), attr
+        key, F.col("valid_from").alias(ts), attr, "_tie"
     )
-    merged = old_feed.unionByName(collapsed_new)
+    merged = _recollapse(old_feed.unionByName(collapsed_new), key, ts, attr)
     recomputed = _versions_from_collapsed(merged, key, ts, attr)
     untouched = history.join(touched, key, "left_anti")
     return untouched.unionByName(recomputed)
+
+
+def scd2_observations(feed: DataFrame, key: str, ts: str, attr: str, tie: str) -> DataFrame:
+    """The uncompacted observation store: one row per (key, ts) holding
+    the collapse-winning (attr, tie). Keeping no-op observations is what
+    buys arbitrary-order maintenance — a retro-insert can turn a stored
+    no-op back into a real change, which the compacted history cannot
+    represent. State ∝ distinct (key, ts) observed, not versions."""
+    return _collapse(feed, key, ts, attr, tie)
+
+
+def scd2_obs_apply(
+    obs: DataFrame, feed: DataFrame, key: str, ts: str, attr: str, tie: str
+) -> DataFrame:
+    """Merge a change-feed batch into the observation store — batches in
+    ANY order (retro-inserts included). Only touched keys' observations
+    are re-collapsed; min-tie associativity makes the merged store equal
+    to collapsing the full concatenated feed, hence versions derived
+    from it are bit-equal to a full recompute under any batch order
+    (property-tested; driver-hash-certified by orders_scd2_outoforder)."""
+    batch = _collapse(feed, key, ts, attr, tie)
+    touched = batch.select(key).distinct()
+    merged = _recollapse(obs.join(touched, key).unionByName(batch), key, ts, attr)
+    untouched = obs.join(touched, key, "left_anti")
+    return untouched.unionByName(merged)
+
+
+def scd2_versions_from_observations(
+    obs: DataFrame, key: str, ts: str, attr: str
+) -> DataFrame:
+    """Compact + version the observation store at read time (steps 2-3
+    of the pipeline; one shuffle)."""
+    return _versions_from_collapsed(obs, key, ts, attr)
 
 
 def customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,6 +310,30 @@ def scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_outoforder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 history maintained through the OBSERVATION STORE with
+    batches applied in reverse time order — the newest orders seed the
+    store, then everything earlier lands as one big retro-insert batch
+    (the case the compacted path's contract excludes). The oracle is the
+    same full-recompute SQL as the other SCD2 entries, so the driver
+    hash-certifies that out-of-order maintenance is bit-equal to
+    recomputation."""
+    feed = _orders_feed(spark, sf_dir)
+    args = ("o_custkey", "change_date", "o_orderpriority", "o_orderkey")
+    obs = scd2_observations(feed.filter(F.col("change_date") >= F.lit(_INCR_CUT)), *args)
+    obs = scd2_obs_apply(obs, feed.filter(F.col("change_date") < F.lit(_INCR_CUT)), *args)
+    hist = scd2_versions_from_observations(obs, "o_custkey", "change_date", "o_orderpriority")
+    return hist.select(
+        F.col("o_custkey").alias("custkey"),
+        "version_no",
+        "valid_from",
+        "valid_to",
+        F.col("o_orderpriority").alias("priority"),
+        "is_current",
+    )
+
+
 registry.register("orders_scd2_priority_history", customer_priority_history, SCD2_SQL)
+registry.register("orders_scd2_outoforder", scd2_outoforder, SCD2_SQL)
 registry.register("orders_priority_asof_ship", priority_asof_ship, ASOF_SHIP_SQL)
 registry.register("orders_scd2_incremental", scd2_incremental, SCD2_SQL)

@@ -175,8 +175,13 @@ def test_scd2_full_and_incremental_match_python_reference(spark, obs, cut):
     }
     assert full == want
 
+    # boundary-INCLUSIVE split: cut-day observations are applied in the
+    # base AND re-delivered in the increment — the at-or-after contract's
+    # equality edge (round-2 advisor's duplicate-(key, ts) finding) plus
+    # at-least-once re-delivery; the tie-carrying re-collapse must make
+    # both exact.
     cut_date = dtm.date(2024, 1, 1 + cut)
-    early = [r for r in rows if r[1] < cut_date]
+    early = [r for r in rows if r[1] <= cut_date]
     late = [r for r in rows if r[1] >= cut_date]
     if early and late:
         h = scd2_versions(spark.createDataFrame(early, schema), "k", "ts", "attr", "tie")
@@ -186,6 +191,56 @@ def test_scd2_full_and_incremental_match_python_reference(spark, obs, cut):
             for r in h.collect()
         }
         assert inc == want
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(0, 9),
+            st.sampled_from(["A", "B", "C"]),
+        ),
+        min_size=2,
+        max_size=24,
+    ),
+    assign=st.lists(st.integers(0, 2), min_size=24, max_size=24),
+)
+@_SETTINGS
+def test_scd2_observation_store_any_batch_order(spark, obs, assign):
+    """The observation store is exact under ARBITRARY batch order:
+    observations dealt into up to three batches by Hypothesis (so
+    retro-inserts, interleavings, and no-op resurrections all occur)
+    and applied in that order land bit-equal to the one-shot recompute."""
+    import datetime as dtm
+
+    from near_real_time_data_warehouse_spark.operators.scd import (
+        scd2_obs_apply,
+        scd2_observations,
+        scd2_versions_from_observations,
+    )
+
+    rows = [
+        (k, dtm.date(2024, 1, 1 + ts), attr, i)
+        for i, (k, ts, attr) in enumerate(obs)
+    ]
+    want = _py_scd2(rows)
+    schema = "k long, ts date, attr string, tie long"
+    batches = [[], [], []]
+    for r, b in zip(rows, assign):
+        batches[b].append(r)
+    batches = [b for b in batches if b]
+    store = scd2_observations(
+        spark.createDataFrame(batches[0], schema), "k", "ts", "attr", "tie"
+    )
+    for b in batches[1:]:
+        store = scd2_obs_apply(
+            store, spark.createDataFrame(b, schema), "k", "ts", "attr", "tie"
+        )
+    got = {
+        (r.k, r.version_no): (r.valid_from, r.valid_to, r.attr, r.is_current)
+        for r in scd2_versions_from_observations(store, "k", "ts", "attr").collect()
+    }
+    assert got == want
 
 
 @given(

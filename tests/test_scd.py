@@ -129,6 +129,80 @@ def test_incremental_flip_flop_and_noop_batches(spark):
     }
 
 
+def test_increment_at_boundary_equal_ts_is_exact(spark):
+    """The round-2 advisor's case: a batch observation at a ts EQUAL to
+    the open version's valid_from. The naive union would carry two rows
+    with the same (key, ts) into versioning (nondeterministic order,
+    possible zero-width intervals); the tie-carrying re-collapse must
+    resolve it exactly as the full recompute does — here the batch's
+    tie (5) loses to the stored winner's tie (2), so B stays."""
+    import datetime as dtm
+
+    from near_real_time_data_warehouse_spark.operators.scd import (
+        scd2_apply_increment,
+        scd2_versions,
+    )
+
+    d = dtm.date
+    schema = "k long, ts date, attr string, tie long"
+    b1 = spark.createDataFrame([(1, d(2024, 1, 1), "A", 1), (1, d(2024, 2, 1), "B", 2)], schema)
+    b2 = spark.createDataFrame([(1, d(2024, 2, 1), "C", 5), (1, d(2024, 3, 1), "C", 6)], schema)
+    h = scd2_apply_increment(scd2_versions(b1, "k", "ts", "attr", "tie"), b2, "k", "ts", "attr", "tie")
+    got = {(r.k, r.version_no): (r.valid_from, r.valid_to, r.attr, r.is_current) for r in h.collect()}
+    full = scd2_versions(
+        spark.createDataFrame(
+            [(1, d(2024, 1, 1), "A", 1), (1, d(2024, 2, 1), "B", 2),
+             (1, d(2024, 2, 1), "C", 5), (1, d(2024, 3, 1), "C", 6)],
+            schema,
+        ),
+        "k", "ts", "attr", "tie",
+    )
+    want = {(r.k, r.version_no): (r.valid_from, r.valid_to, r.attr, r.is_current) for r in full.collect()}
+    assert got == want == {
+        (1, 1): (d(2024, 1, 1), d(2024, 2, 1), "A", False),
+        (1, 2): (d(2024, 2, 1), d(2024, 3, 1), "B", False),
+        (1, 3): (d(2024, 3, 1), None, "C", True),
+    }
+
+
+def test_observation_store_retro_insert_resurrects_noop(spark):
+    """The case the compacted path cannot represent: a retro-insert
+    between two stored versions turns a compacted-away no-op back into
+    a real change. The observation store keeps the no-op, so the
+    derived history equals the full recompute."""
+    import datetime as dtm
+
+    from near_real_time_data_warehouse_spark.operators.scd import (
+        scd2_obs_apply,
+        scd2_observations,
+        scd2_versions,
+        scd2_versions_from_observations,
+    )
+
+    d = dtm.date
+    schema = "k long, ts date, attr string, tie long"
+    # A on 1/1, A on 2/1 (no-op under compaction), then retro X on 1/15:
+    # full recompute gives A | X | A — the 2/1 A matters again.
+    base = [(1, d(2024, 1, 1), "A", 1), (1, d(2024, 2, 1), "A", 2)]
+    retro = [(1, d(2024, 1, 15), "X", 3)]
+    store = scd2_observations(spark.createDataFrame(base, schema), "k", "ts", "attr", "tie")
+    store = scd2_obs_apply(store, spark.createDataFrame(retro, schema), "k", "ts", "attr", "tie")
+    got = {
+        (r.k, r.version_no): (r.valid_from, r.valid_to, r.attr, r.is_current)
+        for r in scd2_versions_from_observations(store, "k", "ts", "attr").collect()
+    }
+    full = scd2_versions(spark.createDataFrame(base + retro, schema), "k", "ts", "attr", "tie")
+    want = {
+        (r.k, r.version_no): (r.valid_from, r.valid_to, r.attr, r.is_current)
+        for r in full.collect()
+    }
+    assert got == want == {
+        (1, 1): (d(2024, 1, 1), d(2024, 1, 15), "A", False),
+        (1, 2): (d(2024, 1, 15), d(2024, 2, 1), "X", False),
+        (1, 3): (d(2024, 2, 1), None, "A", True),
+    }
+
+
 def test_asof_join_never_fans_out(spark):
     """Tiling, non-overlapping intervals ⇒ at most one version matches
     each fact row: the as-of join output has exactly one row per
