@@ -55,6 +55,10 @@ _PRIORITY = [
     # newest orders seed the store, everything earlier lands as one big
     # retro-insert, and the full-recompute oracle hash-certifies it.
     "orders_scd2_outoforder",
+    # NEW this round: the sketch-median accuracy gate companion to
+    # star_store_customer_stats (the exact-median buffering cliff at
+    # 100 TB — VERDICT r2 wrong-item 2).
+    "star_store_stats_approx",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "classic_shipping_priority",
@@ -123,9 +127,6 @@ _PRIORITY = [
     # rank-position threshold kernel, portable across engines by
     # construction (no engine quantile function)
     "docs_adaptive_quality_filter",
-    # export-manifest kernel: order-independent modular content checksum
-    # (commutative aggregate, stable under any partitioning)
-    "docs_shard_manifest",
     # size-desc striping via the distributed global ranking — the
     # token-balanced export kernel (vs hash sharding's count balance)
     "docs_balanced_shards",
@@ -147,6 +148,9 @@ _DEPRIORITIZED = [
     "classic_volume_shipping",
     "docs_token_packing",
     "docs_stratified_sample",
+    # export-manifest checksum kernel r2-green; order-independence also
+    # pinned by pytest every round
+    "docs_shard_manifest",
     "classic_order_priority_semi",
     "classic_parts_never_shipped",
     "classic_disjunctive_revenue",

@@ -790,6 +790,51 @@ FROM salefact JOIN product_dim USING (product_id)
 GROUP BY store_id
 """
 
+# Sketch medians within 5% of the per-store p05–p95 spread.
+STORE_MEDIAN_TOLERANCE = 0.05
+
+
+def star_store_stats_approx(star: Star) -> DataFrame:
+    """Driver-checkable accuracy gate for the sketch-median path:
+    star_store_customer_stats' exact `percentile` buffers every group's
+    values — the standard exact-median cliff at 100 TB — and
+    `approx_percentile` (one-pass mergeable KLL-style summary, bounded
+    state) is the scale drop-in. Per store: exact p50 via
+    percentile_disc (actual data values, no interpolation — DuckDB's
+    quantile_disc matches bit-for-bit) plus a boolean asserting the
+    sketch landed within 5% of the p05–p95 spread. Same oracle trick as
+    the HLL/quantile gates: the oracle pins the exact side and a
+    constant true; a sketch regression flips the Spark boolean and the
+    value hash goes red."""
+    df = star["salefact"].join(
+        F.broadcast(star["product_dim"].select("product_id", "store_id")), "product_id"
+    )
+    amt = "CAST(purchase_amount AS DOUBLE)"
+    agg = df.groupBy("store_id").agg(
+        F.countDistinct("customer_id").alias("n_customers"),
+        F.expr(f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {amt})").alias("median_disc"),
+        F.expr(f"percentile_disc(0.05) WITHIN GROUP (ORDER BY {amt})").alias("_p05"),
+        F.expr(f"percentile_disc(0.95) WITHIN GROUP (ORDER BY {amt})").alias("_p95"),
+        F.percentile_approx(F.expr(amt), 0.5, 10000).alias("_approx"),
+    )
+    tol = F.lit(STORE_MEDIAN_TOLERANCE) * (F.col("_p95") - F.col("_p05"))
+    return agg.select(
+        "store_id",
+        "n_customers",
+        "median_disc",
+        (F.abs(F.col("_approx") - F.col("median_disc")) <= tol).alias("median_within_bound"),
+    )
+
+
+STAR_STORE_STATS_APPROX_SQL = """
+SELECT store_id,
+       COUNT(DISTINCT customer_id) AS n_customers,
+       quantile_disc(CAST(purchase_amount AS DOUBLE), 0.5) AS median_disc,
+       true AS median_within_bound
+FROM salefact JOIN product_dim USING (product_id)
+GROUP BY store_id
+"""
+
 
 GROUPING_SETS_SQL = """
 SELECT COALESCE(CAST(store_id AS BIGINT), -1) AS store_id,
@@ -827,6 +872,9 @@ QUERIES.update(
         "star_store_customer_stats": AnalysisQuery(
             "star_store_customer_stats", star_store_stats.__doc__,
             star_store_stats, STAR_STORE_STATS_SQL),
+        "star_store_stats_approx": AnalysisQuery(
+            "star_store_stats_approx", star_store_stats_approx.__doc__,
+            star_store_stats_approx, STAR_STORE_STATS_APPROX_SQL),
     }
 )
 
@@ -845,6 +893,11 @@ _SPARK_SQL_OVERRIDES = {
     # DuckDB quantile_cont ≡ Spark percentile (exact interpolated).
     "star_store_customer_stats": STAR_STORE_STATS_SQL.replace(
         "quantile_cont(", "percentile("
+    ),
+    # DuckDB quantile_disc(x, q) ≡ Spark percentile_disc(q) WITHIN GROUP.
+    "star_store_stats_approx": STAR_STORE_STATS_APPROX_SQL.replace(
+        "quantile_disc(CAST(purchase_amount AS DOUBLE), 0.5)",
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(purchase_amount AS DOUBLE))",
     ),
 }
 
