@@ -59,6 +59,10 @@ _PRIORITY = [
     # star_store_customer_stats (the exact-median buffering cliff at
     # 100 TB — VERDICT r2 wrong-item 2).
     "star_store_stats_approx",
+    # NEW this round: incremental near-dup graph maintenance — the
+    # persisted band-table/component state updated at cost ∝ batch,
+    # hash-certified ≡ full rebuild by the recursive-CC oracle.
+    "dedup_graph_incremental",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "classic_shipping_priority",
@@ -79,7 +83,6 @@ _PRIORITY = [
     "docs_curation_pipeline",
     "classic_revenue_concentration",
     "classic_top_balance_inactive",
-    "events_props_extract",
     "classic_customer_order_percentile",
     # new this round, second session — the four classic shapes whose
     # kernels nothing else in-window exercises: MIN-equality join-back
@@ -151,6 +154,8 @@ _DEPRIORITIZED = [
     # export-manifest checksum kernel r2-green; order-independence also
     # pinned by pytest every round
     "docs_shard_manifest",
+    # JSON-path extraction kernel r2-green; pytest-covered every round
+    "events_props_extract",
     "classic_order_priority_semi",
     "classic_parts_never_shipped",
     "classic_disjunctive_revenue",

@@ -342,9 +342,14 @@ def connected_components(
     in ``localCheckpoint`` — without it, iteration N's plan nests N copies
     of the whole lineage and the driver dies re-optimizing it long before
     the executors break (at cluster scale: ``checkpoint`` to durable
-    storage instead). ``vertices``: (doc_id); ``edges``: (src, dst),
-    undirected edges given in both directions."""
-    labels = vertices.select(F.col("doc_id"), F.col("doc_id").alias("label")).localCheckpoint()
+    storage instead). ``vertices``: (doc_id), optionally with a ``label``
+    column seeding the propagation (used by the incremental path, where
+    stored component labels — themselves min-ids — are the seeds);
+    ``edges``: (src, dst), undirected edges given in both directions."""
+    if "label" in vertices.columns:
+        labels = vertices.select("doc_id", "label").localCheckpoint()
+    else:
+        labels = vertices.select(F.col("doc_id"), F.col("doc_id").alias("label")).localCheckpoint()
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -840,6 +845,122 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """True-Jaccard verification of candidate pairs (doc_a, doc_b) —
+    shingle intersection over union, candidates only, threshold-filtered.
+    The shared tail of every LSH path: cost ∝ candidates."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+
+def dedup_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the near-dup graph STATE — the answer
+    to "the nightly dedup_graph_build is the biggest bench line": instead
+    of re-pairing the whole corpus, a new batch updates the persisted
+    band table and component labels at cost ∝ batch.
+
+    Standing state (what a real pipeline keeps materialized): the
+    corpus band table and the corpus-only component labels. Batch
+    arrival:
+      1. batch docs' band signatures (cost ∝ batch);
+      2. new verified edges = LSH collisions with ≥1 batch endpoint
+         (batch×corpus ∪ batch×batch — corpus×corpus pairs cannot
+         change and are never recomputed);
+      3. QUOTIENT merge: new edges are mapped through the current
+         labels (stored corpus labels ∪ batch identity), and connected
+         components run on that quotient graph — vertices ∝ touched
+         components + batch, never the corpus;
+      4. remap: every doc's label routes through the quotient result
+         (broadcast join — the quotient mapping is small).
+
+    Because hash-min labels are component-minimum doc_ids at every
+    level, min-of-mins equals the global min, so the updated state is
+    BIT-EQUAL to a full rebuild — which is exactly what the oracle
+    (the full-rebuild recursive SQL) hash-certifies, the
+    scd2_incremental pattern applied to the dedup graph."""
+    in_batch = F.col("doc_id") % _BATCH_MOD == 0
+    sh = _shingles_materialized(spark, sf_dir)
+    bands = _bands_materialized(spark, sf_dir)
+
+    def build_corpus() -> DataFrame:
+        corpus_bands = bands.filter(~in_batch)
+        a, b = corpus_bands.alias("a"), corpus_bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        pairs = _jaccard_pairs(sh, cand)
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        vertices = _docs(spark, sf_dir).filter(~in_batch).select("doc_id")
+        return connected_components(vertices, edges)
+
+    corpus_labels = _memoized_components("minhash_corpus", spark, sf_dir, build_corpus)
+
+    # 1-2. batch band signatures against the full table → new edges
+    cand_new = (
+        bands.filter(in_batch)
+        .alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    new_pairs = _jaccard_pairs(sh, cand_new)
+
+    # 3. quotient graph over current labels
+    current = corpus_labels.select("doc_id", F.col("component").alias("label")).unionByName(
+        _docs(spark, sf_dir).filter(in_batch).select("doc_id", F.col("doc_id").alias("label"))
+    )
+    lmap_a = current.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("la"))
+    lmap_b = current.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("lb"))
+    qedges_half = (
+        new_pairs.join(lmap_a, "doc_a")
+        .join(lmap_b, "doc_b")
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+        .distinct()
+    )
+    qedges = qedges_half.unionByName(
+        qedges_half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    qvertices = qedges.select(F.col("src").alias("doc_id")).distinct()
+    qcomp = connected_components(qvertices, qedges).select(
+        F.col("doc_id").alias("label"), F.col("component").alias("qcomp")
+    )
+
+    # 4. remap through the (small) quotient result
+    return current.join(F.broadcast(qcomp), "label", "left").select(
+        "doc_id", F.coalesce("qcomp", "label").alias("component")
+    )
+
+
 INCREMENTAL_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL.format(where="")}),
 base AS (
@@ -913,3 +1034,4 @@ registry.register("dedup_simhash", simhash, SIMHASH_SQL)
 registry.register("dedup_simhash_pairs", simhash_pairs, SIMHASH_PAIRS_SQL)
 registry.register("dedup_simhash_banded", simhash_banded, SIMHASH_BANDED_SQL)
 registry.register("dedup_incremental", incremental_dedup, _incremental_sql())
+registry.register("dedup_graph_incremental", dedup_graph_incremental, COMPONENTS_MINHASH_SQL)

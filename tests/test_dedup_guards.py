@@ -20,3 +20,41 @@ def test_connected_components_raises_when_iteration_capped(spark):
     # and with enough rounds it converges to a single component
     labels = connected_components(vertices, edges, max_iterations=10)
     assert {r.component for r in labels.collect()} == {0}
+
+
+def test_seeded_components_equal_unseeded(spark):
+    """Seeding the propagation with stored labels (the incremental
+    path's quotient trick) must land on the same fixpoint as starting
+    from identity labels, because hash-min labels are component minima
+    at every level."""
+    vertices = spark.range(8).withColumnRenamed("id", "doc_id")
+    raw = [(0, 1), (1, 2), (3, 4), (6, 7)]
+    edges = spark.createDataFrame(
+        raw + [(b, a) for a, b in raw], "src long, dst long"
+    )
+    want = {(r.doc_id, r.component) for r in connected_components(vertices, edges).collect()}
+    # seed: {0,1,2}→0 and {3,4}→3 already merged, rest identity
+    from pyspark.sql import functions as F
+
+    seeded = vertices.withColumn(
+        "label",
+        F.when(F.col("doc_id") <= 2, F.lit(0))
+        .when(F.col("doc_id") <= 4, F.lit(3))
+        .otherwise(F.col("doc_id")),
+    )
+    got = {(r.doc_id, r.component) for r in connected_components(seeded, edges).collect()}
+    assert got == want
+
+
+def test_graph_incremental_equals_full_rebuild(spark):
+    """The maintained state (corpus components + batch merged via the
+    quotient graph) is bit-equal to rebuilding the full MinHash-LSH
+    component labels from scratch — the Spark-side twin of the driver's
+    full-rebuild-oracle hash certification."""
+    from near_real_time_data_warehouse_spark.operators import dedup
+
+    from .conftest import SF_SMALL
+
+    inc = dedup.dedup_graph_incremental(spark, SF_SMALL)
+    full = dedup.dedup_components_minhash(spark, SF_SMALL)
+    assert inc.exceptAll(full).count() == 0 and full.exceptAll(inc).count() == 0
