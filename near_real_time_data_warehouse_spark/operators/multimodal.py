@@ -1,11 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Treats image/audio/video as ``binary`` columns with a typed metadata
-struct, processed by Arrow-batched ``mapInPandas`` pipelines. The decode
-kernels themselves are STUBBED (this container ships no image/audio
-libraries — see ``DecodeNotAvailable`` / the deterministic fake): what is
-real and tested is everything Spark-side — schema, batch iteration, UDF
-signatures, partition-preserving flow, and metadata pushdown.
+struct, processed by Arrow-batched ``mapInPandas`` pipelines. The
+UNCOMPRESSED containers are decoded for real with dependency-free
+parsers — WAV (RIFF/PCM16: genuine sample rate, channels, duration,
+amplitude features) and PPM (P6: genuine width/height, pixel
+features) — with malformed payloads routed to quarantine rows
+(``decode_with_quarantine``), never executor crashes. Formats that
+need codecs (JPEG/MP3/MP4…) raise ``DecodeNotAvailable``; the
+deterministic fake decoder remains for driver-scaled oracle entries
+(the synthetic corpus has no real media column). Everything
+Spark-side — schema, batch iteration, UDF signatures,
+partition-preserving flow, metadata pushdown — is real and tested.
 
 At 100 TB: binary payloads dominate bytes, so the design rule is
 *metadata-first* — filter/route on the typed metadata columns (pushed to
@@ -56,15 +62,140 @@ FEATURE_SCHEMA = T.StructType(
 
 
 class DecodeNotAvailable(NotImplementedError):
-    """Raised by the real-decoder path: media codecs are not installed in
-    this environment. Swap ``_decode_real`` with a Pillow/torchaudio/pyav
-    implementation in production."""
+    """Raised by the real-decoder path for formats needing codecs this
+    container doesn't ship (compressed image/audio, any video). The
+    uncompressed containers below (WAV, PPM) ARE decoded for real."""
+
+
+class MalformedMedia(ValueError):
+    """A payload that claims a supported container but violates it —
+    routed to quarantine rows by the decode pipeline, never an executor
+    crash."""
+
+
+def parse_wav(payload: bytes) -> dict:
+    """Dependency-free RIFF/WAVE parser (PCM16): real sample_rate,
+    channel count, and duration from real bytes. Raises MalformedMedia
+    on violations (bad magic, truncated/overrunning chunks, missing
+    fmt/data, non-PCM16)."""
+    if payload is None or len(payload) < 12:
+        raise MalformedMedia("too short for a RIFF header")
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise MalformedMedia("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise MalformedMedia(f"chunk {cid!r} truncated")
+        if cid == b"fmt ":
+            if size < 16:
+                raise MalformedMedia("fmt chunk too short")
+            fmt = {
+                "audio_format": int.from_bytes(body[0:2], "little"),
+                "n_channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "byte_rate": int.from_bytes(body[8:12], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise MalformedMedia("missing fmt or data chunk")
+    if fmt["audio_format"] != 1 or fmt["bits"] != 16:
+        raise MalformedMedia("only uncompressed PCM16 is supported")
+    if fmt["n_channels"] < 1 or fmt["sample_rate"] < 1 or fmt["byte_rate"] < 1:
+        raise MalformedMedia("nonsensical fmt fields")
+    return {
+        "sample_rate": fmt["sample_rate"],
+        "n_channels": fmt["n_channels"],
+        "duration_ms": int(round(len(data) / fmt["byte_rate"] * 1000)),
+        "format": "wav",
+        "pcm": data,
+    }
+
+
+def parse_ppm(payload: bytes) -> dict:
+    """Dependency-free binary-PPM (P6) parser: real width/height from
+    real bytes, comment-aware header tokenizing, pixel-plane length
+    check. Raises MalformedMedia on violations."""
+    if payload is None or not payload.startswith(b"P6"):
+        raise MalformedMedia("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(payload[start:pos])
+    if len(tokens) < 3:
+        raise MalformedMedia("truncated PPM header")
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError as e:
+        raise MalformedMedia(f"non-numeric PPM header token: {e}") from e
+    if width < 1 or height < 1 or not (0 < maxval < 65536):
+        raise MalformedMedia("nonsensical PPM dimensions")
+    if maxval > 255:
+        raise MalformedMedia("2-byte-per-sample PPM not supported")
+    pos += 1  # the single whitespace after maxval
+    pixels = payload[pos : pos + width * height * 3]
+    if len(pixels) < width * height * 3:
+        raise MalformedMedia("pixel plane shorter than width*height*3")
+    return {"width": width, "height": height, "format": "ppm", "pixels": pixels}
+
+
+def _wav_features(parsed: dict, dim: int = 8) -> list[float]:
+    """Mean |amplitude| over ``dim`` equal time segments, [0, 1]."""
+    import numpy as np
+
+    pcm = np.frombuffer(
+        parsed["pcm"][: len(parsed["pcm"]) // 2 * 2], dtype="<i2"
+    ).astype(np.float64)
+    if pcm.size == 0:
+        return [0.0] * dim
+    segs = np.array_split(np.abs(pcm) / 32768.0, dim)
+    return [float(s.mean()) if s.size else 0.0 for s in segs]
+
+
+def _ppm_features(parsed: dict, dim: int = 8) -> list[float]:
+    """[mean R, mean G, mean B, mean gray of the 4 quadrants, fill] in
+    [0, 1] — content features from real pixels."""
+    import numpy as np
+
+    w, h = parsed["width"], parsed["height"]
+    px = np.frombuffer(parsed["pixels"], dtype=np.uint8).reshape(h, w, 3) / 255.0
+    gray = px.mean(axis=2)
+    qs = [
+        gray[: h // 2 or 1, : w // 2 or 1],
+        gray[: h // 2 or 1, w // 2 :],
+        gray[h // 2 :, : w // 2 or 1],
+        gray[h // 2 :, w // 2 :],
+    ]
+    out = [float(px[..., c].mean()) for c in range(3)]
+    out += [float(q.mean()) if q.size else 0.0 for q in qs]
+    return (out + [0.0] * dim)[:dim]
 
 
 def _decode_real(payload: bytes, kind: str) -> list[float]:
+    """Real decode for the uncompressed containers; DecodeNotAvailable
+    for formats that need codecs (the production swap-in point for
+    Pillow/torchaudio/pyav)."""
+    if kind == "audio" and payload is not None and payload[:4] == b"RIFF":
+        return _wav_features(parse_wav(payload))
+    if kind == "image" and payload is not None and payload[:2] == b"P6":
+        return _ppm_features(parse_ppm(payload))
     raise DecodeNotAvailable(
-        f"no codec for kind={kind!r} in this environment; "
-        "install pillow/torchaudio/pyav and replace _decode_real"
+        f"no codec for kind={kind!r} beyond WAV/PPM in this environment; "
+        "install pillow/torchaudio/pyav and extend _decode_real"
     )
 
 
@@ -116,6 +247,69 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_with_quarantine(media: DataFrame) -> DataFrame:
+    """The REAL decode path with quarantine routing: WAV and PPM payloads
+    are parsed for genuine metadata (sample rate, duration, dimensions)
+    and content features; malformed or codec-requiring payloads become
+    ok=false rows carrying the error string — a poisoned payload can
+    never fail the job. Arrow-batched mapInPandas, metadata-first like
+    the rest of the module."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                row = {
+                    "media_id": media_id, "kind": kind, "ok": False,
+                    "error": None, "width": None, "height": None,
+                    "sample_rate": None, "duration_ms": None,
+                    "format": None, "feature": None,
+                }
+                try:
+                    payload = bytes(payload) if payload is not None else None
+                    if kind == "audio":
+                        parsed = parse_wav(payload)
+                        row.update(
+                            ok=True, sample_rate=parsed["sample_rate"],
+                            duration_ms=parsed["duration_ms"],
+                            format=parsed["format"],
+                            feature=_wav_features(parsed),
+                        )
+                    elif kind == "image":
+                        parsed = parse_ppm(payload)
+                        row.update(
+                            ok=True, width=parsed["width"],
+                            height=parsed["height"], format=parsed["format"],
+                            feature=_ppm_features(parsed),
+                        )
+                    else:
+                        raise DecodeNotAvailable(f"no codec for kind={kind!r}")
+                except (MalformedMedia, DecodeNotAvailable) as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return media.mapInPandas(batches, DECODED_SCHEMA)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
