@@ -19,6 +19,16 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — correct for
+    HDFS/S3A/any supported scheme, where ``os.path.exists`` would
+    silently answer False and make callers re-initialize state."""
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
 def dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     """(total_bytes, n_data_files) of a parquet directory, via the Hadoop
     FileSystem API so any supported scheme works, not just local disk."""
@@ -67,6 +77,16 @@ def compact_parquet(
     src = jvm.org.apache.hadoop.fs.Path(staging)
     dst = jvm.org.apache.hadoop.fs.Path(path)
     fs = dst.getFileSystem(conf)
-    fs.delete(dst, True)
-    fs.rename(src, dst)
+    # Swap so every intermediate state still has a complete copy: move
+    # the live table aside, move staging into place, only then drop the
+    # backup. A crash between steps leaves either the original (as dst
+    # or backup) or both — never a window with no data.
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._compact_backup")
+    fs.delete(backup, True)  # stale backup from a previous crash
+    if not fs.rename(dst, backup):
+        raise IOError(f"compact_parquet: could not move {path} aside")
+    if not fs.rename(src, dst):
+        fs.rename(backup, dst)  # restore the original before failing
+        raise IOError(f"compact_parquet: could not move staging into {path}")
+    fs.delete(backup, True)
     return n_target

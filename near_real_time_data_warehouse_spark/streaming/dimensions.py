@@ -52,11 +52,13 @@ def _merge_batch(
     changes_dir: str | None = None,
     epoch_id: int = 0,
 ) -> None:
-    import os
+    from ..sources.maintenance import path_exists
 
     if batch.isEmpty():  # file sources can deliver marker-only batches
         return
-    if not os.path.exists(out_dir):
+    # Hadoop-FS probe, not os.path: on HDFS/S3A warehouses a local-path
+    # check would answer False forever and re-initialize every batch.
+    if not path_exists(spark, out_dir):
         hist = scd2_versions(batch, key, ts, attr, tie).withColumn("bucket", _bucket(key))
         hist = hist.localCheckpoint(eager=True)
         hist.write.partitionBy("bucket").parquet(out_dir)

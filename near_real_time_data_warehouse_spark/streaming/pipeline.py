@@ -96,8 +96,6 @@ def run_streaming_etl_with_retry(
     checkpoint commit, the replayed union can double a parked line until
     it loads — production would key parked rows by (source file, offset)
     to close that window."""
-    import os
-
     stream = read_transactions(spark, transactions_dir, streaming=True)
     if max_files_per_trigger is not None:
         stream = (
@@ -113,8 +111,10 @@ def run_streaming_etl_with_retry(
         # Re-read masters per batch: the refresh is what rescues orphans.
         cust = read_customer_master(s, customer_master_path)
         prod = read_product_master(s, product_master_path)
+        from ..sources.maintenance import path_exists
+
         full = batch_df
-        if os.path.exists(orphans_dir):
+        if path_exists(s, orphans_dir):
             full = batch_df.unionByName(s.read.schema(batch_df.schema).parquet(orphans_dir))
         # Materialize BEFORE overwriting orphans_dir (read-overwrite hazard).
         orphans = orphan_transactions(full, cust).localCheckpoint(eager=True)

@@ -43,3 +43,26 @@ def test_compact_preserves_sort_clustering(spark, tmp_path_factory):
     assert n_after == 1
     ids = [r.doc_id for r in spark.read.parquet(base).select("doc_id").collect()]
     assert ids == sorted(ids)
+
+
+def test_path_exists_hadoop_probe(spark, tmp_path):
+    from near_real_time_data_warehouse_spark.sources.maintenance import path_exists
+
+    assert not path_exists(spark, str(tmp_path / "nope"))
+    spark.range(3).write.parquet(str(tmp_path / "yes"))
+    assert path_exists(spark, str(tmp_path / "yes"))
+
+
+def test_compact_leaves_no_backup_and_correct_data(spark, tmp_path):
+    """The safer swap (move-aside, move-in, drop backup) must end clean:
+    data intact, no backup or staging residue."""
+    import os
+
+    from near_real_time_data_warehouse_spark.sources.maintenance import compact_parquet
+
+    p = str(tmp_path / "t")
+    spark.range(1000).repartition(20).write.parquet(p)
+    compact_parquet(spark, p, target_file_bytes=1 << 30)
+    assert spark.read.parquet(p).count() == 1000
+    siblings = os.listdir(tmp_path)
+    assert siblings == ["t"], siblings
