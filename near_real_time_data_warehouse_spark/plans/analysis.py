@@ -810,15 +810,25 @@ def star_store_stats_approx(star: Star) -> DataFrame:
         F.broadcast(star["product_dim"].select("product_id", "store_id")), "product_id"
     )
     amt = "CAST(purchase_amount AS DOUBLE)"
+    # Two deliberate design choices, both measured at sf0.1:
+    # - one sort-buffering aggregate only (the oracled exact median);
+    #   the tolerance scale comes from stddev — map-side combinable —
+    #   instead of exact p05/p95, which would buffer twice more
+    #   (0.15σ ≈ 5% of the p05–p95 spread of a unimodal distribution);
+    # - COUNT(DISTINCT) kept in its OWN aggregation and joined back:
+    #   mixing it with percentile_approx makes Catalyst's
+    #   distinct-rewrite plan merge the KLL sketch once per distinct
+    #   key (14 s vs 2 s here).
     agg = df.groupBy("store_id").agg(
-        F.countDistinct("customer_id").alias("n_customers"),
         F.expr(f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {amt})").alias("median_disc"),
-        F.expr(f"percentile_disc(0.05) WITHIN GROUP (ORDER BY {amt})").alias("_p05"),
-        F.expr(f"percentile_disc(0.95) WITHIN GROUP (ORDER BY {amt})").alias("_p95"),
+        F.stddev_samp(F.expr(amt)).alias("_sigma"),
         F.percentile_approx(F.expr(amt), 0.5, 10000).alias("_approx"),
     )
-    tol = F.lit(STORE_MEDIAN_TOLERANCE) * (F.col("_p95") - F.col("_p05"))
-    return agg.select(
+    ncust = df.groupBy("store_id").agg(
+        F.countDistinct("customer_id").alias("n_customers")
+    )
+    tol = F.lit(3.0 * STORE_MEDIAN_TOLERANCE) * F.col("_sigma")
+    return agg.join(ncust, "store_id").select(
         "store_id",
         "n_customers",
         "median_disc",
