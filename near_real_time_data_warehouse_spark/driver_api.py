@@ -63,11 +63,14 @@ _PRIORITY = [
     # persisted band-table/component state updated at cost ∝ batch,
     # hash-certified ≡ full rebuild by the recursive-CC oracle.
     "dedup_graph_incremental",
+    # NEW this round: perceptual-hash media near-dup via the
+    # parameterized Hamming band kernel (8×4-bit, threshold 7), all-pairs
+    # oracle proves the identical pair set.
+    "multimodal_phash_neardup",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "classic_shipping_priority",
     "classic_local_supplier_volume",
-    "classic_customer_order_histogram",
     "dedup_simhash_banded",
     "sim_ann_lsh_topk",
     "sim_ann_ivf_recall",
@@ -156,6 +159,9 @@ _DEPRIORITIZED = [
     "docs_shard_manifest",
     # JSON-path extraction kernel r2-green; pytest-covered every round
     "events_props_extract",
+    # COUNT(*)-histogram kernel r2-green (A3 family also via q16's
+    # grouped counts in the r1 union)
+    "classic_customer_order_histogram",
     "classic_order_priority_semi",
     "classic_parts_never_shipped",
     "classic_disjunctive_revenue",

@@ -601,21 +601,35 @@ FROM votes GROUP BY doc_id
 N_SIMHASH_BANDS = HAMMING_THRESHOLD + 1
 
 
-def _simhash_banded_pairs(sh: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs with Hamming ≤ threshold via the band
-    equi-join; ``sh`` is (doc_id, simhash)."""
-    # The simhash aggregation tree feeds both join sides — materialize once.
+def hamming_banded_pairs(
+    sh: DataFrame,
+    n_bands: int = N_SIMHASH_BANDS,
+    band_bits: int = 8,
+    threshold: int = HAMMING_THRESHOLD,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ threshold) via the pigeonhole band
+    equi-join; ``sh`` is (doc_id, simhash). Requires
+    ``threshold < n_bands`` (≤ threshold flips can touch at most
+    threshold bands, so a qualifying pair agrees exactly on ≥ 1 of the
+    n_bands disjoint band_bits-wide slices). Parameterized so wider
+    fingerprints or looser thresholds (more/narrower bands) reuse the
+    same plan shape — e.g. the multimodal perceptual-hash entry's 8×4-bit
+    banding at threshold 7."""
+    assert threshold < n_bands, "pigeonhole needs more bands than bit flips"
+    # The fingerprint aggregation tree feeds both join sides —
+    # materialize once.
     sh = sh.localCheckpoint(eager=False)
+    mask = (1 << band_bits) - 1
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), 8 * b)
-                .bitwiseAND(F.lit(255))
+                F.shiftright(F.col("simhash"), band_bits * b)
+                .bitwiseAND(F.lit(mask))
                 .cast("int")
                 .alias("byte"),
             )
-            for b in range(N_SIMHASH_BANDS)
+            for b in range(n_bands)
         ]
     )
     bands = sh.select("doc_id", "simhash", F.explode(band_arr).alias("bb")).select(
@@ -637,9 +651,15 @@ def _simhash_banded_pairs(sh: DataFrame) -> DataFrame:
         )
         # Hamming BEFORE the dedup shuffle: the verify is a per-row bit op,
         # so non-qualifying candidates never enter the exchange.
-        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .filter(F.col("hamming") <= threshold)
         .distinct()  # a pair can collide on several bands
     )
+
+
+def _simhash_banded_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming ≤ threshold via the band
+    equi-join; ``sh`` is (doc_id, simhash)."""
+    return hamming_banded_pairs(sh)
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

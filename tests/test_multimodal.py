@@ -134,3 +134,42 @@ def test_extract_features_real_path_on_genuine_payloads(spark):
     out = {r.media_id: r for r in mm.extract_features(media, use_fake_decoder=False).collect()}
     assert out[0].feature == [0.5] * 8
     assert out[1].feature[0] == pytest.approx(0.5)
+
+
+def test_ppm_ahash_perceptual_behavior():
+    """Genuine decoded pixels: a lightly perturbed image stays within a
+    few Hamming bits of the original; an unrelated image is far."""
+    import numpy as np
+
+    def ppm(arr):
+        h, w, _ = arr.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, (32, 32, 3))
+    perturbed = np.clip(base + rng.randint(-8, 9, base.shape), 0, 255)
+    other = rng.randint(0, 256, (32, 32, 3))
+
+    h0 = mm.ppm_ahash(mm.parse_ppm(ppm(base)))
+    h1 = mm.ppm_ahash(mm.parse_ppm(ppm(perturbed)))
+    h2 = mm.ppm_ahash(mm.parse_ppm(ppm(other)))
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(h0, h1) <= 8
+    assert ham(h0, h2) > 12
+
+
+def test_phash_neardup_includes_identical_payloads(spark):
+    """Exact-duplicate payloads hash identically, so every such pair
+    must appear with hamming=0 in the banded output."""
+    from .conftest import SF_SMALL
+
+    m = mm.media_from_documents(spark, SF_SMALL)
+    dup_pairs = (
+        m.alias("a")
+        .join(m.alias("b"), (F.col("a.payload") == F.col("b.payload"))
+              & (F.col("a.media_id") < F.col("b.media_id")))
+        .select(F.col("a.media_id").alias("media_a"), F.col("b.media_id").alias("media_b"))
+    )
+    got = mm.multimodal_phash_neardup(spark, SF_SMALL).filter(F.col("hamming") == 0)
+    missing = dup_pairs.exceptAll(got.select("media_a", "media_b")).count()
+    assert missing == 0
