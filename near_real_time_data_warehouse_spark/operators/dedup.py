@@ -954,10 +954,21 @@ def dedup_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_pairs = _jaccard_pairs(sh, cand_new)
 
-    # 3. quotient graph over current labels
+    # 3-4. quotient merge over current labels
     current = corpus_labels.select("doc_id", F.col("component").alias("label")).unionByName(
         _docs(spark, sf_dir).filter(in_batch).select("doc_id", F.col("doc_id").alias("label"))
     )
+    return merge_components_with_edges(current, new_pairs)
+
+
+def merge_components_with_edges(current: DataFrame, new_pairs: DataFrame) -> DataFrame:
+    """Union-find step as a quotient-graph CC: ``current`` is
+    (doc_id, label) with labels = component-minimum ids (hash-min
+    invariant); ``new_pairs`` is (doc_a, doc_b). New edges are mapped
+    through the labels, components run on that quotient (vertices ∝
+    touched components), and every doc's label is remapped through the
+    broadcast-sized result. Min-of-mins keeps the output equal to a
+    from-scratch CC over the union graph."""
     lmap_a = current.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("la"))
     lmap_b = current.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("lb"))
     qedges_half = (
@@ -974,8 +985,6 @@ def dedup_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcomp = connected_components(qvertices, qedges).select(
         F.col("doc_id").alias("label"), F.col("component").alias("qcomp")
     )
-
-    # 4. remap through the (small) quotient result
     return current.join(F.broadcast(qcomp), "label", "left").select(
         "doc_id", F.coalesce("qcomp", "label").alias("component")
     )

@@ -1,0 +1,154 @@
+"""Streaming near-dup graph maintenance: a foreachBatch sink that keeps
+the LSH dedup state (shingle store, band table, component labels)
+current as document batches arrive — ingestion-time dedup as a
+*continuous* process, built from the same kernels as the batch
+operators (operators/dedup.py), so the drained end state is bit-equal
+to the from-scratch batch build (tested).
+
+Per micro-batch, cost ∝ batch — the dedup_graph_incremental contract:
+  1. batch shingles + band signatures (never the corpus's);
+  2. new verified edges = LSH collisions with ≥ 1 batch endpoint
+     (corpus×corpus pairs cannot change);
+  3. labels updated by the quotient merge
+     (operators/dedup.merge_components_with_edges — vertices ∝ touched
+     components, remap broadcast-sized).
+
+Replay safety (the exactly-once discipline of etl.py applied here):
+shingles and bands land in ``_epoch=<id>`` partitions with dynamic
+partition overwrite, so a re-delivered epoch replaces its own rows
+instead of appending duplicates; label updates reset the replayed
+batch's docs to identity labels before re-merging, which re-derives
+the same fixpoint (idempotence is tested by double-applying a batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    _band_signatures,
+    _jaccard_pairs,
+    _shingles,
+    connected_components,
+    merge_components_with_edges,
+)
+
+
+def _overwrite_epoch(spark: SparkSession, df: DataFrame, out_dir: str, epoch_id: int) -> None:
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.withColumn("_epoch", F.lit(epoch_id)).write.mode("overwrite").partitionBy(
+            "_epoch"
+        ).parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def merge_dedup_batch(
+    spark: SparkSession, batch: DataFrame, state_dir: str, epoch_id: int = 0
+) -> None:
+    """Fold one document batch (doc_id, text) into the persisted dedup
+    graph state at ``state_dir`` ({shingles,bands,labels} parquet)."""
+    from ..sources.maintenance import path_exists
+
+    if batch.isEmpty():
+        return
+    sh_dir = f"{state_dir}/shingles"
+    bands_dir = f"{state_dir}/bands"
+    labels_dir = f"{state_dir}/labels"
+
+    batch = batch.select("doc_id", "text").localCheckpoint(eager=True)
+    batch_sh = _shingles(batch).localCheckpoint(eager=True)
+    batch_bands = _band_signatures(batch_sh).localCheckpoint(eager=True)
+
+    if not path_exists(spark, labels_dir):
+        # first batch: the state IS the batch
+        a, b = batch_bands.alias("a"), batch_bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        pairs = _jaccard_pairs(batch_sh, cand)
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        labels = connected_components(batch.select("doc_id"), edges)
+        _overwrite_epoch(spark, batch_sh, sh_dir, epoch_id)
+        _overwrite_epoch(spark, batch_bands, bands_dir, epoch_id)
+        labels.write.mode("overwrite").parquet(labels_dir)
+        return
+
+    state_sh = spark.read.parquet(sh_dir).drop("_epoch")
+    state_bands = spark.read.parquet(bands_dir).drop("_epoch")
+    stored = spark.read.parquet(labels_dir)
+
+    # epoch replay: this epoch's rows may already be in the state —
+    # exclude them from the "corpus" side so the union below is exact
+    all_bands = (
+        state_bands.join(batch_bands.select("doc_id").distinct(), "doc_id", "left_anti")
+        .unionByName(batch_bands)
+    )
+    all_sh = (
+        state_sh.join(batch_sh.select("doc_id").distinct(), "doc_id", "left_anti")
+        .unionByName(batch_sh)
+    )
+    cand = (
+        batch_bands.alias("a")
+        .join(
+            all_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    new_pairs = _jaccard_pairs(all_sh, cand)
+    current = (
+        stored.select("doc_id", F.col("component").alias("label"))
+        .join(batch.select("doc_id").distinct(), "doc_id", "left_anti")
+        .unionByName(batch.select("doc_id", F.col("doc_id").alias("label")))
+    )
+    labels = merge_components_with_edges(current, new_pairs).localCheckpoint(eager=True)
+    _overwrite_epoch(spark, batch_sh, sh_dir, epoch_id)
+    _overwrite_epoch(spark, batch_bands, bands_dir, epoch_id)
+    labels.write.mode("overwrite").parquet(labels_dir)
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain the available document files (availableNow), folding each
+    micro-batch into the dedup graph state."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_dedup_batch(batch_df.sparkSession, batch_df, state_dir, epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
