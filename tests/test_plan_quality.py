@@ -336,3 +336,26 @@ def test_user_gap_stats_is_pure_jvm_one_shuffle(spark):
         assert marker not in plan
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(user_id" in plan
+
+
+def test_scd2_outoforder_windows_partitioned_no_cartesian(spark):
+    """The observation-store path must stay key-partitioned windows +
+    equi-joins — no single-partition window, no cartesian."""
+    plan = plan_of(QUERIES["orders_scd2_outoforder"](spark, SF_SMALL))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_incremental_no_nested_loop_broadcast_remap(spark):
+    """Candidate generation is the band equi-join and the quotient remap
+    is broadcast — nothing may plan as a nested loop."""
+    plan = plan_of(QUERIES["dedup_graph_incremental"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_phash_neardup_band_join_is_equi(spark):
+    """The 8x4-bit Hamming banding must plan as an equi-join (hash or
+    sort-merge), never a nested loop over all pairs."""
+    plan = plan_of(QUERIES["multimodal_phash_neardup"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
