@@ -173,3 +173,46 @@ def test_phash_neardup_includes_identical_payloads(spark):
     got = mm.multimodal_phash_neardup(spark, SF_SMALL).filter(F.col("hamming") == 0)
     missing = dup_pairs.exceptAll(got.select("media_a", "media_b")).count()
     assert missing == 0
+
+
+def test_parsers_never_crash_on_arbitrary_bytes():
+    """Fuzz: any byte string either parses or raises MalformedMedia —
+    no IndexError/ValueError/struct errors can escape into an executor."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=256))
+    def run(payload):
+        for parser in (mm.parse_wav, mm.parse_ppm):
+            try:
+                parser(payload)
+            except mm.MalformedMedia:
+                pass
+
+    run()
+
+
+def test_parsers_never_crash_on_mutated_valid_payloads():
+    """Fuzz around the valid corner: random single-byte mutations of
+    genuine WAV/PPM payloads parse or raise MalformedMedia, never
+    anything else."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    wav = _wav_bytes(sample_rate=8000, samples=[100] * 64)
+    ppm = _ppm_bytes()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, len(wav) - 1), st.integers(0, 255),
+           st.integers(0, len(ppm) - 1), st.integers(0, 255))
+    def run(wi, wb, pi, pb):
+        mw = wav[:wi] + bytes([wb]) + wav[wi + 1:]
+        mp = ppm[:pi] + bytes([pb]) + ppm[pi + 1:]
+        for parser, payload in ((mm.parse_wav, mw), (mm.parse_ppm, mp)):
+            try:
+                parser(payload)
+            except mm.MalformedMedia:
+                pass
+
+    run()

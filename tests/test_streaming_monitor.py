@@ -172,3 +172,51 @@ def test_monitor_eviction_multi_batch_still_equals_batch(spark, tmp_path_factory
         for r in batch_events.hourly_anomalies(spark, SF_SMALL).collect()
     }
     assert streamed == batch
+
+
+def test_monitor_drops_beyond_horizon_late_events(spark, tmp_path_factory):
+    """The in-operator watermark analog: an event more than LATE_HOURS
+    behind its type's pre-batch max hour must be dropped — its hour's
+    final flag is already out and re-opening it from zero would emit
+    garbage. Verified by streaming two batches where the second carries
+    one such event: final emissions equal the stream WITHOUT it."""
+    import time as _time
+
+    from near_real_time_data_warehouse_spark.streaming.monitor import LATE_HOURS
+
+    def write_batches(base, with_late):
+        src = base / "stream"
+        src.mkdir()
+        b1 = [("click", h * 3_600_000_000, float(h % 10)) for h in range(40)]
+        b2 = [("click", h * 3_600_000_000, float(h % 7)) for h in range(40, 50)]
+        if with_late:
+            # hour 5 is 44 hours behind the pre-batch max (39) > LATE_HOURS
+            assert 39 - 5 > LATE_HOURS
+            b2.append(("click", 5 * 3_600_000_000 + 1, 99.0))
+        schema = "event_type STRING, us LONG, value DOUBLE"
+        for i, rows in enumerate([b1, b2]):
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/p{i}")
+            _time.sleep(1.1)
+        return src, schema
+
+    def final_emissions(tag, src, schema):
+        stream = (
+            spark.readStream.schema(spark.createDataFrame([], schema).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        sw.run_to_memory(streaming_hourly_anomalies(stream), f"late_{tag}", "update")
+        from pyspark.sql import Window
+
+        out = spark.sql(f"SELECT * FROM late_{tag}")
+        w = Window.partitionBy("event_type", "hour_epoch_s").orderBy(F.desc("emit_seq"))
+        return {
+            (r.event_type, r.hour_epoch_s): (r.n_events, r.total_value, r.is_anomaly)
+            for r in out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .collect()
+        }
+
+    src_a, schema = write_batches(tmp_path_factory.mktemp("late_with"), True)
+    src_b, _ = write_batches(tmp_path_factory.mktemp("late_without"), False)
+    assert final_emissions("with", src_a, schema) == final_emissions("without", src_b, schema)
