@@ -67,6 +67,10 @@ _PRIORITY = [
     # parameterized Hamming band kernel (8×4-bit, threshold 7), all-pairs
     # oracle proves the identical pair set.
     "multimodal_phash_neardup",
+    # NEW this round: the production-width simhash (60-bit, 4×15-bit
+    # bands — the scale shape the 32-bit entry documents), all-pairs
+    # oracle.
+    "dedup_simhash_wide",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "classic_shipping_priority",
@@ -79,7 +83,6 @@ _PRIORITY = [
     "classic_potential_promotion",
     "text_stopword_ratios",
     "dedup_cluster_stats",
-    "classic_waiting_suppliers",
     "events_quantile_sketch_error",
     "events_incident_window_join",
     "events_heavy_hitters",
@@ -162,6 +165,9 @@ _DEPRIORITIZED = [
     # COUNT(*)-histogram kernel r2-green (A3 family also via q16's
     # grouped counts in the r1 union)
     "classic_customer_order_histogram",
+    # EXISTS-semi-over-aggregate kernel r2-green; semi/anti shapes stay
+    # in-window via classic_supplier_part_variety
+    "classic_waiting_suppliers",
     "classic_order_priority_semi",
     "classic_parts_never_shipped",
     "classic_disjunctive_revenue",

@@ -539,19 +539,22 @@ SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id
 
 # --- SimHash --------------------------------------------------------------
 
-def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document: per bit position, the sign of the sum
-    of ±1 votes from each distinct token's hash bit. Integer arithmetic
-    end-to-end — exact and portable."""
-    d = _docs(spark, sf_dir)
+def _simhash_fp(d: DataFrame, n_bits: int = 32) -> DataFrame:
+    """SimHash fingerprint of width ``n_bits`` (≤ 60 — BIGINT-safe with
+    headroom for the sign bit in both engines): per bit position, the
+    sign of the sum of ±1 votes from each distinct token's hash bit.
+    Integer arithmetic end-to-end — exact and portable."""
+    assert n_bits <= 60 and n_bits % 4 == 0
     toks = (
         d.select("doc_id", F.explode(F.array_distinct(F.split(_norm_col(), " "))).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    hashed = toks.withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    hashed = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, n_bits // 4), 16, 10).cast("long")
+    )
     bits = hashed.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
         "h",
     ).withColumn("vote", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"))
     return (
@@ -564,6 +567,11 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (see ``_simhash_fp``)."""
+    return _simhash_fp(_docs(spark, sf_dir))
 
 
 SIMHASH_SQL = f"""
@@ -684,22 +692,24 @@ def simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_banded_pairs(simhash(spark, sf_dir))
 
 
-def _simhash_allpairs_sql(where: str) -> str:
+def _simhash_allpairs_sql(
+    where: str, n_bits: int = 32, threshold: int = HAMMING_THRESHOLD
+) -> str:
     """Brute-force all-pairs Hamming oracle (ground truth the band join
-    must reproduce exactly)."""
+    must reproduce exactly), parameterized by fingerprint width."""
     return f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
   FROM documents {where}
 ),
 hashed AS (
-  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, {n_bits // 4})) AS BIGINT) AS h
   FROM toks WHERE tok <> ''
 ),
 votes AS (
   SELECT doc_id, bit,
          SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM hashed, (SELECT unnest(range(0, 32)) AS bit)
+  FROM hashed, (SELECT unnest(range(0, {n_bits})) AS bit)
   GROUP BY doc_id, bit
 ),
 sim AS (
@@ -710,12 +720,30 @@ sim AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {threshold}
 """
 
 
 SIMHASH_PAIRS_SQL = _simhash_allpairs_sql(f"WHERE doc_id < {DOC_CAP}")
 SIMHASH_BANDED_SQL = _simhash_allpairs_sql("")
+
+WIDE_BITS, WIDE_BANDS, WIDE_BAND_BITS = 60, 4, 15
+
+
+def simhash_wide_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-width SimHash path the 32-bit entry's docstring
+    promises: a 60-bit fingerprint banded 4×15 bits, so band buckets
+    have 2^15 values (collision volume ∝ N/32768 instead of N/256) and
+    the same Hamming ≤ 3 pigeonhole still holds — the plan shape at
+    100 TB, driver-certified against the all-pairs oracle. 60 bits, not
+    64: both engines' BIGINT shifts stay clear of the sign bit."""
+    sh = _simhash_fp(_docs(spark, sf_dir), WIDE_BITS)
+    return hamming_banded_pairs(
+        sh, n_bands=WIDE_BANDS, band_bits=WIDE_BAND_BITS, threshold=HAMMING_THRESHOLD
+    )
+
+
+SIMHASH_WIDE_SQL = _simhash_allpairs_sql("", n_bits=WIDE_BITS)
 
 
 def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,3 +1092,4 @@ registry.register("dedup_simhash_pairs", simhash_pairs, SIMHASH_PAIRS_SQL)
 registry.register("dedup_simhash_banded", simhash_banded, SIMHASH_BANDED_SQL)
 registry.register("dedup_incremental", incremental_dedup, _incremental_sql())
 registry.register("dedup_graph_incremental", dedup_graph_incremental, COMPONENTS_MINHASH_SQL)
+registry.register("dedup_simhash_wide", simhash_wide_banded, SIMHASH_WIDE_SQL)
