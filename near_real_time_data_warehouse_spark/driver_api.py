@@ -71,6 +71,10 @@ _PRIORITY = [
     # bands — the scale shape the 32-bit entry documents), all-pairs
     # oracle.
     "dedup_simhash_wide",
+    # NEW this round: exact-integer unigram LM surprisal (floor-log2 as
+    # binary-repr length — the all-integer trick that unblocks
+    # cross-engine LM scoring).
+    "text_unigram_surprisal",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "classic_shipping_priority",
@@ -88,7 +92,6 @@ _PRIORITY = [
     "events_heavy_hitters",
     "docs_curation_pipeline",
     "classic_revenue_concentration",
-    "classic_top_balance_inactive",
     "classic_customer_order_percentile",
     # new this round, second session — the four classic shapes whose
     # kernels nothing else in-window exercises: MIN-equality join-back
@@ -168,6 +171,8 @@ _DEPRIORITIZED = [
     # EXISTS-semi-over-aggregate kernel r2-green; semi/anti shapes stay
     # in-window via classic_supplier_part_variety
     "classic_waiting_suppliers",
+    # top-k + null-guard join kernel r2-green
+    "classic_top_balance_inactive",
     "classic_order_priority_semi",
     "classic_parts_never_shipped",
     "classic_disjunctive_revenue",

@@ -503,7 +503,68 @@ FROM b
 """
 
 
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score in EXACT INTEGER arithmetic —
+    the trick that unblocks cross-engine LM scoring (float ln/log2 is
+    not bit-portable; NEXT.md round-2/3 blocker): token surprisal
+    −log2 P(t) = log2(N/c_t) is approximated by
+    ``bits(N) − bits(c_t)`` where ``bits(x) = len(binary(x))`` — the
+    floor-log2 difference, within ±1 bit of the true value and exactly
+    equal in Spark (`length(conv(x,10,2))`) and DuckDB
+    (`len(printf('%b', x))`). Per document: token count, total
+    surprisal bits (pure BIGINT — hash-exact), and the mean as ONE
+    IEEE division (the established avg rule). High mean surprisal =
+    rare-token-heavy text (boilerplate/garbage); low = fluent common
+    prose — the unigram half of a Gopher-style LM quality filter.
+
+    Scale shape: one corpus token scan, a vocab-sized count aggregate
+    joined back on token (shuffle ∝ token instances — the standard LM
+    scoring join), one 1-row broadcast for N. No floats until the
+    final division, no Python anywhere."""
+    d = _docs(spark, sf_dir)
+    norm = _norm_col()
+    toks = (
+        d.select("doc_id", F.explode(F.split(norm, " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+
+    def bits(col: F.Column) -> F.Column:
+        return F.length(F.conv(col, 10, 2)).cast("long")
+
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("surprisal", bits(F.col("n_total")) - bits(F.col("c")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("surprisal").alias("total_surprisal_bits"),
+        (F.sum("surprisal") / F.count(F.lit(1))).alias("mean_surprisal_bits"),
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_total FROM t)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(len(printf('%b', n_total)) - len(printf('%b', c.c))) AS BIGINT)
+         AS total_surprisal_bits,
+       CAST(CAST(SUM(len(printf('%b', n_total)) - len(printf('%b', c.c))) AS BIGINT)
+            AS DOUBLE) / COUNT(*) AS mean_surprisal_bits
+FROM t JOIN c USING (tok), n
+GROUP BY doc_id
+"""
+
+
 registry.register("text_shard_split", shard_split, SHARD_SPLIT_SQL)
+registry.register("text_unigram_surprisal", unigram_surprisal, UNIGRAM_SURPRISAL_SQL)
 registry.register("text_token_stats", token_stats, TOKEN_STATS_SQL)
 registry.register("text_quality_score", quality_score, QUALITY_SQL)
 registry.register("text_lang_id", lang_id, LANG_ID_SQL)
