@@ -75,10 +75,22 @@ _PRIORITY = [
     # binary-repr length — the all-integer trick that unblocks
     # cross-engine LM scoring).
     "text_unigram_surprisal",
+    # NEW (round-3, this session): bigram LM with stupid backoff — the
+    # unigram floor-log2 trick extended to the (prev, tok) count-join
+    # shape (NEXT.md round-4 candidate pulled forward).
+    "text_bigram_surprisal",
+    # NEW (round-3, this session): per-doc top-K TF-IDF terms — integer
+    # idf via the same bits trick; the keyword-extraction kernel
+    # (doc-partition bounded window + token-keyed df join) nothing else
+    # in-window exercises.
+    "text_tfidf_top_terms",
+    # NEW (round-3, this session): int8 max-abs quantization with exact
+    # integer norms — the ANN-serving compression projection (pure
+    # higher-order array expressions, zero shuffle).
+    "emb_quantize_int8",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "classic_shipping_priority",
-    "classic_local_supplier_volume",
     "dedup_simhash_banded",
     "sim_ann_lsh_topk",
     "sim_ann_ivf_recall",
@@ -86,10 +98,8 @@ _PRIORITY = [
     "classic_market_share",
     "classic_potential_promotion",
     "text_stopword_ratios",
-    "dedup_cluster_stats",
     "events_quantile_sketch_error",
     "events_incident_window_join",
-    "events_heavy_hitters",
     "docs_curation_pipeline",
     "classic_revenue_concentration",
     "classic_customer_order_percentile",
@@ -168,6 +178,18 @@ _DEPRIORITIZED = [
     # COUNT(*)-histogram kernel r2-green (A3 family also via q16's
     # grouped counts in the r1 union)
     "classic_customer_order_histogram",
+    # ceded this session for text_bigram_surprisal: the multi-way-join
+    # grouped-sum kernel (TPC-H Q5 shape, r2-green) stays in-window via
+    # classic_nation_profit (6-way join grouped sum, head of window)
+    "classic_local_supplier_volume",
+    # ceded this session for text_tfidf_top_terms: the sketch accuracy-
+    # gate kernel (r2-green) stays in-window via events_quantile_sketch_error
+    # and events_approx_distinct_error
+    "events_heavy_hitters",
+    # ceded this session for emb_quantize_int8: the component-stats
+    # kernel (r2-green) stays covered by the in-window curation pipeline,
+    # whose oracle embeds the same shingle→minhash→band→components chain
+    "dedup_cluster_stats",
     # EXISTS-semi-over-aggregate kernel r2-green; semi/anti shapes stay
     # in-window via classic_supplier_part_variety
     "classic_waiting_suppliers",

@@ -581,7 +581,71 @@ FROM sums JOIN n ON sums.label = n.label
 GROUP BY n.label, n.n_vectors
 """
 
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization — the 4× storage/bandwidth compression
+    every large-scale vector store applies before ANN serving: per-vector
+    max-abs scaling, q_i = round(x_i·127/scale) ∈ [−127, 127]. Emits the
+    quantized vector plus its EXACT integer L1 and squared-L2 norms (the
+    precomputed terms an int8 cosine/dot kernel needs), so downstream
+    similarity stays in exact integer arithmetic — the same determinism
+    design as the micro-unit quantization above (similarity.py:19-23).
+
+    Scale shape: pure per-row projection (higher-order array expressions,
+    no shuffle, no Python) — embarrassingly parallel; the natural
+    map-side stage before writing an ANN-ready table. All outputs are
+    integers except `scale`, which is an input float32 widened unchanged,
+    so the driver hash is exact."""
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    df = _emb(spark, sf_dir).select("vec_id", x.alias("x"))
+    maxabs = F.array_max(F.transform(F.col("x"), F.abs))
+    df = df.withColumn("scale", maxabs).withColumn(
+        "s_safe", F.when(F.col("scale") == 0, F.lit(1.0)).otherwise(F.col("scale"))
+    )
+    q8 = F.transform(
+        F.col("x"),
+        lambda v: F.round(v * F.lit(127.0) / F.col("s_safe"), 0).cast("int"),
+    )
+    df = df.withColumn("q8", q8)
+    return df.select(
+        "vec_id",
+        "scale",
+        "q8",
+        F.aggregate(
+            F.col("q8"), F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+        ).alias("q_l1"),
+        F.aggregate(
+            F.col("q8"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("q_sq"),
+    )
+
+
+QUANTIZE_INT8_SQL = """
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, x,
+         list_max(list_transform(x, v -> abs(v))) AS scale
+  FROM x
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(
+           x,
+           v -> CAST(round(v * 127.0 / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END), 0)
+                     AS INTEGER)) AS q8
+  FROM m
+)
+SELECT vec_id, scale, q8,
+       CAST(list_sum(list_transform(q8, v -> abs(v))) AS BIGINT) AS q_l1,
+       CAST(list_sum(list_transform(q8, v -> v * v)) AS BIGINT) AS q_sq
+FROM q
+"""
+
+
 registry.register("sim_bruteforce_topk", brute_force_topk, BRUTE_SQL)
+registry.register("emb_quantize_int8", quantize_int8, QUANTIZE_INT8_SQL)
 registry.register("sim_ann_lsh_topk", ann_lsh_topk, _lsh_topk_sql())
 registry.register("sim_ann_ivf_topk", ann_ivf_topk, None)   # recall-tested; see sim_ann_ivf_recall
 registry.register("sim_ann_ivf_recall", ann_ivf_recall, IVF_RECALL_SQL)

@@ -563,7 +563,253 @@ GROUP BY doc_id
 """
 
 
+# Bigram LM (stupid backoff): bigrams seen fewer than this many times in
+# the corpus back off to the unigram model with a fixed integer penalty.
+BIGRAM_MIN_COUNT = 2
+BACKOFF_PENALTY_BITS = 1  # ≈ -log2(0.5) — stupid backoff α=0.5, kept integer
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score with stupid backoff, in EXACT
+    INTEGER arithmetic — the bigram extension of text_unigram_surprisal's
+    floor-log2 trick (``bits(x) = len(binary(x))``; NEXT.md round-3
+    candidate). Per token instance:
+
+    - doc-initial token (no predecessor): unigram surprisal
+      ``bits(N) − bits(c1(t))``;
+    - corpus bigram count ≥ BIGRAM_MIN_COUNT: conditional surprisal
+      ``bits(cctx(prev)) − bits(c2(prev,t))`` where cctx(prev) is the
+      number of bigram instances starting with prev;
+    - rare bigram (hapax): stupid backoff — BACKOFF_PENALTY_BITS + the
+      unigram surprisal.
+
+    Per document: token count, backoff-token count (the fluency signal —
+    garbage text is hapax-bigram-heavy), total surprisal bits (pure
+    BIGINT, hash-exact), and the mean as ONE IEEE division.
+
+    Scale shape: tokenization shuffles once on doc_id for the lag window
+    (docs are the natural unit; skew bounded by max doc length), the
+    count tables are map-side-combinable aggregates ∝ distinct
+    unigrams/bigrams, and scoring is the standard LM join of token
+    instances against broadcast-or-shuffled count tables — cost ∝ corpus
+    tokens, the unavoidable LM-scoring floor. No floats until the final
+    division, no Python anywhere."""
+    return bigram_surprisal_df(_docs(spark, sf_dir))
+
+
+def bigram_surprisal_df(d: DataFrame) -> DataFrame:
+    """Kernel of text_bigram_surprisal over any (doc_id, text) DataFrame.
+
+    Plan shape: adjacent pairs are extracted ARRAY-SIDE (zip of
+    toks[i], toks[i+1] inside the row) — no lag window, so no doc_id
+    sort-shuffle; the exploded pair stream goes straight into per-doc
+    (prev, tok) count compaction (map-side combinable, the plan's only
+    token-instance pass). Every corpus count table (c2, cctx, c1, N) is
+    then derived from the compacted pair/initial tables (each token
+    instance is either doc-initial or the second element of exactly one
+    bigram), and the per-(prev, tok) surprisal is precomputed on the
+    bigram-vocabulary table, so the only remaining joins are
+    pair-table-sized — never a second pass over token instances. (First
+    cut lag-windowed the instance stream and joined it against
+    c1/c2/cctx separately: 3× unigram's bench time.)"""
+    toks_arr = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
+    # Repartition DOC-LEVEL rows (one token array per row) by doc_id: the
+    # cheapest possible exchange (∝ corpus bytes, no per-token rows, no
+    # sort), after which every per-doc aggregation below reuses the
+    # partitioning and the exploded pair stream is never shuffled.
+    base = (
+        d.select("doc_id", toks_arr.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .repartition("doc_id")
+    )
+    # Adjacent-pair extraction ARRAY-SIDE (zip of toks[i], toks[i+1]) —
+    # no lag window, so no doc_id sort-shuffle: the first aggregation
+    # below is the plan's only pass over token instances.
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("prev"),
+            F.element_at("toks", i + 1).alias("tok"),
+        ),
+    )
+    # Per-doc compaction: d2 = bigram instances, d1 = doc-initial tokens.
+    d2 = (
+        base.filter(F.size("toks") > 1)
+        .select("doc_id", F.explode(pair_arr).alias("p"))
+        .groupBy("doc_id", F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d1 = (
+        base.select("doc_id", F.element_at("toks", 1).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Corpus count tables, all derived from the compacted tables.
+    c2 = d2.groupBy("prev", "tok").agg(F.sum("n").alias("c2"))
+    cctx = c2.groupBy("prev").agg(F.sum("c2").alias("cctx"))
+    c1 = (
+        d2.select("tok", "n")
+        .unionByName(d1.select("tok", "n"))
+        .groupBy("tok")
+        .agg(F.sum("n").alias("c1"))
+    )
+    total = c1.agg(F.sum("c1").alias("n_total"))
+
+    def bits(col: F.Column) -> F.Column:
+        return F.length(F.conv(col, 10, 2)).cast("long")
+
+    uni = bits(F.col("n_total")) - bits(F.col("c1"))
+    # Score tables: one row per distinct bigram / distinct initial token.
+    st2 = (
+        c2.join(cctx, "prev")
+        .join(c1, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prev",
+            "tok",
+            F.when(
+                F.col("c2") >= BIGRAM_MIN_COUNT, bits(F.col("cctx")) - bits(F.col("c2"))
+            )
+            .otherwise(F.lit(BACKOFF_PENALTY_BITS) + uni)
+            .alias("surprisal"),
+            (F.col("c2") < BIGRAM_MIN_COUNT).cast("long").alias("is_backoff"),
+        )
+    )
+    st1 = c1.crossJoin(F.broadcast(total)).select(
+        "tok", uni.alias("surprisal"), F.lit(0).cast("long").alias("is_backoff")
+    )
+    contrib = d2.join(st2, ["prev", "tok"]).select(
+        "doc_id", "n", "surprisal", "is_backoff"
+    ).unionByName(
+        d1.join(st1, "tok").select("doc_id", "n", "surprisal", "is_backoff")
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.col("n") * F.col("is_backoff")).alias("n_backoff_tokens"),
+        F.sum(F.col("n") * F.col("surprisal")).alias("total_surprisal_bits"),
+        (
+            F.sum(F.col("n") * F.col("surprisal")) / F.sum("n")
+        ).alias("mean_surprisal_bits"),
+    )
+
+
+BIGRAM_SURPRISAL_SQL = f"""
+WITH d AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+t0 AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok FROM d
+),
+t AS (SELECT doc_id, pos, tok FROM t0 WHERE tok <> ''),
+b AS (
+  SELECT doc_id, pos, tok,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM t
+),
+c1 AS (SELECT tok, COUNT(*) AS c1 FROM t GROUP BY tok),
+c2 AS (SELECT prev, tok, COUNT(*) AS c2 FROM b WHERE prev IS NOT NULL GROUP BY prev, tok),
+cctx AS (SELECT prev, COUNT(*) AS cctx FROM b WHERE prev IS NOT NULL GROUP BY prev),
+n AS (SELECT COUNT(*) AS n_total FROM t),
+s AS (
+  SELECT b.doc_id,
+         CASE WHEN b.prev IS NULL
+                THEN len(printf('%b', n.n_total)) - len(printf('%b', c1.c1))
+              WHEN c2.c2 >= {BIGRAM_MIN_COUNT}
+                THEN len(printf('%b', cctx.cctx)) - len(printf('%b', c2.c2))
+              ELSE {BACKOFF_PENALTY_BITS}
+                   + len(printf('%b', n.n_total)) - len(printf('%b', c1.c1))
+         END AS sbits,
+         CASE WHEN b.prev IS NOT NULL AND c2.c2 < {BIGRAM_MIN_COUNT}
+              THEN 1 ELSE 0 END AS backoff
+  FROM b
+  JOIN c1 ON b.tok = c1.tok
+  LEFT JOIN c2 ON b.prev = c2.prev AND b.tok = c2.tok
+  LEFT JOIN cctx ON b.prev = cctx.prev
+  CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(backoff) AS BIGINT) AS n_backoff_tokens,
+       CAST(SUM(sbits) AS BIGINT) AS total_surprisal_bits,
+       CAST(CAST(SUM(sbits) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_surprisal_bits
+FROM s GROUP BY doc_id
+"""
+
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K distinguishing terms by TF-IDF, in EXACT INTEGER
+    arithmetic: idf_bits = bits(n_docs) − bits(df(t)) (the floor-log2
+    difference — within ±1 bit of ⌈log2(N/df)⌉ and identical in Spark and
+    DuckDB), score = tf · idf_bits. The keyword-extraction primitive for
+    corpus topical analysis and near-dup explainability — every column is
+    an integer or string, so the driver hash is exact by construction.
+
+    Scale shape: one explode pass; df is a distinct (token, doc) count
+    keyed by token (map-side-combinable); the scoring join is token-keyed
+    ∝ distinct (doc, token) pairs; top-K per doc is a bounded window over
+    doc_id partitions (≤ doc vocabulary each — never a global sort)."""
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.select("doc_id", F.explode(F.split(_norm_col(), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    def bits(col: F.Column) -> F.Column:
+        return F.length(F.conv(col, 10, 2)).cast("long")
+
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf_bits", bits(F.col("n_docs")) - bits(F.col("df")))
+        .withColumn("score_bits", F.col("tf") * F.col("idf_bits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_bits"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", F.col("df").cast("long").alias("df"),
+                "idf_bits", "score_bits")
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+),
+t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         len(printf('%b', n.n_docs)) - len(printf('%b', df.df)) AS idf_bits,
+         tf.tf * (len(printf('%b', n.n_docs)) - len(printf('%b', df.df))) AS score_bits
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_bits DESC, term) AS BIGINT) AS rank,
+         term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         CAST(idf_bits AS BIGINT) AS idf_bits, CAST(score_bits AS BIGINT) AS score_bits
+  FROM s
+)
+SELECT doc_id, rank, term, tf, df, idf_bits, score_bits
+FROM r WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 registry.register("text_shard_split", shard_split, SHARD_SPLIT_SQL)
+registry.register("text_bigram_surprisal", bigram_surprisal, BIGRAM_SURPRISAL_SQL)
+registry.register("text_tfidf_top_terms", tfidf_top_terms, TFIDF_SQL)
 registry.register("text_unigram_surprisal", unigram_surprisal, UNIGRAM_SURPRISAL_SQL)
 registry.register("text_token_stats", token_stats, TOKEN_STATS_SQL)
 registry.register("text_quality_score", quality_score, QUALITY_SQL)

@@ -43,3 +43,24 @@ def test_ann_recall_and_exact_scores(spark, exact, ann_fn):
     hits = sum(len(by_query.get(q, set()) & t) for q, t in truth.items())
     recall = hits / (len(truth) * TOP_K)
     assert recall >= MIN_RECALL, f"recall@{TOP_K} = {recall:.2f}"
+
+
+def test_quantize_int8_invariants(spark):
+    """Int8 quantization: every component in [-127, 127], the max-abs
+    component hits exactly ±127 (scale saturation), and the integer
+    norms agree with the emitted vector."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators.similarity import quantize_int8
+
+    df = quantize_int8(spark, "/root/testdata/sf0.001")
+    bad = df.filter(
+        (F.array_max(F.transform("q8", F.abs)) > 127)
+        | ((F.col("scale") > 0) & (F.array_max(F.transform("q8", F.abs)) != 127))
+        | (
+            F.aggregate("q8", F.lit(0).cast("long"), lambda a, v: a + F.abs(v))
+            != F.col("q_l1")
+        )
+    ).count()
+    assert bad == 0
+    assert df.count() > 0

@@ -56,3 +56,41 @@ def test_pii_redaction_on_organic_text(spark):
     assert rows[2].n_ips == 2 and "192.168" not in rows[2].redacted_text
     assert not rows[3].has_pii and rows[3].redacted_text == docs[3][1]
     assert (rows[4].n_emails, rows[4].n_phones, rows[4].n_ips) == (1, 1, 1)
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """Pin the stupid-backoff bigram semantics on a hand-computed corpus.
+
+    N=9 tokens, c1(a)=c1(b)=c1(c)=3, bigram counts (a,b)=3 (the only one
+    reaching BIGRAM_MIN_COUNT), cctx(a)=3/(b)=2/(c)=1; bits(9)=4,
+    bits(3)=bits(2)=2, bits(1)=1."""
+    from near_real_time_data_warehouse_spark.operators.text import bigram_surprisal_df
+
+    docs = [(0, "a b a b"), (1, "a b c"), (2, "c c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in bigram_surprisal_df(df).collect()}
+    # doc0: initial a=2, (a,b)=0, (b,a) hapax -> 1+2=3, (a,b)=0
+    assert (rows[0].n_tokens, rows[0].n_backoff_tokens, rows[0].total_surprisal_bits) == (4, 1, 5)
+    assert rows[0].mean_surprisal_bits == 5 / 4
+    # doc1: initial a=2, (a,b)=0, (b,c) hapax -> 3
+    assert (rows[1].n_tokens, rows[1].n_backoff_tokens, rows[1].total_surprisal_bits) == (3, 1, 5)
+    # doc2: initial c=2, (c,c) hapax -> 3
+    assert (rows[2].n_tokens, rows[2].n_backoff_tokens, rows[2].total_surprisal_bits) == (2, 1, 5)
+
+
+def test_bigram_surprisal_nonvacuous_on_testdata(spark):
+    """The backoff path actually fires on the synthetic corpus (the
+    differential oracle would be vacuously green if every bigram were
+    frequent or every token doc-initial)."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators.text import bigram_surprisal
+
+    agg = bigram_surprisal(spark, "/root/testdata/sf0.001").agg(
+        F.sum("n_backoff_tokens").alias("backoffs"),
+        F.sum(
+            (F.col("n_backoff_tokens") > F.col("n_tokens") - 1).cast("int")
+        ).alias("invariant_violations"),
+    ).collect()[0]
+    assert agg.backoffs > 0
+    assert agg.invariant_violations == 0
