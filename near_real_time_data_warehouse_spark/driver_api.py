@@ -93,7 +93,12 @@ _PRIORITY = [
     "classic_shipping_priority",
     "dedup_simhash_banded",
     "sim_ann_lsh_topk",
-    "sim_ann_ivf_recall",
+    # NEW (round-3, this session): incremental IVF maintenance — batch
+    # assigned against stored centroids (cost ∝ batch, no retrain),
+    # recall-of-grown-index gate. Replaces sim_ann_ivf_recall in-window:
+    # its recall-gate kernel is strictly contained here (r2-green row
+    # stands in the union ledger).
+    "sim_ann_ivf_incremental",
     "events_approx_distinct_error",
     "classic_market_share",
     "classic_potential_promotion",
@@ -200,6 +205,8 @@ _DEPRIORITIZED = [
     "classic_disjunctive_revenue",
     "events_top_users_by_value",
     "dedup_simhash",
+    # ceded this session for sim_ann_ivf_incremental (see note there)
+    "sim_ann_ivf_recall",
     # Head of this list fills any window slack (the first 50 minus
     # _PRIORITY and the in-window core), best candidates first: q20 is
     # the only S9-view entry; q06 the only add_months date-arithmetic.

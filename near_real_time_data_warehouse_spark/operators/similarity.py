@@ -347,35 +347,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memoized("ivf", spark, sf_dir, lambda: _ann_ivf_topk(spark, sf_dir))
 
 
-def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+def _assign_lists(spark: SparkSession, df: DataFrame, cmat: np.ndarray) -> DataFrame:
+    """Assign each vector in ``df`` to its nearest centroid: one
+    Arrow-batched pass, cost ∝ rows of ``df`` (the IVF index-build /
+    index-grow primitive)."""
+    cnorm_now = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((cmat, cnorm_now))
 
-    def assigner(cmat_now: np.ndarray):
-        cnorm_now = np.sqrt((cmat_now * cmat_now).sum(axis=1).astype(np.float64))
-        bc = spark.sparkContext.broadcast((cmat_now, cnorm_now))
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm, cn = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            q = _quant_np(pdf["embedding"])
+            nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+            cos = (q @ cm.T) / (nrm[:, None] * cn[None, :])
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["vec_id"],
+                    "centroid": cos.argmax(axis=1).astype(np.int32),
+                }
+            )
 
-        def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cm, cn = bc.value
-            for pdf in it:
-                if pdf.empty:
-                    continue
-                q = _quant_np(pdf["embedding"])
-                nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
-                cos = (q @ cm.T) / (nrm[:, None] * cn[None, :])
-                yield pd.DataFrame(
-                    {
-                        "neighbor_id": pdf["vec_id"],
-                        "centroid": cos.argmax(axis=1).astype(np.int32),
-                    }
-                )
+    return df.mapInPandas(assign, "neighbor_id long, centroid int")
 
-        return assign
 
-    cmat = _train_centroids_on_sample(emb)
-    assigned = emb.mapInPandas(assigner(cmat), "neighbor_id long, centroid int")
-
-    # Probe lists per query: the query block is bounded, so the top-N_PROBE
-    # centroid choice is a driver-side numpy argsort on a (Q × C) matrix.
+def _probe_topk(
+    spark: SparkSession, emb: DataFrame, cmat: np.ndarray, assigned: DataFrame
+) -> DataFrame:
+    """IVF query side: each bounded-block query probes its N_PROBE nearest
+    lists (driver-side numpy argsort on a (Q × C) matrix) and scores only
+    vectors assigned to them."""
     qids, qmat = _collect_quantized(emb.filter(F.col("vec_id") < QUERY_CAP))
     qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
     cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
@@ -392,6 +394,13 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     return _topk_over_candidates(spark, emb, cand)
+
+
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cmat = _train_centroids_on_sample(emb)
+    assigned = _assign_lists(spark, emb, cmat)
+    return _probe_topk(spark, emb, cmat, assigned)
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,6 +548,84 @@ FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {QUERY_CAP})
 
 
 
+# Incremental index maintenance: standing corpus = vec_id < SPLIT, the
+# newly ingested batch = the rest (embeddings is a fixed 500-row table at
+# every sf, ids dense 0..499, so the split is a static constant the
+# oracle can replay).
+IVF_INCR_SPLIT = 400
+# Stale-centroid recall floor: centroids trained BEFORE the batch existed
+# must still retrieve well over the grown corpus (measured ≈0.75 at
+# sf0.01; floor leaves drift margin).
+IVF_INCR_RECALL_FLOOR = 0.65
+
+
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (the dedup_graph_incremental
+    pattern applied to IVF, NEXT.md round-4 candidate): centroids are
+    trained ONCE on the standing corpus (vec_id < IVF_INCR_SPLIT) and
+    NOT retrained when a batch arrives — the batch is assigned against
+    the stored centroid state in one Arrow pass, cost ∝ batch, and the
+    inverted lists simply grow. That is the only maintenance shape that
+    works at 100 TB (retraining would re-stream the corpus nightly).
+
+    The gate this entry certifies to the driver: queries over the GROWN
+    index — stale centroids, old + new lists — still meet the recall
+    floor against the exact brute-force truth computed over the grown
+    corpus. If centroid drift ever degrades retrieval below the floor,
+    recall_floor_met flips and the driver value-hash goes red. Exact
+    facts (corpus/batch sizes, k, floor) are pinned bit-exactly; mean
+    recall itself is tracked by pytest (tests/test_similarity.py)."""
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") < IVF_INCR_SPLIT)
+    batch = emb.filter(F.col("vec_id") >= IVF_INCR_SPLIT)
+    cmat = _train_centroids_on_sample(old)          # stored state: old data only
+    grown = _assign_lists(spark, old, cmat).unionByName(
+        _assign_lists(spark, batch, cmat)           # the ∝-batch maintenance pass
+    )
+    ann = (
+        _probe_topk(spark, emb, cmat, grown)
+        .filter(F.col("neighbor_id") < CORPUS_CAP)
+        .select("query_id", "neighbor_id")
+    )
+    truth = brute_force_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+    hits = (
+        truth.join(
+            ann,
+            (truth["query_id"] == ann["query_id"])
+            & (truth["true_neighbor"] == ann["neighbor_id"]),
+            "left_semi",
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = emb.groupBy().agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.sum((F.col("vec_id") >= IVF_INCR_SPLIT).cast("long")).alias("n_batch"),
+    )
+    n_truth = truth.groupBy().agg(F.count(F.lit(1)).alias("n_truth"))
+    return totals.crossJoin(hits).crossJoin(n_truth).select(
+        F.col("n_corpus").cast("long").alias("n_corpus"),
+        F.col("n_batch").cast("long").alias("n_batch"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        F.lit(IVF_INCR_RECALL_FLOOR).alias("recall_floor"),
+        ((F.col("n_hits") / F.col("n_truth")) >= IVF_INCR_RECALL_FLOOR).alias(
+            "recall_floor_met"
+        ),
+    )
+
+
+IVF_INCREMENTAL_SQL = f"""
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_corpus,
+       CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id >= {IVF_INCR_SPLIT}) AS BIGINT)
+         AS n_batch,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST({IVF_INCR_RECALL_FLOOR} AS DOUBLE) AS recall_floor,
+       true AS recall_floor_met
+"""
+
+
 EMB_DIM = 64
 
 
@@ -649,5 +736,6 @@ registry.register("emb_quantize_int8", quantize_int8, QUANTIZE_INT8_SQL)
 registry.register("sim_ann_lsh_topk", ann_lsh_topk, _lsh_topk_sql())
 registry.register("sim_ann_ivf_topk", ann_ivf_topk, None)   # recall-tested; see sim_ann_ivf_recall
 registry.register("sim_ann_ivf_recall", ann_ivf_recall, IVF_RECALL_SQL)
+registry.register("sim_ann_ivf_incremental", ann_ivf_incremental, IVF_INCREMENTAL_SQL)
 registry.register("sim_embedding_near_dup", embedding_near_dup, NEAR_DUP_SQL)
 registry.register("emb_label_centroids", label_centroids, LABEL_CENTROIDS_SQL)

@@ -64,3 +64,39 @@ def test_quantize_int8_invariants(spark):
     ).count()
     assert bad == 0
     assert df.count() > 0
+
+
+def test_ivf_incremental_stale_centroid_recall(spark):
+    """Track the raw stale-centroid recall the driver entry gates on
+    (the entry only exposes the boolean; this pins the number), and the
+    maintenance invariant: the batch pass touches only batch vectors."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import similarity as S
+
+    emb = S._emb(spark, SF_SMALL)
+    old = emb.filter(F.col("vec_id") < S.IVF_INCR_SPLIT)
+    batch = emb.filter(F.col("vec_id") >= S.IVF_INCR_SPLIT)
+    cmat = S._train_centroids_on_sample(old)
+    ab = S._assign_lists(spark, batch, cmat)
+    assert ab.count() == batch.count()
+    assert ab.filter(F.col("neighbor_id") < S.IVF_INCR_SPLIT).count() == 0
+
+    grown = S._assign_lists(spark, old, cmat).unionByName(ab)
+    ann = (
+        S._probe_topk(spark, emb, cmat, grown)
+        .filter(F.col("neighbor_id") < S.CORPUS_CAP)
+        .select("query_id", "neighbor_id")
+    )
+    truth = S.brute_force_topk(spark, SF_SMALL).select(
+        "query_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+    n_truth = truth.count()
+    n_hits = truth.join(
+        ann,
+        (truth["query_id"] == ann["query_id"])
+        & (truth["true_neighbor"] == ann["neighbor_id"]),
+        "left_semi",
+    ).count()
+    recall = n_hits / n_truth
+    assert recall >= S.IVF_INCR_RECALL_FLOOR, recall
