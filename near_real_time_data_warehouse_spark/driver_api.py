@@ -88,6 +88,13 @@ _PRIORITY = [
     # integer norms — the ANN-serving compression projection (pure
     # higher-order array expressions, zero shuffle).
     "emb_quantize_int8",
+    # NEW (round-3, this session): overlapping sliding windows via
+    # overlap-explode (the 4x write-amplification batch twin of
+    # window(ts, '4 hours', '1 hour')) and time-spine densification
+    # (gap-filled hourly series) — two window kernels nothing else
+    # in-window exercises.
+    "events_sliding_hourly",
+    "events_hourly_dense",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "classic_shipping_priority",
@@ -100,8 +107,6 @@ _PRIORITY = [
     # stands in the union ledger).
     "sim_ann_ivf_incremental",
     "events_approx_distinct_error",
-    "classic_market_share",
-    "classic_potential_promotion",
     "text_stopword_ratios",
     "events_quantile_sketch_error",
     "events_incident_window_join",
@@ -207,6 +212,12 @@ _DEPRIORITIZED = [
     "dedup_simhash",
     # ceded this session for sim_ann_ivf_incremental (see note there)
     "sim_ann_ivf_recall",
+    # ceded this session for events_sliding_hourly / events_hourly_dense:
+    # the share-of-group conditional ratio kernel stays via
+    # classic_promo_revenue_share; the agg-threshold semi kernel via
+    # classic_large_volume_customers (both in-window, both r2-green)
+    "classic_market_share",
+    "classic_potential_promotion",
     # Head of this list fills any window slack (the first 50 minus
     # _PRIORITY and the in-window core), best candidates first: q20 is
     # the only S9-view entry; q06 the only add_months date-arithmetic.

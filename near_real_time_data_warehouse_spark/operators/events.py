@@ -78,6 +78,130 @@ GROUP BY hour_epoch_s, event_type
 """
 
 
+# Sliding windows: length / slide in hours. Each event belongs to
+# LENGTH/SLIDE consecutive windows — the write-amplification factor of
+# any sliding aggregation (here 4×).
+SLIDE_LEN_H = 4
+SLIDE_STEP_H = 1
+
+
+def sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 4-hour/1-hour window per event type — the overlapping
+    twin of ``tumbling_hourly`` (streaming form:
+    ``window(ts, '4 hours', '1 hour')`` + watermark). Batch semantics by
+    overlap-explode: an event at hour h contributes to windows starting
+    h−3 … h, so the plan is sequence → explode → the same
+    map-side-combinable aggregate as tumbling. Write amplification is
+    exactly LENGTH/SLIDE (4×) — the known cost of sliding aggs at any
+    scale; partial aggregation absorbs it before the one shuffle. Value
+    sums stay DECIMAL-exact; the mean is one IEEE division (the q15
+    discipline), so hashes are bit-portable."""
+    e = _events(spark, sf_dir).withColumn("h", F.expr(f"us div {_HOUR_US}"))
+    exploded = e.select(
+        "event_type",
+        "value",
+        F.explode(
+            F.sequence(F.col("h") - (SLIDE_LEN_H - 1), F.col("h"))
+        ).alias("start_h"),
+    )
+    return (
+        exploded.groupBy((F.col("start_h") * 3600).alias("window_start_s"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_value"),
+        )
+        .withColumn("window_end_s", F.col("window_start_s") + SLIDE_LEN_H * 3600)
+        .select("window_start_s", "window_end_s", "event_type", "n_events",
+                "total_value", "mean_value")
+    )
+
+
+SLIDING_SQL = f"""
+WITH e AS (
+  SELECT event_type, value, epoch_us(ts) // {_HOUR_US} AS h FROM events
+),
+x AS (
+  SELECT event_type, value,
+         unnest(generate_series(h - {SLIDE_LEN_H - 1}, h)) AS start_h
+  FROM e
+)
+SELECT start_h * 3600 AS window_start_s,
+       start_h * 3600 + {SLIDE_LEN_H * 3600} AS window_end_s,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value
+FROM x
+GROUP BY start_h, event_type
+"""
+
+
+def hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event type: a dense hour spine
+    (min…max hour of the whole stream) cross-joined with the observed
+    event types, LEFT-joined against the tumbling aggregate, empty hours
+    zero-filled. The time-spine densification every downstream
+    forecasting/anomaly consumer needs (a 3σ monitor fed only observed
+    hours under-counts gaps as missing, not zero).
+
+    Scale shape: the spine is generated from a 1-row global min/max
+    aggregate (sequence + explode — never a driver loop), sized
+    #hours × #types, tiny next to the event stream; the only big-data
+    pass is the same one tumbling makes. The left join keys on
+    (hour, type) — broadcast-able spine side at any realistic horizon."""
+    e = _events(spark, sf_dir)
+    hours = e.agg(
+        F.min(F.expr(f"us div {_HOUR_US}")).alias("h_min"),
+        F.max(F.expr(f"us div {_HOUR_US}")).alias("h_max"),
+    )
+    spine = hours.select(
+        F.explode(F.sequence("h_min", "h_max")).alias("h")
+    ).crossJoin(e.select("event_type").distinct())
+    agg = e.groupBy(
+        F.expr(f"us div {_HOUR_US}").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    return spine.join(agg, ["h", "event_type"], "left").select(
+        (F.col("h") * 3600).alias("hour_epoch_s"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(F.col("v"), F.lit(0).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+        (F.col("n").isNull()).alias("is_gap"),
+    )
+
+
+HOURLY_DENSE_SQL = f"""
+WITH e AS (
+  SELECT event_type, value, epoch_us(ts) // {_HOUR_US} AS h FROM events
+),
+bounds AS (SELECT MIN(h) AS h_min, MAX(h) AS h_max FROM e),
+spine AS (
+  SELECT unnest(generate_series(h_min, h_max)) AS h FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM e),
+agg AS (
+  SELECT h, event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM e GROUP BY h, event_type
+)
+SELECT spine.h * 3600 AS hour_epoch_s,
+       types.event_type,
+       CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(agg.v, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       agg.n IS NULL AS is_gap
+FROM spine CROSS JOIN types
+LEFT JOIN agg ON agg.h = spine.h AND agg.event_type = types.event_type
+"""
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): per user, session
     count, event count, and longest session length in events. Batch form
@@ -790,6 +914,8 @@ SELECT hour_idx * 3600 AS hour_epoch_s,
 FROM based
 """
 
+registry.register("events_sliding_hourly", sliding_hourly, SLIDING_SQL)
+registry.register("events_hourly_dense", hourly_dense, HOURLY_DENSE_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)
 registry.register("events_sessionize", sessionize, SESSIONIZE_SQL)
 registry.register("events_dedup_first_per_key", dedup_events, DEDUP_EVENTS_SQL)

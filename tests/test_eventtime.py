@@ -48,6 +48,8 @@ _TZ_SENSITIVE = [
     "orders_scd2_priority_history",  # timestamp→date casts + windows
     "orders_priority_asof_ship",     # date interval join
     "events_tumbling_hourly",        # epoch-µs bucketing
+    "events_sliding_hourly",         # overlap-exploded epoch bucketing
+    "events_hourly_dense",           # spine bounds from epoch hours
     "events_sessionize",             # epoch gaps
 ]
 

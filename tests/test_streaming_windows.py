@@ -211,3 +211,46 @@ def test_dedup_within_watermark_suppresses_resends(spark, tmp_path_factory):
     # first-arrival wins: user 1's kept event is the 10:00 original
     t1 = [r.event_time for r in out if r.user_id == 1][0]
     assert t1.minute == 0
+
+
+def test_sliding_window_mass_conservation(spark):
+    """Every event lands in exactly LENGTH/SLIDE sliding windows, so the
+    sliding aggregate's total event mass is exactly 4x the stream's."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators.events import (
+        SLIDE_LEN_H,
+        SLIDE_STEP_H,
+        _events,
+        sliding_hourly,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_stream = _events(spark, sf).count()
+    n_windowed = sliding_hourly(spark, sf).agg(F.sum("n_events")).collect()[0][0]
+    assert n_windowed == n_stream * (SLIDE_LEN_H // SLIDE_STEP_H)
+
+
+def test_hourly_dense_spine_is_complete_and_gap_flagged(spark):
+    """The densified series covers every (hour, type) cell between stream
+    min/max with no holes; gap rows are zero-filled and flagged."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators.events import hourly_dense
+
+    d = hourly_dense(spark, "/root/testdata/sf0.001").cache()
+    try:
+        bounds = d.agg(
+            F.min("hour_epoch_s").alias("lo"),
+            F.max("hour_epoch_s").alias("hi"),
+            F.countDistinct("event_type").alias("ntypes"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        expected_hours = (bounds.hi - bounds.lo) // 3600 + 1
+        assert bounds.n == expected_hours * bounds.ntypes
+        bad_gap = d.filter(
+            F.col("is_gap") & ((F.col("n_events") != 0) | (F.col("total_value") != 0.0))
+        ).count()
+        assert bad_gap == 0
+    finally:
+        d.unpersist()
