@@ -95,6 +95,11 @@ _PRIORITY = [
     # in-window exercises.
     "events_sliding_hourly",
     "events_hourly_dense",
+    # NEW (round-3, this session): content-defined chunking — rolling
+    # k-gram-hash boundaries that RE-SYNCHRONIZE after edits (pytest pins
+    # the realignment property); emits content-addressed chunk
+    # fingerprints for chunk-level dedup.
+    "docs_cdc_chunks",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "classic_shipping_priority",
@@ -132,7 +137,6 @@ _PRIORITY = [
     "events_funnel_stages",
     "events_retention_cohorts",
     "text_repetition_stats",
-    "docs_chunk_windows",
     # compliance + tokenizer-prep surface: sequential multi-pattern
     # regexp redaction and corpus-level token aggregation with top-K —
     # kernels no other in-window entry exercises
@@ -218,6 +222,10 @@ _DEPRIORITIZED = [
     # classic_large_volume_customers (both in-window, both r2-green)
     "classic_market_share",
     "classic_potential_promotion",
+    # ceded this session for docs_cdc_chunks: the chunking-export kernel
+    # stays in-window via docs_cdc_chunks; the sequence→explode→slice
+    # shape via events_sliding_hourly (r2-green, union-ledgered)
+    "docs_chunk_windows",
     # Head of this list fills any window slack (the first 50 minus
     # _PRIORITY and the in-window core), best candidates first: q20 is
     # the only S9-view entry; q06 the only add_months date-arithmetic.

@@ -480,7 +480,137 @@ GROUP BY shard
 """
 
 
+# Content-defined chunking: boundary after token i when the hash of the
+# k-gram ending at i is ≡ 0 mod CDC_MOD → mean chunk ≈ CDC_MOD tokens.
+CDC_K = 3
+CDC_MOD = 8
+
+
+def cdc_chunks_df(d: DataFrame) -> DataFrame:
+    """Kernel of docs_cdc_chunks over any (doc_id, text) DataFrame."""
+    toks_arr = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
+    base = (
+        d.select("doc_id", toks_arr.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .repartition("doc_id")
+    )
+    # Boundary flags computed ARRAY-SIDE (the bigram-surprisal pattern):
+    # one struct per token with its 0-based pos and cut-after flag.
+    gram_hash = lambda i: F.pmod(  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("toks", i - 2),
+                        F.element_at("toks", i - 1),
+                        F.element_at("toks", i),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(CDC_MOD),
+    )
+    flags = F.transform(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: F.struct(
+            (i - 1).cast("long").alias("pos"),
+            F.element_at("toks", i).alias("tok"),
+            F.when(i >= CDC_K, (gram_hash(i) == 0).cast("long"))
+            .otherwise(F.lit(0))
+            .alias("bnd"),
+        ),
+    )
+    x = base.select("doc_id", F.explode(flags).alias("g")).select(
+        "doc_id", "g.pos", "g.tok", "g.bnd"
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = x.withColumn(
+        "chunk_id", F.coalesce(F.sum("bnd").over(w), F.lit(0)).cast("long")
+    )
+    return assigned.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.min("pos").alias("start_pos"),
+        F.max("pos").alias("end_pos"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("chunk_fingerprint"),
+    )
+
+
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking — boundaries picked by a rolling k-gram
+    hash (cut after token i when hash(tok[i−2..i]) ≡ 0 mod CDC_MOD)
+    instead of fixed offsets, so an edit near the start of a document
+    shifts every token position yet chunks after the next boundary
+    RE-SYNCHRONIZE byte-for-byte (pytest pins this on a prefix-edited
+    twin). The chunk-level dedup/storage primitive fixed-stride windows
+    (docs_chunk_windows) cannot provide: their chunks never realign
+    after an insertion. Emits per-chunk token span + an md5 chunk
+    fingerprint — the content-addressed key downstream chunk-level dedup
+    joins on.
+
+    Scale shape: boundary flags are computed array-side per document
+    (md5 of each k-gram — the hash both engines replay exactly, same
+    construction as text_shard_split; a production run would swap in
+    `xxhash64`, ~10× cheaper per gram, at the cost of the cross-engine
+    oracle — boundary *placement* statistics are hash-agnostic); one doc-keyed repartition of
+    doc-level arrays, then the per-doc cumulative boundary count and
+    chunk aggregation reuse that partitioning (doc-bounded windows, no
+    instance-level shuffle). Everything is integers/strings — hash-exact
+    by construction."""
+    return cdc_chunks_df(_docs(spark, sf_dir))
+
+
+CDC_CHUNKS_SQL = f"""
+WITH d0 AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+),
+t0 AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok,
+         toks
+  FROM d0
+),
+t AS (
+  SELECT doc_id, i, tok,
+         CASE WHEN i >= {CDC_K}
+                AND CAST(('0x' || substr(md5(toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i]),
+                                         1, 15)) AS BIGINT) % {CDC_MOD} = 0
+              THEN 1 ELSE 0 END AS bnd
+  FROM t0 WHERE tok <> ''
+),
+a AS (
+  SELECT doc_id, i - 1 AS pos, tok,
+         COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_id
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(MAX(pos) AS BIGINT) AS end_pos,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fingerprint
+FROM a GROUP BY doc_id, chunk_id
+"""
+
+
 registry.register("docs_benchmark_contamination", benchmark_contamination, CONTAMINATION_SQL)
+registry.register("docs_cdc_chunks", cdc_chunks, CDC_CHUNKS_SQL)
 registry.register("docs_chunk_windows", chunk_windows, CHUNK_WINDOWS_SQL)
 registry.register("docs_stratified_sample", stratified_sample, STRATIFIED_SAMPLE_SQL)
 registry.register("docs_token_packing", token_packing, TOKEN_PACKING_SQL)

@@ -54,3 +54,29 @@ def test_balanced_shards_bound_token_spread(spark):
     largest = max(r.largest_doc_tokens for r in rows)
     assert len(rows) == 16
     assert max(totals) - min(totals) <= largest
+
+
+def test_cdc_chunks_resynchronize_after_prefix_edit(spark):
+    """The defining content-defined-chunking property: a prefix insertion
+    shifts every token position, yet chunk fingerprints realign after the
+    next boundary — fixed-stride windows never realign. Most of the
+    original doc's chunks must reappear verbatim in the edited twin."""
+    import hashlib
+
+    from near_real_time_data_warehouse_spark.operators.corpus import cdc_chunks_df
+
+    words = [hashlib.md5(str(i).encode()).hexdigest()[:6] for i in range(240)]
+    original = " ".join(words)
+    edited = "zzz qqq vvv " + original
+    df = spark.createDataFrame(
+        [(0, original), (1, edited)], "doc_id long, text string"
+    )
+    chunks = cdc_chunks_df(df).collect()
+    fp = {0: set(), 1: set()}
+    for r in chunks:
+        fp[r.doc_id].add(r.chunk_fingerprint)
+    shared = fp[0] & fp[1]
+    # everything after the first post-edit boundary realigns: expect the
+    # overwhelming majority of the ~240/8 chunks shared
+    assert len(fp[0]) >= 15, len(fp[0])
+    assert len(shared) >= len(fp[0]) - 3, (len(shared), len(fp[0]))
