@@ -100,6 +100,10 @@ _PRIORITY = [
     # the realignment property); emits content-addressed chunk
     # fingerprints for chunk-level dedup.
     "docs_cdc_chunks",
+    # NEW (round-3, this session): dataset-card profiling — per-column
+    # exact stats via column-pruned parallel branches (plan-tested), no
+    # multi-distinct Expand.
+    "docs_column_profile",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "classic_shipping_priority",
@@ -116,7 +120,6 @@ _PRIORITY = [
     "events_quantile_sketch_error",
     "events_incident_window_join",
     "docs_curation_pipeline",
-    "classic_revenue_concentration",
     "classic_customer_order_percentile",
     # new this round, second session — the four classic shapes whose
     # kernels nothing else in-window exercises: MIN-equality join-back
@@ -226,6 +229,10 @@ _DEPRIORITIZED = [
     # stays in-window via docs_cdc_chunks; the sequence→explode→slice
     # shape via events_sliding_hourly (r2-green, union-ledgered)
     "docs_chunk_windows",
+    # ceded this session for docs_column_profile: the global-scalar
+    # threshold kernel (Q11, r2-green) stays in-window via
+    # classic_top_revenue_supplier's argmax-vs-global-scalar
+    "classic_revenue_concentration",
     # Head of this list fills any window slack (the first 50 minus
     # _PRIORITY and the in-window core), best candidates first: q20 is
     # the only S9-view entry; q06 the only add_months date-arithmetic.

@@ -610,7 +610,51 @@ FROM a GROUP BY doc_id, chunk_id
 
 
 registry.register("docs_benchmark_contamination", benchmark_contamination, CONTAMINATION_SQL)
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (the dataset-card pass): one row per column with
+    exact row/null/distinct counts and string-cast min/max. Each column's
+    stats come from its own single-column aggregate branch, so every
+    branch's scan is COLUMN-PRUNED to just that column (total I/O ≈ one
+    full-table scan, branches embarrassingly parallel) — and no branch
+    mixes COUNT(DISTINCT) columns, so none triggers the multi-distinct
+    Expand blowup (the star_store_stats_approx lesson, NEXT.md r3 #3).
+    At 100 TB swap count_distinct for approx_count_distinct per branch;
+    the shape is unchanged."""
+    d = _docs(spark, sf_dir)
+    branches = []
+    for c in _PROFILE_COLS:
+        branches.append(
+            d.select(c).agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_val"),
+                F.max(F.col(c)).cast("string").alias("max_val"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+COLUMN_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_val,
+       CAST(MAX({c}) AS VARCHAR) AS max_val
+FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
 registry.register("docs_cdc_chunks", cdc_chunks, CDC_CHUNKS_SQL)
+registry.register("docs_column_profile", column_profile, COLUMN_PROFILE_SQL)
 registry.register("docs_chunk_windows", chunk_windows, CHUNK_WINDOWS_SQL)
 registry.register("docs_stratified_sample", stratified_sample, STRATIFIED_SAMPLE_SQL)
 registry.register("docs_token_packing", token_packing, TOKEN_PACKING_SQL)

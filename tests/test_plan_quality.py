@@ -359,3 +359,20 @@ def test_phash_neardup_band_join_is_equi(spark):
     sort-merge), never a nested loop over all pairs."""
     plan = plan_of(QUERIES["multimodal_phash_neardup"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_column_profile_branches_are_column_pruned(spark):
+    """Each docs_column_profile branch must scan ONLY its own column —
+    5 pruned scans ≈ one full-table scan of I/O, the shape the docstring
+    claims. A branch reading all 5 columns would scan the table 5x."""
+    plan = plan_of(QUERIES["docs_column_profile"](spark, SF_SMALL))
+    flat = plan.replace(" ", "")
+    # every single-column ReadSchema the pruned branches should produce
+    for want in (
+        "ReadSchema:struct<doc_id:bigint>",
+        "ReadSchema:struct<text:string>",
+        "ReadSchema:struct<lang:string>",
+        "ReadSchema:struct<source:string>",
+        "ReadSchema:struct<n_chars:bigint>",
+    ):
+        assert want in flat, f"missing pruned scan {want}"
