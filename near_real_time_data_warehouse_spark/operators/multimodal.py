@@ -312,6 +312,107 @@ def decode_with_quarantine(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, DECODED_SCHEMA)
 
 
+# Audio curation thresholds: frames quieter than SILENCE_RMS (full-scale
+# normalized) count as silence; samples at int16 rails count as clipping.
+SILENCE_RMS = 0.01
+AUDIO_FRAME_MS = 100
+
+
+def wav_loudness_stats(parsed: dict, frame_ms: int = AUDIO_FRAME_MS) -> dict:
+    """Per-file loudness/silence/clipping profile from REAL PCM16 bytes —
+    the audio-curation signals (dead air, mic clipping, loudness range) a
+    training pipeline filters on. Channels are mixed to mono, the stream
+    framed at ``frame_ms``, per-frame RMS computed in numpy."""
+    import numpy as np
+
+    pcm = np.frombuffer(
+        parsed["pcm"][: len(parsed["pcm"]) // 2 * 2], dtype="<i2"
+    ).astype(np.float64)
+    nch = max(1, parsed["n_channels"])
+    pcm = pcm[: pcm.size // nch * nch]
+    if pcm.size == 0:
+        return {
+            "n_frames": 0, "rms_mean": 0.0, "rms_max": 0.0,
+            "silent_frac": 1.0, "longest_silence_ms": parsed["duration_ms"],
+            "clip_frac": 0.0,
+        }
+    clip_frac = float((np.abs(pcm) >= 32767).mean())
+    mono = pcm.reshape(-1, nch).mean(axis=1) / 32768.0
+    frame_len = max(1, parsed["sample_rate"] * frame_ms // 1000)
+    n_frames = (mono.size + frame_len - 1) // frame_len
+    pad = np.zeros(n_frames * frame_len)
+    pad[: mono.size] = mono
+    frames = pad.reshape(n_frames, frame_len)
+    rms = np.sqrt((frames * frames).mean(axis=1))
+    silent = rms < SILENCE_RMS
+    longest = run = 0
+    for s in silent:
+        run = run + 1 if s else 0
+        longest = max(longest, run)
+    return {
+        "n_frames": int(n_frames),
+        "rms_mean": float(rms.mean()),
+        "rms_max": float(rms.max()),
+        "silent_frac": float(silent.mean()),
+        "longest_silence_ms": int(longest * frame_ms),
+        "clip_frac": clip_frac,
+    }
+
+
+AUDIO_QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("rms_mean", T.DoubleType(), True),
+        T.StructField("rms_max", T.DoubleType(), True),
+        T.StructField("silent_frac", T.DoubleType(), True),
+        T.StructField("longest_silence_ms", T.IntegerType(), True),
+        T.StructField("clip_frac", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_quality(media: DataFrame, frame_ms: int = AUDIO_FRAME_MS) -> DataFrame:
+    """Audio-quality profiling over real WAV payloads with quarantine
+    routing: metadata-first filter (only audio rows reach Python), then
+    one Arrow-batched pass computing the loudness/silence/clipping
+    profile per file; malformed payloads become ok=false rows. The audio
+    leg of the curation pipeline — filter on silent_frac/clip_frac the
+    way text filters on repetition/quality scores."""
+    audio = media.filter(F.col("kind") == "audio")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = dict.fromkeys(
+                    (f.name for f in AUDIO_QUALITY_SCHEMA.fields), None
+                )
+                row.update(media_id=media_id, ok=False)
+                try:
+                    parsed = parse_wav(
+                        bytes(payload) if payload is not None else None
+                    )
+                    row.update(
+                        ok=True,
+                        sample_rate=parsed["sample_rate"],
+                        duration_ms=parsed["duration_ms"],
+                        **wav_loudness_stats(parsed, frame_ms),
+                    )
+                except (MalformedMedia, DecodeNotAvailable) as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_QUALITY_SCHEMA.fields]
+            )
+
+    return audio.mapInPandas(batches, AUDIO_QUALITY_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image-resize plumbing: metadata-first filter (only images flow into
     Python), stubbed pixel kernel, metadata rewritten Spark-side."""

@@ -216,3 +216,45 @@ def test_parsers_never_crash_on_mutated_valid_payloads():
                 pass
 
     run()
+
+
+def test_wav_loudness_stats_on_synthetic_signal():
+    """A constructed signal with known structure: 0.5 s at half scale,
+    0.5 s of silence, then clipped rail samples — the stats must see
+    each region."""
+    from near_real_time_data_warehouse_spark.operators.multimodal import (
+        parse_wav,
+        wav_loudness_stats,
+    )
+
+    sr = 8000
+    loud = [16384] * (sr // 2)          # 0.5 s at −6 dBFS
+    silence = [0] * (sr // 2)           # 0.5 s dead air
+    clipped = [32767, -32767] * (sr // 4)  # 0.5 s at the rails
+    wav = _wav_bytes(sample_rate=sr, samples=loud + silence + clipped)
+    s = wav_loudness_stats(parse_wav(wav))
+    assert s["n_frames"] == 15          # 1.5 s at 100 ms frames
+    assert abs(s["rms_max"] - 32767 / 32768) < 1e-6
+    assert abs(s["silent_frac"] - 5 / 15) < 1e-9
+    assert s["longest_silence_ms"] == 500
+    assert abs(s["clip_frac"] - 1 / 3) < 1e-9
+    assert 0.15 < s["rms_mean"] < 0.7
+
+
+def test_audio_quality_dataframe_with_quarantine(spark):
+    from near_real_time_data_warehouse_spark.operators.multimodal import audio_quality
+
+    sr = 8000
+    rows = [
+        (0, "audio", _wav_bytes(sample_rate=sr, samples=[0] * sr), None),
+        (1, "audio", b"RIFF" + b"\0" * 30, None),              # malformed
+        (2, "image", _ppm_bytes(), None),                      # filtered out
+        (3, "audio", _wav_bytes(sample_rate=sr, samples=[16384] * sr), None),
+    ]
+    from near_real_time_data_warehouse_spark.operators.multimodal import MEDIA_SCHEMA
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in audio_quality(df).collect()}
+    assert set(got) == {0, 1, 3}        # metadata-first: image never enters
+    assert got[0].ok and got[0].silent_frac == 1.0
+    assert not got[1].ok and "MalformedMedia" in got[1].error
+    assert got[3].ok and got[3].silent_frac == 0.0 and got[3].clip_frac == 0.0
