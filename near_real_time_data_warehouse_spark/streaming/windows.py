@@ -82,6 +82,28 @@ def hourly_by_type(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_by_type(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked sliding 4-hour/1-hour window per event type — the
+    streaming twin of operators/events.sliding_hourly. The engine
+    maintains LENGTH/SLIDE (4×) concurrent windows per key — the same
+    write amplification the batch overlap-explode makes explicit — and
+    state stays bounded by watermark + window length."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "4 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """Native session windows (gap-based, merge-on-overlap) per user —
     the streaming form of operators/events.sessionize. State closes a

@@ -376,3 +376,30 @@ def test_column_profile_branches_are_column_pruned(spark):
         "ReadSchema:struct<n_chars:bigint>",
     ):
         assert want in flat, f"missing pruned scan {want}"
+
+
+def test_runtime_bloom_filter_prunes_big_big_join(spark):
+    """The 100 TB lever for selective big-big joins: when the dim side of
+    a shuffle join carries a selective filter, Spark injects a runtime
+    bloom filter (might_contain over the build keys) into the fact scan
+    side, pruning rows before the shuffle. Pinned here with the size
+    thresholds opened so the sf-tiny inputs qualify; at production scale
+    the defaults fire on their own."""
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+    li = s2.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    orders = s2.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    plan = plan_of(j)
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan

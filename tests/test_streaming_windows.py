@@ -29,6 +29,24 @@ def test_hourly_window_stream_equals_batch(spark):
     assert streamed == batch
 
 
+def test_sliding_window_stream_equals_batch(spark):
+    """The native sliding window (4h/1h) emits exactly the batch
+    overlap-explode's windows — count AND decimal-exact value sums."""
+    stream = sw.read_event_stream(spark, SF_SMALL)
+    sw.run_to_memory(sw.sliding_by_type(stream), "sliding_out", "complete")
+    streamed = {
+        (r.window_start_s, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    batch = {
+        (r.window_start_s, r.event_type): (r.n_events, r.total_value)
+        for r in batch_events.sliding_hourly(spark, SF_SMALL)
+        .drop("mean_value", "window_end_s")
+        .collect()
+    }
+    assert streamed == batch
+
+
 def test_running_user_totals_state(spark):
     stream = sw.read_event_stream(spark, SF_SMALL)
     sw.run_to_memory(sw.running_user_totals(stream), "user_totals_out", "update")
