@@ -403,3 +403,33 @@ def test_runtime_bloom_filter_prunes_big_big_join(spark):
     plan = plan_of(j)
     assert "might_contain" in plan
     assert "bloom_filter_agg" in plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path_factory):
+    """The second partition-pruning lever (beyond the static year filter
+    pinned in test_etl): when the year arrives via a FILTERED DIM JOIN
+    instead of a literal, Spark must inject dynamicpruningexpression into
+    the partitioned fact scan — at 100 TB this prunes year partitions
+    before any fact I/O. Note the selectivity heuristic only recognizes
+    comparison predicates (a bare boolean column does NOT trigger DPP —
+    probed while writing this test), so dim filters should be written as
+    comparisons."""
+    from pyspark.sql import functions as F
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    d = str(tmp_path_factory.mktemp("dpp_fact"))
+    s2.range(20_000).select(
+        (F.col("id") % 5 + 2020).alias("sale_year"), (F.col("id") * 3).alias("v")
+    ).write.partitionBy("sale_year").mode("overwrite").parquet(d)
+    fact = s2.read.parquet(d)
+    years = s2.createDataFrame(
+        [(2020 + i, "current" if i == 0 else "closed") for i in range(5)],
+        "year int, status string",
+    )
+    j = (
+        fact.join(years, fact.sale_year == years.year)
+        .filter(F.col("status") == "current")
+        .agg(F.sum("v"))
+    )
+    assert "dynamicpruningexpression" in plan_of(j)
