@@ -212,25 +212,32 @@ def main() -> None:
             spilled[name] = sum(v[3] for v in new)
 
     prev = previous_plans()
-    out = {
-        "metric": "total_query_seconds",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "plans": plans,
-    }
+    # Key ORDER matters: the round driver stores only the last ~2 KB of
+    # stdout (BENCH_r02.json kept just a tail of the line), so the big
+    # per-query dicts go FIRST and the headline metrics + a compact
+    # slowest-10 digest go LAST, where truncation can't eat them.
+    out: dict = {"plans": plans}
     if shuffle_write:
         out["shuffle_write_bytes"] = shuffle_write
         out["shuffle_read_bytes"] = shuffle_read
-        out["total_shuffle_write_bytes"] = sum(shuffle_write.values())
         out["peak_execution_memory_bytes"] = peak_exec_mem
         out["spilled_bytes"] = spilled
-        out["total_spilled_bytes"] = sum(spilled.values())
+    out["queries"] = timings
     if prev:
         out["plan_changes"] = sorted(
             n for n, h in plans.items() if n in prev and prev[n] != h
         )
+    out["slowest"] = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    if shuffle_write:
+        out["total_shuffle_write_bytes"] = sum(shuffle_write.values())
+        out["total_spilled_bytes"] = sum(spilled.values())
+    out["n_queries"] = len(timings)
+    out["metric"] = "total_query_seconds"
+    out["value"] = round(sum(timings.values()), 3)
+    out["unit"] = "sec"
+    out["sf"] = sf
     print(json.dumps(out))
 
 
