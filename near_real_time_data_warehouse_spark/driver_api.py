@@ -104,9 +104,12 @@ _PRIORITY = [
     # exact stats via column-pruned parallel branches (plan-tested), no
     # multi-distinct Expand.
     "docs_column_profile",
+    # NEW (round-3, this session): Spark-4 VARIANT payload mining —
+    # parse once, typed nested/array variant_get paths; oracle computes
+    # from source columns so the hash certifies a lossless roundtrip.
+    "events_props_variant",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
-    "classic_shipping_priority",
     "dedup_simhash_banded",
     "sim_ann_lsh_topk",
     # NEW (round-3, this session): incremental IVF maintenance — batch
@@ -233,6 +236,9 @@ _DEPRIORITIZED = [
     # threshold kernel (Q11, r2-green) stays in-window via
     # classic_top_revenue_supplier's argmax-vs-global-scalar
     "classic_revenue_concentration",
+    # ceded this session for events_props_variant: the join+group+top-k
+    # kernel (r2-green) stays in-window via classic_returned_customers
+    "classic_shipping_priority",
     # Head of this list fills any window slack (the first 50 minus
     # _PRIORITY and the in-window core), best candidates first: q20 is
     # the only S9-view entry; q06 the only add_months date-arithmetic.

@@ -238,6 +238,61 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas runs its StatefulProcessor in a
+    dedicated long-lived Python worker that talks to the JVM state server
+    over protobuf; without a working ``google.protobuf`` the worker dies
+    at import (probed: this container ships a broken namespace package).
+    Same probe-gate policy as the lakehouse MERGE jar."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on Spark 4's ``transformWithStateInPandas``
+    — the NEW arbitrary-state API (SPARK-49564): typed named state
+    (`getValueState`), timers, TTL, and evolvable state schema, replacing
+    the single-tuple `applyInPandasWithState` contract. Semantically
+    identical to ``running_user_totals`` (the test pins tws≡batch when
+    the runtime supports it — see ``tws_available``); requires the
+    RocksDB state store provider (``rocksdb_state_confs``)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            got = self._state.get() if self._state.exists() else None
+            n, total = (got[0], got[1]) if got is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str] | None = None,
