@@ -108,6 +108,10 @@ _PRIORITY = [
     # parse once, typed nested/array variant_get paths; oracle computes
     # from source columns so the hash certifies a lossless roundtrip.
     "events_props_variant",
+    # NEW (round-3, this session): first BPE merge round — adjacent
+    # char-pair counts over the word-frequency table (tokenizer training
+    # step 2 after text_vocabulary's step 1).
+    "text_bpe_pair_counts",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "dedup_simhash_banded",
@@ -147,7 +151,6 @@ _PRIORITY = [
     # regexp redaction and corpus-level token aggregation with top-K —
     # kernels no other in-window entry exercises
     "text_pii_redact",
-    "text_vocabulary",
     # fourth session — two kernels nothing else exercises: bit-interleave
     # clustering stats (the z-order data-skipping layout) and windowed
     # SCD2 change-compaction/versioning (lag-filter + lead intervals)
@@ -239,6 +242,10 @@ _DEPRIORITIZED = [
     # ceded this session for events_props_variant: the join+group+top-k
     # kernel (r2-green) stays in-window via classic_returned_customers
     "classic_shipping_priority",
+    # ceded this session for text_bpe_pair_counts: the corpus token-agg +
+    # top-K kernel (r2-green) is embedded in text_bpe_pair_counts's vocab
+    # stage and text_tfidf_top_terms's df stage (both in-window)
+    "text_vocabulary",
     # Head of this list fills any window slack (the first 50 minus
     # _PRIORITY and the in-window core), best candidates first: q20 is
     # the only S9-view entry; q06 the only add_months date-arithmetic.

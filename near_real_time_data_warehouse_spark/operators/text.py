@@ -809,7 +809,77 @@ FROM r WHERE rank <= {TFIDF_TOP_K}
 
 registry.register("text_shard_split", shard_split, SHARD_SPLIT_SQL)
 registry.register("text_bigram_surprisal", bigram_surprisal, BIGRAM_SURPRISAL_SQL)
+BPE_TOP_K = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training, step 2 (after text_vocabulary's word counts):
+    the first BPE merge round — count adjacent character pairs across
+    the corpus, weighted by word frequency, and surface the top merge
+    candidates. Iterating this (merge the top pair, re-count) IS BPE
+    training; one round exposes the whole distributed kernel.
+
+    Scale shape: pair counting runs on the WORD-FREQUENCY table, not the
+    token stream — the corpus's billions of token instances compact to a
+    vocabulary of distinct words first (map-side-combinable count), and
+    the char-pair explode touches each distinct word once, weighted by
+    its count. Adjacent pairs are extracted array-side (the bigram
+    pattern); top-K is TakeOrderedAndProject. All integers and
+    single-char strings — hash-exact."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(_norm_col(), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    # sequence(1, L-1) ONLY when L > 1: Spark's sequence(1, 0) counts
+    # DOWN ([1, 0]), it is not empty.
+    pair_arr = F.when(
+        F.length("tok") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok") - 1),
+            lambda i: F.struct(
+                F.col("tok").substr(i, F.lit(1)).alias("left_sym"),
+                F.col("tok").substr(i + 1, F.lit(1)).alias("right_sym"),
+            ),
+        ),
+    ).otherwise(F.array())
+    pairs = vocab.select("freq", F.explode(pair_arr).alias("p"))
+    return (
+        pairs.groupBy(
+            F.col("p.left_sym").alias("left_sym"),
+            F.col("p.right_sym").alias("right_sym"),
+        )
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "left_sym", "right_sym")
+        .limit(BPE_TOP_K)
+    )
+
+
+BPE_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+t AS (SELECT tok FROM toks WHERE tok <> ''),
+vocab AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok),
+p AS (
+  SELECT tok, freq, unnest(generate_series(1, length(tok) - 1)) AS i
+  FROM vocab WHERE length(tok) > 1
+),
+pairs AS (
+  SELECT substr(tok, i, 1) AS left_sym, substr(tok, i + 1, 1) AS right_sym, freq
+  FROM p
+)
+SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM pairs
+GROUP BY left_sym, right_sym
+ORDER BY n_occurrences DESC, left_sym, right_sym
+LIMIT {BPE_TOP_K}
+"""
+
+
 registry.register("text_tfidf_top_terms", tfidf_top_terms, TFIDF_SQL)
+registry.register("text_bpe_pair_counts", bpe_pair_counts, BPE_PAIRS_SQL)
 registry.register("text_unigram_surprisal", unigram_surprisal, UNIGRAM_SURPRISAL_SQL)
 registry.register("text_token_stats", token_stats, TOKEN_STATS_SQL)
 registry.register("text_quality_score", quality_score, QUALITY_SQL)
