@@ -112,10 +112,14 @@ _PRIORITY = [
     # char-pair counts over the word-frequency table (tokenizer training
     # step 2 after text_vocabulary's step 1).
     "text_bpe_pair_counts",
+    # NEW (round-3, this session): two-stage cross-modal near-dup —
+    # embedding-LSH candidates verified by lexical 3-gram Jaccard over
+    # the joined documents text; the whole cross-table composition is
+    # oracle-replayed (md5 planes + shingle chain) bit-for-bit.
+    "sim_semantic_text_neardup",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "dedup_simhash_banded",
-    "sim_ann_lsh_topk",
     # NEW (round-3, this session): incremental IVF maintenance — batch
     # assigned against stored centroids (cost ∝ batch, no retrain),
     # recall-of-grown-index gate. Replaces sim_ann_ivf_recall in-window:
@@ -246,6 +250,10 @@ _DEPRIORITIZED = [
     # top-K kernel (r2-green) is embedded in text_bpe_pair_counts's vocab
     # stage and text_tfidf_top_terms's df stage (both in-window)
     "text_vocabulary",
+    # ceded this session for sim_semantic_text_neardup, which embeds the
+    # same md5-plane bucket construction and oracle replay (r2-green;
+    # candidate-scoring top-k kernel remains plan-tested and in the union)
+    "sim_ann_lsh_topk",
     # Head of this list fills any window slack (the first 50 minus
     # _PRIORITY and the in-window core), best candidates first: q20 is
     # the only S9-view entry; q06 the only add_months date-arithmetic.

@@ -186,30 +186,32 @@ def _plane_weights(table: int, plane: int, dims: int = 64) -> list[int]:
     ]
 
 
-def _bucketed(e: DataFrame, dims: int = 64) -> DataFrame:
+def _bucketed(
+    e: DataFrame, dims: int = 64, n_tables: int = N_TABLES, n_planes: int = N_PLANES
+) -> DataFrame:
     """Multi-table random-hyperplane LSH: emits (vec_id, tbl, bucket) rows
     — one bucket id per hash table, packing the sign bit of q·w_p for each
     of that table's planes. Candidate pairs are unioned across tables, the
     standard recall/cost dial (L tables × k planes). Computed as one
     int64 matmul against the (L·k × dims) weight matrix per Arrow batch."""
     W = np.array(
-        [_plane_weights(t, p, dims) for t in range(N_TABLES) for p in range(N_PLANES)],
+        [_plane_weights(t, p, dims) for t in range(n_tables) for p in range(n_planes)],
         dtype=np.int64,
     )
-    pow2 = 2 ** np.arange(N_PLANES, dtype=np.int64)
+    pow2 = 2 ** np.arange(n_planes, dtype=np.int64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if pdf.empty:
                 continue
             q = _quant_np(pdf["embedding"])
-            signs = (q @ W.T > 0).astype(np.int64).reshape(len(pdf), N_TABLES, N_PLANES)
-            bkt = (signs * pow2).sum(axis=2)  # (n, N_TABLES)
+            signs = (q @ W.T > 0).astype(np.int64).reshape(len(pdf), n_tables, n_planes)
+            bkt = (signs * pow2).sum(axis=2)  # (n, n_tables)
             ids = pdf["vec_id"].to_numpy(np.int64)
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(ids, N_TABLES),
-                    "tbl": np.tile(np.arange(N_TABLES), len(pdf)),
+                    "vec_id": np.repeat(ids, n_tables),
+                    "tbl": np.tile(np.arange(n_tables), len(pdf)),
                     "bucket": bkt.reshape(-1),
                 }
             )
@@ -548,10 +550,161 @@ FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {QUERY_CAP})
 
 
 
+# Cross-modal candidate generation: 4 tables × 8-bit buckets. The topk
+# path's 16×4-bit setting collides ~25% of ALL pairs on this corpus (461k
+# candidates at sf0.1 — measured); deeper buckets cut candidates ~16× per
+# table, and 4 tables keep the union bounded — the standard (L, k) dial,
+# mirrored exactly in the oracle.
+SEM_TABLES = 4
+SEM_PLANES = 8
+
+
+def semantic_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage cross-modal near-dup detection — the shape production
+    semantic dedup actually runs: EMBEDDING-LSH candidate generation
+    (recall-oriented, cost ∝ corpus + collisions, never all-pairs)
+    followed by LEXICAL verification of each candidate (3-gram Jaccard
+    over the joined ``documents`` text, vec_id ≡ doc_id) — embeddings
+    catch paraphrases that shingles miss, text verification kills the
+    false neighbors embeddings invent. Emits per-candidate exact cosine
+    (integer-quantized dot → one division), Jaccard (one division), and
+    both stage verdicts.
+
+    Fully oracle-replayable: the md5-derived hyperplanes reproduce the
+    exact buckets in SQL (the sim_ann_lsh_topk construction) and the
+    shingle chain is dedup's — so the driver hash certifies the whole
+    cross-table composition bit-for-bit."""
+    from .dedup import JACCARD_THRESHOLD, _shingles_materialized
+
+    e = _emb(spark, sf_dir)
+    # checkpointed so the Python bucketing stage runs once, not once per
+    # self-join branch
+    b = _bucketed(e, n_tables=SEM_TABLES, n_planes=SEM_PLANES).localCheckpoint(
+        eager=False
+    )
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+        .distinct()
+    )
+    q = _quantized(e)
+    qa = q.select(F.col("vec_id").alias("doc_a"), F.col("q").alias("qa"), F.col("norm_sq").alias("na"))
+    qb = q.select(F.col("vec_id").alias("doc_b"), F.col("q").alias("qb"), F.col("norm_sq").alias("nb"))
+    scored = (
+        cand.join(qa, "doc_a")
+        .join(qb, "doc_b")
+        .select("doc_a", "doc_b", _cosine(_dot("qa", "qb"), F.col("na"), F.col("nb")).alias("cosine"))
+    )
+    sh = _shingles_materialized(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = (
+        scored.join(common, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a", "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b", "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "cosine",
+            F.coalesce("n_common", F.lit(0)).alias("nc"),
+            F.coalesce("n_a", F.lit(0)).alias("na"),
+            F.coalesce("n_b", F.lit(0)).alias("nb"),
+        )
+    )
+    union_sz = F.col("na") + F.col("nb") - F.col("nc")
+    jaccard = F.when(union_sz > 0, F.col("nc").cast("double") / union_sz).otherwise(
+        F.lit(0.0)
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "cosine",
+        jaccard.alias("jaccard"),
+        (F.col("cosine") >= NEAR_DUP_COSINE).alias("is_semantic"),
+        (jaccard >= JACCARD_THRESHOLD).alias("is_lexical"),
+    )
+
+
+def _semantic_text_sql() -> str:
+    from .dedup import JACCARD_THRESHOLD, _SHINGLES_SQL
+
+    rows = ", ".join(
+        f"({t}, {p}, {_plane_weights(t, p)})"
+        for t in range(SEM_TABLES)
+        for p in range(SEM_PLANES)
+    )
+    return f"""
+WITH quant AS ({_QUANT_SQL}),
+normed AS ({_NORM_SQL}),
+planes AS (SELECT * FROM (VALUES {rows}) AS v(t, p, w)),
+buckets AS (
+  SELECT n.vec_id, pl.t,
+         CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(n.q, pl.w), z -> z[1] * z[2])) > 0
+                  THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM normed n CROSS JOIN planes pl
+  GROUP BY n.vec_id, pl.t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cand.doc_a, cand.doc_b,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2])) AS DOUBLE)
+           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
+  FROM cand
+  JOIN normed a ON a.vec_id = cand.doc_a
+  JOIN normed b ON b.vec_id = cand.doc_b
+),
+sh AS ({_SHINGLES_SQL.format(where="")}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+j AS (
+  SELECT s.doc_a, s.doc_b, s.cosine,
+         COALESCE(cm.n_common, 0) AS nc,
+         COALESCE(za.n, 0) AS na, COALESCE(zb.n, 0) AS nb
+  FROM scored s
+  LEFT JOIN common cm ON cm.doc_a = s.doc_a AND cm.doc_b = s.doc_b
+  LEFT JOIN sizes za ON za.doc_id = s.doc_a
+  LEFT JOIN sizes zb ON zb.doc_id = s.doc_b
+),
+fin AS (
+  SELECT doc_a, doc_b, cosine,
+         CASE WHEN na + nb - nc > 0
+              THEN CAST(nc AS DOUBLE) / (na + nb - nc)
+              ELSE CAST(0 AS DOUBLE) END AS jaccard
+  FROM j
+)
+SELECT doc_a, doc_b, cosine, jaccard,
+       cosine >= {NEAR_DUP_COSINE} AS is_semantic,
+       jaccard >= {JACCARD_THRESHOLD} AS is_lexical
+FROM fin
+"""
+
+
 # Incremental index maintenance: standing corpus = vec_id < SPLIT, the
-# newly ingested batch = the rest (embeddings is a fixed 500-row table at
-# every sf, ids dense 0..499, so the split is a static constant the
-# oracle can replay).
+# newly ingested batch = the rest (embeddings has dense ids from 0, 500
+# rows at sf≤0.01 and 2000 at sf0.1, so a static split constant is
+# replayable by the oracle at every sf; at sf0.1 the "batch" outweighs
+# the standing corpus — a stress shape, not a contradiction).
 IVF_INCR_SPLIT = 400
 # Stale-centroid recall floor: centroids trained BEFORE the batch existed
 # must still retrieve well over the grown corpus (measured ≈0.75 at
@@ -738,4 +891,5 @@ registry.register("sim_ann_ivf_topk", ann_ivf_topk, None)   # recall-tested; see
 registry.register("sim_ann_ivf_recall", ann_ivf_recall, IVF_RECALL_SQL)
 registry.register("sim_ann_ivf_incremental", ann_ivf_incremental, IVF_INCREMENTAL_SQL)
 registry.register("sim_embedding_near_dup", embedding_near_dup, NEAR_DUP_SQL)
+registry.register("sim_semantic_text_neardup", semantic_text_neardup, _semantic_text_sql())
 registry.register("emb_label_centroids", label_centroids, LABEL_CENTROIDS_SQL)
