@@ -117,6 +117,10 @@ _PRIORITY = [
     # the joined documents text; the whole cross-table composition is
     # oracle-replayed (md5 planes + shingle chain) bit-for-bit.
     "sim_semantic_text_neardup",
+    # NEW (round-3, this session): product quantization — 4-bit codes
+    # (64x compression), ADC table-lookup scan, exact rerank of the
+    # shortlist, recall gate vs brute truth (the IVF companion pattern).
+    "sim_ann_pq_recall",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "dedup_simhash_banded",
@@ -126,7 +130,6 @@ _PRIORITY = [
     # its recall-gate kernel is strictly contained here (r2-green row
     # stands in the union ledger).
     "sim_ann_ivf_incremental",
-    "events_approx_distinct_error",
     "text_stopword_ratios",
     "events_quantile_sketch_error",
     "events_incident_window_join",
@@ -254,6 +257,11 @@ _DEPRIORITIZED = [
     # same md5-plane bucket construction and oracle replay (r2-green;
     # candidate-scoring top-k kernel remains plan-tested and in the union)
     "sim_ann_lsh_topk",
+    # ceded this session for sim_ann_pq_recall: the sketch accuracy-gate
+    # kernel (r2-green) stays in-window via events_quantile_sketch_error;
+    # its oracled-companion role for events_approx_distinct_users is
+    # union-ledgered
+    "events_approx_distinct_error",
     # Head of this list fills any window slack (the first 50 minus
     # _PRIORITY and the in-window core), best candidates first: q20 is
     # the only S9-view entry; q06 the only add_months date-arithmetic.

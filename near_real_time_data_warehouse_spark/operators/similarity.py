@@ -779,6 +779,177 @@ SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_corpus,
 """
 
 
+# ---- Product quantization (PQ) ------------------------------------------
+PQ_M = 8            # subspaces (64 dims → 8 × 8-dim subvectors)
+PQ_KS = 16          # codes per subspace → 4 bits/code, 4 bytes/vector (64×
+                    # smaller than float32) — the memory shape that lets a
+                    # billion-vector index fit in RAM
+PQ_SHORTLIST = 64   # ADC candidates re-ranked exactly per query
+# This synthetic corpus is near-random 64-dim (max cosine ≈ 0.48, no
+# cluster structure) — PQ's worst case. Measured rerank recall@5: 0.67 /
+# 0.79 / 0.53 at sf 0.001 / 0.01 / 0.1; real embedding corpora cluster and
+# do far better. The gate certifies the machinery, not corpus quality.
+PQ_RECALL_FLOOR = 0.45
+
+
+def _train_pq_codebooks(emb: DataFrame) -> np.ndarray:
+    """(PQ_M, PQ_KS, sub_dim) float64 codebooks, Lloyd per subspace on the
+    bounded deterministic sample (same rule as IVF centroid training:
+    state never grows with corpus size). Vectors are unit-normalized
+    first so L2 code assignment ranks like cosine."""
+    n = emb.count()
+    mod = max(1, n // TRAIN_SAMPLE_TARGET)
+    _, smat = _collect_quantized(emb.filter(F.col("vec_id") % mod == 0))
+    X = smat / np.sqrt((smat * smat).sum(axis=1))[:, None]
+    d = X.shape[1] // PQ_M
+    books = []
+    for m in range(PQ_M):
+        sub = X[:, m * d : (m + 1) * d]
+        cb = sub[:PQ_KS].copy()
+        for _ in range(KMEANS_ITERATIONS):
+            a = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for c in range(PQ_KS):
+                members = sub[a == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books.append(cb)
+    return np.stack(books)
+
+
+def _pq_encode(spark: SparkSession, df: DataFrame, books: np.ndarray) -> DataFrame:
+    """One Arrow pass: vec_id → PQ code array (cost ∝ rows — the PQ
+    index build; at 100 TB this replaces the float vectors with 4-byte
+    codes on disk)."""
+    bc = spark.sparkContext.broadcast(books)
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bk = bc.value
+        d = bk.shape[2]
+        for pdf in it:
+            if pdf.empty:
+                continue
+            q = _quant_np(pdf["embedding"]).astype(np.float64)
+            X = q / np.sqrt((q * q).sum(axis=1))[:, None]
+            codes = np.stack(
+                [
+                    ((X[:, m * d : (m + 1) * d][:, None, :] - bk[m][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                    for m in range(PQ_M)
+                ],
+                axis=1,
+            ).astype(np.int32)
+            yield pd.DataFrame(
+                {"neighbor_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    return df.mapInPandas(encode, "neighbor_id long, codes array<int>")
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization, the third index family (after LSH
+    and IVF) and the production retrieval shape: 4-bit PQ codes (64×
+    compression) score the WHOLE corpus by ADC table lookups — per query
+    one (PQ_M × PQ_KS) inner-product LUT against its exact subvectors,
+    broadcast to the coded corpus — then the top-PQ_SHORTLIST candidates
+    are re-ranked with exact integer-quantized cosine and the final
+    top-k recall is gated against the brute-force truth (the IVF recall
+    companion pattern: exact facts pinned bit-exactly, the accuracy
+    contract as a driver-hashed boolean; raw recall in pytest).
+
+    At scale: codebooks train on a bounded sample, encoding is one
+    corpus pass, ADC scans codes (4 bytes/vector) instead of floats,
+    and the shortlist selection is a per-query top-N — per-partition
+    top-N then merge, never a global sort of scores."""
+    emb = _emb(spark, sf_dir)
+    books = _train_pq_codebooks(emb)
+    coded = _pq_encode(spark, emb, books)
+
+    # Per-query ADC lookup tables from the EXACT query subvectors.
+    qids, qmat = _collect_quantized(emb.filter(F.col("vec_id") < QUERY_CAP))
+    Q = qmat / np.sqrt((qmat * qmat).sum(axis=1))[:, None]
+    d = books.shape[2]
+    lut = np.stack(
+        [Q[:, m * d : (m + 1) * d] @ books[m].T for m in range(PQ_M)], axis=1
+    )  # (n_queries, PQ_M, PQ_KS)
+    bc = spark.sparkContext.broadcast((qids.astype(np.int64), lut))
+
+    def adc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, lut_ = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["codes"].values).astype(np.int64)  # (n, M)
+            scores = np.zeros((len(qids_), len(pdf)))
+            for m in range(PQ_M):
+                scores += lut_[:, m, :][:, codes[:, m]]
+            nid = pdf["neighbor_id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_, len(pdf)),
+                    "neighbor_id": np.tile(nid, len(qids_)),
+                    "adc": scores.reshape(-1),
+                }
+            )
+
+    scored = coded.mapInPandas(adc, "query_id long, neighbor_id long, adc double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    shortlist = (
+        scored.filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("neighbor_id") < CORPUS_CAP)
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    reranked = _topk_over_candidates(spark, emb, shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    truth = brute_force_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+    hits = (
+        truth.join(
+            reranked,
+            (truth["query_id"] == reranked["query_id"])
+            & (truth["true_neighbor"] == reranked["neighbor_id"]),
+            "left_semi",
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_truth = truth.groupBy().agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count_distinct("query_id").alias("n_queries"),
+    )
+    return n_truth.crossJoin(hits).select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        F.lit(PQ_M).cast("long").alias("m_subspaces"),
+        F.lit(PQ_KS).cast("long").alias("ks_codes"),
+        F.lit(PQ_SHORTLIST).cast("long").alias("shortlist"),
+        F.lit(PQ_M * 4 // 8).cast("long").alias("code_bytes"),
+        F.lit(PQ_RECALL_FLOOR).alias("recall_floor"),
+        ((F.col("n_hits") / F.col("n_truth")) >= PQ_RECALL_FLOOR).alias(
+            "recall_floor_met"
+        ),
+    )
+
+
+PQ_RECALL_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST({PQ_M} AS BIGINT) AS m_subspaces,
+       CAST({PQ_KS} AS BIGINT) AS ks_codes,
+       CAST({PQ_SHORTLIST} AS BIGINT) AS shortlist,
+       CAST({PQ_M * 4 // 8} AS BIGINT) AS code_bytes,
+       CAST({PQ_RECALL_FLOOR} AS DOUBLE) AS recall_floor,
+       true AS recall_floor_met
+FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {QUERY_CAP})
+"""
+
+
 EMB_DIM = 64
 
 
@@ -890,6 +1061,7 @@ registry.register("sim_ann_lsh_topk", ann_lsh_topk, _lsh_topk_sql())
 registry.register("sim_ann_ivf_topk", ann_ivf_topk, None)   # recall-tested; see sim_ann_ivf_recall
 registry.register("sim_ann_ivf_recall", ann_ivf_recall, IVF_RECALL_SQL)
 registry.register("sim_ann_ivf_incremental", ann_ivf_incremental, IVF_INCREMENTAL_SQL)
+registry.register("sim_ann_pq_recall", ann_pq_recall, PQ_RECALL_SQL)
 registry.register("sim_embedding_near_dup", embedding_near_dup, NEAR_DUP_SQL)
 registry.register("sim_semantic_text_neardup", semantic_text_neardup, _semantic_text_sql())
 registry.register("emb_label_centroids", label_centroids, LABEL_CENTROIDS_SQL)

@@ -100,3 +100,24 @@ def test_ivf_incremental_stale_centroid_recall(spark):
     ).count()
     recall = n_hits / n_truth
     assert recall >= S.IVF_INCR_RECALL_FLOOR, recall
+
+
+def test_pq_rerank_recall_tracked(spark):
+    """The PQ driver entry only exposes the recall-floor boolean; this
+    pins the raw number and the code-domain invariant (all codes in
+    [0, PQ_KS))."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import similarity as S
+
+    emb = S._emb(spark, SF_SMALL)
+    books = S._train_pq_codebooks(emb)
+    assert books.shape == (S.PQ_M, S.PQ_KS, 64 // S.PQ_M)
+    coded = S._pq_encode(spark, emb, books)
+    bad = coded.filter(
+        (F.array_min("codes") < 0) | (F.array_max("codes") >= S.PQ_KS)
+        | (F.size("codes") != S.PQ_M)
+    ).count()
+    assert bad == 0
+    row = S.ann_pq_recall(spark, SF_SMALL).collect()[0]
+    assert row.recall_floor_met, "PQ rerank recall fell below the gate floor"
