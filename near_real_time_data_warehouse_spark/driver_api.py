@@ -121,6 +121,10 @@ _PRIORITY = [
     # (64x compression), ADC table-lookup scan, exact rerank of the
     # shortlist, recall gate vs brute truth (the IVF companion pattern).
     "sim_ann_pq_recall",
+    # NEW (round-3, this session): state-transition matrix over the SCD2
+    # history (lag-paired versions -> Markov counts + exact day gaps);
+    # embeds the full history kernel.
+    "orders_priority_transitions",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "dedup_simhash_banded",
@@ -162,7 +166,6 @@ _PRIORITY = [
     # clustering stats (the z-order data-skipping layout) and windowed
     # SCD2 change-compaction/versioning (lag-filter + lead intervals)
     "lineitem_zorder_stats",
-    "orders_scd2_priority_history",
     # temporal AS-OF dim join (equi key + validity-interval residual) —
     # the SCD2 read side, distinct from the union+window events as-of
     "orders_priority_asof_ship",
@@ -262,6 +265,10 @@ _DEPRIORITIZED = [
     # its oracled-companion role for events_approx_distinct_users is
     # union-ledgered
     "events_approx_distinct_error",
+    # ceded this session for orders_priority_transitions, whose CTE chain
+    # embeds this entry's whole lag-compaction + lead-interval kernel
+    # (r2-green; also exercised by scd2_incremental/outoforder in-window)
+    "orders_scd2_priority_history",
     # Head of this list fills any window slack (the first 50 minus
     # _PRIORITY and the in-window core), best candidates first: q20 is
     # the only S9-view entry; q06 the only add_months date-arithmetic.

@@ -333,7 +333,63 @@ def scd2_outoforder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-transition matrix over the SCD2 history — the temporal
+    analysis the versioned dim exists to serve: for every consecutive
+    version pair per customer, count (from_priority → to_priority)
+    transitions and the exact day gaps between changes (total as pure
+    integer, mean as ONE division). Downstream this is the Markov/churn
+    matrix; upstream it reuses the driver-certified history kernel, so
+    the entry certifies the composition history → lag-pairing →
+    transition aggregate.
+
+    Scale shape: one lag window over (custkey, version_no) — the history
+    table is already the compacted change set, orders of magnitude
+    smaller than the fact feed — then a map-side-combinable aggregate on
+    the tiny (from, to) key space."""
+    hist = customer_priority_history(spark, sf_dir)
+    w = Window.partitionBy("custkey").orderBy("version_no")
+    paired = hist.select(
+        "custkey",
+        "valid_from",
+        "priority",
+        F.lag("priority").over(w).alias("from_priority"),
+        F.lag("valid_from").over(w).alias("prev_from"),
+    ).filter(F.col("from_priority").isNotNull())
+    return paired.groupBy(
+        "from_priority", F.col("priority").alias("to_priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum(F.datediff("valid_from", "prev_from")).alias("total_gap_days"),
+        (
+            F.sum(F.datediff("valid_from", "prev_from")) / F.count(F.lit(1))
+        ).alias("mean_gap_days"),
+    )
+
+
+PRIORITY_TRANSITIONS_SQL = f"""
+WITH {SCD2_CTES},
+paired AS (
+  SELECT custkey, valid_from, priority,
+         LAG(priority) OVER w AS from_priority,
+         LAG(valid_from) OVER w AS prev_from
+  FROM scd2_hist
+  WINDOW w AS (PARTITION BY custkey ORDER BY version_no)
+)
+SELECT from_priority, priority AS to_priority,
+       COUNT(*) AS n_transitions,
+       CAST(SUM(date_diff('day', prev_from, valid_from)) AS BIGINT)
+         AS total_gap_days,
+       CAST(CAST(SUM(date_diff('day', prev_from, valid_from)) AS BIGINT) AS DOUBLE)
+         / COUNT(*) AS mean_gap_days
+FROM paired
+WHERE from_priority IS NOT NULL
+GROUP BY from_priority, to_priority
+"""
+
+
 registry.register("orders_scd2_priority_history", customer_priority_history, SCD2_SQL)
+registry.register("orders_priority_transitions", priority_transitions, PRIORITY_TRANSITIONS_SQL)
 registry.register("orders_scd2_outoforder", scd2_outoforder, SCD2_SQL)
 registry.register("orders_priority_asof_ship", priority_asof_ship, ASOF_SHIP_SQL)
 registry.register("orders_scd2_incremental", scd2_incremental, SCD2_SQL)
