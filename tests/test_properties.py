@@ -269,3 +269,104 @@ def test_zvalue_interleave_matches_python(spark, pairs):
     df = spark.createDataFrame(pairs, "a long, b long")
     got = {(r.a, r.b): r.zval for r in with_zvalue(df, ["a", "b"]).collect()}
     assert got == {(a, b): morton(a, b) for a, b in pairs}
+
+
+def test_cdc_chunks_partition_token_range_random_corpus(spark):
+    """Property (pure-Python reference, 60 random docs, one Spark pass):
+    CDC chunks partition each doc's token positions exactly — contiguous,
+    non-overlapping, complete — and every boundary is where the reference
+    rolling-hash says it is."""
+    import hashlib
+    import random
+
+    from near_real_time_data_warehouse_spark.operators.corpus import (
+        CDC_K,
+        CDC_MOD,
+        cdc_chunks_df,
+    )
+
+    rng = random.Random(421)
+    words = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 80))))
+        for i in range(60)
+    ]
+
+    def ref_chunks(text):
+        toks = text.split()
+        bnd = []
+        for i in range(1, len(toks) + 1):
+            if i >= CDC_K:
+                h = int(
+                    hashlib.md5(" ".join(toks[i - 3 : i]).encode()).hexdigest()[:15], 16
+                ) % CDC_MOD
+                bnd.append(1 if h == 0 else 0)
+            else:
+                bnd.append(0)
+        out, cid = {}, 0
+        for pos in range(len(toks)):
+            if pos > 0 and bnd[pos - 1]:
+                cid += 1
+            out.setdefault(cid, []).append(pos)
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks_df(df).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = (r.start_pos, r.end_pos, r.n_tokens)
+    for doc_id, text in docs:
+        expect = ref_chunks(text)
+        assert set(got[doc_id]) == set(expect), doc_id
+        for cid, poss in expect.items():
+            assert got[doc_id][cid] == (poss[0], poss[-1], len(poss)), (doc_id, cid)
+
+
+def test_bigram_surprisal_matches_python_reference_random_corpus(spark):
+    """Property: the all-integer bigram surprisal equals a direct Python
+    reimplementation on a seeded random corpus (totals + backoff counts
+    per doc)."""
+    import random
+
+    from near_real_time_data_warehouse_spark.operators.text import (
+        BACKOFF_PENALTY_BITS,
+        BIGRAM_MIN_COUNT,
+        bigram_surprisal_df,
+    )
+
+    rng = random.Random(77)
+    words = [f"t{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 40))))
+        for i in range(40)
+    ]
+    toks = {i: t.split() for i, t in docs}
+    c1, c2, cctx = {}, {}, {}
+    n_total = 0
+    for ts in toks.values():
+        for t in ts:
+            c1[t] = c1.get(t, 0) + 1
+            n_total += 1
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            cctx[a] = cctx.get(a, 0) + 1
+    bits = lambda x: len(bin(x)) - 2  # noqa: E731
+
+    expect = {}
+    for i, ts in toks.items():
+        total = backoff = 0
+        for pos, t in enumerate(ts):
+            if pos == 0:
+                total += bits(n_total) - bits(c1[t])
+            elif c2[(ts[pos - 1], t)] >= BIGRAM_MIN_COUNT:
+                total += bits(cctx[ts[pos - 1]]) - bits(c2[(ts[pos - 1], t)])
+            else:
+                total += BACKOFF_PENALTY_BITS + bits(n_total) - bits(c1[t])
+                backoff += 1
+        expect[i] = (len(ts), backoff, total)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_backoff_tokens, r.total_surprisal_bits)
+        for r in bigram_surprisal_df(df).collect()
+    }
+    assert got == expect
