@@ -125,6 +125,9 @@ _PRIORITY = [
     # history (lag-paired versions -> Markov counts + exact day gaps);
     # embeds the full history kernel.
     "orders_priority_transitions",
+    # NEW (round-3, this session): weekday seasonality profile — epoch
+    # weekday arithmetic + share-of-group + grouped extremes join-back.
+    "events_weekly_seasonality",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "dedup_simhash_banded",
@@ -157,7 +160,6 @@ _PRIORITY = [
     # zero-shuffle sequence/slice window explode (chunking)
     "events_funnel_stages",
     "events_retention_cohorts",
-    "text_repetition_stats",
     # compliance + tokenizer-prep surface: sequential multi-pattern
     # regexp redaction and corpus-level token aggregation with top-K —
     # kernels no other in-window entry exercises
@@ -269,6 +271,10 @@ _DEPRIORITIZED = [
     # embeds this entry's whole lag-compaction + lead-interval kernel
     # (r2-green; also exercised by scd2_incremental/outoforder in-window)
     "orders_scd2_priority_history",
+    # ceded this session for events_weekly_seasonality: the explode-mode
+    # counting kernel (r2-green) stays exercised in-window via the bigram
+    # pair explode and tfidf term explode
+    "text_repetition_stats",
     # Head of this list fills any window slack (the first 50 minus
     # _PRIORITY and the in-window core), best candidates first: q20 is
     # the only S9-view entry; q06 the only add_months date-arithmetic.

@@ -979,6 +979,67 @@ SELECT hour_idx * 3600 AS hour_epoch_s,
 FROM based
 """
 
+_DAY_US = 24 * _HOUR_US
+
+
+def weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type — the weekly-cycle
+    fingerprint a forecaster or anomaly baseline conditions on: per
+    (event_type, weekday 0=Mon..6=Sun) exact counts, the share of the
+    type's weekly mass as ONE division, and an integer peak-to-trough
+    spread certificate via a grouped max/min join-back. Weekday comes
+    from pure epoch arithmetic ((us div day) + 3) mod 7 — epoch day 0
+    was a Thursday — identical in both engines, independent of session
+    timezone (the same discipline as all event bucketing here).
+
+    Scale: one scan, a 7×|types| aggregate (map-side combinable), and a
+    broadcast-sized join-back for the per-type totals/extremes."""
+    e = _events(spark, sf_dir)
+    wd = F.pmod(F.expr(f"us div {_DAY_US}") + 3, F.lit(7))
+    day = e.groupBy("event_type", wd.cast("long").alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tot = day.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_week_total"),
+        F.max("n_events").alias("n_peak"),
+        F.min("n_events").alias("n_trough"),
+    )
+    return day.join(tot, "event_type").select(
+        "event_type",
+        "weekday",
+        "n_events",
+        (F.col("n_events") / F.col("n_week_total")).alias("share"),
+        "n_peak",
+        "n_trough",
+        (F.col("n_events") == F.col("n_peak")).alias("is_peak_day"),
+    )
+
+
+WEEKLY_SEASONALITY_SQL = f"""
+WITH d AS (
+  SELECT event_type,
+         (epoch_us(ts) // {_DAY_US} + 3) % 7 AS weekday
+  FROM events
+),
+day AS (
+  SELECT event_type, CAST(weekday AS BIGINT) AS weekday, COUNT(*) AS n_events
+  FROM d GROUP BY event_type, weekday
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(n_events) AS BIGINT) AS n_week_total,
+         MAX(n_events) AS n_peak, MIN(n_events) AS n_trough
+  FROM day GROUP BY event_type
+)
+SELECT day.event_type, day.weekday, day.n_events,
+       CAST(day.n_events AS DOUBLE) / tot.n_week_total AS share,
+       tot.n_peak, tot.n_trough,
+       day.n_events = tot.n_peak AS is_peak_day
+FROM day JOIN tot ON day.event_type = tot.event_type
+"""
+
+
+registry.register("events_weekly_seasonality", weekly_seasonality, WEEKLY_SEASONALITY_SQL)
 registry.register("events_sliding_hourly", sliding_hourly, SLIDING_SQL)
 registry.register("events_hourly_dense", hourly_dense, HOURLY_DENSE_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)
