@@ -128,6 +128,10 @@ _PRIORITY = [
     # NEW (round-3, this session): weekday seasonality profile — epoch
     # weekday arithmetic + share-of-group + grouped extremes join-back.
     "events_weekly_seasonality",
+    # NEW (round-3, this session): Hilbert-curve layout stats — the
+    # better-locality clustering curve; oracle replays all 16 unrolled
+    # rotation levels bit-exactly.
+    "lineitem_hilbert_stats",
     # r2-green core retained in-window (kernel representatives)
     "classic_pricing_summary",
     "dedup_simhash_banded",
@@ -183,7 +187,6 @@ _PRIORITY = [
     # per-language discrete-percentile quality gate: the groupwise
     # rank-position threshold kernel, portable across engines by
     # construction (no engine quantile function)
-    "docs_adaptive_quality_filter",
     # size-desc striping via the distributed global ranking — the
     # token-balanced export kernel (vs hash sharding's count balance)
     "docs_balanced_shards",
@@ -275,6 +278,10 @@ _DEPRIORITIZED = [
     # counting kernel (r2-green) stays exercised in-window via the bigram
     # pair explode and tfidf term explode
     "text_repetition_stats",
+    # ceded this session for lineitem_hilbert_stats: the groupwise
+    # rank-position threshold kernel (r2-green) stays in-window via
+    # classic_customer_order_percentile and docs_balanced_shards
+    "docs_adaptive_quality_filter",
     # Head of this list fills any window slack (the first 50 minus
     # _PRIORITY and the in-window core), best candidates first: q20 is
     # the only S9-view entry; q06 the only add_months date-arithmetic.

@@ -217,3 +217,53 @@ def test_zorder_2d_box_scan_reduction_factor(spark, tmp_path_factory):
     )
     want = li.filter(pred).groupBy("l_partkey", "l_suppkey").count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_hilbert_index_matches_reference(spark):
+    """The 16-level unrolled Hilbert expressions equal the classic xy2d
+    algorithm for random grid coordinates, and consecutive indices map to
+    ADJACENT cells (the locality property Morton lacks)."""
+    import random
+
+    from near_real_time_data_warehouse_spark.operators.layout import (
+        H_BITS,
+        with_hilbert,
+    )
+
+    def xy2d(order, x, y):
+        d = 0
+        s = order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    n = 1 << H_BITS
+    # adjacency of the reference walk on a small grid
+    order = 1 << 4
+    cells = {}
+    for x in range(order):
+        for y in range(order):
+            cells[xy2d(order, x, y)] = (x, y)
+    for d in range(order * order - 1):
+        (x1, y1), (x2, y2) = cells[d], cells[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+    # Spark == reference on the full-resolution grid. Feed coordinates
+    # as keys with max == n-1 so the scaling is the identity.
+    rng = random.Random(99)
+    pts = [(rng.randrange(n), rng.randrange(n)) for _ in range(500)]
+    pts += [(0, 0), (n - 1, n - 1), (0, n - 1), (n - 1, 0)]
+    df = spark.createDataFrame(pts, "kx long, ky long")
+    got = {
+        (r.kx, r.ky): r.hval
+        for r in with_hilbert(df, ["kx", "ky"]).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == xy2d(n, x, y), (x, y)
