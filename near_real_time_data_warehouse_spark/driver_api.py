@@ -221,8 +221,9 @@ _DEPRIORITIZED = [
     # classic_nation_profit (6-way join grouped sum, head of window)
     "classic_local_supplier_volume",
     # ceded this session for text_tfidf_top_terms: the sketch accuracy-
-    # gate kernel (r2-green) stays in-window via events_quantile_sketch_error
-    # and events_approx_distinct_error
+    # gate kernel (r2-green) stays in-window via
+    # events_quantile_sketch_error (events_approx_distinct_error was
+    # later ceded too, same kernel rationale)
     "events_heavy_hitters",
     # ceded this session for emb_quantize_int8: the component-stats
     # kernel (r2-green) stays covered by the in-window curation pipeline,

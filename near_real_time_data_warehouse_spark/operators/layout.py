@@ -162,9 +162,12 @@ def with_hilbert(df: DataFrame, cols: list[str], bits: int = H_BITS) -> DataFram
     import numpy as np
     import pandas as pd  # noqa: F401
 
-    # bounded 1-row collect: just the two scaling denominators
+    # bounded 1-row collect: just the two scaling denominators. Guard the
+    # degenerate inputs: an empty frame aggregates to NULLs, and an
+    # all-zero key column would divide by zero in the scaling.
     m = df.agg(*[F.max(c).cast("long") for c in cols]).first()
-    m0, m1 = int(m[0]), int(m[1])
+    m0 = max(1, int(m[0] or 0))
+    m1 = max(1, int(m[1] or 0))
     top = (1 << bits) - 1
     # fresh StructType — df.schema returns the DataFrame's CACHED schema
     # object and StructType.add mutates in place, which would corrupt

@@ -343,7 +343,13 @@ def wav_loudness_stats(parsed: dict, frame_ms: int = AUDIO_FRAME_MS) -> dict:
     pad = np.zeros(n_frames * frame_len)
     pad[: mono.size] = mono
     frames = pad.reshape(n_frames, frame_len)
-    rms = np.sqrt((frames * frames).mean(axis=1))
+    # normalize each frame's energy by its REAL sample count — zero-pad
+    # normalization would deflate a loud partial tail frame by up to
+    # sqrt(frame_len) and misclassify it as silence
+    true_len = np.full(n_frames, frame_len, dtype=np.float64)
+    if mono.size % frame_len:
+        true_len[-1] = mono.size % frame_len
+    rms = np.sqrt((frames * frames).sum(axis=1) / true_len)
     silent = rms < SILENCE_RMS
     longest = run = 0
     for s in silent:

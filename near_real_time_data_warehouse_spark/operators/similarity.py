@@ -592,6 +592,10 @@ def semantic_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
         .distinct()
+        # checkpointed: cand feeds BOTH the cosine-scoring and the
+        # shingle-intersection lineages; without this the bucket
+        # self-join + distinct would execute twice
+        .localCheckpoint(eager=False)
     )
     q = _quantized(e)
     qa = q.select(F.col("vec_id").alias("doc_a"), F.col("q").alias("qa"), F.col("norm_sq").alias("na"))

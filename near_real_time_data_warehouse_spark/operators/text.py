@@ -503,12 +503,20 @@ FROM b
 """
 
 
+
+def _bits(col: F.Column) -> F.Column:
+    """Floor-log2 + 1 as binary-representation length — the exact-integer
+    primitive behind every LM/TF-IDF score here: identical in Spark
+    (length(conv(x,10,2))) and DuckDB (len(printf('%b', x)))."""
+    return F.length(F.conv(col, 10, 2)).cast("long")
+
+
 def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model quality score in EXACT INTEGER arithmetic —
     the trick that unblocks cross-engine LM scoring (float ln/log2 is
     not bit-portable; NEXT.md round-2/3 blocker): token surprisal
     −log2 P(t) = log2(N/c_t) is approximated by
-    ``bits(N) − bits(c_t)`` where ``bits(x) = len(binary(x))`` — the
+    ``_bits(N) − _bits(c_t)`` where ``_bits(x) = len(binary(x))`` — the
     floor-log2 difference, within ±1 bit of the true value and exactly
     equal in Spark (`length(conv(x,10,2))`) and DuckDB
     (`len(printf('%b', x))`). Per document: token count, total
@@ -530,13 +538,10 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = toks.agg(F.count(F.lit(1)).alias("n_total"))
 
-    def bits(col: F.Column) -> F.Column:
-        return F.length(F.conv(col, 10, 2)).cast("long")
-
     scored = (
         toks.join(counts, "tok")
         .crossJoin(F.broadcast(total))
-        .withColumn("surprisal", bits(F.col("n_total")) - bits(F.col("c")))
+        .withColumn("surprisal", _bits(F.col("n_total")) - _bits(F.col("c")))
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -572,13 +577,13 @@ BACKOFF_PENALTY_BITS = 1  # ≈ -log2(0.5) — stupid backoff α=0.5, kept integ
 def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model quality score with stupid backoff, in EXACT
     INTEGER arithmetic — the bigram extension of text_unigram_surprisal's
-    floor-log2 trick (``bits(x) = len(binary(x))``; NEXT.md round-3
+    floor-log2 trick (``_bits(x) = len(binary(x))``; NEXT.md round-3
     candidate). Per token instance:
 
     - doc-initial token (no predecessor): unigram surprisal
-      ``bits(N) − bits(c1(t))``;
+      ``_bits(N) − _bits(c1(t))``;
     - corpus bigram count ≥ BIGRAM_MIN_COUNT: conditional surprisal
-      ``bits(cctx(prev)) − bits(c2(prev,t))`` where cctx(prev) is the
+      ``_bits(cctx(prev)) − _bits(c2(prev,t))`` where cctx(prev) is the
       number of bigram instances starting with prev;
     - rare bigram (hapax): stupid backoff — BACKOFF_PENALTY_BITS + the
       unigram surprisal.
@@ -655,10 +660,7 @@ def bigram_surprisal_df(d: DataFrame) -> DataFrame:
     )
     total = c1.agg(F.sum("c1").alias("n_total"))
 
-    def bits(col: F.Column) -> F.Column:
-        return F.length(F.conv(col, 10, 2)).cast("long")
-
-    uni = bits(F.col("n_total")) - bits(F.col("c1"))
+    uni = _bits(F.col("n_total")) - _bits(F.col("c1"))
     # Score tables: one row per distinct bigram / distinct initial token.
     st2 = (
         c2.join(cctx, "prev")
@@ -668,7 +670,7 @@ def bigram_surprisal_df(d: DataFrame) -> DataFrame:
             "prev",
             "tok",
             F.when(
-                F.col("c2") >= BIGRAM_MIN_COUNT, bits(F.col("cctx")) - bits(F.col("c2"))
+                F.col("c2") >= BIGRAM_MIN_COUNT, _bits(F.col("cctx")) - _bits(F.col("c2"))
             )
             .otherwise(F.lit(BACKOFF_PENALTY_BITS) + uni)
             .alias("surprisal"),
@@ -739,7 +741,7 @@ TFIDF_TOP_K = 5
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-K distinguishing terms by TF-IDF, in EXACT INTEGER
-    arithmetic: idf_bits = bits(n_docs) − bits(df(t)) (the floor-log2
+    arithmetic: idf_bits = _bits(n_docs) − _bits(df(t)) (the floor-log2
     difference — within ±1 bit of ⌈log2(N/df)⌉ and identical in Spark and
     DuckDB), score = tf · idf_bits. The keyword-extraction primitive for
     corpus topical analysis and near-dup explainability — every column is
@@ -758,15 +760,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
 
-    def bits(col: F.Column) -> F.Column:
-        return F.length(F.conv(col, 10, 2)).cast("long")
-
     from pyspark.sql import Window
 
     scored = (
         tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("idf_bits", bits(F.col("n_docs")) - bits(F.col("df")))
+        .withColumn("idf_bits", _bits(F.col("n_docs")) - _bits(F.col("df")))
         .withColumn("score_bits", F.col("tf") * F.col("idf_bits"))
     )
     w = Window.partitionBy("doc_id").orderBy(

@@ -258,3 +258,22 @@ def test_audio_quality_dataframe_with_quarantine(spark):
     assert got[0].ok and got[0].silent_frac == 1.0
     assert not got[1].ok and "MalformedMedia" in got[1].error
     assert got[3].ok and got[3].silent_frac == 0.0 and got[3].clip_frac == 0.0
+
+
+def test_wav_loudness_partial_tail_frame_not_deflated():
+    """A loud 50 ms tail (half a frame) must NOT read as silence: frame
+    RMS normalizes by the frame's real sample count, not the padded
+    length (zero-pad normalization would deflate it by sqrt(2))."""
+    from near_real_time_data_warehouse_spark.operators.multimodal import (
+        parse_wav,
+        wav_loudness_stats,
+    )
+
+    sr = 8000
+    # 100 ms silence + 50 ms at ~1.3x the silence threshold's amplitude
+    quiet_amp = int(0.013 * 32768 * (2 ** 0.5) / (2 ** 0.5))  # ≈ 1.3% FS
+    samples = [0] * (sr // 10) + [quiet_amp, -quiet_amp] * (sr // 40)
+    s = wav_loudness_stats(parse_wav(_wav_bytes(sample_rate=sr, samples=samples)))
+    assert s["n_frames"] == 2
+    assert s["silent_frac"] == 0.5          # only the genuinely silent frame
+    assert s["longest_silence_ms"] == 100
