@@ -76,3 +76,39 @@ def test_eventgen_stream_drains_exactly_once_across_restarts(
     assert got.select("event_id").distinct().count() == 500
     sample = {r.event_id: tuple(r) for r in got.filter(F.col("event_id") < 3).collect()}
     assert sample == {i: gen_row(i) for i in range(3)}
+
+
+def test_eventgen_feeds_windowed_aggregation(spark):
+    """Integration: the custom Python source drives a real windowed
+    aggregation and the drained result equals the same aggregate over
+    the closed-form generator output — source, not sink, is the only
+    untrusted piece."""
+    from pyspark.sql import functions as F
+
+    s = _registered(spark)
+    stream = (
+        s.readStream.format("eventgen")
+        .option("batch_rows", 500)
+        .option("max_rows", 400)
+        .load()
+    )
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("cents"))
+        .writeStream.format("memory")
+        .queryName("eg_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_type: (r.n, r.cents)
+        for r in s.sql("SELECT * FROM eg_agg").collect()
+    }
+    expect = {}
+    for i in range(400):
+        _, _, et, cents = gen_row(i)
+        n, c = expect.get(et, (0, 0))
+        expect[et] = (n + 1, c + cents)
+    assert got == expect

@@ -121,3 +121,33 @@ def test_pq_rerank_recall_tracked(spark):
     assert bad == 0
     row = S.ann_pq_recall(spark, SF_SMALL).collect()[0]
     assert row.recall_floor_met, "PQ rerank recall fell below the gate floor"
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Dequantization error is bounded by half a quantization step:
+    |x − q·scale/127| ≤ scale/254 (+ float32 epsilon) for every
+    component of every vector."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators.similarity import quantize_int8
+
+    df = quantize_int8(spark, SF_SMALL)
+    orig = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    joined = df.join(orig, "vec_id").select(
+        "vec_id",
+        F.array_max(
+            F.zip_with(
+                F.transform("embedding", lambda v: v.cast("double")),
+                "q8",
+                lambda x, q: F.abs(x - q.cast("double") * F.col("scale") / 127.0),
+            )
+        ).alias("max_err"),
+        "scale",
+    )
+    bad = joined.filter(
+        F.col("max_err") > F.col("scale") / 254.0 + 1e-9
+    ).count()
+    assert bad == 0
