@@ -546,16 +546,17 @@ def props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.coalesce(
         F.get_json_object("props", "$.k").cast("long"), F.lit(-1)
     )
-    doc = F.concat(
-        F.lit('{"u": '),
-        F.col("user_id").cast("string"),
-        F.lit(', "m": {"t": "'),
-        F.col("event_type"),
-        F.lit('", "vals": ['),
-        cents.cast("string"),
-        F.lit(", "),
-        k.cast("string"),
-        F.lit("]}}"),
+    # to_json escapes every interpolated value (quotes/backslashes in a
+    # future event_type corpus would break a raw concat — the document
+    # must stay valid JSON regardless of column contents).
+    doc = F.to_json(
+        F.struct(
+            F.col("user_id").alias("u"),
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.array(cents, k).alias("vals"),
+            ).alias("m"),
+        )
     )
     v = F.parse_json(doc)
     parsed = e.select(

@@ -229,7 +229,10 @@ def _hilbert_stats_sql() -> str:
     top = (1 << H_BITS) - 1
     ctes = [
         f"""m AS (
-  SELECT MAX(CAST(l_partkey AS BIGINT)) AS m0, MAX(CAST(l_suppkey AS BIGINT)) AS m1
+  -- GREATEST(..., 1) mirrors the Spark side's max(1, ...) clamp so a
+  -- degenerate all-zero key column divides by 1 in both engines.
+  SELECT GREATEST(MAX(CAST(l_partkey AS BIGINT)), 1) AS m0,
+         GREATEST(MAX(CAST(l_suppkey AS BIGINT)), 1) AS m1
   FROM lineitem
 ),
 lvl{H_BITS} AS (

@@ -803,8 +803,13 @@ def _train_pq_codebooks(emb: DataFrame) -> np.ndarray:
     first so L2 code assignment ranks like cosine."""
     n = emb.count()
     mod = max(1, n // TRAIN_SAMPLE_TARGET)
-    _, smat = _collect_quantized(emb.filter(F.col("vec_id") % mod == 0))
-    X = smat / np.sqrt((smat * smat).sum(axis=1))[:, None]
+    sids, smat = _collect_quantized(emb.filter(F.col("vec_id") % mod == 0))
+    # Sort by vec_id before seeding: _emb round-robin repartitions, so
+    # toPandas row order varies with core count; the first-PQ_KS-rows
+    # seed (and hence codebooks/codes/recall) must not (same
+    # bit-reproducibility rule as _train_centroids_on_sample).
+    smat = smat[np.argsort(sids)]
+    X = smat / np.maximum(np.sqrt((smat * smat).sum(axis=1)), 1)[:, None]
     d = X.shape[1] // PQ_M
     books = []
     for m in range(PQ_M):
@@ -833,7 +838,9 @@ def _pq_encode(spark: SparkSession, df: DataFrame, books: np.ndarray) -> DataFra
             if pdf.empty:
                 continue
             q = _quant_np(pdf["embedding"]).astype(np.float64)
-            X = q / np.sqrt((q * q).sum(axis=1))[:, None]
+            # max(norm, 1) guard: a zero embedding must encode as the
+            # zero row, not NaN-poison code assignment.
+            X = q / np.maximum(np.sqrt((q * q).sum(axis=1)), 1)[:, None]
             codes = np.stack(
                 [
                     ((X[:, m * d : (m + 1) * d][:, None, :] - bk[m][None, :, :]) ** 2)
@@ -871,7 +878,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Per-query ADC lookup tables from the EXACT query subvectors.
     qids, qmat = _collect_quantized(emb.filter(F.col("vec_id") < QUERY_CAP))
-    Q = qmat / np.sqrt((qmat * qmat).sum(axis=1))[:, None]
+    Q = qmat / np.maximum(np.sqrt((qmat * qmat).sum(axis=1)), 1)[:, None]
     d = books.shape[2]
     lut = np.stack(
         [Q[:, m * d : (m + 1) * d] @ books[m].T for m in range(PQ_M)], axis=1
@@ -964,7 +971,12 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition before one shuffle of 64 longs per label) divided once by
     the count (single IEEE division per element, hash-portable). At
     100 TB this is THE way to re-train centroids on the full corpus:
-    no Python, no per-row state, shuffle volume ∝ labels × dims."""
+    no Python, no per-row state, shuffle volume ∝ labels × dims.
+
+    Output shape: one row per (label, dim) — the aggregated result is
+    tiny (labels × EMB_DIM), and scalar rows are the driver-canonical
+    form (top-level array columns are rejected by the contract:
+    tests/test_driver_contract.py::test_no_array_or_map_output_columns)."""
     e = _quantized(_emb(spark, sf_dir))
     sums = e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
@@ -976,7 +988,20 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid = F.array(
         *[(F.col(f"_s{i}") / F.col("n_vectors")).cast("double") for i in range(EMB_DIM)]
     )
-    return sums.select("label", "n_vectors", centroid.alias("centroid_microunits"))
+    return (
+        sums.select("label", "n_vectors", centroid.alias("_c"))
+        .select(
+            "label",
+            "n_vectors",
+            F.posexplode("_c").alias("_d0", "centroid_microunits"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            (F.col("_d0") + 1).cast("long").alias("dim"),
+            "centroid_microunits",
+        )
+    )
 
 
 LABEL_CENTROIDS_SQL = f"""
@@ -990,13 +1015,12 @@ sums AS (
   FROM ex GROUP BY label, dim
 ),
 n AS (SELECT label, COUNT(*) AS n_vectors FROM q GROUP BY label)
-SELECT n.label, n.n_vectors,
-       list(CAST(s AS DOUBLE) / n.n_vectors ORDER BY dim) AS centroid_microunits
+SELECT n.label, n.n_vectors, CAST(sums.dim AS BIGINT) AS dim,
+       CAST(s AS DOUBLE) / n.n_vectors AS centroid_microunits
 FROM sums JOIN n ON sums.label = n.label
-GROUP BY n.label, n.n_vectors
 """
 
-def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quantize_int8_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization — the 4× storage/bandwidth compression
     every large-scale vector store applies before ANN serving: per-vector
     max-abs scaling, q_i = round(x_i·127/scale) ∈ [−127, 127]. Emits the
@@ -1009,7 +1033,12 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle, no Python) — embarrassingly parallel; the natural
     map-side stage before writing an ANN-ready table. All outputs are
     integers except `scale`, which is an input float32 widened unchanged,
-    so the driver hash is exact."""
+    so the driver hash is exact.
+
+    Production shape: keeps the ``q8`` array column (what an ANN-ready
+    table stores). The registered driver entry is ``quantize_int8``,
+    which serializes the array — the driver contract forbids top-level
+    array columns (tests/test_driver_contract.py)."""
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     df = _emb(spark, sf_dir).select("vec_id", x.alias("x"))
     maxabs = F.array_max(F.transform(F.col("x"), F.abs))
@@ -1034,6 +1063,23 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface of ``quantize_int8_vectors``: the quantized vector
+    is emitted as ``q8_csv``, a deterministic comma-joined string of the
+    int8 values (integer→string is exact and engine-portable) — scalar
+    rows are the driver-canonical form; the production table keeps the
+    array (see ``quantize_int8_vectors``)."""
+    return quantize_int8_vectors(spark, sf_dir).select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.transform(F.col("q8"), lambda v: v.cast("string"))).alias(
+            "q8_csv"
+        ),
+        "q_l1",
+        "q_sq",
+    )
+
+
 QUANTIZE_INT8_SQL = """
 WITH x AS (
   SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
@@ -1052,7 +1098,8 @@ q AS (
                      AS INTEGER)) AS q8
   FROM m
 )
-SELECT vec_id, scale, q8,
+SELECT vec_id, scale,
+       array_to_string(list_transform(q8, v -> CAST(v AS VARCHAR)), ',') AS q8_csv,
        CAST(list_sum(list_transform(q8, v -> abs(v))) AS BIGINT) AS q_l1,
        CAST(list_sum(list_transform(q8, v -> v * v)) AS BIGINT) AS q_sq
 FROM q

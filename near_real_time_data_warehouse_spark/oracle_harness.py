@@ -71,6 +71,24 @@ class DiffResult:
         return msg
 
 
+def _driver_canon_ok(cols: list[str], rows: list[tuple]) -> str | None:
+    """Replicate the driver's pandas canonicalization (sorted-column
+    ``sort_values`` over every column). The round-3 driver crashed with
+    ``TypeError: unhashable type: 'list'`` on array-valued cells that
+    this harness's tuple-izing ``_norm`` happily accepted — so local
+    green no longer implies driver green unless this exact step runs.
+    Returns an error string, or None if canonicalization succeeds."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf = pdf[sorted(pdf.columns)]
+        pdf.sort_values(by=list(pdf.columns))
+    except Exception as e:  # noqa: BLE001 — any crash here is a driver red
+        return f"driver-style pandas canonicalization fails: {e!r:.300}"
+    return None
+
+
 def compare(name: str, sdf: DataFrame, con: duckdb.DuckDBPyConnection, sql: str) -> DiffResult:
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = list(sdf.columns)
@@ -79,6 +97,9 @@ def compare(name: str, sdf: DataFrame, con: duckdb.DuckDBPyConnection, sql: str)
     o_rows = [tuple(r) for r in cur.fetchall()]
 
     problems: list[str] = []
+    canon_err = _driver_canon_ok(s_cols, s_rows)
+    if canon_err:
+        problems.append(canon_err)
     sc, s_sorted = _rowset(s_cols, s_rows)
     oc, o_sorted = _rowset(o_cols, o_rows)
     if sc != oc:

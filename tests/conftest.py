@@ -12,3 +12,8 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 def spark():
     s = get_spark("nrtdw_tests", shuffle_partitions=8)
     yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMALL

@@ -51,9 +51,11 @@ def test_quantize_int8_invariants(spark):
     norms agree with the emitted vector."""
     from pyspark.sql import functions as F
 
-    from near_real_time_data_warehouse_spark.operators.similarity import quantize_int8
+    from near_real_time_data_warehouse_spark.operators.similarity import (
+        quantize_int8_vectors,
+    )
 
-    df = quantize_int8(spark, "/root/testdata/sf0.001")
+    df = quantize_int8_vectors(spark, "/root/testdata/sf0.001")
     bad = df.filter(
         (F.array_max(F.transform("q8", F.abs)) > 127)
         | ((F.col("scale") > 0) & (F.array_max(F.transform("q8", F.abs)) != 127))
@@ -129,9 +131,11 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     component of every vector."""
     from pyspark.sql import functions as F
 
-    from near_real_time_data_warehouse_spark.operators.similarity import quantize_int8
+    from near_real_time_data_warehouse_spark.operators.similarity import (
+        quantize_int8_vectors,
+    )
 
-    df = quantize_int8(spark, SF_SMALL)
+    df = quantize_int8_vectors(spark, SF_SMALL)
     orig = (
         spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
         .select("vec_id", "embedding")
@@ -149,5 +153,24 @@ def test_quantize_int8_roundtrip_error_bound(spark):
     )
     bad = joined.filter(
         F.col("max_err") > F.col("scale") / 254.0 + 1e-9
+    ).count()
+    assert bad == 0
+
+
+def test_quantize_int8_csv_roundtrip(spark):
+    """The driver entry's q8_csv serialization is lossless: split+cast
+    reproduces the production array column exactly."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators.similarity import (
+        quantize_int8,
+        quantize_int8_vectors,
+    )
+
+    csv = quantize_int8(spark, SF_SMALL).select("vec_id", "q8_csv")
+    arr = quantize_int8_vectors(spark, SF_SMALL).select("vec_id", "q8")
+    joined = csv.join(arr, "vec_id")
+    bad = joined.filter(
+        F.transform(F.split("q8_csv", ","), lambda v: v.cast("int")) != F.col("q8")
     ).count()
     assert bad == 0
