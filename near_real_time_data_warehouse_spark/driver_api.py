@@ -47,7 +47,9 @@ _NEEDS_FIRST_ROW = [
     # (sorted sample — ADVICE r3), which can shift the measured recall,
     # so the entry's driver hash must be re-pinned in-window.
     "sim_ann_pq_recall",
-    # Round-4 additions land here as they are registered.
+    # Round-4 additions (new kernels, first driver rows).
+    "part_fuzzy_matches",
+    "dedup_pagerank",
 ]
 
 

@@ -1110,6 +1110,102 @@ def _incremental_sql() -> str:
     return INCREMENTAL_SQL.format(bands=_minhash_bands_sql())
 
 
+# --- PageRank centrality over the near-dup graph ---------------------------
+# Fixed-point integer PageRank: ranks are scaled by PR_SCALE and every
+# update is integer arithmetic (floor division), so Spark and DuckDB
+# agree bit-for-bit after any number of iterations — the same
+# determinism trick as the micro-unit cosine (similarity.py) applied to
+# an iterative graph algorithm. With a FIXED iteration count the whole
+# recurrence is SQL-replayable as chained CTEs, which is what lets an
+# iterative Spark loop be driver-hash-certified at all.
+
+PR_SCALE = 1_000_000
+PR_ITERATIONS = 5
+PR_DAMP_NUM = 85          # damping 0.85 as a ratio
+PR_BASE = (PR_SCALE * (100 - PR_DAMP_NUM)) // 100
+
+
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the capped 3-gram near-dup graph — the signal a
+    curation pass uses to pick the canonical representative of a dup
+    cluster (most-connected version) or to find template/boilerplate
+    hubs. Classic damped PageRank, PR_ITERATIONS rounds, undirected
+    edges fed both ways.
+
+    Scale shape: the same iterative discipline as connected_components —
+    each round is one edge-join + grouped sum with the lineage cut by
+    localCheckpoint (at cluster scale: durable checkpoint); cost per
+    round ∝ edges. Singleton docs converge to the constant base mass
+    after round one and carry degree 0."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    vertices = _docs(spark, sf_dir).filter(F.col("doc_id") < DOC_CAP).select("doc_id")
+    ranks = vertices.select("doc_id", F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(PR_ITERATIONS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["doc_id"])
+            .join(deg, "src")
+            .select("dst", F.expr("rank div d").alias("c"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        ranks = (
+            vertices.join(incoming, vertices["doc_id"] == incoming["dst"], "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr(f"({PR_DAMP_NUM} * coalesce(inc, 0)) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    degrees = deg.select(F.col("src").alias("doc_id"), F.col("d").alias("degree"))
+    return ranks.join(degrees, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+        "rank",
+    )
+
+
+def _pagerank_sql() -> str:
+    """Chained-CTE replay of the fixed-point recurrence: it0 = PR_SCALE,
+    it{k} = PR_BASE + (85 · Σ_in floor(it{k−1}/deg)) div 100."""
+    its = [f"it0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS rank FROM docs)"]
+    for k in range(1, PR_ITERATIONS + 1):
+        its.append(f"""it{k} AS (
+  SELECT d.doc_id,
+         CAST({PR_BASE} + ({PR_DAMP_NUM} * COALESCE(SUM(r.rank // g.d), 0)) // 100
+              AS BIGINT) AS rank
+  FROM docs d
+  LEFT JOIN edges e ON e.dst = d.doc_id
+  LEFT JOIN it{k - 1} r ON r.doc_id = e.src
+  LEFT JOIN deg g ON g.src = e.src
+  GROUP BY d.doc_id
+)""")
+    chain = ",\n".join(its)
+    return f"""
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {DOC_CAP}),
+pairs AS (SELECT doc_a, doc_b FROM ({NGRAM_SQL})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+{chain}
+SELECT f.doc_id,
+       CAST(COALESCE(g.d, 0) AS BIGINT) AS degree,
+       f.rank
+FROM it{PR_ITERATIONS} f
+LEFT JOIN deg g ON g.src = f.doc_id
+"""
+
+
 registry.register("dedup_exact", exact_dedup, EXACT_SQL)
 registry.register("dedup_cluster_stats", dedup_cluster_stats, CLUSTER_STATS_SQL)
 registry.register("dedup_connected_components", dedup_components, COMPONENTS_SQL)
@@ -1122,4 +1218,5 @@ registry.register("dedup_simhash_pairs", simhash_pairs, SIMHASH_PAIRS_SQL)
 registry.register("dedup_simhash_banded", simhash_banded, SIMHASH_BANDED_SQL)
 registry.register("dedup_incremental", incremental_dedup, _incremental_sql())
 registry.register("dedup_graph_incremental", dedup_graph_incremental, COMPONENTS_MINHASH_SQL)
+registry.register("dedup_pagerank", dedup_pagerank, _pagerank_sql())
 registry.register("dedup_simhash_wide", simhash_wide_banded, SIMHASH_WIDE_SQL)
