@@ -50,6 +50,7 @@ _NEEDS_FIRST_ROW = [
     # Round-4 additions (new kernels, first driver rows).
     "part_fuzzy_matches",
     "dedup_pagerank",
+    "text_bpe_merges",
 ]
 
 

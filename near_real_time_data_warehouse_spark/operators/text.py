@@ -877,8 +877,182 @@ LIMIT {BPE_TOP_K}
 """
 
 
+# --- Iterated BPE training ------------------------------------------------
+# The NEXT.md composition demo made real: text_bpe_pair_counts is ONE
+# merge round; this runs BPE_MERGE_ROUNDS of the actual training loop —
+# pick the most frequent adjacent symbol pair, rewrite every vocabulary
+# word by greedily merging its non-overlapping occurrences, re-count.
+# The portability insight: greedy left-to-right non-overlapping merge is
+# NOT a fold — it is three window functions (match → overlap-run start
+# via a running MAX → every-other selection within the run), identical
+# in Spark and DuckDB, so the whole iterated rewrite replays as chained
+# CTEs and the driver hash certifies all rounds end-to-end.
+
+BPE_MERGE_ROUNDS = 3
+
+
+def _bpe_initial_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, freq, pos, sym): every distinct word exploded to single-char
+    symbols — the compacted-vocabulary representation (corpus token
+    instances ride along as freq, the bpe_pair_counts scale shape)."""
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(_norm_col(), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)),
+    )
+    return vocab.select(
+        "tok", "freq", F.posexplode(chars).alias("pos0", "sym")
+    ).select("tok", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+
+
+def _bpe_merge_round(sym_df: DataFrame) -> tuple[DataFrame, str, str, int]:
+    """One BPE round: returns (rewritten symbols, left, right, count)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tok").orderBy("pos")
+    with_next = sym_df.withColumn("nxt", F.lead("sym").over(w))
+    counts = (
+        with_next.filter(F.col("nxt").isNotNull())
+        .groupBy("sym", "nxt")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    best = counts.orderBy(F.desc("cnt"), "sym", "nxt").first()
+    left, right, cnt = best["sym"], best["nxt"], int(best["cnt"])
+
+    d = (
+        with_next.withColumn("idx", F.row_number().over(w))
+        .withColumn(
+            "match",
+            F.coalesce(
+                (F.col("sym") == left) & (F.col("nxt") == right), F.lit(False)
+            ),
+        )
+        .withColumn(
+            "prev_match", F.coalesce(F.lag("match").over(w), F.lit(False))
+        )
+    )
+    # Overlapping matches (only possible when left == right) form runs of
+    # consecutive idx; greedy takes every other one starting at the run
+    # head. run_start is a running MAX of the most recent run-head idx.
+    d = d.withColumn(
+        "run_start",
+        F.max(
+            F.when(F.col("match") & ~F.col("prev_match"), F.col("idx"))
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn(
+        "selected",
+        F.col("match") & ((F.col("idx") - F.col("run_start")) % 2 == 0),
+    )
+    merged = (
+        d.withColumn(
+            "dropped", F.coalesce(F.lag("selected").over(w), F.lit(False))
+        )
+        .filter(~F.col("dropped"))
+        .select(
+            "tok",
+            "freq",
+            "pos",
+            F.when(F.col("selected"), F.lit(left + right))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return merged, left, right, cnt
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, BPE_MERGE_ROUNDS rounds: one output row
+    per learned merge — the merge rule, its (overlap-counted,
+    freq-weighted) score at selection time, and the corpus symbol count
+    after applying it. Round k's counts depend on round k−1's rewrite,
+    so the driver hash certifies the full iterated loop.
+
+    Scale shape: everything runs on the compacted vocabulary (distinct
+    words × their symbol positions), never the token stream; per round
+    one grouped count + three windows partitioned by word; the argmax is
+    a 1-row driver action (the bounded-collect discipline of
+    connected_components' convergence counts)."""
+    sym = _bpe_initial_symbols(spark, sf_dir)
+    rows = []
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        sym, left, right, cnt = _bpe_merge_round(sym)
+        n_after = sym.agg(F.sum("freq").alias("n")).first()["n"]
+        rows.append((k, left, right, cnt, int(n_after)))
+    return spark.createDataFrame(
+        rows,
+        "round long, left_sym string, right_sym string, "
+        "n_occurrences long, n_corpus_symbols_after long",
+    )
+
+
+def _bpe_merges_sql() -> str:
+    parts = [
+        f"""toks AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+t AS (SELECT tok FROM toks WHERE tok <> ''),
+vocab AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok),
+sym0 AS (
+  SELECT tok, freq, i AS pos, substr(tok, i, 1) AS sym
+  FROM (SELECT tok, freq, unnest(generate_series(1, length(tok))) AS i FROM vocab)
+)"""
+    ]
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
+        p = k - 1
+        parts.append(f"""cnt{k} AS (
+  SELECT sym AS l, nxt AS r, SUM(freq) AS c
+  FROM (SELECT sym, lead(sym) OVER (PARTITION BY tok ORDER BY pos) AS nxt, freq
+        FROM sym{p})
+  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+best{k} AS (SELECT l, r, CAST(c AS BIGINT) AS c FROM cnt{k} ORDER BY c DESC, l, r LIMIT 1),
+m{k} AS (
+  SELECT s.tok, s.freq, s.pos, s.sym, b.l AS bl, b.r AS br,
+         row_number() OVER (PARTITION BY s.tok ORDER BY s.pos) AS idx,
+         COALESCE(s.sym = b.l
+                  AND lead(s.sym) OVER (PARTITION BY s.tok ORDER BY s.pos) = b.r,
+                  false) AS match
+  FROM sym{p} s CROSS JOIN best{k} b
+),
+mm{k} AS (
+  SELECT *, COALESCE(lag(match) OVER (PARTITION BY tok ORDER BY pos), false) AS prev_match
+  FROM m{k}
+),
+r{k} AS (
+  SELECT *, MAX(CASE WHEN match AND NOT prev_match THEN idx END)
+              OVER (PARTITION BY tok ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_start
+  FROM mm{k}
+),
+s{k} AS (
+  SELECT *, match AND (idx - run_start) % 2 = 0 AS selected FROM r{k}
+),
+sym{k} AS (
+  SELECT tok, freq, pos, CASE WHEN selected THEN bl || br ELSE sym END AS sym
+  FROM (SELECT *, COALESCE(lag(selected) OVER (PARTITION BY tok ORDER BY pos), false)
+               AS dropped
+        FROM s{k})
+  WHERE NOT dropped
+),
+tot{k} AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_after FROM sym{k})""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, b.l AS left_sym, b.r AS right_sym, "
+        f"b.c AS n_occurrences, t.n_after AS n_corpus_symbols_after "
+        f"FROM best{k} b CROSS JOIN tot{k} t"
+        for k in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    chain = ",\n".join(parts)
+    return f"WITH {chain}\n{selects}"
+
+
 registry.register("text_tfidf_top_terms", tfidf_top_terms, TFIDF_SQL)
 registry.register("text_bpe_pair_counts", bpe_pair_counts, BPE_PAIRS_SQL)
+registry.register("text_bpe_merges", bpe_merges, _bpe_merges_sql())
 registry.register("text_unigram_surprisal", unigram_surprisal, UNIGRAM_SURPRISAL_SQL)
 registry.register("text_token_stats", token_stats, TOKEN_STATS_SQL)
 registry.register("text_quality_score", quality_score, QUALITY_SQL)

@@ -94,3 +94,58 @@ def test_bigram_surprisal_nonvacuous_on_testdata(spark):
     ).collect()[0]
     assert agg.backoffs > 0
     assert agg.invariant_violations == 0
+
+
+def test_bpe_greedy_merge_hand_case(spark):
+    """The greedy non-overlapping merge on a planted vocabulary:
+    'aaaa'x1 with best pair (a,a) must become [aa, aa] (positions 1&3
+    merge, never the overlapping 2&3), and 'aaa' becomes [aa, a]."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import text as T
+
+    vocab = spark.createDataFrame(
+        [("aaaa", 10), ("aaa", 1), ("ab", 1)], "tok string, freq long"
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)),
+    )
+    sym = vocab.select(
+        "tok", "freq", F.posexplode(chars).alias("pos0", "sym")
+    ).select("tok", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+    merged, left, right, cnt = T._bpe_merge_round(sym)
+    assert (left, right) == ("a", "a")
+    # counts are overlap-counted and freq-weighted: aaaa→3·10, aaa→2·1
+    assert cnt == 32
+    got = {
+        tok: [r.sym for r in rows]
+        for tok, rows in (
+            (t, sorted(g, key=lambda r: r.pos))
+            for t, g in __import__("itertools").groupby(
+                sorted(merged.collect(), key=lambda r: (r.tok, r.pos)),
+                key=lambda r: r.tok,
+            )
+        )
+    }
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+    assert got["ab"] == ["a", "b"]
+
+
+def test_bpe_merges_rounds_consistent(spark):
+    """Each round's merge shrinks the corpus symbol count by at most its
+    occurrence count and the rounds are strictly ordered."""
+    from near_real_time_data_warehouse_spark.operators.text import bpe_merges
+
+    rows = sorted(
+        bpe_merges(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r.n_occurrences > 0
+        assert len(r.left_sym) >= 1 and len(r.right_sym) >= 1
+    # symbol counts decrease monotonically round over round
+    assert rows[0].n_corpus_symbols_after > rows[1].n_corpus_symbols_after
+    assert rows[1].n_corpus_symbols_after > rows[2].n_corpus_symbols_after
