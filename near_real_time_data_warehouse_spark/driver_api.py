@@ -51,6 +51,7 @@ _NEEDS_FIRST_ROW = [
     "part_fuzzy_matches",
     "dedup_pagerank",
     "text_bpe_merges",
+    "dedup_containment",
 ]
 
 

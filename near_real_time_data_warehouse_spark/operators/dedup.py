@@ -1110,6 +1110,118 @@ def _incremental_sql() -> str:
     return INCREMENTAL_SQL.format(bands=_minhash_bands_sql())
 
 
+# --- Containment (asymmetric) near-dup ------------------------------------
+# Jaccard misses the quote/excerpt case: a small doc wholly contained in
+# a big one has tiny |A∩B|/|A∪B| but containment |A∩B|/|A| ≈ 1. The
+# scale-safe candidate generator is prefix filtering over an inverted
+# index of RARE shingles (document frequency bounded above): join cost
+# is Σ df² over rare shingles ≤ RARE_DF_MAX per posting list, never
+# all-pairs; exact containment verifies candidates only. Pairs sharing
+# only ubiquitous shingles are skipped by design — a contained document
+# shares its container's rare shingles in any real corpus, and the df
+# bound is exactly what keeps the join safe at 100 TB.
+
+CONTAINMENT_THRESHOLD = 0.5
+RARE_DF_MIN = 2      # df=1 shingles cannot produce a pair
+RARE_DF_MAX = 5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs over the full corpus: candidates
+    from the rare-shingle inverted index, verified with exact shingle
+    counts; emits both direction ratios and a direction verdict."""
+    return containment_pairs(_shingles_materialized(spark, sf_dir))
+
+
+def containment_pairs(sh: DataFrame) -> DataFrame:
+    """The containment kernel over any (doc_id, shingle) table."""
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = df_.filter(
+        (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
+    ).select("shingle")
+    posting = sh.join(rare, "shingle", "left_semi")
+    cand = (
+        posting.alias("a")
+        .join(
+            posting.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn("containment_a", F.col("n_common") / F.col("n_a"))
+        .withColumn("containment_b", F.col("n_common") / F.col("n_b"))
+        .filter(
+            F.greatest("containment_a", "containment_b") >= CONTAINMENT_THRESHOLD
+        )
+    )
+    direction = (
+        F.when(
+            (F.col("containment_a") >= CONTAINMENT_THRESHOLD)
+            & (F.col("containment_b") >= CONTAINMENT_THRESHOLD),
+            F.lit("mutual"),
+        )
+        .when(F.col("containment_a") >= CONTAINMENT_THRESHOLD, F.lit("a_in_b"))
+        .otherwise(F.lit("b_in_a"))
+    )
+    return j.select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        "containment_a", "containment_b", direction.alias("direction"),
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH sh AS ({{shingles}}),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+rare AS (SELECT shingle FROM df WHERE df BETWEEN {RARE_DF_MIN} AND {RARE_DF_MAX}),
+posting AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare r ON r.shingle = s.shingle),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM posting a JOIN posting b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+         CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+         n_common / za.n AS containment_a,
+         n_common / zb.n AS containment_b
+  FROM common
+  JOIN sizes za ON za.doc_id = doc_a
+  JOIN sizes zb ON zb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, n_common, n_a, n_b, containment_a, containment_b,
+       CASE WHEN containment_a >= {CONTAINMENT_THRESHOLD}
+             AND containment_b >= {CONTAINMENT_THRESHOLD} THEN 'mutual'
+            WHEN containment_a >= {CONTAINMENT_THRESHOLD} THEN 'a_in_b'
+            ELSE 'b_in_a' END AS direction
+FROM j
+WHERE GREATEST(containment_a, containment_b) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+def _containment_sql() -> str:
+    return CONTAINMENT_SQL.format(shingles=_SHINGLES_SQL.format(where=""))
+
+
 # --- PageRank centrality over the near-dup graph ---------------------------
 # Fixed-point integer PageRank: ranks are scaled by PR_SCALE and every
 # update is integer arithmetic (floor division), so Spark and DuckDB
@@ -1219,4 +1331,5 @@ registry.register("dedup_simhash_banded", simhash_banded, SIMHASH_BANDED_SQL)
 registry.register("dedup_incremental", incremental_dedup, _incremental_sql())
 registry.register("dedup_graph_incremental", dedup_graph_incremental, COMPONENTS_MINHASH_SQL)
 registry.register("dedup_pagerank", dedup_pagerank, _pagerank_sql())
+registry.register("dedup_containment", dedup_containment, _containment_sql())
 registry.register("dedup_simhash_wide", simhash_wide_banded, SIMHASH_WIDE_SQL)

@@ -58,3 +58,48 @@ def test_graph_incremental_equals_full_rebuild(spark):
     inc = dedup.dedup_graph_incremental(spark, SF_SMALL)
     full = dedup.dedup_components_minhash(spark, SF_SMALL)
     assert inc.exceptAll(full).count() == 0 and full.exceptAll(inc).count() == 0
+
+
+def test_containment_planted_excerpt(spark):
+    """A small doc wholly contained in a big one: containment toward the
+    small side is exactly 1.0 and the direction verdict says so; an
+    unrelated doc never pairs."""
+    from near_real_time_data_warehouse_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    small = "gamma delta epsilon zeta"          # an excerpt of big
+    other = "one two three four five six"
+    rows = []
+    for doc_id, txt in [(1, big), (2, small), (3, other)]:
+        toks = txt.split()
+        for i in range(len(toks) - 2):
+            rows.append((doc_id, " ".join(toks[i : i + 3])))
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string").distinct()
+    got = {(r.doc_a, r.doc_b): r for r in containment_pairs(sh).collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r.containment_b == 1.0          # every shingle of small is in big
+    assert r.direction == "b_in_a"
+    assert r.n_common == r.n_b
+
+
+def test_containment_invariants_on_corpus(spark):
+    from near_real_time_data_warehouse_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        dedup_containment,
+    )
+
+    rows = dedup_containment(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_common <= min(r.n_a, r.n_b)
+        assert max(r.containment_a, r.containment_b) >= CONTAINMENT_THRESHOLD
+        expect = (
+            "mutual"
+            if r.containment_a >= CONTAINMENT_THRESHOLD
+            and r.containment_b >= CONTAINMENT_THRESHOLD
+            else ("a_in_b" if r.containment_a >= CONTAINMENT_THRESHOLD else "b_in_a")
+        )
+        assert r.direction == expect
