@@ -1019,6 +1019,17 @@ def dedup_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_components_with_edges(current, new_pairs)
 
 
+# Above this many distinct quotient edges, the merge falls back to the
+# distributed propagation; below it, a driver-side union-find resolves
+# the quotient in one action instead of D iterations × (checkpoint +
+# convergence count). The quotient mapping is broadcast back to the
+# executors either way, so "fits in the driver" is already the
+# operating assumption — this just removes the per-fold iteration tax
+# (measured: the quotient CC was most of the 5 s incremental fold at
+# sf0.1 despite the quotient graph having a handful of edges).
+QUOTIENT_COLLECT_CAP = 500_000
+
+
 def merge_components_with_edges(current: DataFrame, new_pairs: DataFrame) -> DataFrame:
     """Union-find step as a quotient-graph CC: ``current`` is
     (doc_id, label) with labels = component-minimum ids (hash-min
@@ -1027,6 +1038,7 @@ def merge_components_with_edges(current: DataFrame, new_pairs: DataFrame) -> Dat
     touched components), and every doc's label is remapped through the
     broadcast-sized result. Min-of-mins keeps the output equal to a
     from-scratch CC over the union graph."""
+    spark = current.sparkSession
     lmap_a = current.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("la"))
     lmap_b = current.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("lb"))
     qedges_half = (
@@ -1036,16 +1048,48 @@ def merge_components_with_edges(current: DataFrame, new_pairs: DataFrame) -> Dat
         .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
         .distinct()
     )
-    qedges = qedges_half.unionByName(
-        qedges_half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    qvertices = qedges.select(F.col("src").alias("doc_id")).distinct()
-    qcomp = connected_components(qvertices, qedges).select(
-        F.col("doc_id").alias("label"), F.col("component").alias("qcomp")
-    )
+    taken = qedges_half.take(QUOTIENT_COLLECT_CAP + 1)
+    if len(taken) <= QUOTIENT_COLLECT_CAP:
+        qcomp_rows = _union_find_min([(r.src, r.dst) for r in taken])
+        if not qcomp_rows:
+            return current.select("doc_id", F.col("label").alias("component"))
+        qcomp = spark.createDataFrame(qcomp_rows, "label long, qcomp long")
+    else:  # pathological batch: resolve distributed, same semantics
+        qedges = qedges_half.unionByName(
+            qedges_half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        qvertices = qedges.select(F.col("src").alias("doc_id")).distinct()
+        qcomp = connected_components(qvertices, qedges).select(
+            F.col("doc_id").alias("label"), F.col("component").alias("qcomp")
+        )
     return current.join(F.broadcast(qcomp), "label", "left").select(
         "doc_id", F.coalesce("qcomp", "label").alias("component")
     )
+
+
+def _union_find_min(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Classic DSU over the quotient edges; returns (label, min-label in
+    its merged component) rows — preserving the hash-min invariant that
+    labels are component-minimum ids."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    return [(x, comp_min[find(x)]) for x in parent]
 
 
 INCREMENTAL_SQL = f"""
