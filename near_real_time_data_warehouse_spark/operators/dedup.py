@@ -362,11 +362,21 @@ def connected_components(
     storage instead). ``vertices``: (doc_id), optionally with a ``label``
     column seeding the propagation (used by the incremental path, where
     stored component labels — themselves min-ids — are the seeds);
-    ``edges``: (src, dst), undirected edges given in both directions."""
+    ``edges``: (src, dst), undirected edges given in both directions.
+
+    Only edge-endpoint vertices can ever change label, so the loop runs
+    on that (near-dup-graph-sized) subset and the singleton majority of
+    the corpus bypasses the iterations entirely — it rejoins with its
+    seed/identity label at the end. Per-round cost is ∝ edges, not
+    ∝ corpus; at 100 TB most documents are singletons and never enter a
+    propagation shuffle."""
     if "label" in vertices.columns:
-        labels = vertices.select("doc_id", "label").localCheckpoint()
+        seeds = vertices.select("doc_id", "label")
     else:
-        labels = vertices.select(F.col("doc_id"), F.col("doc_id").alias("label")).localCheckpoint()
+        seeds = vertices.select(F.col("doc_id"), F.col("doc_id").alias("label"))
+    endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
+    passive = seeds.join(endpoints, "doc_id", "left_anti")
+    labels = seeds.join(endpoints, "doc_id", "left_semi").localCheckpoint()
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -402,7 +412,9 @@ def connected_components(
             f"connected_components did not converge within {max_iterations} "
             "iterations (graph diameter exceeds the cap); raise max_iterations"
         )
-    return labels.select("doc_id", F.col("label").alias("component"))
+    return labels.unionByName(passive).select(
+        "doc_id", F.col("label").alias("component")
+    )
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
