@@ -53,6 +53,7 @@ _NEEDS_FIRST_ROW = [
     "text_bpe_merges",
     "dedup_containment",
     "events_time_weighted_value",
+    "docs_curation_semantic",
 ]
 
 

@@ -80,3 +80,27 @@ def test_cdc_chunks_resynchronize_after_prefix_edit(spark):
     # overwhelming majority of the ~240/8 chunks shared
     assert len(fp[0]) >= 15, len(fp[0])
     assert len(shared) >= len(fp[0]) - 3, (len(shared), len(fp[0]))
+
+
+def test_semantic_curation_merges_monotonically(spark):
+    """The semantic stage only ever MERGES clusters: every pair of docs
+    sharing a lexical component still shares a component in the
+    semantic-union graph, and the component count never increases."""
+    from near_real_time_data_warehouse_spark.operators.curation import (
+        curation_pipeline,
+        curation_semantic,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    lex = {r.doc_id: r.component for r in curation_pipeline(spark, sf).collect()}
+    sem = {r.doc_id: r.component for r in curation_semantic(spark, sf).collect()}
+    assert set(lex) == set(sem)
+    # monotone: lexical same-component implies semantic same-component
+    from collections import defaultdict
+
+    lex_groups = defaultdict(list)
+    for d, c in lex.items():
+        lex_groups[c].append(d)
+    for docs in lex_groups.values():
+        assert len({sem[d] for d in docs}) == 1
+    assert len(set(sem.values())) <= len(set(lex.values()))
