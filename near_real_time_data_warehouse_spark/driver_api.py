@@ -54,6 +54,7 @@ _NEEDS_FIRST_ROW = [
     "dedup_containment",
     "events_time_weighted_value",
     "docs_curation_semantic",
+    "dedup_triangles",
 ]
 
 

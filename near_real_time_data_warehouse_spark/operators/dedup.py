@@ -1278,6 +1278,88 @@ def _containment_sql() -> str:
     return CONTAINMENT_SQL.format(shingles=_SHINGLES_SQL.format(where=""))
 
 
+# --- Triangle counting / clustering coefficient ----------------------------
+
+
+def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle count and local clustering coefficient over
+    the capped near-dup graph — the graph-density signal that separates
+    a tight duplicate CLIQUE (template spam: coefficient ≈ 1) from a
+    CHAIN of marginal pairs (drifting revisions: coefficient ≈ 0), which
+    changes what a curation pass should do with the cluster.
+
+    The cyclic (triangle) join done scale-right: edges are kept in
+    canonical (lo < hi) orientation, so each triangle is enumerated
+    exactly once as (a<b<c) = e(a,b) ⋈ e(b,c) ⋈ e(a,c) — the standard
+    wedge-close join, cost ∝ Σ deg² (wedges), never all-pairs. Counts
+    are exact integers; the coefficient is one double division."""
+    return triangle_stats(
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """The triangle kernel over any canonically-oriented (doc_a < doc_b)
+    edge table."""
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_doc = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+        .withColumn("clustering_coeff", coeff)
+    )
+
+
+TRIANGLES_SQL = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({NGRAM_SQL})),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_triangles
+  FROM (SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY doc_id
+),
+deg AS (
+  SELECT doc_id, COUNT(*) AS degree
+  FROM (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN 2.0 * COALESCE(p.n_triangles, 0) / (d.degree * (d.degree - 1))
+            ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
 # --- PageRank centrality over the near-dup graph ---------------------------
 # Fixed-point integer PageRank: ranks are scaled by PR_SCALE and every
 # update is integer arithmetic (floor division), so Spark and DuckDB
@@ -1388,4 +1470,5 @@ registry.register("dedup_incremental", incremental_dedup, _incremental_sql())
 registry.register("dedup_graph_incremental", dedup_graph_incremental, COMPONENTS_MINHASH_SQL)
 registry.register("dedup_pagerank", dedup_pagerank, _pagerank_sql())
 registry.register("dedup_containment", dedup_containment, _containment_sql())
+registry.register("dedup_triangles", dedup_triangles, TRIANGLES_SQL)
 registry.register("dedup_simhash_wide", simhash_wide_banded, SIMHASH_WIDE_SQL)

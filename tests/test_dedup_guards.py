@@ -103,3 +103,23 @@ def test_containment_invariants_on_corpus(spark):
             else ("a_in_b" if r.containment_a >= CONTAINMENT_THRESHOLD else "b_in_a")
         )
         assert r.direction == expect
+
+
+def test_triangle_stats_planted_graph(spark):
+    """A 4-clique plus a 3-chain: clique nodes sit in C(3,2)=3 triangles
+    with clustering coefficient 1.0; chain nodes close no triangle."""
+    from near_real_time_data_warehouse_spark.operators.dedup import triangle_stats
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(10, 11), (11, 12)]
+    pairs = spark.createDataFrame(clique + chain, "doc_a long, doc_b long")
+    got = {r.doc_id: r for r in triangle_stats(pairs).collect()}
+    assert set(got) == {1, 2, 3, 4, 10, 11, 12}
+    for d in (1, 2, 3, 4):
+        assert got[d].degree == 3
+        assert got[d].n_triangles == 3
+        assert got[d].clustering_coeff == 1.0
+    for d in (10, 12):
+        assert got[d].n_triangles == 0 and got[d].clustering_coeff == 0.0
+    assert got[11].degree == 2 and got[11].n_triangles == 0
+    assert got[11].clustering_coeff == 0.0
