@@ -1,0 +1,137 @@
+"""Streaming record-linkage maintenance: a foreachBatch sink that keeps
+the blocked fuzzy-match state (standing name table + verified link
+pairs) current as entity batches arrive — ingestion-time entity
+resolution as a continuous process, built from the batch kernel
+(operators/linkage.py) so the drained end state matches the
+from-scratch batch build (tested).
+
+Per micro-batch, cost ∝ batch (the incremental-dedup contract):
+  1. the batch's distinct names + multiplicities (one grouped count);
+  2. new links = blocked Levenshtein pairs with ≥ 1 batch endpoint
+     (batch×state ∪ batch×batch — state×state pairs cannot change and
+     are never recomputed);
+  3. state append: names land in ``_epoch=<id>`` partitions whose
+     multiplicities SUM on read; links land per-epoch and DISTINCT on
+     read (the same verified pair may be re-derived by later batches of
+     the same names — distinct-on-read makes that harmless).
+
+Replay safety: dynamic partition overwrite per epoch (the etl.py
+exactly-once discipline); the state side of the candidate join excludes
+the current epoch's own partition, so a re-delivered epoch re-derives
+identical rows instead of pairing against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.linkage import MAX_EDIT_DIST
+from .dedup_stream import _overwrite_epoch
+
+
+def _batch_names(batch: DataFrame) -> DataFrame:
+    return (
+        batch.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("block", F.element_at(F.split("p_name", " "), -1))
+    )
+
+
+def _fuzzy_links(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Blocked, length-filtered, Levenshtein-verified name pairs between
+    two name tables, in canonical (name_a < name_b) orientation."""
+    a = left.select(F.col("p_name").alias("name_a"), "block")
+    b = right.select(
+        F.col("p_name").alias("name_b"), F.col("block").alias("block_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("block") == F.col("block_b"))
+            & (F.col("name_a") != F.col("name_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= MAX_EDIT_DIST),
+        )
+        .select(
+            "block",
+            F.least("name_a", "name_b").alias("name_a"),
+            F.greatest("name_a", "name_b").alias("name_b"),
+        )
+        .distinct()
+        .withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("distance") <= MAX_EDIT_DIST)
+    )
+
+
+def merge_linkage_batch(
+    spark: SparkSession, batch: DataFrame, state_dir: str, epoch_id: int = 0
+) -> None:
+    """Fold one entity batch (p_partkey, p_name) into the persisted
+    linkage state at ``state_dir`` ({names,links} parquet)."""
+    from ..sources.maintenance import path_exists
+
+    if batch.isEmpty():
+        return
+    names_dir = f"{state_dir}/names"
+    links_dir = f"{state_dir}/links"
+
+    bn = _batch_names(batch.select("p_name")).localCheckpoint(eager=True)
+
+    if path_exists(spark, names_dir):
+        state_names = (
+            spark.read.parquet(names_dir)
+            .filter(F.col("_epoch") != epoch_id)  # replay: never self-pair
+            .select("p_name", "block")
+            .distinct()
+        )
+        links = _fuzzy_links(bn, state_names.unionByName(bn.select("p_name", "block")))
+    else:
+        links = _fuzzy_links(bn, bn)
+    links = links.localCheckpoint(eager=True)
+
+    _overwrite_epoch(spark, bn, names_dir, epoch_id)
+    _overwrite_epoch(spark, links, links_dir, epoch_id)
+
+
+def read_linkage_state(spark: SparkSession, state_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(names, links): standing name multiplicities (summed over epochs)
+    and the distinct verified link set."""
+    names = (
+        spark.read.parquet(f"{state_dir}/names")
+        .groupBy("p_name", "block")
+        .agg(F.sum("n_parts").alias("n_parts"))
+    )
+    links = (
+        spark.read.parquet(f"{state_dir}/links")
+        .select("block", "name_a", "name_b", "distance")
+        .distinct()
+    )
+    return names, links
+
+
+def run_streaming_linkage(
+    spark: SparkSession,
+    parts_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain the available part files (availableNow), folding each
+    micro-batch into the linkage state."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parts_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_linkage_batch(batch_df.sparkSession, batch_df, state_dir, epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
