@@ -55,6 +55,7 @@ _NEEDS_FIRST_ROW = [
     "events_time_weighted_value",
     "docs_curation_semantic",
     "dedup_triangles",
+    "events_robust_outliers",
 ]
 
 

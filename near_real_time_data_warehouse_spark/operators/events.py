@@ -1106,8 +1106,95 @@ FROM agg
 """
 
 
+def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier profile via median absolute deviation —
+    the outlier detector that, unlike the 3-sigma rule
+    (events_hourly_anomalies), is not itself corrupted by the outliers
+    it hunts: median and MAD have a 50% breakdown point.
+
+    All-integer construction: the group median is the explicit lower
+    order statistic (value at rank ⌊(n+1)/2⌋ — no interpolating
+    median(), which would produce engine-varying halves), MAD is the
+    same statistic over |x − med|, and the modified z-score gate
+    0.6745·d/MAD > 3.5 is cross-multiplied to 6745·d > 35000·MAD so
+    even the flag is exact integer arithmetic. Degenerate groups
+    (MAD = 0, over half the values identical) flag every non-median
+    value — the standard MAD caveat, deterministic in both engines.
+
+    Scale note: per-type windows mean a groupwise sort; event_type has
+    bounded cardinality here. For high-cardinality value domains the
+    order statistic would come from the bounded-range histogram trick
+    instead of a sort."""
+    e = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    d = e.select("event_type", "event_id", cents.alias("cents"))
+    w_ord = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    w_all = Window.partitionBy("event_type")
+    d = d.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+    # (n+1) div 2 — integer floor division, portable
+    med_pos = F.expr("(n + 1) div 2")
+    d = d.withColumn(
+        "med", F.max(F.when(F.col("rn") == med_pos, F.col("cents"))).over(w_all)
+    ).withColumn("dev", F.abs(F.col("cents") - F.col("med")))
+    w_dev = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    d = d.withColumn("drn", F.row_number().over(w_dev)).withColumn(
+        "mad", F.max(F.when(F.col("drn") == med_pos, F.col("dev"))).over(w_all)
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("med").alias("median_cents"),
+        F.max("mad").alias("mad_cents"),
+        F.sum(
+            (F.col("dev") * 6745 > F.col("mad") * 35000).cast("long")
+        ).alias("n_outliers"),
+    )
+
+
+ROBUST_OUTLIERS_SQL = """
+WITH d AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+m AS (
+  SELECT *,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+           OVER (PARTITION BY event_type) AS med
+  FROM r
+),
+dev AS (
+  SELECT *, abs(cents - med) AS dv,
+         row_number() OVER (PARTITION BY event_type ORDER BY abs(cents - med), event_id) AS drn
+  FROM m
+),
+md AS (
+  SELECT *,
+         MAX(CASE WHEN drn = (n + 1) // 2 THEN dv END)
+           OVER (PARTITION BY event_type) AS mad
+  FROM dev
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(med) AS BIGINT) AS median_cents,
+       CAST(MAX(mad) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN dv * 6745 > mad * 35000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM md
+GROUP BY event_type
+"""
+
+
 registry.register("events_weekly_seasonality", weekly_seasonality, WEEKLY_SEASONALITY_SQL)
 registry.register("events_time_weighted_value", time_weighted_value, TIME_WEIGHTED_SQL)
+registry.register("events_robust_outliers", robust_outliers, ROBUST_OUTLIERS_SQL)
 registry.register("events_sliding_hourly", sliding_hourly, SLIDING_SQL)
 registry.register("events_hourly_dense", hourly_dense, HOURLY_DENSE_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)

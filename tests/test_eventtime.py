@@ -113,3 +113,31 @@ def test_time_weighted_value_is_bounded_mean(spark):
             rs[i].cents * (rs[i + 1].us - rs[i].us) for i in range(len(rs) - 1)
         )
         assert t.weight_sum == num
+
+
+def test_robust_outliers_planted(spark):
+    """Planted distribution: median/MAD ignore a huge outlier that would
+    wreck mean/stddev, and exactly the planted spikes are flagged."""
+    import unittest.mock as mock
+
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import events as E
+
+    # 9 calm readings around 10.00 plus two spikes
+    vals = [9.9, 9.95, 10.0, 10.0, 10.0, 10.05, 10.1, 10.2, 9.8, 500.0, -300.0]
+    rows = [(i, "t", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    df = df.withColumn("us", F.lit(0).cast("long"))
+    with mock.patch.object(E, "_events", lambda s, d: df):
+        got = {r.event_type: r for r in E.robust_outliers(spark, "x").collect()}
+    r = got["t"]
+    assert r.n_events == 11
+    assert r.median_cents == 1000          # 10.00 — unmoved by the spikes
+    # deviations sorted: 0,0,0,5,5,10,10,20,20,49000,31000 → lower median = 10
+    assert r.mad_cents == 10
+    expected = sum(
+        1 for v in vals if abs(round(v * 100) - 1000) * 6745 > 10 * 35000
+    )
+    assert expected == 2                   # only the two planted spikes
+    assert r.n_outliers == expected
