@@ -56,6 +56,7 @@ _NEEDS_FIRST_ROW = [
     "docs_curation_semantic",
     "dedup_triangles",
     "events_robust_outliers",
+    "events_hll_partial_merge",
 ]
 
 

@@ -24,6 +24,7 @@ from . import registry
 SESSION_GAP_MIN = 30
 _HOUR_US = 3_600_000_000
 _MINUTE_US = 60_000_000
+_DAY_US = 24 * _HOUR_US
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,6 +439,62 @@ SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
        true AS within_bound
 FROM events
+GROUP BY event_type
+"""
+
+
+def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY gate — the property that makes sketches work
+    at 100 TB: distinct-user sketches are built per (event_type, day)
+    PARTIAL (the daily rollup a pipeline persists), then merged per type
+    with ``hll_union_agg``, and the merged estimate must still land
+    within the error bound of the exact all-days distinct count. This is
+    a different contract from approx_distinct_error's one-pass sketch:
+    it certifies that pre-aggregated daily sketches can answer the
+    all-time question without re-touching raw data — the rollup read
+    path. Datasketches HLL union is order-insensitive, so the merged
+    estimate is deterministic under any partitioning.
+
+    Oracle trick as the other sketch gates: exact facts pinned
+    bit-exactly (exact distinct, day count), contract as a constant
+    true; a merge regression flips the Spark boolean → hash red."""
+    e = _events(spark, sf_dir)
+    day = F.expr(f"us div {_DAY_US}")
+    partials = (
+        e.select("event_type", day.alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    j = merged.join(exact, "event_type")
+    err = F.abs(F.col("est") - F.col("exact_users"))
+    bound = F.greatest(
+        F.lit(1.0), F.lit(HLL_REL_ERROR_BOUND) * F.col("exact_users")
+    )
+    return j.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.col("n_days").cast("long").alias("n_days"),
+        (err <= bound).alias("merged_within_bound"),
+    )
+
+
+HLL_PARTIAL_MERGE_SQL = f"""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day, user_id
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       true AS merged_within_bound
+FROM d
 GROUP BY event_type
 """
 
@@ -1195,6 +1252,7 @@ GROUP BY event_type
 registry.register("events_weekly_seasonality", weekly_seasonality, WEEKLY_SEASONALITY_SQL)
 registry.register("events_time_weighted_value", time_weighted_value, TIME_WEIGHTED_SQL)
 registry.register("events_robust_outliers", robust_outliers, ROBUST_OUTLIERS_SQL)
+registry.register("events_hll_partial_merge", hll_partial_merge, HLL_PARTIAL_MERGE_SQL)
 registry.register("events_sliding_hourly", sliding_hourly, SLIDING_SQL)
 registry.register("events_hourly_dense", hourly_dense, HOURLY_DENSE_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)
