@@ -433,3 +433,64 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path_factory):
         .agg(F.sum("v"))
     )
     assert "dynamicpruningexpression" in plan_of(j)
+
+
+def test_fuzzy_linkage_join_is_equi_on_block(spark):
+    """The blocked fuzzy self-join must hash/broadcast-join on the block
+    key with the length filter and Levenshtein as residuals — a nested
+    loop here is the all-pairs catastrophe the blocking exists to
+    avoid."""
+    from near_real_time_data_warehouse_spark.operators.linkage import (
+        part_fuzzy_matches,
+    )
+
+    plan = plan_of(part_fuzzy_matches(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_posting_join_is_equi(spark):
+    """Containment candidates come from the rare-shingle inverted index:
+    the posting-list self-join must be an equi hash join on shingle."""
+    from near_real_time_data_warehouse_spark.operators.dedup import (
+        dedup_containment,
+    )
+
+    plan = plan_of(dedup_containment(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_join_is_equi(spark):
+    """The wedge-close triangle join is three equi joins on vertex keys,
+    never a cartesian."""
+    from near_real_time_data_warehouse_spark.operators.dedup import (
+        dedup_triangles,
+    )
+
+    plan = plan_of(dedup_triangles(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_weighted_window_is_partitioned(spark):
+    """The TWA lead window partitions by user_id — a global (empty
+    partition-by) window would serialize the corpus through one task."""
+    from near_real_time_data_warehouse_spark.operators.events import (
+        time_weighted_value,
+    )
+
+    plan = plan_of(time_weighted_value(spark, SF_SMALL))
+    assert "user_id" in plan  # the window spec carries the key
+    # no single-partition exchange feeding the window
+    assert "SinglePartition" not in plan
+
+
+def test_robust_outliers_windows_are_partitioned(spark):
+    """Both MAD passes window by event_type; no single-partition sort."""
+    from near_real_time_data_warehouse_spark.operators.events import (
+        robust_outliers,
+    )
+
+    plan = plan_of(robust_outliers(spark, SF_SMALL))
+    assert "SinglePartition" not in plan
