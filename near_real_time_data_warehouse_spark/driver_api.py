@@ -57,6 +57,7 @@ _NEEDS_FIRST_ROW = [
     "dedup_triangles",
     "events_robust_outliers",
     "events_hll_partial_merge",
+    "events_trend_slope",
 ]
 
 

@@ -1252,7 +1252,69 @@ GROUP BY event_type
 registry.register("events_weekly_seasonality", weekly_seasonality, WEEKLY_SEASONALITY_SQL)
 registry.register("events_time_weighted_value", time_weighted_value, TIME_WEIGHTED_SQL)
 registry.register("events_robust_outliers", robust_outliers, ROBUST_OUTLIERS_SQL)
+def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend (drift detection): OLS slope of value-cents
+    against hours-since-corpus-start. The monitoring question behind it:
+    is this event type's value drifting up or down, and how fast — the
+    regression companion to events_hourly_anomalies' level alarms.
+
+    Exactness: x = whole hours from a fixed corpus origin (bounded ≈ 1e4),
+    y = exact cents; all five OLS sums (n, Σx, Σy, Σxy, Σx²) are exact
+    int64 (worst products ≈ 1e13 per row), and the closed forms are
+    integer-over-integer: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — ONE
+    IEEE division; intercept mirrors the same expression shape in both
+    engines. Scale shape: one map-side-combinable grouped sum — no
+    window, no sort, shuffle ∝ groups."""
+    e = _events(spark, sf_dir)
+    origin = e.agg(F.min("us").alias("us0"))
+    d = e.crossJoin(F.broadcast(origin)).select(
+        "event_type",
+        F.expr(f"(us - us0) div {_HOUR_US}").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(den != 0, num / den)
+    return agg.select(
+        "event_type", "n", "sx", "sy", "sxy", "sxx",
+        slope.alias("slope_cents_per_hour"),
+    )
+
+
+TREND_SLOPE_SQL = f"""
+WITH o AS (SELECT MIN(epoch_us(ts)) AS us0 FROM events),
+d AS (
+  SELECT event_type,
+         (epoch_us(ts) - o.us0) // {_HOUR_US} AS x,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events, o
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n, sx, sy, sxy, sxx,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+       END AS slope_cents_per_hour
+FROM agg
+"""
+
+
 registry.register("events_hll_partial_merge", hll_partial_merge, HLL_PARTIAL_MERGE_SQL)
+registry.register("events_trend_slope", trend_slope, TREND_SLOPE_SQL)
 registry.register("events_sliding_hourly", sliding_hourly, SLIDING_SQL)
 registry.register("events_hourly_dense", hourly_dense, HOURLY_DENSE_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)

@@ -51,6 +51,9 @@ _TZ_SENSITIVE = [
     "events_sliding_hourly",         # overlap-exploded epoch bucketing
     "events_hourly_dense",           # spine bounds from epoch hours
     "events_sessionize",             # epoch gaps
+    "events_time_weighted_value",    # epoch-µs interval weighting
+    "events_hll_partial_merge",      # epoch-day partials
+    "events_trend_slope",            # hours-since-origin regressor
 ]
 
 
@@ -141,3 +144,27 @@ def test_robust_outliers_planted(spark):
     )
     assert expected == 2                   # only the two planted spikes
     assert r.n_outliers == expected
+
+
+def test_trend_slope_planted_line(spark):
+    """A planted exact line y = 250·x + 1000 cents recovers slope 250
+    exactly (integer numerator/denominator, one division), and a planted
+    constant series recovers slope 0."""
+    import unittest.mock as mock
+
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import events as E
+
+    rows = []
+    for h in range(10):
+        rows.append((h, "line", (1000 + 250 * h) / 100.0, h * 3_600_000_000))
+        rows.append((100 + h, "flat", 7.77, h * 3_600_000_000))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, us long"
+    )
+    with mock.patch.object(E, "_events", lambda s, d: df):
+        got = {r.event_type: r for r in E.trend_slope(spark, "x").collect()}
+    assert got["line"].slope_cents_per_hour == 250.0
+    assert got["flat"].slope_cents_per_hour == 0.0
+    assert got["line"].n == 10 and got["line"].sx == sum(range(10))
