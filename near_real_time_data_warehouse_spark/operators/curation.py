@@ -10,6 +10,13 @@ one shuffle on the cluster key for the keep-best window, and
 scan-local projections for quality + split. Nothing here is new
 machinery — that is the point: a curation pass should be a plan, not a
 framework.
+
+Two variants share one tail (projection/keep-best/quality/split —
+``_curation_tail`` in Python, ``_curation_sql`` in SQL) and differ only
+in the pair graph feeding connected components: lexical LSH pairs
+(``docs_curation_pipeline``) or lexical ∪ embedding-verified semantic
+pairs (``docs_curation_semantic`` — paraphrase clusters that share no
+shingles still collapse to one representative).
 """
 
 from __future__ import annotations
@@ -26,12 +33,14 @@ from .text import _NORM_SQL, _norm_col
 MIN_TOKENS = 24
 
 
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per document: near-dup cluster, keep-best flag (longest in its
-    cluster, tie-break lowest doc_id), quality flag, content-hash split,
-    and the final ``selected`` verdict (cluster representative AND
-    passes quality). ``selected`` rows are what ships to training."""
-    comps = dedup_components_minhash(spark, sf_dir)
+def _curation_tail(
+    spark: SparkSession, sf_dir: str, comps: DataFrame
+) -> DataFrame:
+    """Per document, given its near-dup component: keep-best flag
+    (longest in its cluster, tie-break lowest doc_id), quality flag,
+    content-hash split, and the final ``selected`` verdict (cluster
+    representative AND passes quality) — the rows that ship to
+    training."""
     norm = _norm_col()
     docs = _docs(spark, sf_dir).select(
         "doc_id",
@@ -60,53 +69,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CURATION_SQL = f"""
-WITH RECURSIVE
-docs AS (SELECT doc_id FROM documents),
-pairs AS (SELECT doc_a, doc_b FROM ({MINHASH_SQL})),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION ALL
-  SELECT doc_b AS src, doc_a AS dst FROM pairs
-),
-comp(doc_id, label) AS (
-  SELECT doc_id, doc_id FROM docs
-  UNION
-  SELECT e.dst, c.label FROM comp c JOIN edges e ON e.src = c.doc_id
-),
-comps AS (SELECT doc_id, MIN(label) AS component FROM comp GROUP BY doc_id),
-feat AS (
-  SELECT doc_id,
-         CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
-                   ELSE len(string_split({_NORM_SQL}, ' ')) END AS BIGINT) AS n_tokens,
-         CAST(('0x' || substr(md5({_NORM_SQL}), 1, 15)) AS BIGINT) % 10 AS bucket
-  FROM documents
-),
-ranked AS (
-  SELECT c.doc_id, component, n_tokens, bucket,
-         row_number() OVER (PARTITION BY component ORDER BY n_tokens DESC, c.doc_id) AS rn
-  FROM comps c JOIN feat USING (doc_id)
-)
-SELECT doc_id, component, n_tokens,
-       rn = 1 AS is_representative,
-       n_tokens >= {MIN_TOKENS} AS passes_quality,
-       CASE WHEN bucket <= 7 THEN 'train' WHEN bucket = 8 THEN 'val'
-            ELSE 'test' END AS split,
-       (rn = 1 AND n_tokens >= {MIN_TOKENS}) AS selected
-FROM ranked
-"""
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _curation_tail(spark, sf_dir, dedup_components_minhash(spark, sf_dir))
 
 
 def curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pass with the SEMANTIC merge stage (NEXT.md r3
-    carryover, shipped as its own entry so docs_curation_pipeline's
-    certified row stands): the near-dup graph is the UNION of lexical
-    LSH pairs and embedding-verified semantic pairs
-    (sim_semantic_text_neardup's candidates with cosine ≥ the semantic
-    threshold, vec_id ≡ doc_id) — so paraphrase clusters that share no
-    shingles still collapse to one representative. Same keep-best /
-    quality / split tail; the oracle replays the full union graph
-    (MinHash chain ∪ md5-hyperplane chain) through the recursive CC."""
+    carryover, its own entry so docs_curation_pipeline's certified row
+    stands): components run over lexical LSH pairs ∪ embedding-verified
+    semantic pairs (sim_semantic_text_neardup's candidates with cosine ≥
+    the semantic threshold, vec_id ≡ doc_id)."""
     from .dedup import _memoized_components, connected_components, minhash_lsh_pairs
     from .similarity import semantic_text_neardup
 
@@ -126,45 +98,16 @@ def curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         return connected_components(_docs(spark, sf_dir).select("doc_id"), edges)
 
     comps = _memoized_components("semantic_union", spark, sf_dir, build)
-    norm = _norm_col()
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.when(F.length(norm) == 0, F.lit(0))
-        .otherwise(F.size(F.split(norm, " ")))
-        .cast("long")
-        .alias("n_tokens"),
-        F.pmod(
-            F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long"), F.lit(10)
-        ).alias("bucket"),
-    )
-    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), "doc_id")
-    joined = comps.join(docs, "doc_id")
-    return joined.select(
-        "doc_id",
-        "component",
-        "n_tokens",
-        (F.row_number().over(w) == 1).alias("is_representative"),
-        (F.col("n_tokens") >= MIN_TOKENS).alias("passes_quality"),
-        F.when(F.col("bucket") <= 7, "train")
-        .when(F.col("bucket") == 8, "val")
-        .otherwise("test")
-        .alias("split"),
-    ).withColumn(
-        "selected", F.col("is_representative") & F.col("passes_quality")
-    )
+    return _curation_tail(spark, sf_dir, comps)
 
 
-def _curation_semantic_sql() -> str:
-    from .similarity import NEAR_DUP_COSINE, _semantic_text_sql
-
+def _curation_sql(pairs_sql: str) -> str:
+    """The shared recursive-CC + tail oracle, parameterized by the CTE
+    body producing the (doc_a, doc_b) pair graph."""
     return f"""
 WITH RECURSIVE
 docs AS (SELECT doc_id FROM documents),
-pairs AS (
-  SELECT doc_a, doc_b FROM ({MINHASH_SQL})
-  UNION
-  SELECT doc_a, doc_b FROM ({_semantic_text_sql()}) WHERE cosine >= {NEAR_DUP_COSINE}
-),
+pairs AS ({pairs_sql}),
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
@@ -196,6 +139,19 @@ SELECT doc_id, component, n_tokens,
        (rn = 1 AND n_tokens >= {MIN_TOKENS}) AS selected
 FROM ranked
 """
+
+
+CURATION_SQL = _curation_sql(f"SELECT doc_a, doc_b FROM ({MINHASH_SQL})")
+
+
+def _curation_semantic_sql() -> str:
+    from .similarity import NEAR_DUP_COSINE, _semantic_text_sql
+
+    return _curation_sql(
+        f"""SELECT doc_a, doc_b FROM ({MINHASH_SQL})
+  UNION
+  SELECT doc_a, doc_b FROM ({_semantic_text_sql()}) WHERE cosine >= {NEAR_DUP_COSINE}"""
+    )
 
 
 registry.register("docs_curation_pipeline", curation_pipeline, CURATION_SQL)

@@ -1206,6 +1206,17 @@ def containment_pairs(sh: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Same cost discipline as _jaccard_pairs: semi-filter the shingle
+    # table to candidate-touched docs FIRST, so the verification joins
+    # and the sizes groupBy shuffle a candidate-sized slice, not the
+    # whole corpus (per-doc shingle counts are invariant under a doc_id
+    # filter, so the result is identical).
+    touched = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(touched, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     common = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")

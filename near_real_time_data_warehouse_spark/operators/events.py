@@ -1260,11 +1260,14 @@ def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: x = whole hours from a fixed corpus origin (bounded ≈ 1e4),
     y = exact cents; all five OLS sums (n, Σx, Σy, Σxy, Σx²) are exact
-    int64 (worst products ≈ 1e13 per row), and the closed forms are
-    integer-over-integer: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — ONE
-    IEEE division; intercept mirrors the same expression shape in both
-    engines. Scale shape: one map-side-combinable grouped sum — no
-    window, no sort, shuffle ∝ groups."""
+    int64 (worst products ≈ 1e13 per row) and emitted exactly. The
+    closed form slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is computed in
+    DOUBLE — the int64 cross-products n·Σxx etc. overflow at ~1e7 rows
+    per group (review finding), and ANSI Spark / DuckDB both throw on
+    it; long→double casts and the IEEE multiply/subtract/divide chain
+    are deterministic and identically shaped in both engines, so the
+    hash stays portable. Scale shape: one map-side-combinable grouped
+    sum — no window, no sort, shuffle ∝ groups."""
     e = _events(spark, sf_dir)
     origin = e.agg(F.min("us").alias("us0"))
     d = e.crossJoin(F.broadcast(origin)).select(
@@ -1279,9 +1282,12 @@ def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    slope = F.when(den != 0, num / den)
+    nd, sxd, syd, sxyd, sxxd = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx")
+    )
+    den = nd * sxxd - sxd * sxd
+    num = nd * sxyd - sxd * syd
+    slope = F.when(den != 0.0, num / den)
     return agg.select(
         "event_type", "n", "sx", "sy", "sxy", "sxx",
         slope.alias("slope_cents_per_hour"),
@@ -1306,8 +1312,12 @@ agg AS (
   FROM d GROUP BY event_type
 )
 SELECT event_type, n, sx, sy, sxy, sxx,
-       CASE WHEN n * sxx - sx * sx <> 0
-            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
        END AS slope_cents_per_hour
 FROM agg
 """

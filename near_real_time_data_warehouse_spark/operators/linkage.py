@@ -32,6 +32,43 @@ from . import registry
 MAX_EDIT_DIST = 3
 
 
+def with_block(names: DataFrame) -> DataFrame:
+    """Attach the blocking key (final name token) to a (p_name, ...)
+    table — the one definition both batch and streaming use."""
+    return names.withColumn("block", F.element_at(F.split("p_name", " "), -1))
+
+
+def blocked_levenshtein_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+    """The shared fuzzy kernel: blocked, length-filtered, Levenshtein-
+    verified pairs between two (p_name, block) tables, emitted in
+    canonical (name_a < name_b) orientation. Self-linkage passes the
+    same table twice (the ≠ + least/greatest + distinct form yields
+    exactly the a<b pair set); the streaming fold passes
+    (batch, batch ∪ state) so state×state pairs are never recomputed.
+    One definition means a threshold or blocking change can't silently
+    diverge the batch entry from its streaming twin."""
+    a = left.select(F.col("p_name").alias("name_a"), "block")
+    b = right.select(
+        F.col("p_name").alias("name_b"), F.col("block").alias("block_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("block") == F.col("block_b"))
+            & (F.col("name_a") != F.col("name_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= MAX_EDIT_DIST),
+        )
+        .select(
+            "block",
+            F.least("name_a", "name_b").alias("name_a"),
+            F.greatest("name_a", "name_b").alias("name_b"),
+        )
+        .distinct()
+        .withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("distance") <= MAX_EDIT_DIST)
+    )
+
+
 def part_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy self-linkage of the ``part`` catalog by name: distinct
     names blocked on their final token, verified by edit distance ≤
@@ -39,38 +76,20 @@ def part_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the name-level linkage table an entity-resolution merge
     consumes (one row per matched name pair per block)."""
     p = load_table_parallel(spark, sf_dir, "part")
-    names = (
-        p.groupBy("p_name")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .withColumn("block", F.element_at(F.split("p_name", " "), -1))
+    names = with_block(
+        p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
     )
-    a = names.select(
-        F.col("p_name").alias("name_a"),
-        F.col("n_parts").alias("n_parts_a"),
-        "block",
+    pairs = blocked_levenshtein_pairs(names, names)
+    counts_a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a")
     )
-    b = names.select(
-        F.col("p_name").alias("name_b"),
-        F.col("n_parts").alias("n_parts_b"),
-        F.col("block").alias("block_b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("block") == F.col("block_b"))
-        & (F.col("name_a") < F.col("name_b"))
-        & (
-            F.abs(F.length("name_a") - F.length("name_b"))
-            <= MAX_EDIT_DIST
-        ),
+    counts_b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b")
     )
     return (
-        pairs.withColumn(
-            "distance", F.levenshtein("name_a", "name_b").cast("long")
-        )
-        .filter(F.col("distance") <= MAX_EDIT_DIST)
-        .select(
-            "block", "name_a", "name_b", "distance", "n_parts_a", "n_parts_b"
-        )
+        pairs.join(counts_a, "name_a")
+        .join(counts_b, "name_b")
+        .select("block", "name_a", "name_b", "distance", "n_parts_a", "n_parts_b")
     )
 
 

@@ -922,6 +922,11 @@ def _bpe_merge_round(sym_df: DataFrame) -> tuple[DataFrame, str, str, int]:
         .agg(F.sum("freq").alias("cnt"))
     )
     best = counts.orderBy(F.desc("cnt"), "sym", "nxt").first()
+    if best is None:
+        raise ValueError(
+            "BPE merge round found no adjacent symbol pairs — the "
+            "vocabulary is empty or all words are single symbols"
+        )
     left, right, cnt = best["sym"], best["nxt"], int(best["cnt"])
 
     d = (

@@ -26,40 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.linkage import MAX_EDIT_DIST
+from ..operators.linkage import blocked_levenshtein_pairs, with_block
 from .dedup_stream import _overwrite_epoch
 
 
 def _batch_names(batch: DataFrame) -> DataFrame:
-    return (
-        batch.groupBy("p_name")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .withColumn("block", F.element_at(F.split("p_name", " "), -1))
-    )
-
-
-def _fuzzy_links(left: DataFrame, right: DataFrame) -> DataFrame:
-    """Blocked, length-filtered, Levenshtein-verified name pairs between
-    two name tables, in canonical (name_a < name_b) orientation."""
-    a = left.select(F.col("p_name").alias("name_a"), "block")
-    b = right.select(
-        F.col("p_name").alias("name_b"), F.col("block").alias("block_b")
-    )
-    return (
-        a.join(
-            b,
-            (F.col("block") == F.col("block_b"))
-            & (F.col("name_a") != F.col("name_b"))
-            & (F.abs(F.length("name_a") - F.length("name_b")) <= MAX_EDIT_DIST),
-        )
-        .select(
-            "block",
-            F.least("name_a", "name_b").alias("name_a"),
-            F.greatest("name_a", "name_b").alias("name_b"),
-        )
-        .distinct()
-        .withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("distance") <= MAX_EDIT_DIST)
+    return with_block(
+        batch.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
     )
 
 
@@ -84,9 +57,11 @@ def merge_linkage_batch(
             .select("p_name", "block")
             .distinct()
         )
-        links = _fuzzy_links(bn, state_names.unionByName(bn.select("p_name", "block")))
+        links = blocked_levenshtein_pairs(
+            bn, state_names.unionByName(bn.select("p_name", "block"))
+        )
     else:
-        links = _fuzzy_links(bn, bn)
+        links = blocked_levenshtein_pairs(bn, bn)
     links = links.localCheckpoint(eager=True)
 
     _overwrite_epoch(spark, bn, names_dir, epoch_id)
