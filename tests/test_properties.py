@@ -370,3 +370,46 @@ def test_bigram_surprisal_matches_python_reference_random_corpus(spark):
         for r in bigram_surprisal_df(df).collect()
     }
     assert got == expect
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        max_size=60,
+    )
+)
+def test_union_find_min_matches_bruteforce(edges):
+    """_union_find_min (the driver-side quotient resolver) must agree
+    with a brute-force reachability closure: every touched label maps to
+    the minimum label of its connected component."""
+    from near_real_time_data_warehouse_spark.operators.dedup import _union_find_min
+
+    edges = [(a, b) for a, b in edges if a != b]
+    got = dict(_union_find_min(edges))
+    # brute force: adjacency closure over the touched vertices
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    seen = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x])
+        m = min(comp)
+        seen |= comp
+        for x in comp:
+            want[x] = m
+    assert got == want
