@@ -58,6 +58,7 @@ _NEEDS_FIRST_ROW = [
     "events_robust_outliers",
     "events_hll_partial_merge",
     "events_trend_slope",
+    "sim_ann_lsh_multiprobe",
 ]
 
 

@@ -174,3 +174,29 @@ def test_quantize_int8_csv_roundtrip(spark):
         F.transform(F.split("q8_csv", ","), lambda v: v.cast("int")) != F.col("q8")
     ).count()
     assert bad == 0
+
+
+def test_multiprobe_recall_is_monotone(spark, exact):
+    """Multi-probe candidates are a superset of single-probe's, and both
+    paths rank by the same exact cosine with identical tie-breaks — so
+    multi-probe recall vs the brute truth can only improve."""
+    from near_real_time_data_warehouse_spark.operators.similarity import (
+        ann_lsh_multiprobe,
+    )
+
+    truth, scores = exact
+
+    def recall(df):
+        by_query = {}
+        for r in df.collect():
+            by_query.setdefault(r.query_id, set()).add(r.neighbor_id)
+            key = (r.query_id, r.neighbor_id)
+            if key in scores:
+                assert r.cosine == scores[key], f"score drift at {key}"
+        hits = sum(len(by_query.get(q, set()) & t) for q, t in truth.items())
+        return hits / (len(truth) * TOP_K)
+
+    single = recall(ann_lsh_topk(spark, SF_SMALL))
+    multi = recall(ann_lsh_multiprobe(spark, SF_SMALL))
+    assert multi >= single
+    assert multi >= MIN_RECALL
