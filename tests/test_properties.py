@@ -413,3 +413,68 @@ def test_union_find_min_matches_bruteforce(edges):
         for x in comp:
             want[x] = m
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    )
+)
+def test_bpe_merge_round_matches_reference_greedy(spark, words):
+    """The three-window greedy merge must equal the classic sequential
+    reference (scan left to right, merge the best pair, skip the merged
+    position) on arbitrary small vocabularies over {a, b} — the alphabet
+    that maximizes overlapping-run cases."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import text as T
+
+    vocab_rows = [(w, i + 1) for i, w in enumerate(words)]
+    vocab = spark.createDataFrame(vocab_rows, "tok string, freq long")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)),
+    )
+    sym = vocab.select(
+        "tok", "freq", F.posexplode(chars).alias("pos0", "sym")
+    ).select("tok", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+
+    # reference: overlap-counted weighted pair counts → best pair →
+    # sequential greedy rewrite
+    counts = {}
+    for w, f in vocab_rows:
+        for i in range(len(w) - 1):
+            counts[(w[i], w[i + 1])] = counts.get((w[i], w[i + 1]), 0) + f
+    if not counts:
+        import pytest
+
+        with pytest.raises(ValueError):
+            T._bpe_merge_round(sym)
+        return
+    # tie-break: count DESC, then (left, right) ASC
+    L, R = min(p for p, c in counts.items() if c == max(counts.values()))
+
+    def ref_merge(symbols):
+        out, i = [], 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == L and symbols[i + 1] == R:
+                out.append(L + R)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        return out
+
+    want = {w: ref_merge(list(w)) for w, _ in vocab_rows}
+
+    merged, left, right, cnt = T._bpe_merge_round(sym)
+    assert (left, right) == (L, R)
+    assert cnt == counts[(L, R)]
+    got = {}
+    for r in sorted(merged.collect(), key=lambda r: (r.tok, r.pos)):
+        got.setdefault(r.tok, []).append(r.sym)
+    assert got == want
