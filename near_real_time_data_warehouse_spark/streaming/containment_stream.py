@@ -1,0 +1,164 @@
+"""Streaming containment-dedup maintenance: fold document batches into
+a persisted rare-shingle posting state and a monotone log of verified
+containment pairs — ingestion-time excerpt/quote detection, built from
+the batch kernel (operators/dedup.containment_pairs' stages).
+
+Contract (deliberately different from the other streaming twins):
+containment candidate generation depends on GLOBAL document frequency
+("rare" shingles), and df only grows as the corpus does — so a pair
+discovered when its shingle was rare stays discovered even if the
+shingle later crosses RARE_DF_MAX. The maintained pair set is therefore
+a MONOTONE DISCOVERY LOG:
+
+- **precision is exact**: every logged pair is verified with exact
+  shingle counts at discovery time over the full standing corpus, and
+  containment ratios of a fixed pair never change (documents are
+  immutable);
+- **recall ⊇ the one-shot batch build**: any pair the batch build finds
+  shares a shingle with final df ∈ [RARE_DF_MIN, RARE_DF_MAX]; when the
+  pair's later endpoint arrived, that shingle's df was ≥ 2 (both docs
+  present) and ≤ its final value, hence rare — so the stream had the
+  same candidate. Tested as a superset property, not equality.
+
+Per batch, cost ∝ batch: batch shingles, candidates = batch postings ×
+standing postings on currently-rare shingles, exact verification
+semi-filtered to candidate-touched docs. Replay-safe via per-epoch
+dynamic partition overwrite; the state side excludes the current
+epoch's own partition so a re-delivered batch re-derives identical
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    CONTAINMENT_THRESHOLD,
+    RARE_DF_MAX,
+    RARE_DF_MIN,
+    _shingles,
+)
+from .dedup_stream import _overwrite_epoch
+
+
+def _verified_pairs(sh_all: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact containment verification of candidate pairs over the full
+    shingle table (semi-filtered to candidate-touched docs)."""
+    touched = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh_all.join(touched, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b"
+        )
+        .withColumn("containment_a", F.col("n_common") / F.col("n_a"))
+        .withColumn("containment_b", F.col("n_common") / F.col("n_b"))
+    )
+    return j.filter(
+        F.greatest("containment_a", "containment_b") >= CONTAINMENT_THRESHOLD
+    ).select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+
+
+def merge_containment_batch(
+    spark: SparkSession, batch: DataFrame, state_dir: str, epoch_id: int = 0
+) -> None:
+    """Fold one document batch (doc_id, text) into the containment state
+    at ``state_dir`` ({shingles,links} parquet)."""
+    from ..sources.maintenance import path_exists
+
+    if batch.isEmpty():
+        return
+    sh_dir = f"{state_dir}/shingles"
+    links_dir = f"{state_dir}/links"
+
+    batch_sh = _shingles(batch.select("doc_id", "text")).localCheckpoint(eager=True)
+
+    if path_exists(spark, sh_dir):
+        state_sh = (
+            spark.read.parquet(sh_dir)
+            .filter(F.col("_epoch") != epoch_id)  # replay: never self-pair
+            .select("doc_id", "shingle")
+        )
+        # replay may re-deliver docs already in older epochs too
+        state_sh = state_sh.join(
+            batch_sh.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+    else:
+        state_sh = batch_sh.limit(0)
+    all_sh = state_sh.unionByName(batch_sh).localCheckpoint(eager=True)
+
+    df_ = all_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = df_.filter(
+        (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
+    ).select("shingle")
+    batch_posting = batch_sh.join(rare, "shingle", "left_semi")
+    all_posting = all_sh.join(rare, "shingle", "left_semi")
+    cand = (
+        batch_posting.alias("a")
+        .join(
+            all_posting.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    links = _verified_pairs(all_sh, cand).localCheckpoint(eager=True)
+
+    _overwrite_epoch(spark, batch_sh, sh_dir, epoch_id)
+    _overwrite_epoch(spark, links, links_dir, epoch_id)
+
+
+def read_containment_links(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The discovered pair log, distinct (pairs re-derived by replay or
+    by later batches of the same docs collapse)."""
+    return (
+        spark.read.parquet(f"{state_dir}/links")
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+        .distinct()
+    )
+
+
+def run_streaming_containment(
+    spark: SparkSession,
+    docs_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain the available document files (availableNow), folding each
+    micro-batch into the containment state."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_containment_batch(batch_df.sparkSession, batch_df, state_dir, epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
