@@ -59,6 +59,7 @@ _NEEDS_FIRST_ROW = [
     "events_hll_partial_merge",
     "events_trend_slope",
     "sim_ann_lsh_multiprobe",
+    "orders_change_feed",
 ]
 
 

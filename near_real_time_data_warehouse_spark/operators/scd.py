@@ -393,3 +393,100 @@ registry.register("orders_priority_transitions", priority_transitions, PRIORITY_
 registry.register("orders_scd2_outoforder", scd2_outoforder, SCD2_SQL)
 registry.register("orders_priority_asof_ship", priority_asof_ship, ASOF_SHIP_SQL)
 registry.register("orders_scd2_incremental", scd2_incremental, SCD2_SQL)
+
+
+# --- Change-data-feed generation (snapshot diff) ---------------------------
+# The PRODUCER side of the CDC story: everything above CONSUMES a change
+# feed (scd2_apply_increment, the observation store); this operator
+# GENERATES one by diffing two table snapshots — the Delta/Iceberg
+# "change data feed" read, expressed as a full-outer join on the primary
+# key with row-compare residuals. The driver corpus has one immutable
+# orders table, so snapshot B is derived from A by a deterministic
+# mutation (bump priority for o_orderkey % CDF_UPDATE_MOD, drop
+# o_orderkey % CDF_DELETE_MOD, synthesize inserts above the max key) —
+# both engines replay the identical mutation, so the diff itself is
+# hash-certified.
+
+CDF_UPDATE_MOD = 97
+CDF_DELETE_MOD = 101
+CDF_INSERTS = 50
+
+
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, change_type ∈ insert|update|delete, old_priority,
+    new_priority): the minimal change feed that replays snapshot A into
+    snapshot B. Unchanged rows produce NO output — the property that
+    makes a change feed cheaper to ship than the table.
+
+    Scale shape: one key-partitioned full-outer hash join + residual
+    compare; output ∝ changed rows. At 100 TB with date-partitioned
+    tables the join prunes to touched partitions first."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    a = o.select("o_orderkey", F.col("o_orderpriority").alias("prio"))
+    maxk = o.agg(F.max("o_orderkey").alias("mk"))
+    inserts = (
+        maxk.crossJoin(
+            spark.range(1, CDF_INSERTS + 1).select(F.col("id").alias("i"))
+        )
+        .select(
+            (F.col("mk") + F.col("i")).alias("o_orderkey"),
+            F.lit("NEW-ROW").alias("prio"),
+        )
+    )
+    b = (
+        a.filter(F.col("o_orderkey") % CDF_DELETE_MOD != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % CDF_UPDATE_MOD == 0, F.lit("BUMPED"))
+            .otherwise(F.col("prio"))
+            .alias("prio"),
+        )
+        .unionByName(inserts)
+    )
+    av = a.select("o_orderkey", F.col("prio").alias("old_priority"))
+    bv = b.select("o_orderkey", F.col("prio").alias("new_priority"))
+    j = av.join(bv, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_priority").isNull(), F.lit("insert"))
+        .when(F.col("new_priority").isNull(), F.lit("delete"))
+        .when(F.col("old_priority") != F.col("new_priority"), F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select("o_orderkey", "change_type", "old_priority", "new_priority")
+    )
+
+
+CHANGE_FEED_SQL = f"""
+WITH a AS (SELECT o_orderkey, o_orderpriority AS prio FROM orders),
+mk AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+inserts AS (
+  SELECT mk.mk + i AS o_orderkey, 'NEW-ROW' AS prio
+  FROM mk, range(1, {CDF_INSERTS + 1}) t(i)
+),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {CDF_UPDATE_MOD} = 0 THEN 'BUMPED' ELSE prio END AS prio
+  FROM a WHERE o_orderkey % {CDF_DELETE_MOD} <> 0
+  UNION ALL
+  SELECT o_orderkey, prio FROM inserts
+),
+j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.prio AS old_priority, b.prio AS new_priority
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN old_priority IS NULL THEN 'insert'
+            WHEN new_priority IS NULL THEN 'delete'
+            WHEN old_priority <> new_priority THEN 'update'
+       END AS change_type,
+       old_priority, new_priority
+FROM j
+WHERE (old_priority IS NULL) OR (new_priority IS NULL)
+   OR (old_priority <> new_priority)
+"""
+
+
+registry.register("orders_change_feed", snapshot_change_feed, CHANGE_FEED_SQL)

@@ -226,3 +226,46 @@ def test_asof_join_never_fans_out(spark):
         assert unmatched_late == 0
     finally:
         out.unpersist()
+
+
+def test_change_feed_roundtrip_reconstructs_snapshot(spark):
+    """Applying the generated change feed to snapshot A reproduces
+    snapshot B exactly, and the feed is minimal (unchanged rows absent)."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import scd as S
+    from near_real_time_data_warehouse_spark.sources.testdata import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    o = load_tables(spark, sf, ("orders",))["orders"]
+    a = {r.o_orderkey: r.prio for r in
+         o.select("o_orderkey", F.col("o_orderpriority").alias("prio")).collect()}
+    feed = S.snapshot_change_feed(spark, sf).collect()
+
+    # minimality: no no-op rows
+    for r in feed:
+        if r.change_type == "update":
+            assert r.old_priority != r.new_priority
+
+    # apply
+    b = dict(a)
+    for r in feed:
+        if r.change_type == "delete":
+            assert b.pop(r.o_orderkey) == r.old_priority
+        elif r.change_type == "insert":
+            assert r.o_orderkey not in b
+            b[r.o_orderkey] = r.new_priority
+        else:
+            assert b[r.o_orderkey] == r.old_priority
+            b[r.o_orderkey] = r.new_priority
+
+    # reference snapshot B from the same deterministic mutation
+    want = {
+        k: ("BUMPED" if k % S.CDF_UPDATE_MOD == 0 else v)
+        for k, v in a.items()
+        if k % S.CDF_DELETE_MOD != 0
+    }
+    mk = max(a)
+    for i in range(1, S.CDF_INSERTS + 1):
+        want[mk + i] = "NEW-ROW"
+    assert b == want
