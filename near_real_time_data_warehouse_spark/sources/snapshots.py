@@ -1,0 +1,166 @@
+"""Snapshot-versioned tables on plain parquet: commit / time-travel /
+diff / vacuum — the lakehouse read semantics (Delta/Iceberg-style) this
+container can't activate for lack of a jar (sources/lakehouse.py),
+rebuilt from first principles on the two primitives Spark always has:
+immutable parquet data files and an atomically-renamed JSON manifest.
+
+Layout at ``table_dir``::
+
+    data/<version>-<uuid>.parquet     immutable data files
+    _manifests/v<version>.json        {"version", "files", "committed"}
+    _manifests/_latest                 text file holding the version no.
+
+Commit protocol (single-writer, crash-safe): data files land first
+(under a temp name, moved in), then the manifest is written, then
+``_latest`` is swapped via write-temp + rename — a reader either sees
+the old version or the new one, never a torn state; a crash before the
+``_latest`` swap leaves an unreferenced manifest that the next commit
+overwrites and vacuum removes. (Multi-writer commits need the real
+lakehouse's conditional swap — documented limit, not attempted.)
+
+Reads: ``read_snapshot(as_of=N)`` loads exactly version N's file list —
+old versions stay readable after later commits (time travel) until
+``vacuum`` drops files unreferenced by kept manifests.
+``change_feed(vA, vB, key)`` computes the insert/update/delete rows
+between two versions with the same full-outer-diff kernel the
+``orders_change_feed`` driver entry certifies.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), jvm
+
+
+def _write_text_atomic(spark: SparkSession, path: str, content: str) -> None:
+    # py4j passes byte[] by value, so stream buffers don't round-trip
+    # in place — hand the whole string to commons-io on the JVM side.
+    fs, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + f".tmp-{uuid.uuid4().hex[:8]}")
+    out = fs.create(tmp, True)
+    jvm.org.apache.commons.io.IOUtils.write(content, out, "UTF-8")
+    out.close()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, False)
+    fs.rename(tmp, dst)
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, jvm = _fs(spark, path)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def latest_version(spark: SparkSession, table_dir: str) -> int:
+    from .maintenance import path_exists
+
+    marker = f"{table_dir}/_manifests/_latest"
+    if not path_exists(spark, marker):
+        return 0
+    return int(_read_text(spark, marker).strip())
+
+
+def commit_snapshot(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the next full-table version; returns its number.
+    Data files are new and immutable — previous versions keep reading
+    their own file lists."""
+    version = latest_version(spark, table_dir) + 1
+    stage = f"{table_dir}/data/_stage-v{version}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(stage)
+
+    fs, jvm = _fs(spark, stage)
+    dest_dir = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/data")
+    fs.mkdirs(dest_dir)
+    files = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(stage)):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        final = f"v{version}-{uuid.uuid4().hex[:8]}.parquet"
+        fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(f"{table_dir}/data/{final}"))
+        files.append(f"data/{final}")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+
+    manifest = {"version": version, "files": sorted(files)}
+    _write_text_atomic(
+        spark, f"{table_dir}/_manifests/v{version}.json", json.dumps(manifest)
+    )
+    _write_text_atomic(spark, f"{table_dir}/_manifests/_latest", str(version))
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, as_of: int | None = None
+) -> DataFrame:
+    """The table exactly as of version ``as_of`` (default: latest)."""
+    version = as_of if as_of is not None else latest_version(spark, table_dir)
+    manifest = json.loads(
+        _read_text(spark, f"{table_dir}/_manifests/v{version}.json")
+    )
+    paths = [f"{table_dir}/{f}" for f in manifest["files"]]
+    return spark.read.parquet(*paths)
+
+
+def change_feed(
+    spark: SparkSession, table_dir: str, v_from: int, v_to: int, key: str
+) -> DataFrame:
+    """insert/update/delete rows between two committed versions — the
+    orders_change_feed kernel over time-travel reads. ``update`` rows
+    are detected by comparing the full non-key row structs."""
+    a = read_snapshot(spark, table_dir, v_from)
+    b = read_snapshot(spark, table_dir, v_to)
+    cols = [c for c in a.columns if c != key]
+    av = a.select(key, F.struct(*cols).alias("old_row"))
+    bv = b.select(key, F.struct(*cols).alias("new_row"))
+    j = av.join(bv, key, "full_outer")
+    change = (
+        F.when(F.col("old_row").isNull(), F.lit("insert"))
+        .when(F.col("new_row").isNull(), F.lit("delete"))
+        .when(F.col("old_row") != F.col("new_row"), F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(key, "change_type", "old_row", "new_row")
+    )
+
+
+def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[str]:
+    """Drop manifests (and their now-unreferenced data files) older than
+    the last ``keep_last`` versions; returns the deleted file names.
+    Time travel to vacuumed versions stops working — by design, exactly
+    the real lakehouse trade."""
+    fs, jvm = _fs(spark, table_dir)
+    latest = latest_version(spark, table_dir)
+    keep = set(range(max(1, latest - keep_last + 1), latest + 1))
+    kept_files: set[str] = set()
+    drop_manifests = []
+    for v in range(1, latest + 1):
+        manifest = json.loads(_read_text(spark, f"{table_dir}/_manifests/v{v}.json"))
+        if v in keep:
+            kept_files.update(manifest["files"])
+        else:
+            drop_manifests.append((v, manifest["files"]))
+    deleted = []
+    for v, files in drop_manifests:
+        for f in files:
+            if f not in kept_files:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{f}"), False)
+                deleted.append(f)
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_manifests/v{v}.json"), False
+        )
+    return deleted
