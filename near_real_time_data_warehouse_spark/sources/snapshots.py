@@ -164,3 +164,38 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[str]
             jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_manifests/v{v}.json"), False
         )
     return deleted
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    key: str,
+    when_matched: str = "update",
+) -> int:
+    """MERGE INTO the snapshot table — the ACID upsert the probe-gated
+    lakehouse module (sources/lakehouse.py) falls back from, made real
+    on the manifest layer: the merged result commits as a NEW version,
+    so readers see the pre-merge table or the post-merge table atomically
+    (never a torn upsert), the pre-merge state stays time-travelable,
+    and a failed merge leaves the table untouched.
+
+    ``when_matched``: 'update' replaces matched rows with the batch's
+    (last-writer-wins); 'ignore' is the reference dimension semantics
+    (first-writer-wins insert-if-absent — hybrid_join.py:365-378).
+    Returns the committed version."""
+    if when_matched not in ("update", "ignore"):
+        raise ValueError(f"when_matched must be update|ignore, got {when_matched!r}")
+    batch = batch.dropDuplicates([key])
+    from .maintenance import path_exists
+
+    if not path_exists(spark, f"{table_dir}/_manifests/_latest"):
+        return commit_snapshot(spark, batch, table_dir)
+    current = read_snapshot(spark, table_dir)
+    if when_matched == "update":
+        kept = current.join(batch.select(key), key, "left_anti")
+        merged = kept.unionByName(batch)
+    else:
+        new_rows = batch.join(current.select(key), key, "left_anti")
+        merged = current.unionByName(new_rows)
+    return commit_snapshot(spark, merged, table_dir)

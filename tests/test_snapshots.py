@@ -111,3 +111,34 @@ def test_crash_before_latest_swap_is_invisible(spark, tmp_path_factory):
     v = S.commit_snapshot(spark, base.withColumn("prio", F.lit("x")), table)
     assert v == 2
     assert {r.prio for r in S.read_snapshot(spark, table).collect()} == {"x"}
+
+
+def test_merge_snapshot_upsert_modes(spark, tmp_path_factory):
+    """MERGE on the manifest layer: 'update' is last-writer-wins,
+    'ignore' is the reference's first-writer-wins insert-if-absent; each
+    merge is a new atomic version and the pre-merge state stays
+    readable."""
+    table = str(tmp_path_factory.mktemp("snapmerge") / "dim")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    v1 = S.merge_snapshot(spark, table, base, "k")
+    assert v1 == 1
+
+    batch = spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string")
+    v2 = S.merge_snapshot(spark, table, batch, "k", when_matched="update")
+    got = {(r.k, r.v) for r in S.read_snapshot(spark, table).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+    batch2 = spark.createDataFrame([(2, "zzz"), (5, "e")], "k long, v string")
+    S.merge_snapshot(spark, table, batch2, "k", when_matched="ignore")
+    got = {(r.k, r.v) for r in S.read_snapshot(spark, table).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d"), (5, "e")}
+
+    # pre-merge versions still time-travel
+    assert {(r.k, r.v) for r in S.read_snapshot(spark, table, as_of=v1).collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    assert {(r.k, r.v) for r in S.read_snapshot(spark, table, as_of=v2).collect()} == {
+        (1, "a"), (2, "B"), (3, "c"), (4, "d")
+    }
