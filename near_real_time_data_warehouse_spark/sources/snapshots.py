@@ -73,10 +73,16 @@ def latest_version(spark: SparkSession, table_dir: str) -> int:
     return int(_read_text(spark, marker).strip())
 
 
-def commit_snapshot(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+def commit_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    epoch_id: int | None = None,
+) -> int:
     """Write ``df`` as the next full-table version; returns its number.
     Data files are new and immutable — previous versions keep reading
-    their own file lists."""
+    their own file lists. ``epoch_id`` stamps the manifest for the
+    streaming sink's replay dedup (see ``merge_snapshot``)."""
     version = latest_version(spark, table_dir) + 1
     stage = f"{table_dir}/data/_stage-v{version}-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(stage)
@@ -95,11 +101,21 @@ def commit_snapshot(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
     fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
 
     manifest = {"version": version, "files": sorted(files)}
+    if epoch_id is not None:
+        manifest["epoch"] = int(epoch_id)
     _write_text_atomic(
         spark, f"{table_dir}/_manifests/v{version}.json", json.dumps(manifest)
     )
     _write_text_atomic(spark, f"{table_dir}/_manifests/_latest", str(version))
     return version
+
+
+def _latest_epoch(spark: SparkSession, table_dir: str) -> int | None:
+    v = latest_version(spark, table_dir)
+    if v == 0:
+        return None
+    manifest = json.loads(_read_text(spark, f"{table_dir}/_manifests/v{v}.json"))
+    return manifest.get("epoch")
 
 
 def read_snapshot(
@@ -172,6 +188,7 @@ def merge_snapshot(
     batch: DataFrame,
     key: str,
     when_matched: str = "update",
+    epoch_id: int | None = None,
 ) -> int:
     """MERGE INTO the snapshot table — the ACID upsert the probe-gated
     lakehouse module (sources/lakehouse.py) falls back from, made real
@@ -186,11 +203,17 @@ def merge_snapshot(
     Returns the committed version."""
     if when_matched not in ("update", "ignore"):
         raise ValueError(f"when_matched must be update|ignore, got {when_matched!r}")
+    # Replay dedup for the streaming sink: if the latest committed
+    # version already carries this epoch, the merge is a re-delivery —
+    # skip it (exactly-once: one version per epoch, no redundant
+    # commits).
+    if epoch_id is not None and _latest_epoch(spark, table_dir) == int(epoch_id):
+        return latest_version(spark, table_dir)
     batch = batch.dropDuplicates([key])
     from .maintenance import path_exists
 
     if not path_exists(spark, f"{table_dir}/_manifests/_latest"):
-        return commit_snapshot(spark, batch, table_dir)
+        return commit_snapshot(spark, batch, table_dir, epoch_id=epoch_id)
     current = read_snapshot(spark, table_dir)
     if when_matched == "update":
         kept = current.join(batch.select(key), key, "left_anti")
@@ -198,4 +221,46 @@ def merge_snapshot(
     else:
         new_rows = batch.join(current.select(key), key, "left_anti")
         merged = current.unionByName(new_rows)
-    return commit_snapshot(spark, merged, table_dir)
+    # localCheckpoint before committing: ``merged`` reads the CURRENT
+    # version's files, and the commit must not race its own input scan.
+    merged = merged.localCheckpoint(eager=True)
+    return commit_snapshot(spark, merged, table_dir, epoch_id=epoch_id)
+
+
+def run_streaming_snapshot_sink(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    when_matched: str = "update",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Exactly-once streaming upserts into the snapshot table: each
+    micro-batch MERGEs as one atomic version stamped with its epoch, so
+    a replayed epoch is detected and skipped — the checkpointed-offsets
+    + idempotent-sink discipline of etl.py, on the manifest layer."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_snapshot(
+            batch_df.sparkSession,
+            table_dir,
+            batch_df,
+            key,
+            when_matched=when_matched,
+            epoch_id=epoch_id,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

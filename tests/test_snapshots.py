@@ -142,3 +142,38 @@ def test_merge_snapshot_upsert_modes(spark, tmp_path_factory):
     assert {(r.k, r.v) for r in S.read_snapshot(spark, table, as_of=v2).collect()} == {
         (1, "a"), (2, "B"), (3, "c"), (4, "d")
     }
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path_factory):
+    """The streaming sink commits one version per epoch; a replayed
+    epoch is detected via the manifest stamp and skipped (same content,
+    no redundant version), and the drained table equals the sequential
+    merge of all batches."""
+    base = tmp_path_factory.mktemp("snapsink")
+    rows = [(i, f"v{i % 3}") for i in range(60)]
+    src_df = spark.createDataFrame(rows, "k long, v string")
+    src = base / "stream"
+    src.mkdir()
+    import time as _time
+
+    for i, (lo, hi) in enumerate([(0, 20), (20, 40), (40, 999)]):
+        src_df.filter((F.col("k") >= lo) & (F.col("k") < hi)).coalesce(1).write.parquet(
+            f"{src}/part{i}"
+        )
+        _time.sleep(1.1)
+
+    table = str(base / "table")
+    S.run_streaming_snapshot_sink(
+        spark, f"{src}/*", src_df.schema, table, str(base / "ckpt"), key="k"
+    )
+    assert S.latest_version(spark, table) == 3
+    got = {(r.k, r.v) for r in S.read_snapshot(spark, table).collect()}
+    assert got == set(rows)
+
+    # replayed epoch: same epoch id re-merged → no new version
+    b2 = src_df.filter((F.col("k") >= 20) & (F.col("k") < 40))
+    v_before = S.latest_version(spark, table)
+    last_epoch = S._latest_epoch(spark, table)
+    S.merge_snapshot(spark, table, b2, "k", epoch_id=last_epoch)
+    assert S.latest_version(spark, table) == v_before
+    assert {(r.k, r.v) for r in S.read_snapshot(spark, table).collect()} == set(rows)
