@@ -78,11 +78,16 @@ def commit_snapshot(
     df: DataFrame,
     table_dir: str,
     epoch_id: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next full-table version; returns its number.
     Data files are new and immutable — previous versions keep reading
     their own file lists. ``epoch_id`` stamps the manifest for the
-    streaming sink's replay dedup (see ``merge_snapshot``)."""
+    streaming sink's replay dedup (see ``merge_snapshot``).
+    ``stats_cols`` records per-file min/max for those columns in the
+    manifest (one grouped job over the committed files) — the
+    Iceberg-style file-skipping index ``read_snapshot(prune=...)``
+    consumes."""
     version = latest_version(spark, table_dir) + 1
     stage = f"{table_dir}/data/_stage-v{version}-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(stage)
@@ -103,6 +108,27 @@ def commit_snapshot(
     manifest = {"version": version, "files": sorted(files)}
     if epoch_id is not None:
         manifest["epoch"] = int(epoch_id)
+    if stats_cols:
+        paths = [f"{table_dir}/{f}" for f in files]
+        aggs = []
+        for c in stats_cols:
+            aggs += [
+                F.min(c).cast("long").alias(f"_lo_{c}"),
+                F.max(c).cast("long").alias(f"_hi_{c}"),
+            ]
+        rows = (
+            spark.read.parquet(*paths)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(*aggs)
+            .collect()
+        )
+        stats = {}
+        for r in rows:
+            base = r["_f"].rsplit("/", 1)[-1]
+            stats[f"data/{base}"] = {
+                c: [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in stats_cols
+            }
+        manifest["stats"] = stats
     _write_text_atomic(
         spark, f"{table_dir}/_manifests/v{version}.json", json.dumps(manifest)
     )
@@ -119,15 +145,94 @@ def _latest_epoch(spark: SparkSession, table_dir: str) -> int | None:
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, as_of: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    as_of: int | None = None,
+    prune: dict[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
-    """The table exactly as of version ``as_of`` (default: latest)."""
+    """The table exactly as of version ``as_of`` (default: latest).
+
+    ``prune`` maps column → (lo, hi): files whose manifest min/max
+    range does not overlap every requested interval are skipped without
+    opening them — manifest-level data skipping, one level above the
+    parquet footer pruning the layout tests measure. Files committed
+    without stats are conservatively read. The caller still applies its
+    own row filter; pruning only shrinks the file list."""
     version = as_of if as_of is not None else latest_version(spark, table_dir)
     manifest = json.loads(
         _read_text(spark, f"{table_dir}/_manifests/v{version}.json")
     )
-    paths = [f"{table_dir}/{f}" for f in manifest["files"]]
+    files = manifest["files"]
+    if prune:
+        stats = manifest.get("stats", {})
+        kept = []
+        for f in files:
+            st = stats.get(f)
+            if st is None:
+                kept.append(f)
+                continue
+            ok = True
+            for c, (lo, hi) in prune.items():
+                if c in st and (st[c][1] < lo or st[c][0] > hi):
+                    ok = False
+                    break
+            if ok:
+                kept.append(f)
+        files = kept
+    if not files:
+        raise ValueError(
+            f"no files to read for version {version} (all pruned?)"
+        )
+    paths = [f"{table_dir}/{f}" for f in files]
     return spark.read.parquet(*paths)
+
+
+def pruned_file_count(
+    spark: SparkSession,
+    table_dir: str,
+    prune: dict[str, tuple[int, int]],
+    as_of: int | None = None,
+) -> tuple[int, int]:
+    """(files read under ``prune``, total files) for a version — the
+    skip-ratio measurement."""
+    version = as_of if as_of is not None else latest_version(spark, table_dir)
+    manifest = json.loads(
+        _read_text(spark, f"{table_dir}/_manifests/v{version}.json")
+    )
+    stats = manifest.get("stats", {})
+    total = len(manifest["files"])
+    kept = 0
+    for f in manifest["files"]:
+        st = stats.get(f)
+        if st is None:
+            kept += 1
+            continue
+        if all(
+            not (c in st and (st[c][1] < lo or st[c][0] > hi))
+            for c, (lo, hi) in prune.items()
+        ):
+            kept += 1
+    return kept, total
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    partitions: int = 16,
+) -> int:
+    """OPTIMIZE ZORDER BY — rewrite the latest version clustered on the
+    Morton code of ``cols`` and commit it as a new version with per-file
+    stats: after the rewrite each file covers a small hyper-rectangle of
+    the key space, so manifest pruning (and parquet footer pruning
+    beneath it) actually skips. Content is bit-identical to the
+    pre-optimize version (same rows, new layout) — only the file list
+    and stats change."""
+    from ..operators.layout import zorder_layout
+
+    current = read_snapshot(spark, table_dir)
+    clustered = zorder_layout(current, cols, partitions).drop("zval")
+    return commit_snapshot(spark, clustered, table_dir, stats_cols=cols)
 
 
 def change_feed(

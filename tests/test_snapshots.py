@@ -177,3 +177,47 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path_factory):
     S.merge_snapshot(spark, table, b2, "k", epoch_id=last_epoch)
     assert S.latest_version(spark, table) == v_before
     assert {(r.k, r.v) for r in S.read_snapshot(spark, table).collect()} == set(rows)
+
+
+def test_optimize_zorder_enables_manifest_skipping(spark, tmp_path_factory):
+    """The OPTIMIZE story end-to-end at the table-format level: a
+    2-D box query over a randomly-laid-out commit reads ~every file;
+    after OPTIMIZE ZORDER the same box prunes ≥4x more files from the
+    manifest stats alone, content stays bit-identical, and the pruned
+    read returns exactly the full-scan filter result."""
+    table = str(tmp_path_factory.mktemp("snapopt") / "li")
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+    )
+    # v1: layout uncorrelated with the keys (hash by orderkey), stats on
+    v1_df = li.repartition(16, "l_orderkey")
+    S.commit_snapshot(spark, v1_df, table, stats_cols=["l_partkey", "l_suppkey"])
+
+    lo_p, hi_p = 10, 40
+    lo_s, hi_s = 5, 20
+    box = {"l_partkey": (lo_p, hi_p), "l_suppkey": (lo_s, hi_s)}
+    read1, total1 = S.pruned_file_count(spark, table, box, as_of=1)
+
+    v2 = S.optimize_zorder(spark, table, ["l_partkey", "l_suppkey"], partitions=16)
+    read2, total2 = S.pruned_file_count(spark, table, box, as_of=v2)
+    assert total2 >= 8
+    # clustering makes skipping effective: ≥4x better file ratio
+    assert (read1 / total1) >= 4 * (read2 / total2), (read1, total1, read2, total2)
+
+    # content identical across the rewrite
+    def rows(df):
+        return {(r.l_orderkey, r.l_partkey, r.l_suppkey) for r in df.collect()}
+
+    assert rows(S.read_snapshot(spark, table, as_of=1)) == rows(
+        S.read_snapshot(spark, table, as_of=v2)
+    )
+
+    # pruned read ≡ full-scan filter
+    pred = (
+        (F.col("l_partkey").between(lo_p, hi_p))
+        & (F.col("l_suppkey").between(lo_s, hi_s))
+    )
+    want = rows(S.read_snapshot(spark, table, as_of=v2).filter(pred))
+    got = rows(S.read_snapshot(spark, table, as_of=v2, prune=box).filter(pred))
+    assert got == want
