@@ -1,13 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Treats image/audio/video as ``binary`` columns with a typed metadata
-struct, processed by Arrow-batched ``mapInPandas`` pipelines. The
-UNCOMPRESSED containers are decoded for real with dependency-free
-parsers — WAV (RIFF/PCM16: genuine sample rate, channels, duration,
-amplitude features) and PPM (P6: genuine width/height, pixel
-features) — with malformed payloads routed to quarantine rows
-(``decode_with_quarantine``), never executor crashes. Formats that
-need codecs (JPEG/MP3/MP4…) raise ``DecodeNotAvailable``; the
+struct, processed by Arrow-batched ``mapInPandas`` pipelines. Three
+formats are decoded for real with dependency-free parsers — WAV
+(RIFF/PCM16: genuine sample rate, channels, duration, amplitude
+features), PPM (P6: genuine width/height, pixel features), and GIF
+(87a/89a: a real LZW decompressor with variable-width codes,
+clear/end handling, deinterlacing, and palette mapping — the first
+COMPRESSED format decoded here) — with malformed payloads routed to
+quarantine rows (``decode_with_quarantine``), never executor crashes.
+Formats that need heavyweight codecs (JPEG/MP3/MP4…) raise
+``DecodeNotAvailable``; the
 deterministic fake decoder remains for driver-scaled oracle entries
 (the synthetic corpus has no real media column). Everything
 Spark-side — schema, batch iteration, UDF signatures,
@@ -153,6 +156,159 @@ def parse_ppm(payload: bytes) -> dict:
     return {"width": width, "height": height, "format": "ppm", "pixels": pixels}
 
 
+# GIF decode guard: frames larger than this are rejected before the LZW
+# loop runs (a 6-byte header can claim 65535×65535 — never let a
+# malformed payload allocate that).
+GIF_MAX_PIXELS = 1 << 22
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytearray:
+    """GIF-variant LZW: variable code width starting at min_code_size+1,
+    LSB-first bit packing, clear/end codes, dictionary capped at 12 bits.
+    Raises MalformedMedia on any protocol violation."""
+    if not (2 <= min_code_size <= 11):
+        raise MalformedMedia(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    total_bits = len(data) * 8
+    bitpos = 0
+    while True:
+        if bitpos + code_size > total_bits:
+            raise MalformedMedia("LZW stream ended without an end code")
+        code = 0
+        for k in range(code_size):
+            code |= ((data[(bitpos + k) >> 3] >> ((bitpos + k) & 7)) & 1) << k
+        bitpos += code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise MalformedMedia("LZW code before any literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise MalformedMedia("LZW code beyond dictionary")
+        out += entry
+        if len(out) > max_out:
+            raise MalformedMedia("LZW output exceeds frame size")
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def _deinterlace(rows: list[bytes], height: int) -> list[bytes]:
+    """Invert GIF's 4-pass interlace row order."""
+    order = (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+    out: list[bytes | None] = [None] * height
+    for src, dst in enumerate(order):
+        out[dst] = rows[src]
+    return out  # type: ignore[return-value]
+
+
+def parse_gif(payload: bytes) -> dict:
+    """Dependency-free GIF87a/89a decoder — the first COMPRESSED format
+    this module decodes for real: header + color tables parsed, the
+    first image frame LZW-decompressed (variable-width codes, clear/end
+    handling, 12-bit dictionary cap), deinterlaced if flagged, and
+    palette-mapped to the same {width, height, pixels(RGB)} shape as
+    parse_ppm, so every downstream pixel kernel (features, aHash,
+    perceptual near-dup) works on GIFs unchanged. Raises MalformedMedia
+    on violations; animations decode as their first frame."""
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MalformedMedia("not a GIF87a/89a payload")
+    if len(payload) < 13:
+        raise MalformedMedia("truncated logical screen descriptor")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise MalformedMedia("truncated global color table")
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise MalformedMedia(f"unknown GIF block 0x{block:02x}")
+        if pos + 10 > len(payload):
+            raise MalformedMedia("truncated image descriptor")
+        iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        palette = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            palette = payload[pos : pos + 3 * n]
+            if len(palette) < 3 * n:
+                raise MalformedMedia("truncated local color table")
+            pos += 3 * n
+        if palette is None:
+            raise MalformedMedia("no color table for image frame")
+        if iw < 1 or ih < 1 or iw * ih > GIF_MAX_PIXELS:
+            raise MalformedMedia("nonsensical GIF frame dimensions")
+        if pos >= len(payload):
+            raise MalformedMedia("missing LZW min code size")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise MalformedMedia("unterminated LZW sub-blocks")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            chunk = payload[pos : pos + n]
+            if len(chunk) < n:
+                raise MalformedMedia("truncated LZW sub-block")
+            data += chunk
+            pos += n
+        idx = _gif_lzw_decode(min_code_size, bytes(data), iw * ih)
+        if len(idx) < iw * ih:
+            raise MalformedMedia("LZW output shorter than frame")
+        idx = idx[: iw * ih]
+        n_colors = len(palette) // 3
+        if max(idx) >= n_colors:
+            raise MalformedMedia("palette index out of range")
+        if iflags & 0x40:  # interlaced
+            rows = [bytes(idx[r * iw : (r + 1) * iw]) for r in range(ih)]
+            idx = bytearray(b"".join(_deinterlace(rows, ih)))
+        pixels = bytearray(iw * ih * 3)
+        for i, v in enumerate(idx):
+            pixels[3 * i : 3 * i + 3] = palette[3 * v : 3 * v + 3]
+        return {"width": iw, "height": ih, "format": "gif", "pixels": bytes(pixels)}
+    raise MalformedMedia("GIF contains no image frame")
+
+
 def _wav_features(parsed: dict, dim: int = 8) -> list[float]:
     """Mean |amplitude| over ``dim`` equal time segments, [0, 1]."""
     import numpy as np
@@ -193,8 +349,13 @@ def _decode_real(payload: bytes, kind: str) -> list[float]:
         return _wav_features(parse_wav(payload))
     if kind == "image" and payload is not None and payload[:2] == b"P6":
         return _ppm_features(parse_ppm(payload))
+    if kind == "image" and payload is not None and payload[:6] in (
+        b"GIF87a",
+        b"GIF89a",
+    ):
+        return _ppm_features(parse_gif(payload))
     raise DecodeNotAvailable(
-        f"no codec for kind={kind!r} beyond WAV/PPM in this environment; "
+        f"no codec for kind={kind!r} beyond WAV/PPM/GIF in this environment; "
         "install pillow/torchaudio/pyav and extend _decode_real"
     )
 
@@ -296,7 +457,13 @@ def decode_with_quarantine(media: DataFrame) -> DataFrame:
                             feature=_wav_features(parsed),
                         )
                     elif kind == "image":
-                        parsed = parse_ppm(payload)
+                        if payload is not None and payload[:6] in (
+                            b"GIF87a",
+                            b"GIF89a",
+                        ):
+                            parsed = parse_gif(payload)
+                        else:
+                            parsed = parse_ppm(payload)
                         row.update(
                             ok=True, width=parsed["width"],
                             height=parsed["height"], format=parsed["format"],

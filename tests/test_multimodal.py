@@ -277,3 +277,158 @@ def test_wav_loudness_partial_tail_frame_not_deflated():
     assert s["n_frames"] == 2
     assert s["silent_frac"] == 0.5          # only the genuinely silent frame
     assert s["longest_silence_ms"] == 100
+
+
+# --- GIF: real LZW decode --------------------------------------------------
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Reference GIF-LZW encoder for fixtures: emits literal codes with a
+    clear code whenever the (virtual) dictionary would force a width
+    bump — the classic 'uncompressed GIF' trick, decodable by any
+    conformant decoder."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, size):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, code_size)
+    next_code = end + 1
+    first = True
+    for v in indices:
+        emit(v, code_size)
+        # the decoder adds one dict entry per code EXCEPT the first
+        # after a clear — mirror that accounting exactly
+        if first:
+            first = False
+            continue
+        next_code += 1
+        if next_code == (1 << code_size):
+            if code_size < 12:
+                code_size += 1
+            else:
+                emit(clear, code_size)
+                code_size = min_code_size + 1
+                next_code = end + 1
+                first = True
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(width, height, indices, palette, interlaced=False,
+               min_code_size=2, version=b"GIF87a"):
+    """Minimal single-frame GIF with a global color table."""
+    n = max(2, len(palette))
+    size_field = max(1, (n - 1).bit_length()) - 1
+    table_n = 2 << size_field
+    gct = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (table_n - len(palette))
+    header = (
+        version
+        + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        + bytes([0x80 | size_field, 0, 0])
+    )
+    if interlaced:
+        order = (list(range(0, height, 8)) + list(range(4, height, 8))
+                 + list(range(2, height, 4)) + list(range(1, height, 2)))
+        rows = [indices[r * width:(r + 1) * width] for r in order]
+        indices = [v for row in rows for v in row]
+    desc = b"\x2c" + b"\x00" * 4 + width.to_bytes(2, "little") + \
+        height.to_bytes(2, "little") + bytes([0x40 if interlaced else 0])
+    lzw = _gif_lzw_encode(indices, min_code_size)
+    blocks = bytearray([min_code_size])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return header + gct + desc + bytes(blocks) + b"\x3b"
+
+
+def test_parse_gif_roundtrips_known_pixels():
+    """Encode a known index pattern (including runs that exercise real
+    dictionary growth) and decode it back pixel-exact."""
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    width, height = 10, 6
+    indices = [(x * 3 + y) % 4 for y in range(height) for x in range(width)]
+    gif = _gif_bytes(width, height, indices, palette)
+    parsed = mm.parse_gif(gif)
+    assert (parsed["width"], parsed["height"], parsed["format"]) == (10, 6, "gif")
+    px = parsed["pixels"]
+    for i, v in enumerate(indices):
+        assert tuple(px[3 * i:3 * i + 3]) == palette[v], i
+
+
+def test_parse_gif_interlaced_and_extensions():
+    """Interlaced frames deinterlace to the same pixels, and extension
+    blocks (e.g. GIF89a graphics control) are skipped cleanly."""
+    palette = [(1, 2, 3), (4, 5, 6)]
+    width, height = 8, 9
+    indices = [(x + y) % 2 for y in range(height) for x in range(width)]
+    plain = mm.parse_gif(_gif_bytes(width, height, indices, palette))
+    inter = mm.parse_gif(
+        _gif_bytes(width, height, indices, palette, interlaced=True)
+    )
+    assert plain["pixels"] == inter["pixels"]
+    # GIF89a with a graphic-control extension before the frame
+    base = _gif_bytes(width, height, indices, palette, version=b"GIF89a")
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = base[:13 + 3 * 2] + ext + base[13 + 3 * 2:]
+    assert mm.parse_gif(with_ext)["pixels"] == plain["pixels"]
+
+
+def test_parse_gif_long_run_dictionary_growth():
+    """A long constant run forces multi-bit code-width growth in the
+    encoder and the decoder's dictionary reconstruction."""
+    palette = [(0, 0, 0), (255, 255, 255)]
+    width, height = 64, 32
+    indices = [1] * (width * height)
+    parsed = mm.parse_gif(_gif_bytes(width, height, indices, palette))
+    assert parsed["pixels"] == bytes([255, 255, 255]) * (width * height)
+
+
+def test_parse_gif_never_crashes_on_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = _gif_bytes(6, 4, [0, 1] * 12, [(0, 0, 0), (255, 255, 255)])
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=256), st.integers(0, len(valid) - 1),
+           st.integers(0, 255))
+    def run(payload, mi, mb):
+        for p in (payload, valid[:mi] + bytes([mb]) + valid[mi + 1:]):
+            try:
+                mm.parse_gif(p)
+            except mm.MalformedMedia:
+                pass
+
+    run()
+
+
+def test_quarantine_routes_gif(spark):
+    """The real-decode pipeline accepts genuine GIFs alongside PPM/WAV
+    and quarantines a truncated one."""
+    good = _gif_bytes(4, 4, [0, 1, 2, 3] * 4,
+                      [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 7, 7)])
+    bad = good[:-10]
+    rows = [
+        (1, "image", bytearray(good), None),
+        (2, "image", bytearray(bad), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, extra string"
+    ).drop("extra")
+    out = {r.media_id: r for r in mm.decode_with_quarantine(df).collect()}
+    assert out[1].ok and out[1].format == "gif" and out[1].width == 4
+    assert not out[2].ok and "Malformed" in out[2].error
