@@ -1,13 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Treats image/audio/video as ``binary`` columns with a typed metadata
-struct, processed by Arrow-batched ``mapInPandas`` pipelines. Three
+struct, processed by Arrow-batched ``mapInPandas`` pipelines. Four
 formats are decoded for real with dependency-free parsers — WAV
 (RIFF/PCM16: genuine sample rate, channels, duration, amplitude
-features), PPM (P6: genuine width/height, pixel features), and GIF
+features), PPM (P6: genuine width/height, pixel features), GIF
 (87a/89a: a real LZW decompressor with variable-width codes,
-clear/end handling, deinterlacing, and palette mapping — the first
-COMPRESSED format decoded here) — with malformed payloads routed to
+clear/end handling, deinterlacing, and palette mapping), and PNG
+(chunk walking + stdlib-zlib DEFLATE + all five scanline unfilters,
+color types 0/2/3/4/6 normalized to RGB) — two genuinely COMPRESSED
+formats among them — with malformed payloads routed to
 quarantine rows (``decode_with_quarantine``), never executor crashes.
 Formats that need heavyweight codecs (JPEG/MP3/MP4…) raise
 ``DecodeNotAvailable``; the
@@ -309,6 +311,128 @@ def parse_gif(payload: bytes) -> dict:
     raise MalformedMedia("GIF contains no image frame")
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png(payload: bytes) -> dict:
+    """Dependency-free PNG decoder — DEFLATE via the stdlib ``zlib``
+    this runtime always ships, chunk walking, and per-scanline
+    unfiltering (None/Sub/Up/Average/Paeth) implemented here. Supports
+    8-bit grayscale (0), RGB (2), palette (3), gray+alpha (4) and RGBA
+    (6), non-interlaced; Adam7 raises DecodeNotAvailable (honest gate,
+    not a parse failure). Output is the shared {width, height,
+    pixels(RGB)} shape. Raises MalformedMedia on violations."""
+    import zlib
+
+    if payload is None or payload[:8] != _PNG_MAGIC:
+        raise MalformedMedia("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise MalformedMedia(f"chunk {ctype!r} truncated")
+        pos += 12 + length  # skip CRC (not verified — content tests cover it)
+        if ctype == b"IHDR":
+            if length != 13:
+                raise MalformedMedia("bad IHDR length")
+            ihdr = {
+                "width": int.from_bytes(body[0:4], "big"),
+                "height": int.from_bytes(body[4:8], "big"),
+                "bit_depth": body[8],
+                "color_type": body[9],
+                "interlace": body[12],
+            }
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise MalformedMedia("PLTE not a multiple of 3")
+            palette = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise MalformedMedia("missing IHDR or IDAT")
+    w, h = ihdr["width"], ihdr["height"]
+    if w < 1 or h < 1 or w * h > GIF_MAX_PIXELS:
+        raise MalformedMedia("nonsensical PNG dimensions")
+    if ihdr["bit_depth"] != 8:
+        raise MalformedMedia("only 8-bit PNG supported")
+    if ihdr["interlace"]:
+        raise DecodeNotAvailable("Adam7-interlaced PNG not implemented")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ihdr["color_type"])
+    if channels is None:
+        raise MalformedMedia(f"unknown PNG color type {ihdr['color_type']}")
+    if ihdr["color_type"] == 3 and palette is None:
+        raise MalformedMedia("palette color type without PLTE")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise MalformedMedia(f"IDAT inflate failed: {e}") from e
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise MalformedMedia("inflated data shorter than image")
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    prev = bytearray(stride)
+    out = bytearray()
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise MalformedMedia(f"unknown PNG filter {ftype}")
+        prev = line
+        out += line
+
+    # normalize to RGB
+    rgb = bytearray(w * h * 3)
+    if ihdr["color_type"] == 2:
+        rgb = out
+    elif ihdr["color_type"] == 6:
+        for i in range(w * h):
+            rgb[3 * i : 3 * i + 3] = out[4 * i : 4 * i + 3]
+    elif ihdr["color_type"] == 0:
+        for i in range(w * h):
+            rgb[3 * i] = rgb[3 * i + 1] = rgb[3 * i + 2] = out[i]
+    elif ihdr["color_type"] == 4:
+        for i in range(w * h):
+            rgb[3 * i] = rgb[3 * i + 1] = rgb[3 * i + 2] = out[2 * i]
+    else:  # palette
+        n_colors = len(palette) // 3
+        for i in range(w * h):
+            v = out[i]
+            if v >= n_colors:
+                raise MalformedMedia("palette index out of range")
+            rgb[3 * i : 3 * i + 3] = palette[3 * v : 3 * v + 3]
+    return {"width": w, "height": h, "format": "png", "pixels": bytes(rgb)}
+
+
 def _wav_features(parsed: dict, dim: int = 8) -> list[float]:
     """Mean |amplitude| over ``dim`` equal time segments, [0, 1]."""
     import numpy as np
@@ -354,9 +478,11 @@ def _decode_real(payload: bytes, kind: str) -> list[float]:
         b"GIF89a",
     ):
         return _ppm_features(parse_gif(payload))
+    if kind == "image" and payload is not None and payload[:8] == _PNG_MAGIC:
+        return _ppm_features(parse_png(payload))
     raise DecodeNotAvailable(
-        f"no codec for kind={kind!r} beyond WAV/PPM/GIF in this environment; "
-        "install pillow/torchaudio/pyav and extend _decode_real"
+        f"no codec for kind={kind!r} beyond WAV/PPM/GIF/PNG in this "
+        "environment; install pillow/torchaudio/pyav and extend _decode_real"
     )
 
 
@@ -462,6 +588,8 @@ def decode_with_quarantine(media: DataFrame) -> DataFrame:
                             b"GIF89a",
                         ):
                             parsed = parse_gif(payload)
+                        elif payload is not None and payload[:8] == _PNG_MAGIC:
+                            parsed = parse_png(payload)
                         else:
                             parsed = parse_ppm(payload)
                         row.update(

@@ -432,3 +432,122 @@ def test_quarantine_routes_gif(spark):
     out = {r.media_id: r for r in mm.decode_with_quarantine(df).collect()}
     assert out[1].ok and out[1].format == "gif" and out[1].width == 4
     assert not out[2].ok and "Malformed" in out[2].error
+
+
+# --- PNG: real DEFLATE decode ---------------------------------------------
+
+def _png_bytes(width, height, pixels, color_type=2, palette=None,
+               filters=None):
+    """Reference PNG encoder for fixtures: stdlib zlib, per-row filter
+    types (cycling through all five by default to exercise every
+    unfilter path)."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = width * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = bytes(pixels[y * stride:(y + 1) * stride])
+        f = (filters[y] if filters else y % 5)
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, ch - 1, -1):
+                enc[i] = (line[i] - line[i - ch]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                enc[i] = (line[i] - paeth(left, prev[i], ul)) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_parse_png_rgb_all_filters():
+    """An RGB image whose rows cycle through all five PNG filters must
+    unfilter back pixel-exact."""
+    width, height = 9, 10
+    pixels = bytes(
+        ((x * 31 + y * 17 + c * 7) % 256)
+        for y in range(height) for x in range(width) for c in range(3)
+    )
+    parsed = mm.parse_png(_png_bytes(width, height, pixels))
+    assert (parsed["width"], parsed["height"], parsed["format"]) == (9, 10, "png")
+    assert parsed["pixels"] == pixels
+
+
+def test_parse_png_color_types_normalize_to_rgb():
+    width, height = 4, 3
+    gray = bytes((x * 40 + y * 20) % 256 for y in range(height) for x in range(width))
+    p = mm.parse_png(_png_bytes(width, height, gray, color_type=0))
+    assert p["pixels"] == bytes(v for g in gray for v in (g, g, g))
+
+    rgba = bytearray()
+    for i in range(width * height):
+        rgba += bytes([(i * 5) % 256, (i * 11) % 256, (i * 17) % 256, 255])
+    p = mm.parse_png(_png_bytes(width, height, bytes(rgba), color_type=6))
+    want = bytes(v for i in range(width * height) for v in rgba[4 * i:4 * i + 3])
+    assert p["pixels"] == want
+
+    palette = [(255, 0, 0), (0, 255, 0)]
+    idx = bytes((x + y) % 2 for y in range(height) for x in range(width))
+    p = mm.parse_png(_png_bytes(width, height, idx, color_type=3, palette=palette))
+    assert p["pixels"] == bytes(v for i in idx for v in palette[i])
+
+
+def test_parse_png_never_crashes_on_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = _png_bytes(5, 4, bytes(range(60)), color_type=2)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=256), st.integers(0, len(valid) - 1),
+           st.integers(0, 255))
+    def run(payload, mi, mb):
+        for p in (payload, valid[:mi] + bytes([mb]) + valid[mi + 1:]):
+            try:
+                mm.parse_png(p)
+            except (mm.MalformedMedia, mm.DecodeNotAvailable):
+                pass
+
+    run()
+
+
+def test_quarantine_routes_png(spark):
+    good = _png_bytes(6, 6, bytes((i * 3) % 256 for i in range(6 * 6 * 3)))
+    bad = good[:40]
+    rows = [(1, "image", bytearray(good)), (2, "image", bytearray(bad))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in mm.decode_with_quarantine(df).collect()}
+    assert out[1].ok and out[1].format == "png" and out[1].width == 6
+    assert not out[2].ok
