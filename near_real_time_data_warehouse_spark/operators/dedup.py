@@ -1189,6 +1189,39 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(_shingles_materialized(spark, sf_dir))
 
 
+def verified_containment(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact containment verification of candidate pairs over a shingle
+    table, threshold-filtered — the shared stage of the batch kernel and
+    the streaming fold (one definition so a semantics change cannot
+    silently diverge them; review finding). Same cost discipline as
+    _jaccard_pairs: the shingle table is semi-filtered to
+    candidate-touched docs FIRST, so the joins and the sizes groupBy
+    shuffle a candidate-sized slice, not the corpus (per-doc shingle
+    counts are invariant under a doc_id filter — result identical)."""
+    touched = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(touched, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn("containment_a", F.col("n_common") / F.col("n_a"))
+        .withColumn("containment_b", F.col("n_common") / F.col("n_b"))
+        .filter(
+            F.greatest("containment_a", "containment_b") >= CONTAINMENT_THRESHOLD
+        )
+    )
+
+
 def containment_pairs(sh: DataFrame) -> DataFrame:
     """The containment kernel over any (doc_id, shingle) table."""
     df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -1206,33 +1239,7 @@ def containment_pairs(sh: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Same cost discipline as _jaccard_pairs: semi-filter the shingle
-    # table to candidate-touched docs FIRST, so the verification joins
-    # and the sizes groupBy shuffle a candidate-sized slice, not the
-    # whole corpus (per-doc shingle counts are invariant under a doc_id
-    # filter, so the result is identical).
-    touched = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh = sh.join(touched, "doc_id", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    j = (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
-        .withColumn("containment_a", F.col("n_common") / F.col("n_a"))
-        .withColumn("containment_b", F.col("n_common") / F.col("n_b"))
-        .filter(
-            F.greatest("containment_a", "containment_b") >= CONTAINMENT_THRESHOLD
-        )
-    )
+    j = verified_containment(sh, cand)
     direction = (
         F.when(
             (F.col("containment_a") >= CONTAINMENT_THRESHOLD)

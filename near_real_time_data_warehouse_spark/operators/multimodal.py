@@ -67,9 +67,9 @@ FEATURE_SCHEMA = T.StructType(
 
 
 class DecodeNotAvailable(NotImplementedError):
-    """Raised by the real-decoder path for formats needing codecs this
-    container doesn't ship (compressed image/audio, any video). The
-    uncompressed containers below (WAV, PPM) ARE decoded for real."""
+    """Raised by the real-decoder path for formats (or format variants)
+    this module doesn't implement — JPEG/MP3/MP4, Adam7 PNG, non-8-bit
+    PNG. WAV, PPM, GIF, and 8-bit PNG ARE decoded for real below."""
 
 
 class MalformedMedia(ValueError):
@@ -299,15 +299,19 @@ def parse_gif(payload: bytes) -> dict:
             raise MalformedMedia("LZW output shorter than frame")
         idx = idx[: iw * ih]
         n_colors = len(palette) // 3
-        if max(idx) >= n_colors:
+        import numpy as np
+
+        if int(np.frombuffer(bytes(idx), dtype=np.uint8).max()) >= n_colors:
             raise MalformedMedia("palette index out of range")
         if iflags & 0x40:  # interlaced
             rows = [bytes(idx[r * iw : (r + 1) * iw]) for r in range(ih)]
             idx = bytearray(b"".join(_deinterlace(rows, ih)))
-        pixels = bytearray(iw * ih * 3)
-        for i, v in enumerate(idx):
-            pixels[3 * i : 3 * i + 3] = palette[3 * v : 3 * v + 3]
-        return {"width": iw, "height": ih, "format": "gif", "pixels": bytes(pixels)}
+        import numpy as np
+
+        pal = np.frombuffer(bytes(palette), dtype=np.uint8).reshape(-1, 3)
+        iv = np.frombuffer(bytes(idx), dtype=np.uint8)
+        pixels = pal[iv].tobytes()  # vectorized palette gather
+        return {"width": iw, "height": ih, "format": "gif", "pixels": pixels}
     raise MalformedMedia("GIF contains no image frame")
 
 
@@ -361,7 +365,11 @@ def parse_png(payload: bytes) -> dict:
     if w < 1 or h < 1 or w * h > GIF_MAX_PIXELS:
         raise MalformedMedia("nonsensical PNG dimensions")
     if ihdr["bit_depth"] != 8:
-        raise MalformedMedia("only 8-bit PNG supported")
+        # valid PNG, unsupported here — the honest gate, not a parse
+        # failure (review finding)
+        raise DecodeNotAvailable(
+            f"{ihdr['bit_depth']}-bit PNG not implemented (8-bit only)"
+        )
     if ihdr["interlace"]:
         raise DecodeNotAvailable("Adam7-interlaced PNG not implemented")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ihdr["color_type"])
@@ -369,12 +377,20 @@ def parse_png(payload: bytes) -> dict:
         raise MalformedMedia(f"unknown PNG color type {ihdr['color_type']}")
     if ihdr["color_type"] == 3 and palette is None:
         raise MalformedMedia("palette color type without PLTE")
+    stride = w * channels
+    expected = h * (stride + 1)
+    # Bounded inflate: zlib.decompress on attacker bytes can expand
+    # ~1000:1 and OOM the executor before any size check runs (review
+    # finding). decompressobj(max_length) stops at exactly the bytes a
+    # valid image needs; anything left over is a bomb or garbage.
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if not d.eof and d.decompress(d.unconsumed_tail, 1):
+            raise MalformedMedia("IDAT inflates beyond the image size")
     except zlib.error as e:
         raise MalformedMedia(f"IDAT inflate failed: {e}") from e
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+    if len(raw) < expected:
         raise MalformedMedia("inflated data shorter than image")
 
     def paeth(a: int, b: int, c: int) -> int:
@@ -410,27 +426,26 @@ def parse_png(payload: bytes) -> dict:
         prev = line
         out += line
 
-    # normalize to RGB
-    rgb = bytearray(w * h * 3)
+    # normalize to RGB — vectorized (per-pixel Python loops cost seconds
+    # per megapixel frame in the executor hot path; review finding)
+    import numpy as np
+
+    arr = np.frombuffer(bytes(out), dtype=np.uint8)
     if ihdr["color_type"] == 2:
-        rgb = out
+        rgb = bytes(out)
     elif ihdr["color_type"] == 6:
-        for i in range(w * h):
-            rgb[3 * i : 3 * i + 3] = out[4 * i : 4 * i + 3]
+        rgb = arr.reshape(-1, 4)[:, :3].tobytes()
     elif ihdr["color_type"] == 0:
-        for i in range(w * h):
-            rgb[3 * i] = rgb[3 * i + 1] = rgb[3 * i + 2] = out[i]
+        rgb = np.repeat(arr, 3).tobytes()
     elif ihdr["color_type"] == 4:
-        for i in range(w * h):
-            rgb[3 * i] = rgb[3 * i + 1] = rgb[3 * i + 2] = out[2 * i]
+        rgb = np.repeat(arr.reshape(-1, 2)[:, 0], 3).tobytes()
     else:  # palette
         n_colors = len(palette) // 3
-        for i in range(w * h):
-            v = out[i]
-            if v >= n_colors:
-                raise MalformedMedia("palette index out of range")
-            rgb[3 * i : 3 * i + 3] = palette[3 * v : 3 * v + 3]
-    return {"width": w, "height": h, "format": "png", "pixels": bytes(rgb)}
+        if int(arr.max()) >= n_colors:
+            raise MalformedMedia("palette index out of range")
+        pal = np.frombuffer(bytes(palette), dtype=np.uint8).reshape(-1, 3)
+        rgb = pal[arr].tobytes()
+    return {"width": w, "height": h, "format": "png", "pixels": rgb}
 
 
 def _wav_features(parsed: dict, dim: int = 8) -> list[float]:

@@ -248,15 +248,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     # Bucket the tiny query block separately — bucketing is deterministic,
     # so this matches the corpus pass without streaming the corpus twice.
-    queries = _bucketed(emb.filter(F.col("vec_id") < QUERY_CAP)).select(
+    probes = _bucketed(emb.filter(F.col("vec_id") < QUERY_CAP)).select(
         F.col("vec_id").alias("query_id"), "tbl", F.col("bucket").alias("qbucket")
-    ).alias("qs")
+    )
+    return _lsh_topk_from_probes(spark, emb, probes)
+
+
+def _lsh_topk_from_probes(
+    spark: SparkSession, emb: DataFrame, probes: DataFrame
+) -> DataFrame:
+    """Shared LSH query path: join a (query_id, tbl, qbucket) probe set
+    against the bucketed corpus and score the candidates — one
+    definition for the single-probe and multi-probe entries (review
+    finding: a fix to the candidate join must not need making twice)."""
     corpus = _bucketed(emb).select(
         F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
     ).alias("cs")
+    probes = probes.alias("qs")
     cand = (
         corpus.join(
-            F.broadcast(queries),
+            F.broadcast(probes),
             (F.col("cs.tbl") == F.col("qs.tbl"))
             & (F.col("cs.bucket") == F.col("qs.qbucket"))
             & (F.col("qs.query_id") != F.col("cs.neighbor_id")),
@@ -539,21 +550,8 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
         ).alias("qbucket"),
-    ).alias("qs")
-    corpus = _bucketed(emb).select(
-        F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
-    ).alias("cs")
-    cand = (
-        corpus.join(
-            F.broadcast(probes),
-            (F.col("cs.tbl") == F.col("qs.tbl"))
-            & (F.col("cs.bucket") == F.col("qs.qbucket"))
-            & (F.col("qs.query_id") != F.col("cs.neighbor_id")),
-        )
-        .select("query_id", "neighbor_id")
-        .distinct()
     )
-    return _topk_over_candidates(spark, emb, cand)
+    return _lsh_topk_from_probes(spark, emb, probes)
 
 
 def _lsh_multiprobe_sql() -> str:

@@ -51,8 +51,16 @@ def _write_text_atomic(spark: SparkSession, path: str, content: str) -> None:
     jvm.org.apache.commons.io.IOUtils.write(content, out, "UTF-8")
     out.close()
     dst = jvm.org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, False)
-    fs.rename(tmp, dst)
+    # Overwriting rename via FileContext — one atomic operation, unlike
+    # delete-then-rename whose crash window would leave _latest missing
+    # (the next commit would then reuse version 1 and clobber history —
+    # review finding).
+    conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri(), conf)
+    gateway = spark.sparkContext._gateway  # noqa: SLF001
+    renames = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    renames[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, dst, renames)
 
 
 def _read_text(spark: SparkSession, path: str) -> str:
@@ -165,26 +173,28 @@ def read_snapshot(
     files = manifest["files"]
     if prune:
         stats = manifest.get("stats", {})
-        kept = []
-        for f in files:
-            st = stats.get(f)
-            if st is None:
-                kept.append(f)
-                continue
-            ok = True
-            for c, (lo, hi) in prune.items():
-                if c in st and (st[c][1] < lo or st[c][0] > hi):
-                    ok = False
-                    break
-            if ok:
-                kept.append(f)
-        files = kept
+        files = [f for f in files if _stats_overlap(stats.get(f), prune)]
     if not files:
         raise ValueError(
             f"no files to read for version {version} (all pruned?)"
         )
     paths = [f"{table_dir}/{f}" for f in files]
     return spark.read.parquet(*paths)
+
+
+def _stats_overlap(st: dict | None, prune: dict[str, tuple[int, int]]) -> bool:
+    """True if the file must be read: no stats, null stats (all-null or
+    uncastable column — conservative keep, review finding), or every
+    requested interval overlaps the recorded [min, max]."""
+    if st is None:
+        return True
+    for c, (lo, hi) in prune.items():
+        rng = st.get(c)
+        if rng is None or rng[0] is None or rng[1] is None:
+            continue  # unknown range: cannot skip
+        if rng[1] < lo or rng[0] > hi:
+            return False
+    return True
 
 
 def pruned_file_count(
@@ -201,17 +211,7 @@ def pruned_file_count(
     )
     stats = manifest.get("stats", {})
     total = len(manifest["files"])
-    kept = 0
-    for f in manifest["files"]:
-        st = stats.get(f)
-        if st is None:
-            kept += 1
-            continue
-        if all(
-            not (c in st and (st[c][1] < lo or st[c][0] > hi))
-            for c, (lo, hi) in prune.items()
-        ):
-            kept += 1
+    kept = sum(1 for f in manifest["files"] if _stats_overlap(stats.get(f), prune))
     return kept, total
 
 
@@ -263,14 +263,26 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[str]
     """Drop manifests (and their now-unreferenced data files) older than
     the last ``keep_last`` versions; returns the deleted file names.
     Time travel to vacuumed versions stops working — by design, exactly
-    the real lakehouse trade."""
+    the real lakehouse trade.
+
+    Re-runnable: manifests already removed by a previous vacuum are
+    skipped. Also sweeps ORPHANED data files — files a crashed commit
+    renamed into ``data/`` before writing its manifest (referenced by
+    no surviving manifest). Single-writer assumption: do not vacuum
+    while a commit is in flight, or its not-yet-manifested files would
+    be swept as orphans."""
+    from .maintenance import path_exists
+
     fs, jvm = _fs(spark, table_dir)
     latest = latest_version(spark, table_dir)
     keep = set(range(max(1, latest - keep_last + 1), latest + 1))
     kept_files: set[str] = set()
     drop_manifests = []
     for v in range(1, latest + 1):
-        manifest = json.loads(_read_text(spark, f"{table_dir}/_manifests/v{v}.json"))
+        mpath = f"{table_dir}/_manifests/v{v}.json"
+        if not path_exists(spark, mpath):
+            continue  # removed by an earlier vacuum
+        manifest = json.loads(_read_text(spark, mpath))
         if v in keep:
             kept_files.update(manifest["files"])
         else:
@@ -284,6 +296,17 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[str]
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_manifests/v{v}.json"), False
         )
+    # orphan sweep: data files no surviving manifest references
+    data_dir = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/data")
+    if fs.exists(data_dir):
+        for st in fs.listStatus(data_dir):
+            name = st.getPath().getName()
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"data/{name}"
+            if rel not in kept_files:
+                fs.delete(st.getPath(), False)
+                deleted.append(rel)
     return deleted
 
 

@@ -34,43 +34,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    CONTAINMENT_THRESHOLD,
     RARE_DF_MAX,
     RARE_DF_MIN,
     _shingles,
+    verified_containment,
 )
 from .dedup_stream import _overwrite_epoch
 
 
 def _verified_pairs(sh_all: DataFrame, cand: DataFrame) -> DataFrame:
-    """Exact containment verification of candidate pairs over the full
-    shingle table (semi-filtered to candidate-touched docs)."""
-    touched = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    """The shared batch-kernel verification stage (dedup.verified_containment)
+    projected to the streamed link columns."""
+    return verified_containment(sh_all, cand).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b"
     )
-    sh = sh_all.join(touched, "doc_id", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    j = (
-        common.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b"
-        )
-        .withColumn("containment_a", F.col("n_common") / F.col("n_a"))
-        .withColumn("containment_b", F.col("n_common") / F.col("n_b"))
-    )
-    return j.filter(
-        F.greatest("containment_a", "containment_b") >= CONTAINMENT_THRESHOLD
-    ).select("doc_a", "doc_b", "n_common", "n_a", "n_b")
 
 
 def merge_containment_batch(
@@ -126,14 +103,29 @@ def merge_containment_batch(
     _overwrite_epoch(spark, links, links_dir, epoch_id)
 
 
+_LINKS_SCHEMA = "doc_a long, doc_b long, n_common long, n_a long, n_b long"
+
+
 def read_containment_links(spark: SparkSession, state_dir: str) -> DataFrame:
     """The discovered pair log, distinct (pairs re-derived by replay or
-    by later batches of the same docs collapse)."""
-    return (
-        spark.read.parquet(f"{state_dir}/links")
-        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
-        .distinct()
-    )
+    by later batches of the same docs collapse). An all-empty log — the
+    partitioned write of an empty links frame leaves only _SUCCESS, and
+    schema inference would fail — reads as an empty frame (review
+    finding)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from ..sources.maintenance import path_exists
+
+    if not path_exists(spark, f"{state_dir}/links"):
+        return spark.createDataFrame([], _LINKS_SCHEMA)
+    try:
+        return (
+            spark.read.parquet(f"{state_dir}/links")
+            .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+            .distinct()
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], _LINKS_SCHEMA)
 
 
 def run_streaming_containment(

@@ -551,3 +551,27 @@ def test_quarantine_routes_png(spark):
     out = {r.media_id: r for r in mm.decode_with_quarantine(df).collect()}
     assert out[1].ok and out[1].format == "png" and out[1].width == 6
     assert not out[2].ok
+
+
+def test_parse_png_rejects_decompression_bomb():
+    """A 1x1 PNG whose IDAT inflates to megabytes must be rejected by
+    the bounded inflate, not allocate the expansion."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)   # 1x1 gray
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)  # 64 MB of zeros
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    )
+    import pytest
+
+    with pytest.raises(mm.MalformedMedia, match="beyond the image size"):
+        mm.parse_png(payload)

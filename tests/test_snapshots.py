@@ -221,3 +221,47 @@ def test_optimize_zorder_enables_manifest_skipping(spark, tmp_path_factory):
     want = rows(S.read_snapshot(spark, table, as_of=v2).filter(pred))
     got = rows(S.read_snapshot(spark, table, as_of=v2, prune=box).filter(pred))
     assert got == want
+
+
+def test_vacuum_is_rerunnable_and_sweeps_orphans(spark, tmp_path_factory):
+    """A second vacuum after versions advanced must not crash on the
+    manifests the first one removed, and data files from a crashed
+    commit (renamed in, no manifest) are swept as orphans."""
+    table = str(tmp_path_factory.mktemp("snapvac2") / "t")
+    base = _orders(spark).limit(50)
+    for i in range(3):
+        S.commit_snapshot(spark, base.withColumn("prio", F.lit(f"v{i}")), table)
+    S.vacuum(spark, table, keep_last=2)
+    S.commit_snapshot(spark, base.withColumn("prio", F.lit("v3")), table)
+    # simulate a crashed commit: a data file with no manifest
+    orphan = f"{table}/data/v99-deadbeef.parquet"
+    base.limit(1).coalesce(1).write.mode("overwrite").parquet(f"{table}/_tmp_orphan")
+    import glob
+    import shutil
+
+    src = glob.glob(f"{table}/_tmp_orphan/*.parquet")[0]
+    shutil.copyfile(src, orphan)
+    shutil.rmtree(f"{table}/_tmp_orphan")
+    deleted = S.vacuum(spark, table, keep_last=2)   # second run — must not crash
+    assert "data/v99-deadbeef.parquet" in deleted
+    # latest still reads
+    assert {r.prio for r in S.read_snapshot(spark, table).collect()} == {"v3"}
+
+
+def test_pruning_keeps_files_with_null_stats(spark, tmp_path_factory):
+    """A file whose stats column is all-null must be conservatively
+    read, not crash the pruner."""
+    import json
+
+    table = str(tmp_path_factory.mktemp("snapnull") / "t")
+    df = spark.createDataFrame([(1, 5), (2, 30)], "k long, x long")
+    S.commit_snapshot(spark, df, table, stats_cols=["x"])
+    # force a null range into the manifest
+    m = json.loads(S._read_text(spark, f"{table}/_manifests/v1.json"))
+    first = next(iter(m["stats"]))
+    m["stats"][first]["x"] = [None, None]
+    S._write_text_atomic(spark, f"{table}/_manifests/v1.json", json.dumps(m))
+    kept, total = S.pruned_file_count(spark, table, {"x": (100, 200)})
+    assert kept >= 1  # the null-stat file is kept, no TypeError
+    rows = S.read_snapshot(spark, table, prune={"x": (0, 100)}).collect()
+    assert len(rows) == 2
