@@ -68,8 +68,7 @@ FEATURE_SCHEMA = T.StructType(
 
 class DecodeNotAvailable(NotImplementedError):
     """Raised by the real-decoder path for formats (or format variants)
-    this module doesn't implement — JPEG/MP3/MP4, Adam7 PNG, non-8-bit
-    PNG. WAV, PPM, GIF, and 8-bit PNG ARE decoded for real below."""
+    this module doesn't implement — JPEG/MP3/MP4, non-8-bit PNG. WAV, PPM, GIF, and 8-bit PNG ARE decoded for real below."""
 
 
 class MalformedMedia(ValueError):
@@ -317,14 +316,60 @@ def parse_gif(payload: bytes) -> dict:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 interlace pass origins/strides (x0, y0, dx, dy), in order.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, channels: int) -> bytearray:
+    """Undo the five PNG scanline filters over one (sub-)image whose
+    rows are (1 filter byte + w·channels samples) each."""
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    stride = w * channels
+    prev = bytearray(stride)
+    out = bytearray()
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise MalformedMedia(f"unknown PNG filter {ftype}")
+        prev = line
+        out += line
+    return out
+
 
 def parse_png(payload: bytes) -> dict:
     """Dependency-free PNG decoder — DEFLATE via the stdlib ``zlib``
     this runtime always ships, chunk walking, and per-scanline
     unfiltering (None/Sub/Up/Average/Paeth) implemented here. Supports
     8-bit grayscale (0), RGB (2), palette (3), gray+alpha (4) and RGBA
-    (6), non-interlaced; Adam7 raises DecodeNotAvailable (honest gate,
-    not a parse failure). Output is the shared {width, height,
+    (6), plain AND Adam7-interlaced (seven independently-filtered
+    sub-images scattered back). Output is the shared {width, height,
     pixels(RGB)} shape. Raises MalformedMedia on violations."""
     import zlib
 
@@ -370,15 +415,27 @@ def parse_png(payload: bytes) -> dict:
         raise DecodeNotAvailable(
             f"{ihdr['bit_depth']}-bit PNG not implemented (8-bit only)"
         )
-    if ihdr["interlace"]:
-        raise DecodeNotAvailable("Adam7-interlaced PNG not implemented")
+    if ihdr["interlace"] not in (0, 1):
+        raise MalformedMedia(f"unknown interlace method {ihdr['interlace']}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ihdr["color_type"])
     if channels is None:
         raise MalformedMedia(f"unknown PNG color type {ihdr['color_type']}")
     if ihdr["color_type"] == 3 and palette is None:
         raise MalformedMedia("palette color type without PLTE")
-    stride = w * channels
-    expected = h * (stride + 1)
+    if ihdr["interlace"]:
+        # Adam7: seven reduced sub-images, each independently filtered
+        passes = [
+            (x0, y0, dx, dy)
+            for (x0, y0, dx, dy) in _ADAM7
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
+        ]
+        dims = [((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+                for (x0, y0, dx, dy) in passes]
+        expected = sum(hp * (wp * channels + 1) for wp, hp in dims)
+    else:
+        passes = [(0, 0, 1, 1)]
+        dims = [(w, h)]
+        expected = h * (w * channels + 1)
     # Bounded inflate: zlib.decompress on attacker bytes can expand
     # ~1000:1 and OOM the executor before any size check runs (review
     # finding). decompressobj(max_length) stops at exactly the bytes a
@@ -393,38 +450,21 @@ def parse_png(payload: bytes) -> dict:
     if len(raw) < expected:
         raise MalformedMedia("inflated data shorter than image")
 
-    def paeth(a: int, b: int, c: int) -> int:
-        p = a + b - c
-        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-        if pa <= pb and pa <= pc:
-            return a
-        return b if pb <= pc else c
-
-    prev = bytearray(stride)
-    out = bytearray()
-    for y in range(h):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                ul = prev[i - channels] if i >= channels else 0
-                line[i] = (line[i] + paeth(left, prev[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise MalformedMedia(f"unknown PNG filter {ftype}")
-        prev = line
-        out += line
+    if ihdr["interlace"]:
+        out = bytearray(w * h * channels)
+        off = 0
+        for (x0, y0, dx, dy), (wp, hp) in zip(passes, dims):
+            sub_len = hp * (wp * channels + 1)
+            sub = _png_unfilter(raw[off : off + sub_len], wp, hp, channels)
+            off += sub_len
+            for i in range(hp):
+                row = (y0 + i * dy) * w
+                for j in range(wp):
+                    dst = (row + x0 + j * dx) * channels
+                    src = (i * wp + j) * channels
+                    out[dst : dst + channels] = sub[src : src + channels]
+    else:
+        out = _png_unfilter(raw, w, h, channels)
 
     # normalize to RGB — vectorized (per-pixel Python loops cost seconds
     # per megapixel frame in the executor hot path; review finding)

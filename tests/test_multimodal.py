@@ -575,3 +575,65 @@ def test_parse_png_rejects_decompression_bomb():
 
     with pytest.raises(mm.MalformedMedia, match="beyond the image size"):
         mm.parse_png(payload)
+
+
+def _png_adam7_bytes(width, height, pixels, channels=3, color_type=2):
+    """Reference Adam7 encoder: split into the seven passes, filter each
+    sub-image independently (cycling filters), concatenate."""
+    import struct
+    import zlib
+
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for (x0, y0, dx, dy) in passes:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        sub = bytearray()
+        for i in range(hp):
+            for j in range(wp):
+                src = ((y0 + i * dy) * width + (x0 + j * dx)) * channels
+                sub += pixels[src:src + channels]
+        # filter each sub-image row (types cycle, same math as _png_bytes)
+        stride = wp * channels
+        prev = bytes(stride)
+        for i in range(hp):
+            line = bytes(sub[i * stride:(i + 1) * stride])
+            f = i % 3  # None/Sub/Up is enough coverage here
+            enc = bytearray(line)
+            if f == 1:
+                for k in range(stride - 1, channels - 1, -1):
+                    enc[k] = (line[k] - line[k - channels]) & 0xFF
+            elif f == 2:
+                for k in range(stride):
+                    enc[k] = (line[k] - prev[k]) & 0xFF
+            raw += bytes([f]) + bytes(enc)
+            prev = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_parse_png_adam7_interlaced():
+    """An Adam7-interlaced PNG decodes to the same pixels as the plain
+    encoding — including non-multiple-of-8 dimensions where late passes
+    dominate."""
+    for width, height in [(9, 10), (3, 2), (8, 8), (1, 1)]:
+        pixels = bytes(
+            ((x * 29 + y * 13 + c * 5) % 256)
+            for y in range(height) for x in range(width) for c in range(3)
+        )
+        plain = mm.parse_png(_png_bytes(width, height, pixels))
+        inter = mm.parse_png(_png_adam7_bytes(width, height, pixels))
+        assert inter["pixels"] == plain["pixels"] == pixels, (width, height)
