@@ -1,15 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Treats image/audio/video as ``binary`` columns with a typed metadata
-struct, processed by Arrow-batched ``mapInPandas`` pipelines. Four
+struct, processed by Arrow-batched ``mapInPandas`` pipelines. Five
 formats are decoded for real with dependency-free parsers — WAV
 (RIFF/PCM16: genuine sample rate, channels, duration, amplitude
 features), PPM (P6: genuine width/height, pixel features), GIF
 (87a/89a: a real LZW decompressor with variable-width codes,
 clear/end handling, deinterlacing, and palette mapping), and PNG
 (chunk walking + stdlib-zlib DEFLATE + all five scanline unfilters,
-color types 0/2/3/4/6 normalized to RGB) — two genuinely COMPRESSED
-formats among them — with malformed payloads routed to
+color types 0/2/3/4/6 normalized to RGB, plain and Adam7), and
+baseline JPEG (operators/jpeg.py: Huffman + IDCT from the spec) —
+three genuinely COMPRESSED formats — with malformed payloads routed to
 quarantine rows (``decode_with_quarantine``), never executor crashes.
 Formats that need heavyweight codecs (JPEG/MP3/MP4…) raise
 ``DecodeNotAvailable``; the
@@ -535,8 +536,12 @@ def _decode_real(payload: bytes, kind: str) -> list[float]:
         return _ppm_features(parse_gif(payload))
     if kind == "image" and payload is not None and payload[:8] == _PNG_MAGIC:
         return _ppm_features(parse_png(payload))
+    if kind == "image" and payload is not None and payload[:2] == b"\xff\xd8":
+        from .jpeg import parse_jpeg
+
+        return _ppm_features(parse_jpeg(payload))
     raise DecodeNotAvailable(
-        f"no codec for kind={kind!r} beyond WAV/PPM/GIF/PNG in this "
+        f"no codec for kind={kind!r} beyond WAV/PPM/GIF/PNG/JPEG in this "
         "environment; install pillow/torchaudio/pyav and extend _decode_real"
     )
 
@@ -645,6 +650,10 @@ def decode_with_quarantine(media: DataFrame) -> DataFrame:
                             parsed = parse_gif(payload)
                         elif payload is not None and payload[:8] == _PNG_MAGIC:
                             parsed = parse_png(payload)
+                        elif payload is not None and payload[:2] == b"\xff\xd8":
+                            from .jpeg import parse_jpeg
+
+                            parsed = parse_jpeg(payload)
                         else:
                             parsed = parse_ppm(payload)
                         row.update(

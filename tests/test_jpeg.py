@@ -1,0 +1,226 @@
+"""Baseline JPEG decode: roundtrip against a reference encoder built
+here from the spec (forward DCT + flat quantization + simple canonical
+Huffman tables), fuzz, and quarantine wiring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from near_real_time_data_warehouse_spark.operators import jpeg as J
+from near_real_time_data_warehouse_spark.operators import multimodal as mm
+
+_ZZ = J.zigzag_order()
+
+# Simple valid canonical Huffman tables (the decoder reads whatever DHT
+# declares — no need for the Annex K tables): 12 DC categories at 4
+# bits, all 162 standard AC run/size symbols at 8 bits.
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALUES = bytes(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS = [0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8
+_AC_VALUES = bytes(_AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _canonical_codes(bits, values):
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALUES)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_VALUES)
+
+_FDCT_C = J._IDCT_C  # orthonormal: forward = C @ B @ C.T
+
+
+def _encode_block(writer, block, pred):
+    coeffs = _FDCT_C @ (block - 128.0) @ _FDCT_C.T
+    q = np.rint(coeffs).astype(int)
+    zz = [int(q.flat[_ZZ[i]]) for i in range(64)]
+    diff = zz[0] - pred
+    size = abs(diff).bit_length()
+    code, length = _DC_CODES[size]
+    writer.write(code, length)
+    if size:
+        raw = diff if diff >= 0 else diff + (1 << size) - 1
+        writer.write(raw, size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = _AC_CODES[0xF0]
+            writer.write(c, ln)
+            run -= 16
+        size = abs(v).bit_length()
+        c, ln = _AC_CODES[(run << 4) | size]
+        writer.write(c, ln)
+        raw = v if v >= 0 else v + (1 << size) - 1
+        writer.write(raw, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = _AC_CODES[0x00]
+        writer.write(c, ln)
+    return zz[0]
+
+
+def encode_jpeg(rgb: np.ndarray, grayscale: bool = False,
+                sof_marker: int = 0xC0) -> bytes:
+    """Reference baseline encoder: 4:4:4 (or single-plane grayscale),
+    flat quantization (all 1s — near-lossless), restarts off."""
+    import struct
+
+    h, w, _ = rgb.shape
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [y] if grayscale else [y, cb, cr]
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = []
+    for p in planes:
+        pp = np.zeros((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[-1:, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+
+    writer = _BitWriter()
+    preds = [0] * len(padded)
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            for ci, p in enumerate(padded):
+                block = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                preds[ci] = _encode_block(writer, block, preds[ci])
+    data = writer.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = bytes([0]) + bytes([1] * 64)
+    nc = len(padded)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + _DC_VALUES
+        + bytes([0x10]) + bytes(_AC_BITS) + _AC_VALUES
+    )
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    return (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(sof_marker, sof) + seg(0xC4, dht)
+        + seg(0xDA, sos) + data + b"\xff\xd9"
+    )
+
+
+def _test_image(h, w, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, (h, w, 3))
+    # smooth it a little so quantization error stays tiny
+    return ((base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3).astype(
+        np.uint8
+    )
+
+
+def test_jpeg_roundtrip_near_lossless():
+    """Flat quantization: decode(encode(img)) within a few counts of the
+    original (float DCT rounding only), exact dimensions, multiple sizes
+    including non-multiple-of-8."""
+    for h, w in [(16, 16), (24, 17), (9, 13)]:
+        img = _test_image(h, w)
+        parsed = J.parse_jpeg(encode_jpeg(img))
+        assert (parsed["width"], parsed["height"]) == (w, h)
+        got = np.frombuffer(parsed["pixels"], np.uint8).reshape(h, w, 3)
+        err = np.abs(got.astype(int) - img.astype(int))
+        assert err.max() <= 6, (h, w, err.max())
+        assert err.mean() < 2.0
+
+
+def test_jpeg_grayscale_and_solid():
+    img = np.full((8, 8, 3), 200, np.uint8)
+    parsed = J.parse_jpeg(encode_jpeg(img, grayscale=True))
+    got = np.frombuffer(parsed["pixels"], np.uint8).reshape(8, 8, 3)
+    assert np.abs(got.astype(int) - 200).max() <= 2
+    parsed = J.parse_jpeg(encode_jpeg(img))
+    got = np.frombuffer(parsed["pixels"], np.uint8).reshape(8, 8, 3)
+    assert np.abs(got.astype(int) - 200).max() <= 3
+
+
+def test_jpeg_progressive_raises_typed_gate():
+    img = _test_image(8, 8)
+    payload = encode_jpeg(img, sof_marker=0xC2)  # SOF2 progressive
+    with pytest.raises(mm.DecodeNotAvailable, match="SOF"):
+        J.parse_jpeg(payload)
+
+
+def test_jpeg_never_crashes_on_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = encode_jpeg(_test_image(8, 8))
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=256), st.integers(0, len(valid) - 1),
+           st.integers(0, 255))
+    def run(payload, mi, mb):
+        for p in (payload, valid[:mi] + bytes([mb]) + valid[mi + 1:]):
+            try:
+                J.parse_jpeg(p)
+            except (mm.MalformedMedia, mm.DecodeNotAvailable):
+                pass
+
+    run()
+
+
+def test_quarantine_routes_jpeg(spark):
+    img = _test_image(8, 8)
+    good = encode_jpeg(img)
+    rows = [(1, "image", bytearray(good)), (2, "image", bytearray(good[:30]))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in mm.decode_with_quarantine(df).collect()}
+    assert out[1].ok and out[1].format == "jpeg" and out[1].width == 8
+    assert not out[2].ok
