@@ -48,7 +48,14 @@ class _BitWriter:
             self.out.append(self.acc)
             if self.acc == 0xFF:
                 self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
         return bytes(self.out)
+
+    def flush_to_marker(self, marker: int) -> None:
+        """Byte-align (1-padded) and emit a raw marker (RSTn)."""
+        self.flush()
+        self.out += bytes([0xFF, marker])
 
 
 def _canonical_codes(bits, values):
@@ -224,3 +231,104 @@ def test_quarantine_routes_jpeg(spark):
     out = {r.media_id: r for r in mm.decode_with_quarantine(df).collect()}
     assert out[1].ok and out[1].format == "jpeg" and out[1].width == 8
     assert not out[2].ok
+
+
+def encode_jpeg_420(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Reference 4:2:0 encoder: 16x16 MCUs of four Y blocks plus one
+    2x2-averaged Cb and Cr block each, optional DRI/RSTn restarts —
+    exercises the decoder's multi-block sampling assembly, chroma
+    upsampling, and restart handling."""
+    import struct
+
+    h, w, _ = rgb.shape
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+
+    def pad(p):
+        pp = np.zeros((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[-1:, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        return pp
+
+    yp = pad(y)
+    cbp = pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    crp = pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    mcus_x, mcus_y = pw // 16, ph // 16
+    mcu_index = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                writer.flush_to_marker(0xD0 + (rst & 7))
+                rst += 1
+                preds = [0, 0, 0]
+            for by in range(2):
+                for bx in range(2):
+                    blk = yp[(my * 2 + by) * 8:(my * 2 + by) * 8 + 8,
+                             (mx * 2 + bx) * 8:(mx * 2 + bx) * 8 + 8]
+                    preds[0] = _encode_block(writer, blk, preds[0])
+            preds[1] = _encode_block(
+                writer, cbp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], preds[1]
+            )
+            preds[2] = _encode_block(
+                writer, crp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], preds[2]
+            )
+            mcu_index += 1
+    data = writer.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = bytes([0]) + bytes([1] * 64)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + _DC_VALUES
+        + bytes([0x10]) + bytes(_AC_BITS) + _AC_VALUES
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out = b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof) + seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    return out + seg(0xDA, sos) + data + b"\xff\xd9"
+
+
+def test_jpeg_420_sampling_and_restarts():
+    """4:2:0 decode: luma near-exact, chroma within subsampling error on
+    a smooth gradient; restart markers reset predictors correctly."""
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (xx * 5) % 256,
+            (yy * 7) % 256,
+            ((xx + yy) * 3) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    for ri in (0, 1, 2):
+        parsed = J.parse_jpeg(encode_jpeg_420(img, restart_interval=ri))
+        assert (parsed["width"], parsed["height"]) == (w, h)
+        got = np.frombuffer(parsed["pixels"], np.uint8).reshape(h, w, 3).astype(int)
+        # compare in YCbCr space: luma is full-res (tight), chroma is
+        # 2x2-averaged then replicated (bounded by local variation)
+        def ycc(a):
+            r, g, b = a[..., 0], a[..., 1], a[..., 2]
+            return (
+                0.299 * r + 0.587 * g + 0.114 * b,
+                -0.168736 * r - 0.331264 * g + 0.5 * b,
+                0.5 * r - 0.418688 * g - 0.081312 * b,
+            )
+        y0, cb0, cr0 = ycc(img.astype(int))
+        y1, cb1, cr1 = ycc(got)
+        assert np.abs(y1 - y0).max() <= 6, ri
+        assert np.abs(cb1 - cb0).mean() <= 8, ri
+        assert np.abs(cr1 - cr0).mean() <= 8, ri
