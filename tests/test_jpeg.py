@@ -332,3 +332,29 @@ def test_jpeg_420_sampling_and_restarts():
         assert np.abs(y1 - y0).max() <= 6, ri
         assert np.abs(cb1 - cb0).mean() <= 8, ri
         assert np.abs(cr1 - cr0).mean() <= 8, ri
+
+
+def test_cross_format_perceptual_hash_agrees():
+    """One image through four containers: PPM/PNG/GIF decode pixel-exact
+    (identical aHash), lossy JPEG lands within a few Hamming bits — the
+    cross-format dedup property the decode layer exists to provide."""
+    from tests.test_multimodal import _gif_bytes, _png_bytes
+
+    h, w = 32, 32
+    # a grayscale-ish gradient quantizable to a small GIF palette
+    levels = [(v, v, v) for v in range(0, 256, 8)]  # 32 palette entries
+    idx = [((x // 2 + y // 2) % 32) for y in range(h) for x in range(w)]
+    pixels = bytes(c for i in idx for c in levels[i])
+
+    ppm = mm.parse_ppm(b"P6\n%d %d\n255\n" % (w, h) + pixels)
+    png = mm.parse_png(_png_bytes(w, h, pixels))
+    gif = mm.parse_gif(_gif_bytes(w, h, idx, levels, min_code_size=5))
+    assert png["pixels"] == ppm["pixels"] == gif["pixels"]
+
+    img = np.frombuffer(pixels, np.uint8).reshape(h, w, 3)
+    jpg = J.parse_jpeg(encode_jpeg(img))
+
+    hashes = {f["format"]: mm.ppm_ahash(f) for f in (ppm, png, gif, jpg)}
+    assert hashes["ppm"] == hashes["png"] == hashes["gif"]
+    ham = bin(hashes["ppm"] ^ hashes["jpeg"]).count("1")
+    assert ham <= 4, ham
