@@ -355,6 +355,15 @@ def connected_components(
     no label shrinks. Rounds needed = graph diameter (≪ max_iterations
     for near-dup graphs, whose components are small and dense).
 
+    INVARIANT (ADVICE r4): when ``vertices`` carries seed labels,
+    ``edges`` must contain EVERY edge that produced those labels — the
+    endpoint-only propagation below never revisits a passive (edge-free)
+    vertex, so seeding with stored component labels while passing only
+    delta edges would leave passive members of a merged component on a
+    stale label, silently splitting the component. Delta-edge merges go
+    through ``merge_components_with_edges`` (the quotient path), which
+    remaps every vertex through the result.
+
     The iterative-algorithm pattern done right on Spark: each round ends
     in ``localCheckpoint`` — without it, iteration N's plan nests N copies
     of the whole lineage and the driver dies re-optimizing it long before

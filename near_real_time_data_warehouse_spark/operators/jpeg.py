@@ -250,6 +250,15 @@ def parse_jpeg(payload: bytes) -> dict:
         pos = pos + 2 + length
     if sof is None or scan is None:
         raise MalformedMedia("missing SOF0 or SOS")
+    if len(scan) != len(sof["comps"]) or len({sc["id"] for sc in scan}) != len(scan):
+        # Baseline allows multiple NON-interleaved scans (ns < nc each);
+        # decoding only the first as if it covered every component would
+        # silently produce garbage planes (zero chroma, wrong MCU
+        # geometry) feeding wrong perceptual hashes downstream. Valid but
+        # uncovered → the typed gate, not MalformedMedia (ADVICE r4).
+        raise DecodeNotAvailable(
+            "non-interleaved multi-scan JPEG (SOS covers a component subset)"
+        )
     w, h = sof["w"], sof["h"]
     if w < 1 or h < 1 or w * h > (1 << 22):
         raise MalformedMedia("nonsensical JPEG dimensions")

@@ -120,9 +120,15 @@ def commit_snapshot(
         paths = [f"{table_dir}/{f}" for f in files]
         aggs = []
         for c in stats_cols:
+            # floor/ceil BEFORE the long cast: a bare cast truncates
+            # toward zero, so a fractional negative min (-3.7 → -3)
+            # would overstate the file's min and pruning could skip a
+            # file that holds matching rows (ADVICE r4). Rounding
+            # outward keeps the recorded range a superset of the truth —
+            # pruning stays conservative for any numeric column.
             aggs += [
-                F.min(c).cast("long").alias(f"_lo_{c}"),
-                F.max(c).cast("long").alias(f"_hi_{c}"),
+                F.floor(F.min(c)).cast("long").alias(f"_lo_{c}"),
+                F.ceil(F.max(c)).cast("long").alias(f"_hi_{c}"),
             ]
         rows = (
             spark.read.parquet(*paths)

@@ -68,19 +68,34 @@ def merge_linkage_batch(
     _overwrite_epoch(spark, links, links_dir, epoch_id)
 
 
+_LINKS_SCHEMA = "block string, name_a string, name_b string, distance int"
+
+
 def read_linkage_state(spark: SparkSession, state_dir: str) -> tuple[DataFrame, DataFrame]:
     """(names, links): standing name multiplicities (summed over epochs)
-    and the distinct verified link set."""
+    and the distinct verified link set. A link-free history — the
+    partitioned write of an empty links frame leaves only _SUCCESS (or
+    no dir at all), and schema inference would fail — reads as an empty
+    frame, mirroring read_containment_links (ADVICE r4)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from ..sources.maintenance import path_exists
+
     names = (
         spark.read.parquet(f"{state_dir}/names")
         .groupBy("p_name", "block")
         .agg(F.sum("n_parts").alias("n_parts"))
     )
-    links = (
-        spark.read.parquet(f"{state_dir}/links")
-        .select("block", "name_a", "name_b", "distance")
-        .distinct()
-    )
+    if not path_exists(spark, f"{state_dir}/links"):
+        return names, spark.createDataFrame([], _LINKS_SCHEMA)
+    try:
+        links = (
+            spark.read.parquet(f"{state_dir}/links")
+            .select("block", "name_a", "name_b", "distance")
+            .distinct()
+        )
+    except AnalysisException:
+        links = spark.createDataFrame([], _LINKS_SCHEMA)
     return names, links
 
 

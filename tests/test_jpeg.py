@@ -204,6 +204,27 @@ def test_jpeg_progressive_raises_typed_gate():
         J.parse_jpeg(payload)
 
 
+def test_jpeg_noninterleaved_scan_raises_typed_gate():
+    """A baseline file whose first SOS covers a component SUBSET
+    (non-interleaved multi-scan layout: ns < nc) is valid-but-unsupported:
+    decoding it as one interleaved scan would silently produce garbage
+    planes, so the parser must raise the typed gate, not pixels and not
+    MalformedMedia (ADVICE r4)."""
+    import struct
+
+    payload = encode_jpeg(_test_image(8, 8))
+    i = payload.find(b"\xff\xda")
+    seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+    sos1 = bytes([1, 1, 0x00, 0, 63, 0])  # ns=1: Y only, of nc=3
+    patched = (
+        payload[:i]
+        + b"\xff\xda" + struct.pack(">H", len(sos1) + 2) + sos1
+        + payload[i + 2 + seg_len :]
+    )
+    with pytest.raises(mm.DecodeNotAvailable, match="non-interleaved"):
+        J.parse_jpeg(patched)
+
+
 def test_jpeg_never_crashes_on_fuzz():
     from hypothesis import given, settings
     from hypothesis import strategies as st

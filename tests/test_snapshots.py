@@ -248,6 +248,28 @@ def test_vacuum_is_rerunnable_and_sweeps_orphans(spark, tmp_path_factory):
     assert {r.prio for r in S.read_snapshot(spark, table).collect()} == {"v3"}
 
 
+def test_stats_round_outward_for_fractional_values(spark, tmp_path_factory):
+    """Per-file min/max stats on a DOUBLE column must round OUTWARD
+    (floor the min, ceil the max): a bare long cast truncates toward
+    zero, so min(-3.7) would be recorded as -3 and a query box [-4, -3.5]
+    would wrongly skip the file (ADVICE r4)."""
+    table = str(tmp_path_factory.mktemp("snapfrac") / "t")
+    df = spark.createDataFrame([(1, -3.7), (2, 9.4)], "k long, x double")
+    S.commit_snapshot(spark, df.coalesce(1), table, stats_cols=["x"])
+    import json
+
+    m = json.loads(S._read_text(spark, f"{table}/_manifests/v1.json"))
+    (st,) = m["stats"].values()
+    assert st["x"] == [-4, 10]
+    # the box that only the fractional tail intersects still reads the file
+    kept, total = S.pruned_file_count(spark, table, {"x": (-4, -4)})
+    assert (kept, total) == (1, 1)
+    rows = S.read_snapshot(spark, table, prune={"x": (-4, -4)}).filter(
+        F.col("x") <= -3.5
+    ).collect()
+    assert len(rows) == 1
+
+
 def test_pruning_keeps_files_with_null_stats(spark, tmp_path_factory):
     """A file whose stats column is all-null must be conservatively
     read, not crash the pruner."""

@@ -54,6 +54,23 @@ def test_streaming_linkage_equals_batch_build(spark, tmp_path_factory):
     assert {(r.p_name, r.n_parts) for r in names.collect()} == want_names
 
 
+def test_streaming_linkage_linkless_state_reads_empty(spark, tmp_path_factory):
+    """A history that never discovered a link leaves no links dir (the
+    dynamic partition overwrite of an empty frame writes nothing) —
+    read_linkage_state must return an empty frame with the links schema,
+    not raise (ADVICE r4, mirroring read_containment_links)."""
+    base = tmp_path_factory.mktemp("linkage_nolinks")
+    state = str(base / "state")
+    batch = spark.createDataFrame(
+        [(1, "solitary widget"), (2, "unrelated gizmo")], "p_partkey long, p_name string"
+    )
+    ls.merge_linkage_batch(spark, batch, state, epoch_id=0)
+    names, links = ls.read_linkage_state(spark, state)
+    assert links.count() == 0
+    assert links.columns == ["block", "name_a", "name_b", "distance"]
+    assert names.count() == 2
+
+
 def test_streaming_linkage_epoch_replay_idempotent(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("linkage_replay")
     parts = spark.read.parquet(f"{SF_SMALL}/part.parquet").select(
