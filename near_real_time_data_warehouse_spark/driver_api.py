@@ -38,28 +38,20 @@ def _star_query(q: analysis.AnalysisQuery) -> QueryFn:
 # registry in module registration order), where any 50-entry prefix is
 # pure re-certification of already-green rows.
 _NEEDS_FIRST_ROW = [
-    # Round-3 driver fails (array-output canonicalizer crash, fixed by
-    # reshaping to scalar rows/serialized strings — see similarity.py).
-    # Green rows here complete union coverage 124/124 oracled entries.
-    "emb_label_centroids",
-    "emb_quantize_int8",
-    # Re-certify: PQ codebook seeding is now partitioning-independent
-    # (sorted sample — ADVICE r3), which can shift the measured recall,
-    # so the entry's driver hash must be re-pinned in-window.
-    "sim_ann_pq_recall",
-    # Round-4 additions (new kernels, first driver rows).
-    "part_fuzzy_matches",
-    "dedup_pagerank",
+    # Round-5 additions (first driver rows): the graph diagnostics over
+    # the UNCAPPED banded LSH pair graph (VERDICT r4 #1) and their
+    # incremental-maintenance twins certified against the same
+    # full-rebuild oracles (VERDICT r4 #2).
+    "dedup_pagerank_banded",
+    "dedup_triangles_banded",
+    "dedup_pagerank_incremental",
+    "dedup_triangles_incremental",
+    # Re-pin: BPE deepened from 3 to 10 merge rounds (VERDICT r4 #4) —
+    # the output gains 7 rows, so the round-4 hash shifts.
     "text_bpe_merges",
-    "dedup_containment",
-    "events_time_weighted_value",
-    "docs_curation_semantic",
-    "dedup_triangles",
-    "events_robust_outliers",
-    "events_hll_partial_merge",
-    "events_trend_slope",
-    "sim_ann_lsh_multiprobe",
-    "orders_change_feed",
+    # (Round-4 names pruned per VERDICT r4 #5 — their driver rows exist
+    # in CORRECTNESS_r04; the remaining window is re-certification in
+    # stable registration order.)
 ]
 
 

@@ -138,14 +138,16 @@ def test_bpe_merges_rounds_consistent(spark):
     occurrence count and the rounds are strictly ordered."""
     from near_real_time_data_warehouse_spark.operators.text import bpe_merges
 
+    from near_real_time_data_warehouse_spark.operators.text import BPE_MERGE_ROUNDS
+
     rows = sorted(
         bpe_merges(spark, "/root/testdata/sf0.001").collect(),
         key=lambda r: r.round,
     )
-    assert [r.round for r in rows] == [1, 2, 3]
+    assert [r.round for r in rows] == list(range(1, BPE_MERGE_ROUNDS + 1))
     for r in rows:
         assert r.n_occurrences > 0
         assert len(r.left_sym) >= 1 and len(r.right_sym) >= 1
     # symbol counts decrease monotonically round over round
-    assert rows[0].n_corpus_symbols_after > rows[1].n_corpus_symbols_after
-    assert rows[1].n_corpus_symbols_after > rows[2].n_corpus_symbols_after
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_corpus_symbols_after > b.n_corpus_symbols_after
