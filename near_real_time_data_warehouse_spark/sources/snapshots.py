@@ -10,13 +10,19 @@ Layout at ``table_dir``::
     _manifests/v<version>.json        {"version", "files", "committed"}
     _manifests/_latest                 text file holding the version no.
 
-Commit protocol (single-writer, crash-safe): data files land first
-(under a temp name, moved in), then the manifest is written, then
-``_latest`` is swapped via write-temp + rename — a reader either sees
-the old version or the new one, never a torn state; a crash before the
-``_latest`` swap leaves an unreferenced manifest that the next commit
-overwrites and vacuum removes. (Multi-writer commits need the real
-lakehouse's conditional swap — documented limit, not attempted.)
+Commit protocol (optimistic multi-writer, crash-safe): data files land
+first (under a temp name, moved in), then the manifest is published via
+an EXCLUSIVE rename (``Options.Rename.NONE`` — fails if ``v{N}.json``
+exists). Manifest existence IS the commit point: two writers racing for
+version N cannot both win the rename, the loser re-probes the latest
+version and retries (``commit_snapshot``) or recomputes its merge
+against the winner's table (``merge_snapshot``) — no lost updates,
+consecutive versions. ``_latest`` is only a discovery HINT (advanced
+monotonically, best-effort); ``latest_version`` probes forward from it
+for manifests a concurrent writer published after the hint was written
+— the version-hint protocol of real lakehouse formats. A reader either
+sees a fully-published version or none of it; a crash after data-stage
+but before manifest publish leaves orphan data files that vacuum sweeps.
 
 Reads: ``read_snapshot(as_of=N)`` loads exactly version N's file list —
 old versions stay readable after later commits (time travel) until
@@ -63,6 +69,36 @@ def _write_text_atomic(spark: SparkSession, path: str, content: str) -> None:
     fc.rename(tmp, dst, renames)
 
 
+def _write_text_exclusive(spark: SparkSession, path: str, content: str) -> bool:
+    """Publish ``content`` at ``path`` iff ``path`` does not exist yet —
+    write-temp + rename WITHOUT the overwrite flag, so of N concurrent
+    writers exactly one wins (atomic on HDFS-contract filesystems; the
+    conditional-PUT equivalent object stores expose). Returns False when
+    another writer already holds the path."""
+    fs, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + f".tmp-{uuid.uuid4().hex[:8]}")
+    out = fs.create(tmp, True)
+    jvm.org.apache.commons.io.IOUtils.write(content, out, "UTF-8")
+    out.close()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri(), conf)
+    gateway = spark.sparkContext._gateway  # noqa: SLF001
+    renames = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    renames[0] = jvm.org.apache.hadoop.fs.Options.Rename.NONE
+    from py4j.protocol import Py4JJavaError
+
+    try:
+        fc.rename(tmp, dst, renames)
+        return True
+    except Py4JJavaError:
+        lost = fs.exists(dst)  # conflict, not an IO failure
+        fs.delete(tmp, False)
+        if lost:
+            return False
+        raise
+
+
 def _read_text(spark: SparkSession, path: str) -> str:
     fs, jvm = _fs(spark, path)
     stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
@@ -73,47 +109,68 @@ def _read_text(spark: SparkSession, path: str) -> str:
 
 
 def latest_version(spark: SparkSession, table_dir: str) -> int:
+    """Highest committed version = highest N whose ``v{N}.json`` manifest
+    exists. ``_latest`` is a discovery hint, not the truth: a concurrent
+    writer may have published manifests past it (or crashed before
+    advancing it), so probe forward from the hint until a version is
+    missing. Manifests are published densely (version N+1 only ever
+    lands when N exists) and vacuum only drops a PREFIX of versions, so
+    the first gap above the hint is the end of the chain."""
     from .maintenance import path_exists
 
     marker = f"{table_dir}/_manifests/_latest"
-    if not path_exists(spark, marker):
-        return 0
-    return int(_read_text(spark, marker).strip())
+    v = 0
+    if path_exists(spark, marker):
+        v = int(_read_text(spark, marker).strip())
+    while path_exists(spark, f"{table_dir}/_manifests/v{v + 1}.json"):
+        v += 1
+    return v
 
 
-def commit_snapshot(
-    spark: SparkSession,
-    df: DataFrame,
-    table_dir: str,
-    epoch_id: int | None = None,
-    stats_cols: list[str] | None = None,
-) -> int:
-    """Write ``df`` as the next full-table version; returns its number.
-    Data files are new and immutable — previous versions keep reading
-    their own file lists. ``epoch_id`` stamps the manifest for the
-    streaming sink's replay dedup (see ``merge_snapshot``).
-    ``stats_cols`` records per-file min/max for those columns in the
-    manifest (one grouped job over the committed files) — the
-    Iceberg-style file-skipping index ``read_snapshot(prune=...)``
-    consumes."""
-    version = latest_version(spark, table_dir) + 1
-    stage = f"{table_dir}/data/_stage-v{version}-{uuid.uuid4().hex[:8]}"
+def _advance_latest_hint(spark: SparkSession, table_dir: str, version: int) -> None:
+    """Best-effort monotone advance of the discovery hint. Two writers
+    racing here can only leave the hint LOW, never high — reads probe
+    forward, so a stale hint costs probe steps, not correctness."""
+    from .maintenance import path_exists
+
+    marker = f"{table_dir}/_manifests/_latest"
+    current = int(_read_text(spark, marker).strip()) if path_exists(spark, marker) else 0
+    if version > current:
+        _write_text_atomic(spark, marker, str(version))
+
+
+def _stage_data(
+    spark: SparkSession, df: DataFrame, table_dir: str, label: int
+) -> list[str]:
+    """Write ``df``'s parquet files under ``data/`` with fresh immutable
+    names; returns the table-relative file list. Files are unreferenced
+    until a manifest publishes them (a crash here leaves orphans for
+    vacuum). ``label`` is cosmetic (the writer's target version when
+    staging began — a retry may publish them under a later number)."""
+    stage = f"{table_dir}/data/_stage-v{label}-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(stage)
-
     fs, jvm = _fs(spark, stage)
-    dest_dir = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/data")
-    fs.mkdirs(dest_dir)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{table_dir}/data"))
     files = []
     for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(stage)):
         name = st.getPath().getName()
         if not name.endswith(".parquet"):
             continue
-        final = f"v{version}-{uuid.uuid4().hex[:8]}.parquet"
+        final = f"v{label}-{uuid.uuid4().hex[:8]}.parquet"
         fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(f"{table_dir}/data/{final}"))
         files.append(f"data/{final}")
     fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+    return files
 
-    manifest = {"version": version, "files": sorted(files)}
+
+def _build_manifest(
+    spark: SparkSession,
+    table_dir: str,
+    files: list[str],
+    epoch_id: int | None,
+    stats_cols: list[str] | None,
+) -> dict:
+    manifest: dict = {"files": sorted(files)}
     if epoch_id is not None:
         manifest["epoch"] = int(epoch_id)
     if stats_cols:
@@ -143,10 +200,53 @@ def commit_snapshot(
                 c: [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in stats_cols
             }
         manifest["stats"] = stats
-    _write_text_atomic(
+    return manifest
+
+
+def _try_publish(
+    spark: SparkSession, table_dir: str, version: int, manifest: dict
+) -> bool:
+    """One conditional-swap attempt: exclusive-create ``v{version}.json``.
+    Exactly one of N racing writers wins; the winner advances the hint."""
+    manifest = dict(manifest, version=version)
+    ok = _write_text_exclusive(
         spark, f"{table_dir}/_manifests/v{version}.json", json.dumps(manifest)
     )
-    _write_text_atomic(spark, f"{table_dir}/_manifests/_latest", str(version))
+    if ok:
+        _advance_latest_hint(spark, table_dir, version)
+    return ok
+
+
+def _drop_files(spark: SparkSession, table_dir: str, files: list[str]) -> None:
+    fs, jvm = _fs(spark, table_dir)
+    for f in files:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{f}"), False)
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    epoch_id: int | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Write ``df`` as the next full-table version; returns its number.
+    Data files are new and immutable — previous versions keep reading
+    their own file lists. ``epoch_id`` stamps the manifest for the
+    streaming sink's replay dedup (see ``merge_snapshot``).
+    ``stats_cols`` records per-file min/max for those columns in the
+    manifest (one grouped job over the committed files) — the
+    Iceberg-style file-skipping index ``read_snapshot(prune=...)``
+    consumes.
+
+    Multi-writer safe: a full-replace commit's content does not depend
+    on the previous version, so losing the version race only means
+    re-publishing the already-staged files at the next number."""
+    version = latest_version(spark, table_dir) + 1
+    files = _stage_data(spark, df, table_dir, version)
+    manifest = _build_manifest(spark, table_dir, files, epoch_id, stats_cols)
+    while not _try_publish(spark, table_dir, version, manifest):
+        version = latest_version(spark, table_dir) + 1
     return version
 
 
@@ -334,7 +434,15 @@ def merge_snapshot(
     ``when_matched``: 'update' replaces matched rows with the batch's
     (last-writer-wins); 'ignore' is the reference dimension semantics
     (first-writer-wins insert-if-absent — hybrid_join.py:365-378).
-    Returns the committed version."""
+    Returns the committed version.
+
+    Multi-writer: unlike a full replace, a merge's CONTENT depends on
+    the version it read, so losing the version race means the merge
+    must be recomputed against the winner's table, not just re-numbered
+    — the optimistic-concurrency loop below (read base → merge → try
+    exclusive publish at base+1 → on conflict, re-read and redo). No
+    lost updates: a merge only ever lands directly on the version it
+    was computed from."""
     if when_matched not in ("update", "ignore"):
         raise ValueError(f"when_matched must be update|ignore, got {when_matched!r}")
     # Replay dedup for the streaming sink: if the latest committed
@@ -344,21 +452,30 @@ def merge_snapshot(
     if epoch_id is not None and _latest_epoch(spark, table_dir) == int(epoch_id):
         return latest_version(spark, table_dir)
     batch = batch.dropDuplicates([key])
-    from .maintenance import path_exists
-
-    if not path_exists(spark, f"{table_dir}/_manifests/_latest"):
-        return commit_snapshot(spark, batch, table_dir, epoch_id=epoch_id)
-    current = read_snapshot(spark, table_dir)
-    if when_matched == "update":
-        kept = current.join(batch.select(key), key, "left_anti")
-        merged = kept.unionByName(batch)
-    else:
-        new_rows = batch.join(current.select(key), key, "left_anti")
-        merged = current.unionByName(new_rows)
-    # localCheckpoint before committing: ``merged`` reads the CURRENT
-    # version's files, and the commit must not race its own input scan.
-    merged = merged.localCheckpoint(eager=True)
-    return commit_snapshot(spark, merged, table_dir, epoch_id=epoch_id)
+    while True:
+        base = latest_version(spark, table_dir)
+        if base == 0:
+            merged = batch
+        else:
+            current = read_snapshot(spark, table_dir, as_of=base)
+            if when_matched == "update":
+                kept = current.join(batch.select(key), key, "left_anti")
+                merged = kept.unionByName(batch)
+            else:
+                new_rows = batch.join(current.select(key), key, "left_anti")
+                merged = current.unionByName(new_rows)
+            # localCheckpoint before committing: ``merged`` reads the
+            # base version's files, and the commit must not race its
+            # own input scan.
+            merged = merged.localCheckpoint(eager=True)
+        files = _stage_data(spark, merged, table_dir, base + 1)
+        manifest = _build_manifest(spark, table_dir, files, epoch_id, None)
+        if _try_publish(spark, table_dir, base + 1, manifest):
+            return base + 1
+        # Conflict: another writer committed base+1 first. Our staged
+        # files are unreferenced — drop them and recompute against the
+        # new table state.
+        _drop_files(spark, table_dir, files)
 
 
 def run_streaming_snapshot_sink(
