@@ -126,40 +126,69 @@ def main() -> None:
     # load spikes inflate single runs by up to 10×; min-of-2 reports the
     # query's actual cost. SPARK_GRAFT_BENCH_RUNS=1 restores single-shot.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # The heaviest line items dominate round-over-round comparisons, and
+    # on this host a single run of dedup_graph_build has been observed at
+    # both 16.8 s and 20.6 s within one round (VERDICT r4 #8) — pin them
+    # to best-of-3. The shared BUILDS are re-run COLD (their session
+    # memos cleared before every attempt), so the min is a true cold
+    # build, and the final attempt leaves the standing state warm for
+    # the per-entry loop exactly as before.
+    heavy_runs = max(runs, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "3")))
     timings: dict[str, float] = {}
 
-    # The warehouse load (star ETL) happens once, like the reference's load
-    # phase (hybrid_join.py:356-477); bill it as its own line item rather
-    # than inside whichever star query runs first. Load is once-per-warehouse
-    # so it is NOT best-of-N timed.
+    # The warehouse load (star ETL) happens once per warehouse, like the
+    # reference's load phase (hybrid_join.py:356-477); bill it as its own
+    # line item rather than inside whichever star query runs first.
     if only is None or "star_etl_load" in only:
         from concurrent.futures import ThreadPoolExecutor
 
-        from near_real_time_data_warehouse_spark.plans.star import star_tables
+        from near_real_time_data_warehouse_spark.plans import star as star_mod
 
-        t0 = time.perf_counter()
-        star = star_tables(spark, sf_dir)
-        # The four table loads are independent Spark jobs — submit them
-        # concurrently and let the scheduler interleave their stages, as
-        # a real warehouse load would.
-        with ThreadPoolExecutor(len(star)) as pool:
-            list(
-                pool.map(
-                    lambda df: df.write.format("noop").mode("overwrite").save(),
-                    star.values(),
+        best = float("inf")
+        for _ in range(heavy_runs):
+            star_mod._STAR_CACHE.clear()  # cold load each attempt
+            t0 = time.perf_counter()
+            star = star_mod.star_tables(spark, sf_dir)
+            # The four table loads are independent Spark jobs — submit
+            # them concurrently and let the scheduler interleave their
+            # stages, as a real warehouse load would.
+            with ThreadPoolExecutor(len(star)) as pool:
+                list(
+                    pool.map(
+                        lambda df: df.write.format("noop").mode("overwrite").save(),
+                        star.values(),
+                    )
                 )
-            )
-        timings["star_etl_load"] = round(time.perf_counter() - t0, 3)
+            best = min(best, time.perf_counter() - t0)
+        timings["star_etl_load"] = round(best, 3)
 
     # Shared one-time builds (memoized per session, like the star ETL):
     # billed as their own line items so the per-entry timings below
     # honestly measure steady-state marginal cost — min-of-N with a memo
     # would otherwise silently drop the build cost from the total.
+    def _reset_ann():
+        from near_real_time_data_warehouse_spark.operators import similarity
+
+        similarity._RESULT_MEMO.clear()
+        similarity._CENTROID_MEMO.clear()
+
     def _ann_build(s, d):
         from near_real_time_data_warehouse_spark.operators import similarity
 
         similarity.brute_force_topk(s, d).write.format("noop").mode("overwrite").save()
         similarity.ann_ivf_topk(s, d).write.format("noop").mode("overwrite").save()
+
+    def _reset_graph():
+        from near_real_time_data_warehouse_spark.operators import dedup
+
+        for m in (
+            dedup._SHINGLE_MEMO,
+            dedup._BANDS_MEMO,
+            dedup._PAIRS_MEMO,
+            dedup._COMPONENTS_MEMO,
+            dedup._NEW_PAIRS_MEMO,
+        ):
+            m.clear()
 
     def _graph_build(s, d):
         from near_real_time_data_warehouse_spark.operators import dedup
@@ -171,25 +200,44 @@ def main() -> None:
         # the ∝-batch merge, not the one-time state build
         dedup.dedup_graph_incremental(s, d).write.format("noop").mode("overwrite").save()
 
-    for build_name, build in (("ann_index_build", _ann_build), ("dedup_graph_build", _graph_build)):
+    for build_name, reset, build in (
+        ("ann_index_build", _reset_ann, _ann_build),
+        ("dedup_graph_build", _reset_graph, _graph_build),
+    ):
         if only is None or build_name in only:
-            t0 = time.perf_counter()
-            build(spark, sf_dir)
-            timings[build_name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(heavy_runs):
+                reset()
+                t0 = time.perf_counter()
+                build(spark, sf_dir)
+                best = min(best, time.perf_counter() - t0)
+            timings[build_name] = round(best, 3)
     sc = spark.sparkContext
     plans: dict[str, str] = {}
     shuffle_write: dict[str, int] = {}
     shuffle_read: dict[str, int] = {}
     peak_exec_mem: dict[str, int] = {}
     spilled: dict[str, int] = {}
+    # Heaviest marginal entries (per the last rounds' slowest-10): their
+    # shared state is memoized, so extra runs are cheap and the min is a
+    # stable steady-state cost.
+    heavy_entries = {
+        "sim_ann_lsh_multiprobe",
+        "dedup_pagerank",
+        "dedup_pagerank_banded",
+        "dedup_pagerank_incremental",
+        "docs_curation_semantic",
+        "text_bigram_surprisal",
+    }
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
         best = float("inf")
         df = None
         pre: dict = {}
-        for i in range(runs):
-            if i == runs - 1:
+        n_runs = heavy_runs if name in heavy_entries else runs
+        for i in range(n_runs):
+            if i == n_runs - 1:
                 # Bytes are measured on the LAST run only: steady-state
                 # (memoized ETL warm), and one deterministic execution.
                 _drain_listener_bus(sc)
