@@ -15,7 +15,13 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "nrtdw_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # Override for cluster-topology probes (scripts/shuffle_probe.py
+        # runs the heavy entries at 512/2048 — the partition counts a
+        # 1000-executor deployment would set — to show there's no
+        # partition-count cliff).
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -48,13 +48,16 @@ def _overwrite_epoch(spark: SparkSession, df: DataFrame, out_dir: str, epoch_id:
 
 def merge_dedup_batch(
     spark: SparkSession, batch: DataFrame, state_dir: str, epoch_id: int = 0
-) -> None:
+) -> DataFrame | None:
     """Fold one document batch (doc_id, text) into the persisted dedup
-    graph state at ``state_dir`` ({shingles,bands,labels} parquet)."""
+    graph state at ``state_dir`` ({shingles,bands,labels} parquet).
+    Returns the batch's verified new pairs (doc_a, doc_b) — the delta the
+    diagnostics fold (diagnostics_stream.py) consumes — or None for an
+    empty batch."""
     from ..sources.maintenance import path_exists
 
     if batch.isEmpty():
-        return
+        return None
     sh_dir = f"{state_dir}/shingles"
     bands_dir = f"{state_dir}/bands"
     labels_dir = f"{state_dir}/labels"
@@ -76,7 +79,7 @@ def merge_dedup_batch(
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .distinct()
         )
-        pairs = _jaccard_pairs(batch_sh, cand)
+        pairs = _jaccard_pairs(batch_sh, cand).localCheckpoint(eager=True)
         edges = pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -84,7 +87,7 @@ def merge_dedup_batch(
         _overwrite_epoch(spark, batch_sh, sh_dir, epoch_id)
         _overwrite_epoch(spark, batch_bands, bands_dir, epoch_id)
         labels.write.mode("overwrite").parquet(labels_dir)
-        return
+        return pairs
 
     state_sh = spark.read.parquet(sh_dir).drop("_epoch")
     state_bands = spark.read.parquet(bands_dir).drop("_epoch")
@@ -114,7 +117,7 @@ def merge_dedup_batch(
         )
         .distinct()
     )
-    new_pairs = _jaccard_pairs(all_sh, cand)
+    new_pairs = _jaccard_pairs(all_sh, cand).localCheckpoint(eager=True)
     current = (
         stored.select("doc_id", F.col("component").alias("label"))
         .join(batch.select("doc_id").distinct(), "doc_id", "left_anti")
@@ -124,6 +127,7 @@ def merge_dedup_batch(
     _overwrite_epoch(spark, batch_sh, sh_dir, epoch_id)
     _overwrite_epoch(spark, batch_bands, bands_dir, epoch_id)
     labels.write.mode("overwrite").parquet(labels_dir)
+    return new_pairs
 
 
 def run_streaming_dedup(
