@@ -49,6 +49,8 @@ _NEEDS_FIRST_ROW = [
     # Re-pin: BPE deepened from 3 to 10 merge rounds (VERDICT r4 #4) —
     # the output gains 7 rows, so the round-4 hash shifts.
     "text_bpe_merges",
+    # New: apply the trained tokenizer to the corpus (train → encode).
+    "text_bpe_encode",
     # (Round-4 names pruned per VERDICT r4 #5 — their driver rows exist
     # in CORRECTNESS_r04; the remaining window is re-certification in
     # stable registration order.)

@@ -976,6 +976,29 @@ def _bpe_merge_round(sym_df: DataFrame) -> tuple[DataFrame, str, str, int]:
     return merged, left, right, cnt
 
 
+# Trained tokenizer state: (final symbol table, per-round merge log).
+# Training is the expensive part (BPE_MERGE_ROUNDS × three windows +
+# a 1-row argmax action); the merges entry and the encode entry both
+# consume it, so it's memoized per (session, sf_dir) like the dedup
+# band tables — the persisted `merges.txt` + vocab of a real tokenizer.
+_BPE_TRAIN_MEMO: dict[tuple[str, str], tuple[DataFrame, list]] = {}
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BPE_TRAIN_MEMO.get(key)
+    if got is None:
+        sym = _bpe_initial_symbols(spark, sf_dir)
+        rows = []
+        for k in range(1, BPE_MERGE_ROUNDS + 1):
+            sym, left, right, cnt = _bpe_merge_round(sym)
+            n_after = sym.agg(F.sum("freq").alias("n")).first()["n"]
+            rows.append((k, left, right, cnt, int(n_after)))
+        got = (sym, rows)
+        _BPE_TRAIN_MEMO[key] = got
+    return got
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, BPE_MERGE_ROUNDS rounds: one output row
     per learned merge — the merge rule, its (overlap-counted,
@@ -988,12 +1011,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     one grouped count + three windows partitioned by word; the argmax is
     a 1-row driver action (the bounded-collect discipline of
     connected_components' convergence counts)."""
-    sym = _bpe_initial_symbols(spark, sf_dir)
-    rows = []
-    for k in range(1, BPE_MERGE_ROUNDS + 1):
-        sym, left, right, cnt = _bpe_merge_round(sym)
-        n_after = sym.agg(F.sum("freq").alias("n")).first()["n"]
-        rows.append((k, left, right, cnt, int(n_after)))
+    _, rows = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         rows,
         "round long, left_sym string, right_sym string, "
@@ -1001,7 +1019,53 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_merges_sql() -> str:
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained tokenizer: per-document word and BPE-piece
+    counts under the BPE_MERGE_ROUNDS learned merges — the
+    tokenize-the-corpus step that follows training in a real pipeline.
+
+    Scale shape — the reason this is cheap: merges are applied to the
+    VOCABULARY (the trained symbol table already is the merged form of
+    every distinct word), so per-word piece counts are one grouped
+    count over it; documents then need only a hash join of their
+    (word, occurrence-count) pairs against that piece table — the token
+    stream itself is never rewritten. At 100 TB the vocab table is
+    broadcast-sized while the corpus side stays scan-local."""
+    sym, _ = _bpe_train(spark, sf_dir)
+    pieces = sym.groupBy("tok").agg(F.count(F.lit(1)).alias("n_pieces"))
+    norm = _norm_col()
+    doc_toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(norm, " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = (
+        doc_toks.join(F.broadcast(pieces), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_pieces")).cast("long").alias("n_bpe_pieces"),
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_bpe_pieces", F.lit(0)).cast("long").alias("n_bpe_pieces"),
+            (
+                F.coalesce("n_bpe_pieces", F.lit(0))
+                / F.greatest(F.coalesce("n_words", F.lit(0)), F.lit(1))
+            ).alias("pieces_per_word"),
+        )
+    )
+
+
+def _bpe_chain_sql() -> list[str]:
     parts = [
         f"""toks AS (
   SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
@@ -1050,19 +1114,53 @@ sym{k} AS MATERIALIZED (
   WHERE NOT dropped
 ),
 tot{k} AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_after FROM sym{k})""")
+    return parts
+
+
+def _bpe_merges_sql() -> str:
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS BIGINT) AS round, b.l AS left_sym, b.r AS right_sym, "
         f"b.c AS n_occurrences, t.n_after AS n_corpus_symbols_after "
         f"FROM best{k} b CROSS JOIN tot{k} t"
         for k in range(1, BPE_MERGE_ROUNDS + 1)
     )
-    chain = ",\n".join(parts)
+    chain = ",\n".join(_bpe_chain_sql())
     return f"WITH {chain}\n{selects}"
+
+
+def _bpe_encode_sql() -> str:
+    """Apply-the-tokenizer twin: the trained chain's final symbol table
+    gives per-word piece counts; documents hash-join against it."""
+    n = BPE_MERGE_ROUNDS
+    chain = ",\n".join(_bpe_chain_sql())
+    return f"""WITH {chain},
+pieces AS (SELECT tok, COUNT(*) AS n_pieces FROM sym{n} GROUP BY tok),
+doc_toks AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT d.doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(SUM(c * n_pieces) AS BIGINT) AS n_bpe_pieces
+  FROM doc_toks d JOIN pieces USING (tok)
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(n_bpe_pieces, 0) AS BIGINT) AS n_bpe_pieces,
+       COALESCE(n_bpe_pieces, 0) / GREATEST(COALESCE(n_words, 0), 1) AS pieces_per_word
+FROM documents
+LEFT JOIN agg USING (doc_id)
+"""
 
 
 registry.register("text_tfidf_top_terms", tfidf_top_terms, TFIDF_SQL)
 registry.register("text_bpe_pair_counts", bpe_pair_counts, BPE_PAIRS_SQL)
 registry.register("text_bpe_merges", bpe_merges, _bpe_merges_sql())
+registry.register("text_bpe_encode", bpe_encode, _bpe_encode_sql())
 registry.register("text_unigram_surprisal", unigram_surprisal, UNIGRAM_SURPRISAL_SQL)
 registry.register("text_token_stats", token_stats, TOKEN_STATS_SQL)
 registry.register("text_quality_score", quality_score, QUALITY_SQL)

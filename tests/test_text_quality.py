@@ -151,3 +151,28 @@ def test_bpe_merges_rounds_consistent(spark):
     # symbol counts decrease monotonically round over round
     for a, b in zip(rows, rows[1:]):
         assert a.n_corpus_symbols_after > b.n_corpus_symbols_after
+
+
+def test_bpe_encode_consistent_with_training(spark):
+    """Train→apply consistency: the training log's corpus symbol count
+    after the LAST merge must equal the SUM of per-document encoded
+    piece counts (both count the same final symbol stream, one from the
+    vocabulary side, one from the document side); every word encodes to
+    at least one piece and at most its character count."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators.text import (
+        bpe_encode,
+        bpe_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    last = max(bpe_merges(spark, sf).collect(), key=lambda r: r.round)
+    enc = bpe_encode(spark, sf)
+    total_pieces = enc.agg(F.sum("n_bpe_pieces")).first()[0]
+    assert total_pieces == last.n_corpus_symbols_after
+    bad = enc.filter(
+        (F.col("n_words") > 0)
+        & ((F.col("n_bpe_pieces") < F.col("n_words")) | (F.col("pieces_per_word") < 1.0))
+    ).count()
+    assert bad == 0
