@@ -62,7 +62,7 @@ def clear_query_memos() -> None:
     one-time build cold (best-of-N over the SHARED builds, not just the
     marginal entries) and so long-lived sessions can release checkpoint
     storage. Not needed for correctness anywhere."""
-    from .operators import dedup, similarity
+    from .operators import dedup, similarity, text
     from .plans import star
 
     dedup._SHINGLE_MEMO.clear()
@@ -72,4 +72,5 @@ def clear_query_memos() -> None:
     dedup._NEW_PAIRS_MEMO.clear()
     similarity._RESULT_MEMO.clear()
     similarity._CENTROID_MEMO.clear()
+    text._BPE_TRAIN_MEMO.clear()
     star._STAR_CACHE.clear()

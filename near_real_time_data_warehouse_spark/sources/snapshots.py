@@ -70,12 +70,48 @@ def _write_text_atomic(spark: SparkSession, path: str, content: str) -> None:
 
 
 def _write_text_exclusive(spark: SparkSession, path: str, content: str) -> bool:
-    """Publish ``content`` at ``path`` iff ``path`` does not exist yet —
-    write-temp + rename WITHOUT the overwrite flag, so of N concurrent
-    writers exactly one wins (atomic on HDFS-contract filesystems; the
-    conditional-PUT equivalent object stores expose). Returns False when
-    another writer already holds the path."""
+    """Publish ``content`` at ``path`` iff ``path`` does not exist yet;
+    of N concurrent writers exactly one wins. Returns False when another
+    writer already holds the path.
+
+    Local filesystem: FileContext.rename(Options.Rename.NONE) is NOT a
+    safe primitive here — RawLocalFileSystem implements it as a
+    Java-level exists-check followed by a POSIX rename(2), which
+    silently overwrites, so two truly concurrent writers could both
+    believe they won (ADVICE r5). Instead the commit point is POSIX
+    ``link(2)`` via java.nio ``Files.createLink``: atomic in the kernel,
+    fails EEXIST if the path is taken, and the linked content is already
+    complete (the temp file is fully written first) — no torn reads.
+
+    Non-local filesystems keep the exclusive rename: the HDFS contract
+    makes Rename.NONE atomic in the NameNode, and object-store
+    committers map it to a conditional PUT."""
     fs, jvm = _fs(spark, path)
+    from py4j.protocol import Py4JJavaError
+
+    if fs.getUri().getScheme() == "file":
+        local = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+        jfile = jvm.java.io.File(local)
+        jvm.org.apache.commons.io.FileUtils.forceMkdirParent(jfile)
+        tmp_local = f"{local}.tmp-{uuid.uuid4().hex[:8]}"
+        jvm.org.apache.commons.io.FileUtils.writeStringToFile(
+            jvm.java.io.File(tmp_local), content, "UTF-8"
+        )
+        # java.io.File(...).toPath(), not Paths.get: the latter is varargs
+        # and py4j cannot dispatch it with a single string
+        dst_p = jvm.java.io.File(local).toPath()
+        tmp_p = jvm.java.io.File(tmp_local).toPath()
+        try:
+            jvm.java.nio.file.Files.createLink(dst_p, tmp_p)
+            jvm.java.nio.file.Files.deleteIfExists(tmp_p)
+            return True
+        except Py4JJavaError as e:
+            jvm.java.nio.file.Files.deleteIfExists(tmp_p)
+            cls = e.java_exception.getClass().getName()
+            if cls == "java.nio.file.FileAlreadyExistsException":
+                return False
+            raise
+
     tmp = jvm.org.apache.hadoop.fs.Path(path + f".tmp-{uuid.uuid4().hex[:8]}")
     out = fs.create(tmp, True)
     jvm.org.apache.commons.io.IOUtils.write(content, out, "UTF-8")
@@ -86,8 +122,6 @@ def _write_text_exclusive(spark: SparkSession, path: str, content: str) -> bool:
     gateway = spark.sparkContext._gateway  # noqa: SLF001
     renames = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
     renames[0] = jvm.org.apache.hadoop.fs.Options.Rename.NONE
-    from py4j.protocol import Py4JJavaError
-
     try:
         fc.rename(tmp, dst, renames)
         return True
@@ -212,8 +246,12 @@ def _try_publish(
     ok = _write_text_exclusive(
         spark, f"{table_dir}/_manifests/v{version}.json", json.dumps(manifest)
     )
-    if ok:
-        _advance_latest_hint(spark, table_dir, version)
+    # Advance the hint on BOTH outcomes: on success we published
+    # ``version``; on conflict some other writer did. Keeping the hint
+    # within the dense manifest suffix matters because vacuum retains a
+    # SUFFIX of versions — a hint stranded ≥2 below the truth could
+    # point below the retained range after a vacuum (ADVICE r5).
+    _advance_latest_hint(spark, table_dir, version)
     return ok
 
 
@@ -381,6 +419,12 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[str]
 
     fs, jvm = _fs(spark, table_dir)
     latest = latest_version(spark, table_dir)
+    # Re-anchor the discovery hint at the true latest BEFORE dropping
+    # anything: if the hint lagged the truth by ≥2 (repeated
+    # crash-before-hint-advance) and this vacuum dropped versions above
+    # it, forward-probing from the stale hint would stop at the first
+    # vacuumed gap and return an unreadable version (ADVICE r5).
+    _advance_latest_hint(spark, table_dir, latest)
     keep = set(range(max(1, latest - keep_last + 1), latest + 1))
     kept_files: set[str] = set()
     drop_manifests = []

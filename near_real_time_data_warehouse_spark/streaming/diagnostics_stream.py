@@ -71,9 +71,15 @@ def merge_diagnostics_batch(
     pr_dir = f"{state_dir}/pagerank"
 
     _overwrite_epoch(spark, new_pairs, pairs_dir, epoch_id)
-    # the standing pair set (distinct: a replayed epoch's rows collapse)
+    # the standing pair set (distinct: a replayed epoch's rows collapse).
+    # _read_or_empty, NOT bare read.parquet: if the first non-empty batch
+    # yields zero verified pairs the epoch write leaves a directory with
+    # only _SUCCESS (no footers), schema inference would raise, and
+    # checkpoint replay would re-deliver the epoch and crash again —
+    # permanently wedging the stream (the read_linkage_state trap).
     all_pairs = (
-        spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()
+        _read_or_empty(spark, pairs_dir, "doc_a long, doc_b long, _epoch long")
+        .select("doc_a", "doc_b").distinct()
         .localCheckpoint(eager=True)
     )
     labels = spark.read.parquet(f"{state_dir}/labels")

@@ -364,3 +364,54 @@ def test_pruning_keeps_files_with_null_stats(spark, tmp_path_factory):
     assert kept >= 1  # the null-stat file is kept, no TypeError
     rows = S.read_snapshot(spark, table, prune={"x": (0, 100)}).collect()
     assert len(rows) == 2
+
+
+def test_exclusive_publish_is_os_atomic_under_thread_race(spark, tmp_path_factory):
+    """ADVICE r5 (medium): on the local filesystem the exclusive publish
+    must be a kernel-atomic claim (POSIX link), not an exists-check +
+    overwriting rename — N truly concurrent writers racing for the SAME
+    manifest path must produce exactly one winner, and the surviving
+    content must be the winner's complete payload."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = tmp_path_factory.mktemp("snapatomic")
+    for trial in range(3):
+        path = str(base / f"v{trial}.json")
+        n = 12
+
+        def attempt(i, path=path):
+            return (i, S._write_text_exclusive(spark, path, f'{{"writer": {i}}}'))
+
+        with ThreadPoolExecutor(max_workers=n) as ex:
+            results = list(ex.map(attempt, range(n)))
+        winners = [i for i, ok in results if ok]
+        assert len(winners) == 1
+        import json
+
+        assert json.loads(S._read_text(spark, path)) == {"writer": winners[0]}
+        # no temp litter left behind
+        import os
+
+        assert [f for f in os.listdir(base) if ".tmp-" in f] == []
+
+
+def test_vacuum_advances_stale_latest_hint(spark, tmp_path_factory):
+    """ADVICE r5 (low): if the _latest hint lags the truth by ≥2 and a
+    vacuum then drops versions above the hint, forward-probing from the
+    stale hint would stop at the vacuumed gap and return an unreadable
+    version. Vacuum must re-anchor the hint at the true latest first."""
+    table = str(tmp_path_factory.mktemp("snaphint") / "t")
+    for i in range(5):
+        S.commit_snapshot(
+            spark, spark.createDataFrame([(i,)], "v long"), table
+        )
+    assert S.latest_version(spark, table) == 5
+    # simulate repeated crash-before-hint-advance: hint stuck at 1
+    S._write_text_atomic(spark, f"{table}/_manifests/_latest", "1")
+    S.vacuum(spark, table, keep_last=2)  # drops v1-v3, keeps v4, v5
+    assert S.latest_version(spark, table) == 5
+    assert S.read_snapshot(spark, table).collect()[0].v == 4
+    # and the next commit lands at 6, not at a recycled number
+    assert S.commit_snapshot(
+        spark, spark.createDataFrame([(9,)], "v long"), table
+    ) == 6

@@ -46,6 +46,40 @@ def test_streaming_diagnostics_equals_batch_build(spark, tmp_path_factory):
     assert tri.count() < docs.count()
 
 
+def test_first_batch_with_zero_pairs_does_not_wedge(spark, tmp_path_factory):
+    """ADVICE r5 (high): a first non-empty batch that yields zero verified
+    near-dup pairs leaves the pairs store as a directory with only
+    _SUCCESS (no parquet footers). The fold must read that as empty —
+    not raise from schema inference, which under checkpoint replay would
+    re-deliver the epoch and permanently wedge the stream."""
+    base = tmp_path_factory.mktemp("diag_zero_pairs")
+    state = str(base / "state")
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    uniq = [
+        (i, " ".join(f"{w}{i}x{j}" for j, w in enumerate(words * 3)))
+        for i in range(4)
+    ]
+    b1 = spark.createDataFrame(uniq, "doc_id long, text string")
+    # zero-pair first batch: must not raise, state must be readable
+    gs.merge_diagnostics_batch(spark, b1, state, epoch_id=0)
+    tri, pr = gs.read_diagnostics_state(spark, state)
+    assert tri.count() == 0
+    # every doc is a singleton at the closed-form base rank
+    assert {r.rank for r in pr.collect()} == {dedup.PR_BASE}
+    assert pr.count() == 4
+    # a later batch with a real near-dup pair still folds correctly
+    dup_text = " ".join(words * 5)
+    b2 = spark.createDataFrame(
+        [(100, dup_text), (101, dup_text)], "doc_id long, text string"
+    )
+    gs.merge_diagnostics_batch(spark, b2, state, epoch_id=1)
+    tri2, pr2 = gs.read_diagnostics_state(spark, state)
+    assert {r.doc_id for r in tri2.collect()} == {100, 101}
+    assert pr2.count() == 6
+    ranked = {r.doc_id: r.rank for r in pr2.collect()}
+    assert ranked[100] == ranked[101] and ranked[100] != dedup.PR_BASE
+
+
 def test_streaming_diagnostics_epoch_replay_idempotent(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("diag_replay")
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select("doc_id", "text")
