@@ -38,22 +38,15 @@ def _star_query(q: analysis.AnalysisQuery) -> QueryFn:
 # registry in module registration order), where any 50-entry prefix is
 # pure re-certification of already-green rows.
 _NEEDS_FIRST_ROW = [
-    # Round-5 additions (first driver rows): the graph diagnostics over
-    # the UNCAPPED banded LSH pair graph (VERDICT r4 #1) and their
-    # incremental-maintenance twins certified against the same
-    # full-rebuild oracles (VERDICT r4 #2).
-    "dedup_pagerank_banded",
-    "dedup_triangles_banded",
-    "dedup_pagerank_incremental",
-    "dedup_triangles_incremental",
-    # Re-pin: BPE deepened from 3 to 10 merge rounds (VERDICT r4 #4) —
-    # the output gains 7 rows, so the round-4 hash shifts.
-    "text_bpe_merges",
-    # New: apply the trained tokenizer to the corpus (train → encode).
-    "text_bpe_encode",
-    # (Round-4 names pruned per VERDICT r4 #5 — their driver rows exist
-    # in CORRECTNESS_r04; the remaining window is re-certification in
-    # stable registration order.)
+    # Round-6 additions (first driver rows): apply the trained tokenizer
+    # to a HELD-OUT split — unseen words replay the stored merge ranks
+    # through the training kernel (VERDICT r5 #2) — and packing measured
+    # in trained-BPE pieces instead of whitespace tokens (VERDICT r5 #4).
+    "text_bpe_encode_holdout",
+    "docs_token_packing_bpe",
+    # (Round-5 names pruned — their driver rows exist in CORRECTNESS_r05;
+    # the remaining window is re-certification in stable registration
+    # order.)
 ]
 
 

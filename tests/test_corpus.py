@@ -104,3 +104,24 @@ def test_semantic_curation_merges_monotonically(spark):
     for docs in lex_groups.values():
         assert len({sem[d] for d in docs}) == 1
     assert len(set(sem.values())) <= len(set(lex.values()))
+
+
+def test_token_packing_bpe_sequential_and_consistent_with_tokenizer(spark):
+    """BPE-piece packing: the same sequential-per-shard pack property as
+    whitespace packing, measured in trained-tokenizer pieces, and the
+    per-doc piece counts agree with text_bpe_encode exactly."""
+    df = (
+        corpus.token_packing_bpe(spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["shard", "doc_id"])
+    )
+    assert df.pack_id.max() > 0  # budget actually spills over at test SF
+    for _, g in df.groupby("shard"):
+        cum_before = g.n_bpe_pieces.cumsum().shift(fill_value=0)
+        assert (g.pack_id == cum_before // corpus.BPE_PACK_BUDGET).all()
+        assert g.pack_id.is_monotonic_increasing
+    from near_real_time_data_warehouse_spark.operators.text import bpe_encode
+
+    enc = bpe_encode(spark, SF_SMALL).toPandas().set_index("doc_id").sort_index()
+    got = df.set_index("doc_id").sort_index()
+    assert (got.n_bpe_pieces == enc.n_bpe_pieces).all()

@@ -415,3 +415,116 @@ def test_vacuum_advances_stale_latest_hint(spark, tmp_path_factory):
     assert S.commit_snapshot(
         spark, spark.createDataFrame([(9,)], "v long"), table
     ) == 6
+
+
+def test_compact_snapshot_reduces_files_preserves_content_and_stats(
+    spark, tmp_path_factory
+):
+    """Log-aware OPTIMIZE: fewer files, bit-identical rows, per-file
+    stats recomputed for the same columns, epoch stamp carried over,
+    pre-compaction version still time-travelable until vacuumed."""
+    import json
+
+    table = str(tmp_path_factory.mktemp("snapcomp") / "t")
+    df = _orders(spark).withColumn("x", F.col("o_orderkey") % 100)
+    S.commit_snapshot(spark, df.repartition(16), table, epoch_id=7, stats_cols=["x"])
+    m1 = json.loads(S._read_text(spark, f"{table}/_manifests/v1.json"))
+    assert len(m1["files"]) == 16
+    before = _rows(S.read_snapshot(spark, table))
+
+    v = S.compact_snapshot(spark, table)
+    assert v == 2
+    m2 = json.loads(S._read_text(spark, f"{table}/_manifests/v{v}.json"))
+    assert len(m2["files"]) < 16
+    assert m2.get("epoch") == 7  # replay dedup still recognizes the epoch
+    assert all("x" in st for st in m2["stats"].values())  # stats survive
+    assert _rows(S.read_snapshot(spark, table)) == before
+    # time travel across the compaction boundary is bit-identical
+    assert _rows(S.read_snapshot(spark, table, as_of=1)) == before
+    # vacuum reaps the pre-compaction files; the compacted version reads
+    deleted = S.vacuum(spark, table, keep_last=1)
+    assert len(deleted) == 16
+    assert _rows(S.read_snapshot(spark, table)) == before
+
+
+def test_compact_snapshot_interleaved_merge_loses_nothing(
+    spark, tmp_path_factory, monkeypatch
+):
+    """VERDICT r5 #1 'done' bar: a compaction that read version 1 while
+    a concurrent merge lands version 2 must NOT publish its stale
+    rewrite — it re-reads and compacts the merged table, so the merge's
+    rows survive and time travel across the boundary is exact."""
+    table = str(tmp_path_factory.mktemp("snapcompmw") / "t")
+    base = _orders(spark).limit(50)
+    S.commit_snapshot(spark, base.repartition(8), table)  # v1
+
+    real = S.latest_version
+    calls = {"n": 0}
+
+    def stale_once(spark_, td):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # compaction's stale read; the merge lands v2 meanwhile
+            S.merge_snapshot(
+                spark,
+                table,
+                spark.createDataFrame(
+                    [(10**9, "MERGED")], "o_orderkey long, prio string"
+                ),
+                "o_orderkey",
+            )
+            return 1
+        return real(spark_, td)
+
+    monkeypatch.setattr(S, "latest_version", stale_once)
+    v = S.compact_snapshot(spark, table)
+    monkeypatch.setattr(S, "latest_version", real)
+    assert v == 3 and calls["n"] >= 2  # conflict path actually ran
+    got = _rows(S.read_snapshot(spark, table))
+    assert (10**9, "MERGED") in got  # the merge was not lost
+    assert got == _rows(S.read_snapshot(spark, table, as_of=2))  # same rows, new layout
+
+
+def test_compact_snapshot_concurrent_with_merge_thread_race(
+    spark, tmp_path_factory
+):
+    """Genuinely concurrent compaction and merge threads: both land as
+    consecutive versions, the final table contains the merge's row, and
+    every committed version reads cleanly."""
+    import threading
+
+    table = str(tmp_path_factory.mktemp("snapcompthr") / "t")
+    S.commit_snapshot(spark, _orders(spark).limit(40).repartition(8), table)
+    errs = []
+
+    def do_compact():
+        try:
+            S.compact_snapshot(spark, table)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def do_merge():
+        try:
+            S.merge_snapshot(
+                spark,
+                table,
+                spark.createDataFrame(
+                    [(10**9, "MERGED")], "o_orderkey long, prio string"
+                ),
+                "o_orderkey",
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=do_compact), threading.Thread(target=do_merge)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    latest = S.latest_version(spark, table)
+    assert latest == 3
+    got = _rows(S.read_snapshot(spark, table))
+    assert (10**9, "MERGED") in got
+    for v in range(1, latest + 1):
+        S.read_snapshot(spark, table, as_of=v).count()  # every version intact

@@ -176,3 +176,104 @@ def test_bpe_encode_consistent_with_training(spark):
         & ((F.col("n_bpe_pieces") < F.col("n_words")) | (F.col("pieces_per_word") < 1.0))
     ).count()
     assert bad == 0
+
+
+def _greedy_bpe_reference(word, merges):
+    """Sequential greedy reference: apply each trained merge rule in rank
+    order, left-to-right non-overlapping — the canonical BPE apply for a
+    single word (a rule's symbols only come from strictly earlier rules,
+    so rank order equals lowest-rank-first)."""
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _write_holdout_corpus(spark, tmp_path_factory):
+    """A corpus whose content-keyed holdout split REALLY contains words
+    the train split never saw: common words shared everywhere + one
+    unique rare word per document."""
+    base = tmp_path_factory.mktemp("bpe_holdout")
+    common = "the quick brown fox jumps over lazy dog banana apple".split()
+    docs = []
+    for i in range(80):
+        rare = f"zq{i}warblefluxx"
+        words = common * 2 + [rare, rare]
+        docs.append((i, " ".join(words[(i % 7):] + words[: (i % 7)])))
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{base}/documents.parquet")
+    return str(base)
+
+
+def test_bpe_holdout_unseen_word_pieces_match_greedy_reference(
+    spark, tmp_path_factory
+):
+    """VERDICT r5 #2 'done' bar: an unseen word's pieces under the
+    distributed rank-replay kernel equal the sequential greedy
+    reference, and the full entry matches its DuckDB oracle on a corpus
+    where the holdout split genuinely contains unseen words."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import registry, text as T
+
+    sf_dir = _write_holdout_corpus(spark, tmp_path_factory)
+
+    sym, rows = T._bpe_train(spark, sf_dir, scope="train")
+    merges = [(r[1], r[2]) for r in rows]
+    seen = {r.tok for r in sym.select("tok").distinct().collect()}
+
+    hold = (
+        T._docs(spark, sf_dir)
+        .filter(T._split_bucket_col() >= 8)
+        .select(F.explode(F.split(T._norm_col(), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    hold_words = {r.tok for r in hold.distinct().collect()}
+    unseen_words = sorted(hold_words - seen)
+    assert unseen_words, "crafted corpus must yield truly unseen holdout words"
+
+    # the distributed kernel's piece sequences for the unseen words
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)),
+    )
+    usym = (
+        spark.createDataFrame([(w,) for w in unseen_words], "tok string")
+        .select("tok", F.lit(1).cast("long").alias("freq"), F.posexplode(chars).alias("pos0", "sym"))
+        .select("tok", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+    )
+    for left, right in merges:
+        usym = T._bpe_apply_merge(usym, left, right)
+    got = {}
+    for r in sorted(usym.collect(), key=lambda r: (r.tok, r.pos)):
+        got.setdefault(r.tok, []).append(r.sym)
+    for w in unseen_words:
+        assert got[w] == _greedy_bpe_reference(w, merges), w
+
+    # full-entry differential vs the DuckDB oracle on the same corpus
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    from near_real_time_data_warehouse_spark.oracle_harness import compare
+
+    sdf = T.bpe_encode_holdout(spark, sf_dir)
+    assert sdf.agg(F.sum("n_unseen_words")).first()[0] > 0
+    res = compare(
+        "text_bpe_encode_holdout",
+        sdf,
+        con,
+        registry.oracle_sql()["text_bpe_encode_holdout"],
+    )
+    assert res.ok, res
