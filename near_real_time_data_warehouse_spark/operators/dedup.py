@@ -1437,6 +1437,33 @@ PR_DAMP_NUM = 85          # damping 0.85 as a ratio
 PR_BASE = (PR_SCALE * (100 - PR_DAMP_NUM)) // 100
 
 
+def _pr_round(
+    edges_deg: DataFrame, active: DataFrame, ranks: DataFrame
+) -> DataFrame:
+    """One PageRank round: push rank/deg along degree-annotated edges,
+    sum at dst, damp. ``edges_deg`` carries the src degree pre-joined
+    ONCE per build (not once per round — one less join per iteration),
+    which also matters for skew: the edge-join hashes on ``src``, and a
+    boilerplate hub — the very doc PageRank exists to find —
+    concentrates its partition. With the degree already inlined, the
+    join's output feeds only a map-side partial aggregate (no downstream
+    co-partitioned consumer), so AQE's skew split applies without
+    introducing an extra shuffle; the old per-round ``⋈ deg`` reused the
+    src partitioning and made AQE decline the rewrite. Pinned by the
+    planted-hub plan test (test_dedup_guards)."""
+    contrib = edges_deg.join(ranks, edges_deg["src"] == ranks["doc_id"]).select(
+        "dst", F.expr("rank div d").alias("c")
+    )
+    incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+    return active.join(incoming, active["doc_id"] == incoming["dst"], "left").select(
+        "doc_id",
+        (
+            F.lit(PR_BASE)
+            + F.expr(f"({PR_DAMP_NUM} * coalesce(inc, 0)) div 100")
+        ).cast("long").alias("rank"),
+    )
+
+
 def pagerank_stats(vertices: DataFrame, pairs: DataFrame) -> DataFrame:
     """The PageRank kernel over any canonically-oriented (doc_a < doc_b)
     edge table plus a vertex universe: classic damped PageRank,
@@ -1457,28 +1484,25 @@ def pagerank_stats(vertices: DataFrame, pairs: DataFrame) -> DataFrame:
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # repartition by (src, dst) — NOT by src — before the lineage cut:
+    # the deg join leaves the table hash-partitioned on src, so a hub's
+    # rows would all sit in ONE mapper of every round's re-shuffle, and
+    # AQE skew-split (whose split unit is a mapper chunk) could never
+    # split the hub's reduce partition. Spreading on the composite key
+    # costs one build-time shuffle, amortized over PR_ITERATIONS rounds,
+    # and is what makes the hub-skew AQE rewrite fire at all (pinned by
+    # the planted-hub plan test in test_dedup_guards).
+    edges_deg = (
+        edges.join(deg, "src")
+        .repartition(F.col("src"), F.col("dst"))
+        .localCheckpoint(eager=False)
+    )
     endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
     active = vertices.join(endpoints, "doc_id", "left_semi")
     passive = vertices.join(endpoints, "doc_id", "left_anti")
     ranks = active.select("doc_id", F.lit(PR_SCALE).cast("long").alias("rank"))
     for _ in range(PR_ITERATIONS):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["doc_id"])
-            .join(deg, "src")
-            .select("dst", F.expr("rank div d").alias("c"))
-        )
-        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
-        ranks = (
-            active.join(incoming, active["doc_id"] == incoming["dst"], "left")
-            .select(
-                "doc_id",
-                (
-                    F.lit(PR_BASE)
-                    + F.expr(f"({PR_DAMP_NUM} * coalesce(inc, 0)) div 100")
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        ranks = _pr_round(edges_deg, active, ranks).localCheckpoint()
     ranks = ranks.unionByName(
         passive.select("doc_id", F.lit(PR_BASE).cast("long").alias("rank"))
     )

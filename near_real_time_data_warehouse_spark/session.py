@@ -22,9 +22,34 @@ def get_spark(app_name: str = "nrtdw_spark", shuffle_partitions: int | None = No
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
         )
+    # SPARK_GRAFT_MASTER overrides the master URL — scripts/
+    # multijvm_probe.py sets local-cluster[N,cores,mem] to launch REAL
+    # separate executor JVMs (serialization + broadcast-lifecycle
+    # boundaries local[*] structurally cannot exercise).
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # Executor Python workers must be able to import THIS package:
+    # cloudpickle serializes module-level functions (our mapInPandas /
+    # applyInPandas kernels) by reference, so a separate executor JVM's
+    # worker re-imports them — under local[*] workers inherit the
+    # driver's sys.path and this is invisible, under any real cluster it
+    # is not (found by scripts/multijvm_probe.py). Shipping the repo
+    # root on the executor PYTHONPATH is the local-cluster equivalent of
+    # installing the package on the cluster / --py-files.
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exec_pythonpath = os.pathsep.join(
+        p for p in (repo_root, os.environ.get("PYTHONPATH", "")) if p
+    )
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
+        .config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_EXECUTOR_MEMORY", "4g"),
+        )
+        .config("spark.executorEnv.PYTHONPATH", exec_pythonpath)
+        .config("spark.executorEnv.PYSPARK_PYTHON", sys.executable)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
