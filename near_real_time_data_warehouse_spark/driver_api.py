@@ -44,6 +44,8 @@ _NEEDS_FIRST_ROW = [
     # in trained-BPE pieces instead of whitespace tokens (VERDICT r5 #4).
     "text_bpe_encode_holdout",
     "docs_token_packing_bpe",
+    "text_bpe_vocab",
+    "docs_chunk_bpe_budget",
     # (Round-5 names pruned — their driver rows exist in CORRECTNESS_r05;
     # the remaining window is re-certification in stable registration
     # order.)

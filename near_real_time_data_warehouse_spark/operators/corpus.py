@@ -285,6 +285,101 @@ FROM d
 """
 
 
+# BPE-budget chunking: a training sequence's budget is measured in MODEL
+# tokens, not whitespace words. ~128 pieces ≈ 2 chunks per synthetic doc
+# at test SFs; production would be the context length (e.g. 8192).
+CHUNK_BPE_BUDGET = 128
+
+
+def chunk_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length-aware chunking under the TRAINED tokenizer: split
+    each document into consecutive word-aligned chunks by the running
+    BPE-piece count — chunk k holds the words whose exclusive running
+    count falls in [k·B, (k+1)·B), the same boundary rule as
+    ``docs_token_packing``. A boundary-straddling word stays in the
+    chunk it started counting in, so a chunk holds at most
+    B + (longest word's pieces − 1); a STRICT ≤B packer is a sequential
+    fold (each boundary depends on the previous one) and cannot be a
+    window expression — the bounded overshoot is the price of running
+    as one partitioned window at any scale. This is what turns
+    documents into fixed-token-budget training sequences once the
+    tokenizer exists; ``docs_chunk_windows`` counts whitespace words
+    and would over- or under-fill the model context wherever
+    pieces-per-word varies.
+
+    Scale shape: explode to (doc, pos, word), broadcast-join the
+    vocabulary piece table (word → n_pieces), one running sum per doc
+    (partitioned window), floor-divide into chunk ids, re-aggregate.
+    Cost: token-stream-linear with a single doc-partitioned window —
+    the same shape every per-doc positional op here uses."""
+    from .text import _bpe_train
+
+    sym, _ = _bpe_train(spark, sf_dir)
+    pieces = sym.groupBy("tok").agg(F.count(F.lit(1)).alias("n_pieces"))
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(F.split(_norm_col(), " ")).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+        .join(F.broadcast(pieces), "tok")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_pieces").over(w), F.lit(0).cast("long"))
+    assigned = toks.select(
+        "doc_id",
+        "pos",
+        "n_pieces",
+        F.floor(cum_before.cast("double") / F.lit(CHUNK_BPE_BUDGET))
+        .cast("long")
+        .alias("chunk_id"),
+    )
+    return (
+        assigned.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.min("pos").cast("long").alias("tok_start"),
+            F.max("pos").cast("long").alias("tok_end"),
+        )
+    )
+
+
+def _chunk_bpe_budget_sql() -> str:
+    from .text import BPE_MERGE_ROUNDS, _bpe_chain_sql
+
+    n = BPE_MERGE_ROUNDS
+    chain = ",\n".join(_bpe_chain_sql())
+    return f"""WITH {chain},
+pieces AS (SELECT tok, COUNT(*) AS n_pieces FROM sym{n} GROUP BY tok),
+doc_toks AS (
+  SELECT doc_id, pos - 1 AS pos, tok
+  FROM (SELECT doc_id,
+               unnest(string_split({_NORM_SQL}, ' ')) AS tok,
+               generate_subscripts(string_split({_NORM_SQL}, ' '), 1) AS pos
+        FROM documents)
+  WHERE tok <> ''
+),
+assigned AS (
+  SELECT d.doc_id, d.pos, p.n_pieces,
+         CAST(FLOOR(CAST(COALESCE(SUM(p.n_pieces) OVER (
+                PARTITION BY d.doc_id ORDER BY d.pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+              / {CHUNK_BPE_BUDGET}) AS BIGINT) AS chunk_id
+  FROM doc_toks d JOIN pieces p USING (tok)
+)
+SELECT doc_id, chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       CAST(MIN(pos) AS BIGINT) AS tok_start,
+       CAST(MAX(pos) AS BIGINT) AS tok_end
+FROM assigned
+GROUP BY doc_id, chunk_id
+"""
+
+
 # Token-window chunking: window length and stride (overlap = 64-48 = 16
 # tokens). Sized to the synthetic docs (~50 tokens) so multi-chunk docs
 # actually occur at test SFs; production values would be context-length
@@ -740,6 +835,7 @@ registry.register("docs_chunk_windows", chunk_windows, CHUNK_WINDOWS_SQL)
 registry.register("docs_stratified_sample", stratified_sample, STRATIFIED_SAMPLE_SQL)
 registry.register("docs_token_packing", token_packing, TOKEN_PACKING_SQL)
 registry.register("docs_token_packing_bpe", token_packing_bpe, _token_packing_bpe_sql())
+registry.register("docs_chunk_bpe_budget", chunk_bpe_budget, _chunk_bpe_budget_sql())
 
 
 def shard_split_frame(spark: SparkSession, sf_dir: str):

@@ -351,9 +351,16 @@ def connected_components(
 ) -> DataFrame:
     """Distributed connected components by hash-min label propagation:
     every vertex starts labeled with its own id; each round every vertex
-    takes the min of its label and its neighbors' labels; converged when
-    no label shrinks. Rounds needed = graph diameter (≪ max_iterations
-    for near-dup graphs, whose components are small and dense).
+    takes the min of its label and its neighbors' labels, then SHORTCUTS
+    through its label's own label (pointer doubling); converged when no
+    label shrinks. Plain hash-min needs diameter rounds — the sf1 sweep
+    (round 6) actually hit the 25-round cap on a 10× semantic-union
+    graph whose cross-replica edges chained into a long path; with the
+    shortcut step each round roughly halves every chain's remaining
+    depth, so convergence is O(log diameter) and 25 rounds covers any
+    graph a real corpus can produce. The shortcut join runs on the
+    endpoint-vertex label table (graph-sized, not corpus-sized), so the
+    added per-round cost is one small self-join.
 
     INVARIANT (ADVICE r4): when ``vertices`` carries seed labels,
     ``edges`` must contain EVERY edge that produced those labels — the
@@ -393,11 +400,27 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
+        propagated = labels.join(
+            neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: follow my label's label (labels are vertex
+        # ids, and every edge-endpoint label row is in this table; a
+        # passive seed label resolves to itself via the left join)
+        shortcut = propagated.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("label2")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left")
+            propagated.join(shortcut, "label", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
+                ).alias("label"),
             )
             .localCheckpoint()
         )

@@ -1187,6 +1187,45 @@ def bpe_encode_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer's PIECE VOCABULARY — the vocab.json artifact
+    that, with the merges log (text_bpe_merges), fully serializes the
+    tokenizer: every distinct symbol surviving BPE_MERGE_ROUNDS of
+    training, its corpus occurrence count, and a deterministic piece id
+    (dense rank by descending count, then lexicographic — the id
+    assignment real tokenizers persist). Vocabulary-sized output: the
+    table a 100 TB pipeline broadcasts, never shuffles."""
+    from pyspark.sql import Window
+
+    sym, _ = _bpe_train(spark, sf_dir)
+    counts = sym.groupBy("sym").agg(
+        F.sum("freq").cast("long").alias("n_occurrences")
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), "sym")
+    return counts.select(
+        F.col("sym").alias("piece"),
+        F.row_number().over(w).cast("long").alias("piece_id"),
+        "n_occurrences",
+        F.length("sym").cast("long").alias("n_chars"),
+    )
+
+
+def _bpe_vocab_sql() -> str:
+    n = BPE_MERGE_ROUNDS
+    chain = ",\n".join(_bpe_chain_sql())
+    return f"""WITH {chain},
+counts AS (
+  SELECT sym, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+  FROM sym{n} GROUP BY sym
+)
+SELECT sym AS piece,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, sym) AS BIGINT) AS piece_id,
+       n_occurrences,
+       CAST(length(sym) AS BIGINT) AS n_chars
+FROM counts
+"""
+
+
 def _bpe_chain_sql(where: str = "") -> list[str]:
     parts = [
         f"""toks AS (
@@ -1375,6 +1414,7 @@ registry.register("text_bpe_encode", bpe_encode, _bpe_encode_sql())
 registry.register(
     "text_bpe_encode_holdout", bpe_encode_holdout, _bpe_encode_holdout_sql()
 )
+registry.register("text_bpe_vocab", bpe_vocab, _bpe_vocab_sql())
 registry.register("text_unigram_surprisal", unigram_surprisal, UNIGRAM_SURPRISAL_SQL)
 registry.register("text_token_stats", token_stats, TOKEN_STATS_SQL)
 registry.register("text_quality_score", quality_score, QUALITY_SQL)

@@ -125,3 +125,37 @@ def test_token_packing_bpe_sequential_and_consistent_with_tokenizer(spark):
     enc = bpe_encode(spark, SF_SMALL).toPandas().set_index("doc_id").sort_index()
     got = df.set_index("doc_id").sort_index()
     assert (got.n_bpe_pieces == enc.n_bpe_pieces).all()
+
+
+def test_chunk_bpe_budget_partitions_docs_within_budget(spark):
+    """Every chunk holds ≤ CHUNK_BPE_BUDGET + (longest word's pieces − 1)
+    trained-BPE pieces (the straddling word stays in the chunk it started
+    in), every non-final chunk reaches the budget, chunk ids are
+    consecutive from 0, token ranges tile the document without gaps or
+    overlap, and per-doc piece totals equal the tokenizer's."""
+    from near_real_time_data_warehouse_spark.operators.text import _bpe_train
+
+    sym, _ = _bpe_train(spark, SF_SMALL)
+    max_word_pieces = (
+        sym.groupBy("tok").count().agg({"count": "max"}).first()[0]
+    )
+    df = (
+        corpus.chunk_bpe_budget(spark, SF_SMALL)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    assert (df.n_pieces <= corpus.CHUNK_BPE_BUDGET + max_word_pieces - 1).all()
+    # every non-final chunk crossed the budget boundary (chunks fill up)
+    nonfinal = df[df.chunk_id < df.groupby("doc_id").chunk_id.transform("max")]
+    assert (nonfinal.n_pieces >= corpus.CHUNK_BPE_BUDGET - max_word_pieces + 1).all()
+    assert df.chunk_id.max() > 0  # multi-chunk docs occur at test SF
+    for _, g in df.groupby("doc_id"):
+        assert g.chunk_id.tolist() == list(range(len(g)))
+        # consecutive word ranges: next chunk starts where previous ended
+        assert (g.tok_start.iloc[1:].values == g.tok_end.iloc[:-1].values + 1).all()
+        assert (g.n_words == g.tok_end - g.tok_start + 1).all()
+    from near_real_time_data_warehouse_spark.operators.text import bpe_encode
+
+    enc = bpe_encode(spark, SF_SMALL).toPandas().set_index("doc_id").sort_index()
+    per_doc = df.groupby("doc_id").n_pieces.sum()
+    assert (per_doc == enc.n_bpe_pieces[per_doc.index]).all()

@@ -218,3 +218,24 @@ def test_pagerank_round_aqe_splits_hub_degree_skew(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    """Found by the round-6 sf1 sweep: a 10× semantic-union graph chained
+    into a path longer than the iteration cap and plain hash-min (rounds
+    = diameter) raised. With pointer doubling, a 2000-vertex path
+    (diameter 1999) must converge well inside 25 rounds to a single
+    component labeled by its min vertex."""
+    from pyspark.sql import functions as F
+
+    n = 2000
+    verts = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    fwd = spark.range(0, n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    got = connected_components(verts, edges).collect()
+    assert len(got) == n
+    assert {r.component for r in got} == {0}

@@ -217,6 +217,23 @@ def test_token_packing_window_is_sharded(spark):
     assert "windowspecdefinition(shard" in plan
 
 
+def test_token_packing_bpe_window_sharded_and_vocab_broadcast(spark):
+    """BPE-piece packing keeps the pack window sharded AND joins the
+    trained vocabulary by broadcast — a shuffle join against the
+    vocab table would shuffle the token stream on word text."""
+    plan = plan_of(QUERIES["docs_token_packing_bpe"](spark, SF_SMALL))
+    assert "windowspecdefinition(shard" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_bpe_budget_window_per_doc_and_vocab_broadcast(spark):
+    """BPE-budget chunking: the running piece sum partitions by doc_id
+    (never a global ORDER BY window) and the vocab join is broadcast."""
+    plan = plan_of(QUERIES["docs_chunk_bpe_budget"](spark, SF_SMALL))
+    assert "windowspecdefinition(doc_id" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_chunk_windows_has_no_shuffle(spark):
     """Chunking is tokenize→sequence→explode→slice, all narrow: any
     Exchange in this plan means the op stopped being embarrassingly
