@@ -346,21 +346,51 @@ WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 
 # --- Connected components over the near-dup graph -------------------------
 
+def _local_checkpoint_stats_clean(df: DataFrame) -> DataFrame:
+    """localCheckpoint that does NOT inherit the origin plan's Catalyst
+    size statistics. ``Dataset.localCheckpoint`` copies the checkpointed
+    plan's estimated stats into the new ``LogicalRDD`` — for an
+    iterative loop that means round k's estimate is built ON TOP of
+    round k−1's, and a SELF-join in the loop body SQUARES it each round:
+    the BigInteger's digit count doubles per round, Toom-Cook
+    multiplication inside the stats visitor then costs ~2.7× more per
+    round (pure DRIVER time — executors are idle), and after ~30 rounds
+    Spark dies with 'BigInteger would overflow supported range'. Found
+    by the round-6 sf1 sweep through the pointer-doubling CC loop; the
+    fix rebuilds the frame over the checkpointed rows without origin
+    stats (AQE still sees the true runtime sizes, so physical plans
+    stay sane). Falls back to a plain localCheckpoint if the internal
+    constructor is unavailable."""
+    jdf = df._jdf.localCheckpoint(True)  # noqa: SLF001
+    try:
+        spark = df.sparkSession
+        njdf = spark._jsparkSession.internalCreateDataFrame(  # noqa: SLF001
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(njdf, spark)
+    except Exception:  # pragma: no cover - API-drift fallback
+        return DataFrame(jdf, df.sparkSession)
+
+
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iterations: int = 25
+    vertices: DataFrame, edges: DataFrame, max_iterations: int = 60
 ) -> DataFrame:
     """Distributed connected components by hash-min label propagation:
     every vertex starts labeled with its own id; each round every vertex
     takes the min of its label and its neighbors' labels, then SHORTCUTS
     through its label's own label (pointer doubling); converged when no
     label shrinks. Plain hash-min needs diameter rounds — the sf1 sweep
-    (round 6) actually hit the 25-round cap on a 10× semantic-union
+    (round 6) actually hit the old 25-round cap on a 10× semantic-union
     graph whose cross-replica edges chained into a long path; with the
     shortcut step each round roughly halves every chain's remaining
-    depth, so convergence is O(log diameter) and 25 rounds covers any
-    graph a real corpus can produce. The shortcut join runs on the
-    endpoint-vertex label table (graph-sized, not corpus-sized), so the
-    added per-round cost is one small self-join.
+    depth, so convergence is O(log diameter) (~2·log2 n rounds in
+    practice) and the 60-round cap covers any graph a real corpus can
+    produce. The shortcut join runs on the endpoint-vertex label table
+    (graph-sized, not corpus-sized), so the added per-round cost is one
+    small self-join — checkpointed STATS-CLEAN each round, because the
+    self-join otherwise squares Catalyst's inherited size estimate
+    every round until driver-side BigInteger arithmetic dominates the
+    loop (see _local_checkpoint_stats_clean).
 
     INVARIANT (ADVICE r4): when ``vertices`` carries seed labels,
     ``edges`` must contain EVERY edge that produced those labels — the
@@ -392,7 +422,9 @@ def connected_components(
         seeds = vertices.select(F.col("doc_id"), F.col("doc_id").alias("label"))
     endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
     passive = seeds.join(endpoints, "doc_id", "left_anti")
-    labels = seeds.join(endpoints, "doc_id", "left_semi").localCheckpoint()
+    labels = _local_checkpoint_stats_clean(
+        seeds.join(endpoints, "doc_id", "left_semi")
+    )
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (
@@ -414,15 +446,16 @@ def connected_components(
         shortcut = propagated.select(
             F.col("doc_id").alias("label"), F.col("label").alias("label2")
         )
-        new_labels = (
-            propagated.join(shortcut, "label", "left")
-            .select(
+        # stats-clean checkpoint, NOT plain localCheckpoint: the
+        # self-join above squares inherited size estimates every round
+        # (see _local_checkpoint_stats_clean)
+        new_labels = _local_checkpoint_stats_clean(
+            propagated.join(shortcut, "label", "left").select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -437,9 +470,11 @@ def connected_components(
     if not converged:
         # Unconverged labels would silently split clusters downstream
         # (keep-best would then keep multiple "best" docs per true
-        # component) — fail loudly instead. Diameter > 25 means the pair
-        # graph has long chains, which for near-dup graphs signals a
-        # threshold bug more often than a real topology.
+        # component) — fail loudly instead. With pointer doubling,
+        # convergence takes ~2·log2(n) rounds (the 10× sweep graph's
+        # 16k-vertex chained component converged in 31), so 60 covers
+        # any graph a real corpus can produce; hitting the cap signals
+        # a threshold bug more often than a real topology.
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
             "iterations (graph diameter exceeds the cap); raise max_iterations"
@@ -1381,21 +1416,65 @@ def dedup_triangles_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def triangle_stats(pairs: DataFrame) -> DataFrame:
     """The triangle kernel over any canonically-oriented (doc_a < doc_b)
-    edge table."""
-    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
-    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    per_doc = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    edge table.
+
+    DEGREE-ORDERED orientation (round 6): wedges are enumerated at each
+    edge's lower-degree endpoint (ties by id), not at the lower-ID
+    endpoint. Under id-orientation a low-id boilerplate hub centers
+    deg² wedges; orienting every edge toward the higher-degree endpoint
+    bounds every vertex's out-degree by O(√m) (a vertex with out-degree
+    d has ≥ d neighbors of degree ≥ d, so d(d−1) ≤ 2m), making total
+    wedge work O(m^1.5) regardless of skew — the classic bound, and the
+    difference between 'works on the test graph' and 'survives the hub
+    the diagnostics exist to find'. Each triangle is counted exactly
+    once (its vertices are totally ordered by (degree, id)); per-doc
+    counts are orientation-invariant, so the DuckDB oracle keeps the
+    plain formulation and the driver hash certifies equivalence."""
     deg = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e = (
+        pairs.join(deg.select(F.col("doc_id").alias("doc_a"), F.col("degree").alias("dega")), "doc_a")
+        .join(deg.select(F.col("doc_id").alias("doc_b"), F.col("degree").alias("degb")), "doc_b")
+    )
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("ddeg"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.ddeg") < F.col("o2.ddeg"))
+            | (
+                (F.col("o1.ddeg") == F.col("o2.ddeg"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(
+        F.col("o1.src").alias("a"),
+        F.col("o1.dst").alias("b"),
+        F.col("o2.dst").alias("c"),
+    )
+    # close the wedge: (b, c) is (deg, id)-ordered, so the closing edge
+    # can only be oriented b → c
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    )
+    per_doc = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     coeff = F.when(
         F.col("degree") >= 2,
