@@ -372,6 +372,13 @@ def _local_checkpoint_stats_clean(df: DataFrame) -> DataFrame:
         return DataFrame(jdf, df.sparkSession)
 
 
+# Plain (shortcut-free) rounds before pointer doubling kicks in: the
+# common near-dup graph converges within these, so the common path pays
+# zero doubling overhead; a long-diameter graph escalates automatically
+# and still converges in ≤ _CC_PLAIN_ROUNDS + O(log diameter) rounds.
+_CC_PLAIN_ROUNDS = 8
+
+
 def connected_components(
     vertices: DataFrame, edges: DataFrame, max_iterations: int = 60
 ) -> DataFrame:
@@ -426,7 +433,7 @@ def connected_components(
         seeds.join(endpoints, "doc_id", "left_semi")
     )
     converged = False
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .groupBy("dst")
@@ -440,23 +447,34 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
             ).alias("label"),
         )
-        # pointer doubling: follow my label's label (labels are vertex
-        # ids, and every edge-endpoint label row is in this table; a
-        # passive seed label resolves to itself via the left join)
-        shortcut = propagated.select(
-            F.col("doc_id").alias("label"), F.col("label").alias("label2")
-        )
-        # stats-clean checkpoint, NOT plain localCheckpoint: the
-        # self-join above squares inherited size estimates every round
-        # (see _local_checkpoint_stats_clean)
-        new_labels = _local_checkpoint_stats_clean(
-            propagated.join(shortcut, "label", "left").select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
-                ).alias("label"),
+        if i < _CC_PLAIN_ROUNDS:
+            # near-dup graphs are small and dense — most converge inside
+            # a handful of plain rounds, so don't pay the shortcut join
+            # until the graph proves it has a long diameter. Plain
+            # rounds keep the ordinary (stats-inheriting) checkpoint:
+            # without a self-join the estimate's digit count grows only
+            # LINEARLY per round — harmless over 8 rounds — and the
+            # inherited sizes keep the per-round joins broadcast-planned
+            # (stats-clean costs ~25% on the common fast path).
+            new_labels = propagated.localCheckpoint()
+        else:
+            # pointer doubling: follow my label's label (labels are
+            # vertex ids, and every edge-endpoint label row is in this
+            # table; a passive seed label resolves to itself via the
+            # left join). Stats-clean checkpoint, NOT plain
+            # localCheckpoint: this self-join squares inherited size
+            # estimates every round (see _local_checkpoint_stats_clean).
+            shortcut = propagated.select(
+                F.col("doc_id").alias("label"), F.col("label").alias("label2")
             )
-        )
+            new_labels = _local_checkpoint_stats_clean(
+                propagated.join(shortcut, "label", "left").select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
