@@ -46,6 +46,10 @@ _NEEDS_FIRST_ROW = [
     "docs_token_packing_bpe",
     "text_bpe_vocab",
     "docs_chunk_bpe_budget",
+    # in-query reversed-word injection: the driver hash certifies the
+    # unseen-word rank-replay kernel with a non-empty unseen set (the
+    # testdata holdout's unseen set is empty by construction)
+    "text_bpe_encode_unseen",
     # (Round-5 names pruned — their driver rows exist in CORRECTNESS_r05;
     # the remaining window is re-certification in stable registration
     # order.)

@@ -1146,19 +1146,8 @@ def bpe_encode_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(seen_pieces.select("tok"), "tok", "left_anti")
     )
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("tok")),
-        lambda i: F.col("tok").substr(i, F.lit(1)),
-    )
-    usym = unseen.select(
-        "tok", F.lit(1).cast("long").alias("freq"), F.posexplode(chars).alias("pos0", "sym")
-    ).select("tok", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
-    for left, right in merges:
-        usym = _bpe_apply_merge(usym, left, right).localCheckpoint(eager=False)
-    unseen_pieces = (
-        usym.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n_pieces"))
-        .withColumn("seen", F.lit(0).cast("long"))
+    unseen_pieces = _unseen_pieces(unseen, merges).withColumn(
+        "seen", F.lit(0).cast("long")
     )
     pieces = seen_pieces.unionByName(unseen_pieces)
     per_doc = (
@@ -1224,6 +1213,91 @@ SELECT sym AS piece,
        CAST(length(sym) AS BIGINT) AS n_chars
 FROM counts
 """
+
+
+def _unseen_pieces(unseen_words: DataFrame, merges: list) -> DataFrame:
+    """(tok, n_pieces) for words NOT in the trained vocabulary: explode
+    to characters and replay the stored merge rules in rank order
+    through the training kernel — shared by the holdout entry and the
+    injected-unseen entry."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)),
+    )
+    usym = unseen_words.select(
+        "tok", F.lit(1).cast("long").alias("freq"), F.posexplode(chars).alias("pos0", "sym")
+    ).select("tok", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+    for left, right in merges:
+        usym = _bpe_apply_merge(usym, left, right).localCheckpoint(eager=False)
+    return usym.groupBy("tok").agg(F.count(F.lit(1)).alias("n_pieces"))
+
+
+def bpe_encode_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-VISIBLE exercise of the unseen-word tokenizer path
+    (NEXT.md r6 #2): the synthetic corpus's holdout split shares the
+    training vocabulary completely, so ``text_bpe_encode_holdout``'s
+    driver hash certifies an EMPTY unseen set there. This entry plants
+    unseen words in-query (the text_pii_redact injection discipline):
+    every word of every document is REVERSED, the tokenizer stays
+    trained on the original corpus, and the reversed words that don't
+    happen to exist in the vocabulary (nearly all — palindromes take
+    the seen path) replay the stored merge ranks through the training
+    kernel. The driver hash therefore certifies the rank-replay
+    machinery itself — ladder SQL and window kernel end-to-end — not
+    just its plumbing.
+
+    Scale shape: identical to bpe_encode_holdout — the replay runs on
+    DISTINCT unseen words (vocabulary-sized), the per-doc aggregation
+    is a broadcast-vocab hash join; the token stream is never
+    rewritten."""
+    sym, rows = _bpe_train(spark, sf_dir)
+    merges = [(r[1], r[2]) for r in rows]
+    seen_pieces = (
+        sym.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_pieces"))
+        .withColumn("seen", F.lit(1).cast("long"))
+    )
+    doc_toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(_norm_col(), " ")).alias("raw"))
+        .filter(F.col("raw") != "")
+        .select("doc_id", F.reverse(F.col("raw")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    unseen = (
+        doc_toks.select("tok")
+        .distinct()
+        .join(seen_pieces.select("tok"), "tok", "left_anti")
+    )
+    unseen_pieces = _unseen_pieces(unseen, merges).withColumn(
+        "seen", F.lit(0).cast("long")
+    )
+    pieces = seen_pieces.unionByName(unseen_pieces)
+    per_doc = (
+        doc_toks.join(F.broadcast(pieces), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * (F.lit(1) - F.col("seen"))).cast("long").alias("n_unseen_words"),
+            F.sum(F.col("c") * F.col("n_pieces")).cast("long").alias("n_bpe_pieces"),
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_unseen_words", F.lit(0)).cast("long").alias("n_unseen_words"),
+            F.coalesce("n_bpe_pieces", F.lit(0)).cast("long").alias("n_bpe_pieces"),
+            (
+                F.coalesce("n_bpe_pieces", F.lit(0))
+                / F.greatest(F.coalesce("n_words", F.lit(0)), F.lit(1))
+            ).alias("pieces_per_word"),
+        )
+    )
 
 
 def _bpe_chain_sql(where: str = "") -> list[str]:
@@ -1321,16 +1395,16 @@ LEFT JOIN agg USING (doc_id)
 _BUCKET_SQL = f"CAST(('0x' || substr(md5({_NORM_SQL}), 1, 15)) AS BIGINT) % 10"
 
 
-def _bpe_encode_holdout_sql() -> str:
-    """Holdout twin: the trained chain runs on the train split only;
-    unseen holdout words replay best1..bestN in rank order through the
-    same windowed greedy kernel; seen words read the trained table."""
-    n = BPE_MERGE_ROUNDS
-    chain = ",\n".join(_bpe_chain_sql(f" WHERE {_BUCKET_SQL} <= 7"))
-    apply_parts = []
-    for k in range(1, n + 1):
+def _bpe_apply_ladder_sql() -> str:
+    """The rank-replay ladder: usym{k} rewrites usym{k-1} with the
+    trained best{k} rule through the same greedy non-overlap window
+    construction as training — shared by the holdout and
+    injected-unseen oracles (expects an ``unseen``-derived ``usym0``
+    CTE and the trained chain's ``best{k}`` CTEs in scope)."""
+    parts = []
+    for k in range(1, BPE_MERGE_ROUNDS + 1):
         p = k - 1
-        apply_parts.append(f"""um{k} AS (
+        parts.append(f"""um{k} AS (
   SELECT s.tok, s.freq, s.pos, s.sym, b.l AS bl, b.r AS br,
          row_number() OVER (PARTITION BY s.tok ORDER BY s.pos) AS idx,
          COALESCE(s.sym = b.l
@@ -1357,7 +1431,66 @@ usym{k} AS MATERIALIZED (
         FROM us{k})
   WHERE NOT dropped
 )""")
-    applies = ",\n".join(apply_parts)
+    return ",\n".join(parts)
+
+
+def _bpe_encode_unseen_sql() -> str:
+    """Injected-unseen twin: full-corpus training chain + reversed-word
+    document tokens + the shared rank-replay ladder for the reversed
+    words missing from the vocabulary."""
+    n = BPE_MERGE_ROUNDS
+    chain = ",\n".join(_bpe_chain_sql())
+    applies = _bpe_apply_ladder_sql()
+    return f"""WITH {chain},
+doc_toks AS (
+  SELECT doc_id, reverse(tok) AS tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, reverse(tok)
+),
+seen_pieces AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS n_pieces, CAST(1 AS BIGINT) AS seen
+  FROM sym{n} GROUP BY tok
+),
+unseen AS (
+  SELECT DISTINCT d.tok FROM doc_toks d
+  WHERE NOT EXISTS (SELECT 1 FROM seen_pieces s WHERE s.tok = d.tok)
+),
+usym0 AS MATERIALIZED (
+  SELECT tok, CAST(1 AS BIGINT) AS freq, i AS pos, substr(tok, i, 1) AS sym
+  FROM (SELECT tok, unnest(generate_series(1, length(tok))) AS i FROM unseen)
+),
+{applies},
+unseen_pieces AS (
+  SELECT tok, COUNT(*) AS n_pieces, CAST(0 AS BIGINT) AS seen
+  FROM usym{n} GROUP BY tok
+),
+pieces AS (SELECT * FROM seen_pieces UNION ALL SELECT * FROM unseen_pieces),
+agg AS (
+  SELECT d.doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(SUM(c * (1 - seen)) AS BIGINT) AS n_unseen_words,
+         CAST(SUM(c * n_pieces) AS BIGINT) AS n_bpe_pieces
+  FROM doc_toks d JOIN pieces USING (tok)
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(n_unseen_words, 0) AS BIGINT) AS n_unseen_words,
+       CAST(COALESCE(n_bpe_pieces, 0) AS BIGINT) AS n_bpe_pieces,
+       COALESCE(n_bpe_pieces, 0) / GREATEST(COALESCE(n_words, 0), 1) AS pieces_per_word
+FROM documents
+LEFT JOIN agg USING (doc_id)
+"""
+
+
+def _bpe_encode_holdout_sql() -> str:
+    """Holdout twin: the trained chain runs on the train split only;
+    unseen holdout words replay best1..bestN in rank order through the
+    same windowed greedy kernel; seen words read the trained table."""
+    n = BPE_MERGE_ROUNDS
+    chain = ",\n".join(_bpe_chain_sql(f" WHERE {_BUCKET_SQL} <= 7"))
+    applies = _bpe_apply_ladder_sql()
     return f"""WITH {chain},
 hold AS MATERIALIZED (
   SELECT doc_id,
@@ -1415,6 +1548,7 @@ registry.register(
     "text_bpe_encode_holdout", bpe_encode_holdout, _bpe_encode_holdout_sql()
 )
 registry.register("text_bpe_vocab", bpe_vocab, _bpe_vocab_sql())
+registry.register("text_bpe_encode_unseen", bpe_encode_unseen, _bpe_encode_unseen_sql())
 registry.register("text_unigram_surprisal", unigram_surprisal, UNIGRAM_SURPRISAL_SQL)
 registry.register("text_token_stats", token_stats, TOKEN_STATS_SQL)
 registry.register("text_quality_score", quality_score, QUALITY_SQL)
