@@ -463,7 +463,12 @@ def change_feed(
     )
 
 
-def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[str]:
+def vacuum(
+    spark: SparkSession,
+    table_dir: str,
+    keep_last: int = 2,
+    orphan_grace_seconds: float = 24 * 3600,
+) -> list[str]:
     """Drop manifests (and their now-unreferenced data files) older than
     the last ``keep_last`` versions; returns the deleted file names.
     Time travel to vacuumed versions stops working — by design, exactly
@@ -472,9 +477,17 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[str]
     Re-runnable: manifests already removed by a previous vacuum are
     skipped. Also sweeps ORPHANED data files — files a crashed commit
     renamed into ``data/`` before writing its manifest (referenced by
-    no surviving manifest). Single-writer assumption: do not vacuum
-    while a commit is in flight, or its not-yet-manifested files would
-    be swept as orphans."""
+    no surviving manifest). Unreferenced files YOUNGER than
+    ``orphan_grace_seconds`` are kept (round 6): an in-flight commit
+    stages its files before publishing its manifest, so an
+    age-ungated sweep racing a concurrent writer would delete the
+    commit's data out from under it — the same reason Delta's VACUUM
+    has a deleted-file retention window. With the default grace,
+    vacuum is safe to run concurrently with writers; pass 0 only in a
+    genuinely quiesced maintenance window to reap fresh crash debris
+    immediately. Files dropped because their MANIFEST was vacuumed are
+    deleted regardless of age — their version is provably retired, not
+    in flight."""
     from .maintenance import path_exists
 
     fs, jvm = _fs(spark, table_dir)
@@ -506,7 +519,12 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[str]
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_manifests/v{v}.json"), False
         )
-    # orphan sweep: data files no surviving manifest references
+    # orphan sweep: data files no surviving manifest references — but
+    # only those older than the grace window, so a concurrent writer's
+    # staged-but-not-yet-published files survive
+    import time as _time
+
+    cutoff_ms = (_time.time() - orphan_grace_seconds) * 1000.0
     data_dir = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/data")
     if fs.exists(data_dir):
         for st in fs.listStatus(data_dir):
@@ -514,7 +532,7 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[str]
             if not name.endswith(".parquet"):
                 continue
             rel = f"data/{name}"
-            if rel not in kept_files:
+            if rel not in kept_files and st.getModificationTime() <= cutoff_ms:
                 fs.delete(st.getPath(), False)
                 deleted.append(rel)
     return deleted

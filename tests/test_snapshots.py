@@ -319,10 +319,40 @@ def test_vacuum_is_rerunnable_and_sweeps_orphans(spark, tmp_path_factory):
     src = glob.glob(f"{table}/_tmp_orphan/*.parquet")[0]
     shutil.copyfile(src, orphan)
     shutil.rmtree(f"{table}/_tmp_orphan")
+    # the fresh orphan is protected by the default grace window — a
+    # concurrent writer's staged files must not be swept (round 6)
     deleted = S.vacuum(spark, table, keep_last=2)   # second run — must not crash
+    assert "data/v99-deadbeef.parquet" not in deleted
+    import os
+
+    assert os.path.exists(orphan)
+    # a quiesced maintenance window (grace 0) reaps it immediately
+    deleted = S.vacuum(spark, table, keep_last=2, orphan_grace_seconds=0)
     assert "data/v99-deadbeef.parquet" in deleted
+    assert not os.path.exists(orphan)
     # latest still reads
     assert {r.prio for r in S.read_snapshot(spark, table).collect()} == {"v3"}
+
+
+def test_vacuum_concurrent_with_commit_loses_nothing(spark, tmp_path_factory):
+    """With the orphan grace window, a vacuum racing an in-flight commit
+    cannot delete the commit's staged-but-unpublished files: stage data
+    (no manifest yet), vacuum, then publish — the commit completes and
+    reads back intact."""
+    table = str(tmp_path_factory.mktemp("snapvacrace") / "t")
+    base = _orders(spark).limit(30)
+    for i in range(3):
+        S.commit_snapshot(spark, base.withColumn("prio", F.lit(f"v{i}")), table)
+    # writer stages version 4's files but has not published the manifest
+    files = S._stage_data(
+        spark, base.withColumn("prio", F.lit("inflight")), table, 4
+    )
+    S.vacuum(spark, table, keep_last=1)  # maintenance runs concurrently
+    # the writer now publishes — every staged file must still exist
+    manifest = S._build_manifest(spark, table, files, None, None)
+    assert S._try_publish(spark, table, 4, manifest)
+    got = {r.prio for r in S.read_snapshot(spark, table, as_of=4).collect()}
+    assert got == {"inflight"}
 
 
 def test_stats_round_outward_for_fractional_values(spark, tmp_path_factory):
