@@ -38,6 +38,12 @@ def _star_query(q: analysis.AnalysisQuery) -> QueryFn:
 # registry in module registration order), where any 50-entry prefix is
 # pure re-certification of already-green rows.
 _NEEDS_FIRST_ROW = [
+    # Round-6 late additions: UniMax budget-capped language mixing
+    # (integer waterfill over the lang histogram) and CCNet-style exact
+    # equi-depth perplexity terciles (histogram-windowed, corpus never
+    # sorted) — both first driver rows.
+    "docs_mixture_unimax",
+    "docs_perplexity_buckets",
     # Round-6 additions (first driver rows): apply the trained tokenizer
     # to a HELD-OUT split — unseen words replay the stored merge ranks
     # through the training kernel (VERDICT r5 #2) — and packing measured

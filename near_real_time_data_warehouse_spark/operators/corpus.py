@@ -829,7 +829,269 @@ FROM documents"""
 )
 
 
+# UniMax mixing budget as an exact fraction of the corpus (docs kept
+# across all languages ≈ NUM/DEN of the corpus). 2/3 exercises both
+# waterfill branches on the test corpus: the smallest language fits its
+# fair share untouched while the rest are capped at the waterline.
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 2, 3
+
+
+def mixture_waterfill(hist: DataFrame) -> DataFrame:
+    """Exact integer waterfill over a per-language histogram
+    (lang, c): allocate a total budget of ``total·NUM div DEN`` documents
+    across languages as uniformly as possible, capped by each language's
+    available count — the UniMax allocation (Chung et al. 2023) in
+    closed form, no Python loop.
+
+    Greedy equivalence: processing languages by ascending count, a
+    language whose count fits under the running fair share
+    ``(remaining budget) div (languages left)`` takes all its documents;
+    the first language that exceeds it caps every remaining language at
+    the waterline ``(budget − Σ smaller counts) div (languages left)``
+    (with real arithmetic the fair share is invariant once capping
+    starts, so one split point suffices; floor division only ever
+    under-allocates — deterministic in both engines). All whole-frame
+    windows run over the language histogram — O(distinct languages)
+    rows, thousands at web scale — so the single-partition window is a
+    non-issue; everything corpus-sized stays embarrassingly parallel."""
+    w_ord = Window.orderBy("c", "lang")
+    w_all = Window.partitionBy()
+    ranked = hist.select(
+        "lang",
+        "c",
+        F.row_number().over(w_ord).alias("rn"),
+        F.coalesce(
+            F.sum("c").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("s_prev"),
+        F.count(F.lit(1)).over(w_all).alias("n_langs"),
+        F.sum("c").over(w_all).alias("total"),
+    ).select(
+        "*",
+        F.expr(f"(total * {MIX_BUDGET_NUM}) div {MIX_BUDGET_DEN}").alias("b"),
+    )
+    # First language whose count exceeds its fair share; every language
+    # before it is fully satisfied (prefix sums of raw counts are then
+    # the true allocations, making the one-pass formula exact).
+    failed = ranked.select(
+        "*",
+        F.when(
+            F.col("c") > F.expr("(b - s_prev) div (n_langs - rn + 1)"),
+            F.col("rn"),
+        ).alias("fail_rn"),
+    )
+    with_k = failed.select(
+        "*",
+        F.coalesce(F.min("fail_rn").over(w_all) - 1, F.col("n_langs")).alias("k"),
+    )
+    with_sk = with_k.select(
+        "*",
+        F.coalesce(
+            F.sum(F.when(F.col("rn") <= F.col("k"), F.col("c"))).over(w_all),
+            F.lit(0),
+        ).alias("s_k"),
+    )
+    return with_sk.select(
+        "lang",
+        "c",
+        F.when(F.col("rn") <= F.col("k"), F.col("c"))
+        .otherwise(
+            F.least(
+                F.col("c"),
+                F.expr("(b - s_k) div greatest(n_langs - k, 1)"),
+            )
+        )
+        .alias("alloc"),
+    )
+
+
+def mixture_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax domain mixing (Chung et al. 2023): derive per-language
+    sampling rates FROM the observed language histogram — budget-capped
+    uniform allocation via exact integer waterfill — instead of the
+    fixed hand-tuned rates of docs_stratified_sample. Rates land as
+    integer thousandths; membership is the same salted content-hash
+    threshold ('unimax|' salt, independent of the split/sample/pack
+    hashes), so the sample is deterministic under re-ingestion and
+    repartitioning. Kept rows carry the inverse-rate weight.
+
+    Scale shape: one map-side-combinable language histogram (tiny),
+    waterfill windows over that tiny table only, broadcast join of the
+    rate table back onto the scan, then a scan-local filter — the
+    corpus-sized path never shuffles."""
+    d = _docs(spark, sf_dir)
+    hist = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    rates = mixture_waterfill(hist).select(
+        "lang",
+        F.least(F.lit(1000), F.expr("(1000 * alloc) div c")).alias("rate_k"),
+    )
+    strat = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("unimax|"), _norm_col())), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(1000),
+    )
+    return (
+        d.select("doc_id", "lang", strat.alias("strat"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("strat") < F.col("rate_k"))
+        .select(
+            "doc_id",
+            "lang",
+            "rate_k",
+            (F.lit(1000).cast("double") / F.col("rate_k").cast("double")).alias(
+                "weight"
+            ),
+        )
+    )
+
+
+MIXTURE_UNIMAX_SQL = f"""
+WITH hist AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+w1 AS (
+  SELECT lang, c,
+         ROW_NUMBER() OVER (ORDER BY c, lang) AS rn,
+         COALESCE(SUM(c) OVER (ORDER BY c, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev,
+         COUNT(*) OVER () AS n_langs,
+         SUM(c) OVER () AS total
+  FROM hist
+),
+w2 AS (
+  SELECT *, (total * {MIX_BUDGET_NUM}) // {MIX_BUDGET_DEN} AS b FROM w1
+),
+w3 AS (
+  SELECT *, CASE WHEN c > ((b - s_prev) // (n_langs - rn + 1))
+                 THEN rn END AS fail_rn
+  FROM w2
+),
+w4 AS (
+  SELECT *, COALESCE(MIN(fail_rn) OVER () - 1, n_langs) AS k FROM w3
+),
+w5 AS (
+  SELECT *, COALESCE(SUM(CASE WHEN rn <= k THEN c END) OVER (), 0) AS s_k
+  FROM w4
+),
+alloc AS (
+  SELECT lang, c,
+         CASE WHEN rn <= k THEN c
+              ELSE LEAST(c, (b - s_k) // GREATEST(n_langs - k, 1)) END AS alloc
+  FROM w5
+),
+rates AS (
+  SELECT lang, CAST(LEAST(1000, (1000 * alloc) // c) AS BIGINT) AS rate_k
+  FROM alloc
+),
+s AS (
+  SELECT doc_id, d.lang, rate_k,
+         CAST(('0x' || substr(md5('unimax|' || {_NORM_SQL}), 1, 15)) AS BIGINT)
+           % 1000 AS strat
+  FROM documents d JOIN rates ON d.lang = rates.lang
+)
+SELECT doc_id, lang, rate_k,
+       CAST(1000 AS DOUBLE) / CAST(rate_k AS DOUBLE) AS weight
+FROM s WHERE strat < rate_k
+"""
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    document with the exact-integer unigram LM (text_unigram_surprisal's
+    floor-log2 kernel), then split each LANGUAGE into equal-count
+    head / middle / tail thirds by score — the canonical
+    quality-stratification step before mixing.
+
+    The terciles are EXACT equi-depth but never sort the corpus: the
+    integer score ``score_milli = (1000·total_bits) div n_tokens`` has a
+    small bounded domain (mean surprisal ≲ 40 bits → ≤ 40k distinct
+    values), so cut points come from a cumulative window over the
+    (lang, score) HISTOGRAM — O(langs × distinct scores) rows regardless
+    of corpus size — and docs bucket by broadcast-joined threshold
+    comparison. Equal scores land in the same bucket (ties are never
+    split, unlike ntile — deterministic and rank-free). The per-lang
+    ntile window a naive port would use puts a whole language in one
+    reducer at 100 TB; this shape does not."""
+    from .text import unigram_surprisal
+
+    scored = unigram_surprisal(spark, sf_dir).select(
+        "doc_id",
+        F.expr("(1000 * total_surprisal_bits) div n_tokens").alias("score_milli"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    sc = scored.join(d, "doc_id")
+    hist = sc.groupBy("lang", "score_milli").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy("lang").orderBy("score_milli")
+    w_lang = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "score_milli",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_lang).alias("n"),
+    )
+    # cum ≥ ceil(n/3) ⇔ 3·cum ≥ n — integer-exact tercile cut points.
+    thresholds = cum.groupBy("lang").agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("score_milli"))).alias("t1"),
+        F.min(F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("score_milli"))).alias(
+            "t2"
+        ),
+    )
+    return (
+        sc.join(F.broadcast(thresholds), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "score_milli",
+            F.when(F.col("score_milli") <= F.col("t1"), F.lit("head"))
+            .when(F.col("score_milli") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_total FROM t),
+scored AS (
+  SELECT doc_id,
+         CAST((1000 * CAST(SUM(len(printf('%b', n_total)) - len(printf('%b', c.c)))
+                           AS BIGINT)) // COUNT(*) AS BIGINT) AS score_milli
+  FROM t JOIN c USING (tok), n
+  GROUP BY doc_id
+),
+sc AS (
+  SELECT s.doc_id, d.lang, s.score_milli
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+hist AS (
+  SELECT lang, score_milli, COUNT(*) AS cnt FROM sc GROUP BY lang, score_milli
+),
+cum AS (
+  SELECT lang, score_milli,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY score_milli) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+th AS (
+  SELECT lang,
+         MIN(CASE WHEN 3 * cum >= n THEN score_milli END) AS t1,
+         MIN(CASE WHEN 3 * cum >= 2 * n THEN score_milli END) AS t2
+  FROM cum GROUP BY lang
+)
+SELECT sc.doc_id, sc.lang, sc.score_milli,
+       CASE WHEN sc.score_milli <= th.t1 THEN 'head'
+            WHEN sc.score_milli <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM sc JOIN th ON sc.lang = th.lang
+"""
+
+
 registry.register("docs_cdc_chunks", cdc_chunks, CDC_CHUNKS_SQL)
+registry.register("docs_mixture_unimax", mixture_unimax, MIXTURE_UNIMAX_SQL)
+registry.register("docs_perplexity_buckets", perplexity_buckets, PERPLEXITY_BUCKETS_SQL)
 registry.register("docs_column_profile", column_profile, COLUMN_PROFILE_SQL)
 registry.register("docs_chunk_windows", chunk_windows, CHUNK_WINDOWS_SQL)
 registry.register("docs_stratified_sample", stratified_sample, STRATIFIED_SAMPLE_SQL)
