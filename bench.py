@@ -287,6 +287,18 @@ def main() -> None:
     out["unit"] = "sec"
     out["sf"] = sf
     print(json.dumps(out))
+    if "local-cluster" in os.environ.get("SPARK_GRAFT_MASTER", ""):
+        # Under a standalone local-cluster master an abrupt process exit
+        # races the Master/Worker teardown (the Master relaunches
+        # executors while Workers run shutdown hooks — harmless but
+        # noisy). Unregister the app first and give the Master a beat to
+        # process it; plain local[*] needs neither.
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+            time.sleep(1.0)
 
 
 if __name__ == "__main__":

@@ -378,15 +378,61 @@ def _local_checkpoint_stats_clean(df: DataFrame) -> DataFrame:
 # and still converges in ≤ _CC_PLAIN_ROUNDS + O(log diameter) rounds.
 _CC_PLAIN_ROUNDS = 8
 
+# Above this many distinct undirected edges the loop below resolves the
+# graph distributed; at or below it, ONE driver-side union-find action
+# replaces D iterations × (two joins + checkpoint + convergence agg).
+# Same reasoning as QUOTIENT_COLLECT_CAP: the near-dup pair graph is
+# orders of magnitude smaller than the corpus (most docs are
+# singletons and never reach this function's loop), and each
+# distributed round costs seconds of pure scheduling/AQE latency
+# regardless of data size — the round-6 10× sweep spent ~33 rounds ×
+# ~4 s on a graph whose edge list fits in one driver page. Tests pin
+# the distributed loop by monkeypatching this to 0.
+CC_COLLECT_CAP = 500_000
+
+
+def _cc_driver_resolve(
+    half_edges: list[tuple[int, int]], seeds: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Driver-side fixpoint of hash-min label propagation: per connected
+    component (union-find over edges whose BOTH endpoints carry a seed —
+    unlabeled vertices never relay in the distributed loop, so they must
+    not union here either), every member takes the minimum seed label in
+    the component. Returns (doc_id, label) for every seeded vertex."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    seed_map = dict(seeds)
+    for a, b in half_edges:
+        if a in seed_map and b in seed_map:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for v, s in seeds:
+        r = find(v) if v in parent else v
+        comp_min[r] = min(comp_min.get(r, s), s)
+    return [(v, comp_min[find(v) if v in parent else v]) for v, _ in seeds]
+
 
 def connected_components(
     vertices: DataFrame, edges: DataFrame, max_iterations: int = 60
 ) -> DataFrame:
-    """Distributed connected components by hash-min label propagation:
-    every vertex starts labeled with its own id; each round every vertex
-    takes the min of its label and its neighbors' labels, then SHORTCUTS
-    through its label's own label (pointer doubling); converged when no
-    label shrinks. Plain hash-min needs diameter rounds — the sf1 sweep
+    """Connected components by hash-min label propagation, with a
+    driver-side union-find fast path for graphs whose edge list fits
+    under CC_COLLECT_CAP (the overwhelmingly common case — the verified
+    near-dup pair graph is tiny next to the corpus; see the cap's
+    comment). Distributed semantics: every vertex starts labeled with
+    its own id; each round every vertex takes the min of its label and
+    its neighbors' labels, then SHORTCUTS through its label's own label
+    (pointer doubling); converged when no label shrinks. Plain hash-min needs diameter rounds — the sf1 sweep
     (round 6) actually hit the old 25-round cap on a 10× semantic-union
     graph whose cross-replica edges chained into a long path; with the
     shortcut step each round roughly halves every chain's remaining
@@ -429,11 +475,49 @@ def connected_components(
         seeds = vertices.select(F.col("doc_id"), F.col("doc_id").alias("label"))
     endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
     passive = seeds.join(endpoints, "doc_id", "left_anti")
+    # Hybrid fast path: if the (deduplicated, undirected) edge list fits
+    # under CC_COLLECT_CAP, one driver-side union-find replaces the
+    # whole iterative loop. The seed list it needs is endpoint-sized
+    # (≤ 2×edges) — the same "quotient fits on the driver" operating
+    # assumption as merge_components_with_edges, which broadcasts the
+    # resolved mapping back anyway. Beyond the cap (a 100 TB corpus can
+    # produce billions of verified pairs) the distributed loop below
+    # takes over with identical semantics.
+    half = (
+        edges.filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    )
+    taken = half.take(CC_COLLECT_CAP + 1)
+    if len(taken) <= CC_COLLECT_CAP:
+        seed_rows = seeds.join(endpoints, "doc_id", "left_semi").collect()
+        resolved_rows = _cc_driver_resolve(
+            [(r.src, r.dst) for r in taken],
+            [(r.doc_id, r.label) for r in seed_rows],
+        )
+        spark = vertices.sparkSession
+        resolved = spark.createDataFrame(
+            resolved_rows, "doc_id long, label long"
+        )
+        return resolved.unionByName(passive).select(
+            "doc_id", F.col("label").alias("component")
+        )
     labels = _local_checkpoint_stats_clean(
         seeds.join(endpoints, "doc_id", "left_semi")
     )
-    converged = False
+    # Convergence witness: labels only ever DECREASE (every update is a
+    # least()), so Σ label strictly drops iff any vertex changed — one
+    # shuffle-free aggregate on the just-checkpointed frame replaces the
+    # old-vs-new equi-join + count (a per-round shuffle). decimal(38,0)
+    # keeps the sum exact for any id range a corpus can produce.
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
+    converged = prev_sum is None  # empty graph: nothing to propagate
     for i in range(max_iterations):
+        if converged:
+            break
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .groupBy("dst")
@@ -475,16 +559,12 @@ def connected_components(
                     ).alias("label"),
                 )
             )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         # Unconverged labels would silently split clusters downstream
         # (keep-best would then keep multiple "best" docs per true

@@ -7,9 +7,14 @@ import pytest
 from near_real_time_data_warehouse_spark.operators.dedup import connected_components
 
 
-def test_connected_components_raises_when_iteration_capped(spark):
+def test_connected_components_raises_when_iteration_capped(spark, monkeypatch):
     # A 6-vertex path graph has diameter 5: label 0 cannot reach vertex 5
     # in 2 rounds, so the kernel must refuse to return unconverged labels.
+    # (Cap forced to 0 so the DISTRIBUTED loop runs — the driver-side
+    # union-find fast path is exact in one action and never caps.)
+    from near_real_time_data_warehouse_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "CC_COLLECT_CAP", 0)
     vertices = spark.range(6).withColumnRenamed("id", "doc_id")
     chain = [(i, i + 1) for i in range(5)]
     edges = spark.createDataFrame(
@@ -44,6 +49,19 @@ def test_seeded_components_equal_unseeded(spark):
     )
     got = {(r.doc_id, r.component) for r in connected_components(seeded, edges).collect()}
     assert got == want
+    # and the distributed path agrees on the seeded graph too
+    from near_real_time_data_warehouse_spark.operators import dedup
+
+    orig = dedup.CC_COLLECT_CAP
+    try:
+        dedup.CC_COLLECT_CAP = 0
+        got_dist = {
+            (r.doc_id, r.component)
+            for r in connected_components(seeded, edges).collect()
+        }
+    finally:
+        dedup.CC_COLLECT_CAP = orig
+    assert got_dist == want
 
 
 def test_graph_incremental_equals_full_rebuild(spark):
@@ -220,13 +238,17 @@ def test_pagerank_round_aqe_splits_hub_degree_skew(spark):
             spark.conf.set(k, v)
 
 
-def test_connected_components_converges_on_long_chain(spark):
+def test_connected_components_converges_on_long_chain(spark, monkeypatch):
     """Found by the round-6 sf1 sweep: a 10× semantic-union graph chained
     into a path longer than the iteration cap and plain hash-min (rounds
     = diameter) raised. With pointer doubling, a 2000-vertex path
     (diameter 1999) must converge well inside 25 rounds to a single
-    component labeled by its min vertex."""
+    component labeled by its min vertex. (Cap forced to 0 so the
+    distributed pointer-doubling loop is what's exercised.)"""
     from pyspark.sql import functions as F
+    from near_real_time_data_warehouse_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "CC_COLLECT_CAP", 0)
 
     n = 2000
     verts = spark.range(0, n).select(F.col("id").alias("doc_id"))

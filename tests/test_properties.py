@@ -68,11 +68,25 @@ def test_connected_components_matches_union_find(spark, n_nodes, edge_picks):
     vertices = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
     sym = edges + [(b, a) for a, b in edges]
     edge_df = spark.createDataFrame(sym or [], "src long, dst long")
+    # driver-side union-find fast path (default cap)
     got = {
         r.doc_id: r.component
         for r in connected_components(vertices, edge_df).collect()
     }
     assert got == want
+    # distributed label-propagation path (cap forced to 0) — identical
+    from near_real_time_data_warehouse_spark.operators import dedup
+
+    orig_cap = dedup.CC_COLLECT_CAP
+    try:
+        dedup.CC_COLLECT_CAP = 0
+        got_dist = {
+            r.doc_id: r.component
+            for r in connected_components(vertices, edge_df).collect()
+        }
+    finally:
+        dedup.CC_COLLECT_CAP = orig_cap
+    assert got_dist == want
 
 
 @given(
