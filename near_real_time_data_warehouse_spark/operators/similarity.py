@@ -666,6 +666,31 @@ FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {QUERY_CAP})
 SEM_TABLES = 4
 SEM_PLANES = 8
 
+# FIXED plane counts stop scaling: the bucket-table size is constant, so
+# per-bucket occupancy grows ∝ corpus and the candidate SELF-join grows
+# ∝ corpus² — the 50× probe measured exactly that (21 s at 10× → 458 s
+# at 50×, 16 GB spill, 100 GB peak execution memory). The fix is the
+# textbook one: add a plane (halve every bucket) each time the corpus
+# doubles past a target occupancy, keeping expected bucket size — and
+# with it candidate volume per vector — constant. Below SEM_TARGET_N
+# vectors the depth stays exactly SEM_PLANES, so every oracle-verified
+# scale (sf0.001–sf0.1 is ≤ 5k vectors) is bit-identical to the static
+# construction the DuckDB oracle replays; past it, deeper buckets only
+# ever DROP candidates (plane p's weights don't depend on the total
+# plane count, so a collision on P+1 bits implies one on the first P —
+# the containment is exact, pinned by pytest).
+SEM_TARGET_N = 8192
+
+
+def _sem_planes(n: int) -> int:
+    """Plane depth for an n-vector corpus: SEM_PLANES below the target
+    occupancy knee, +1 per doubling past it (bucket count ∝ n)."""
+    import math
+
+    if n <= SEM_TARGET_N:
+        return SEM_PLANES
+    return SEM_PLANES + math.ceil(math.log2(n / SEM_TARGET_N))
+
 
 def semantic_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage cross-modal near-dup detection — the shape production
@@ -686,10 +711,12 @@ def semantic_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     # checkpointed so the Python bucketing stage runs once, not once per
-    # self-join branch
-    b = _bucketed(e, n_tables=SEM_TABLES, n_planes=SEM_PLANES).localCheckpoint(
-        eager=False
-    )
+    # self-join branch; plane depth scales with the corpus (see
+    # SEM_TARGET_N) — constant-depth buckets made the self-join
+    # quadratic, caught by the 50× probe
+    b = _bucketed(
+        e, n_tables=SEM_TABLES, n_planes=_sem_planes(e.count())
+    ).localCheckpoint(eager=False)
     cand = (
         b.alias("a")
         .join(

@@ -200,3 +200,60 @@ def test_multiprobe_recall_is_monotone(spark, exact):
     multi = recall(ann_lsh_multiprobe(spark, SF_SMALL))
     assert multi >= single
     assert multi >= MIN_RECALL
+
+
+def test_sem_planes_depth_formula():
+    """Depth stays at the static (oracle-replayed) SEM_PLANES below the
+    occupancy knee and adds one plane per corpus doubling past it, so
+    expected bucket occupancy — and with it self-join candidate volume
+    per vector — stays constant (the 50x probe's quadratic-candidates
+    fix)."""
+    from near_real_time_data_warehouse_spark.operators.similarity import (
+        SEM_PLANES,
+        SEM_TARGET_N,
+        _sem_planes,
+    )
+
+    assert _sem_planes(1) == SEM_PLANES
+    assert _sem_planes(SEM_TARGET_N) == SEM_PLANES
+    assert _sem_planes(SEM_TARGET_N + 1) == SEM_PLANES + 1
+    assert _sem_planes(2 * SEM_TARGET_N) == SEM_PLANES + 1
+    assert _sem_planes(4 * SEM_TARGET_N) == SEM_PLANES + 2
+    assert _sem_planes(50 * SEM_TARGET_N) == SEM_PLANES + 6
+
+
+def test_deeper_planes_candidates_are_a_subset(spark):
+    """Plane p's weights don't depend on the total plane count, so a
+    bucket collision on P+2 bits implies one on the first P bits: the
+    deeper self-join candidate set must be an exact subset of the
+    shallower one (adaptive deepening only ever drops candidates)."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators.similarity import (
+        SEM_TABLES,
+        _bucketed,
+        _emb,
+    )
+
+    from .conftest import SF_SMALL
+
+    e = _emb(spark, SF_SMALL)
+
+    def pairs(n_planes: int) -> set:
+        b = _bucketed(e, n_tables=SEM_TABLES, n_planes=n_planes)
+        c = (
+            b.alias("a")
+            .join(
+                b.alias("b"),
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y"))
+            .distinct()
+        )
+        return {(r.x, r.y) for r in c.collect()}
+
+    shallow, deep = pairs(6), pairs(8)
+    assert deep <= shallow
+    assert len(deep) < len(shallow)  # deepening genuinely prunes here
