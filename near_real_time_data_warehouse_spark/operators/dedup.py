@@ -743,7 +743,16 @@ def _simhash_fp(d: DataFrame, n_bits: int = 32) -> DataFrame:
     """SimHash fingerprint of width ``n_bits`` (≤ 60 — BIGINT-safe with
     headroom for the sign bit in both engines): per bit position, the
     sign of the sum of ±1 votes from each distinct token's hash bit.
-    Integer arithmetic end-to-end — exact and portable."""
+    Integer arithmetic end-to-end — exact and portable.
+
+    The per-bit sums are n_bits COLUMNS of ONE map-side-combinable
+    aggregate over (doc_id, token-hash) rows — not an exploded
+    (doc_id, bit) row per token per bit. The exploded shape shuffles
+    n_bits× the token stream (the 50× probe measured 22 GB of sort
+    spill from exactly that); the columnar shape's shuffle is partial
+    aggregates ∝ docs × n_bits longs. Same algebra, same result —
+    the DuckDB oracle keeps the exploded formulation and the driver
+    hash certifies the equivalence."""
     assert n_bits <= 60 and n_bits % 4 == 0
     toks = (
         d.select("doc_id", F.explode(F.array_distinct(F.split(_norm_col(), " "))).alias("tok"))
@@ -752,21 +761,27 @@ def _simhash_fp(d: DataFrame, n_bits: int = 32) -> DataFrame:
     hashed = toks.withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, n_bits // 4), 16, 10).cast("long")
     )
-    bits = hashed.select(
+    votes = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*votes)
+    sig = per_doc.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
-        "h",
-    ).withColumn("vote", F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"))
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")).alias(
-                "simhash"
-            )
-        )
+        sum(
+            (
+                F.expr(
+                    f"CASE WHEN s{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+                for b in range(n_bits)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
     )
+    return sig
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,8 +840,15 @@ def hamming_banded_pairs(
     banding at threshold 7."""
     assert threshold < n_bands, "pigeonhole needs more bands than bit flips"
     # The fingerprint aggregation tree feeds both join sides —
-    # materialize once.
-    sh = sh.localCheckpoint(eager=False)
+    # materialize once. STATS-CLEAN, not a plain localCheckpoint: the
+    # inherited aggregate estimate undersizes the corpus-proportional
+    # fingerprint table, so Catalyst STATICALLY broadcast the exploded
+    # band table — ~300 MB of HashedRelation at the 50× probe scale,
+    # which OOMed a default-heap driver and forced 22 GB of memory
+    # pressure spill on a large one. With unknown stats the static plan
+    # keeps a shuffle join and AQE still converts to broadcast at
+    # runtime whenever the REAL band table is small (every tested SF).
+    sh = _local_checkpoint_stats_clean(sh)
     mask = (1 << band_bits) - 1
     band_arr = F.array(
         *[
