@@ -867,6 +867,26 @@ def hamming_banded_pairs(
     )
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # A near-identical pair collides on SEVERAL bands — deduplicating
+    # those emissions with .distinct() exchanged + aggregated every
+    # collision row (the 50× probe's one remaining spiller: ~4× the
+    # qualifying pairs through a 100M-row distinct, 27 GB spill).
+    # Instead keep a matched row only at the pair's FIRST agreeing band
+    # — computable from the two fingerprints already in the join row —
+    # so each qualifying pair is emitted exactly once and the distinct
+    # (and its exchange) disappears from the plan.
+    first_match = F.coalesce(
+        *[
+            F.when(
+                F.shiftright(F.col("a.simhash"), band_bits * bb)
+                .bitwiseAND(F.lit(mask))
+                == F.shiftright(F.col("b.simhash"), band_bits * bb)
+                .bitwiseAND(F.lit(mask)),
+                F.lit(bb),
+            )
+            for bb in range(n_bands)
+        ]
+    )
     return (
         a.join(
             b,
@@ -874,15 +894,14 @@ def hamming_banded_pairs(
             & (F.col("a.byte") == F.col("b.byte"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # Hamming BEFORE any shuffle: the verify is a per-row bit op, so
+        # non-qualifying candidates never leave the join stage.
+        .filter((ham <= threshold) & (F.col("a.band") == first_match))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("long").alias("hamming"),
         )
-        # Hamming BEFORE the dedup shuffle: the verify is a per-row bit op,
-        # so non-qualifying candidates never enter the exchange.
-        .filter(F.col("hamming") <= threshold)
-        .distinct()  # a pair can collide on several bands
     )
 
 
