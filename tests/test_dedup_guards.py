@@ -261,3 +261,34 @@ def test_connected_components_converges_on_long_chain(spark, monkeypatch):
     got = connected_components(verts, edges).collect()
     assert len(got) == n
     assert {r.component for r in got} == {0}
+
+
+def test_unlabeled_edge_endpoints_never_relay(spark):
+    """Edges touching a vertex NOT in the vertices input must not merge
+    components through it: the distributed loop only propagates through
+    labeled rows, and the driver fast path unions only edges with both
+    endpoints seeded. Graph 0—1—2 with vertex 1 missing from the input
+    must leave 0 and 2 in separate components — on BOTH paths."""
+    from near_real_time_data_warehouse_spark.operators import dedup
+
+    vertices = spark.createDataFrame([(0,), (2,)], "doc_id long")
+    raw = [(0, 1), (1, 2)]
+    edges = spark.createDataFrame(
+        raw + [(b, a) for a, b in raw], "src long, dst long"
+    )
+    want = {(0, 0), (2, 2)}
+    got = {
+        (r.doc_id, r.component)
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == want
+    orig = dedup.CC_COLLECT_CAP
+    try:
+        dedup.CC_COLLECT_CAP = 0
+        got_dist = {
+            (r.doc_id, r.component)
+            for r in connected_components(vertices, edges).collect()
+        }
+    finally:
+        dedup.CC_COLLECT_CAP = orig
+    assert got_dist == want
