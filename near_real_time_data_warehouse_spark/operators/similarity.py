@@ -236,6 +236,24 @@ def _bucketed(
     return e.mapInPandas(batches, "vec_id long, tbl int, bucket long")
 
 
+# Knee for the query-path LSH depth (same discipline as SEM_TARGET_N):
+# with a FIXED 4-plane table the 16 buckets make per-query candidates
+# ∝ corpus/16 — at the 50× probe scale every query scans ~the whole
+# corpus, i.e. the "approximate" path silently degenerates to brute
+# force. One extra plane per corpus doubling past the knee keeps
+# per-query candidate volume constant; below the knee (every oracle-
+# verified SF) the construction is bit-identical to the static replay.
+ANN_TARGET_N = 8192
+
+
+def _ann_planes(n: int) -> int:
+    import math
+
+    if n <= ANN_TARGET_N:
+        return N_PLANES
+    return N_PLANES + math.ceil(math.log2(n / ANN_TARGET_N))
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via multi-table hyperplane LSH: candidates are pairs
     sharing a bucket in ≥1 of the L tables; only candidates are scored.
@@ -243,25 +261,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic — the md5-derived planes let the DuckDB oracle replay
     the exact bucketing (see ``_lsh_topk_sql``), so this entry is
     driver-verified bit-exactly despite being an ANN path. At 100 TB this
-    is the scale path: cost ∝ corpus + candidates, and the (L, k) choice
-    tunes recall against candidate volume."""
+    is the scale path: cost ∝ corpus + candidates, the (L, k) choice
+    tunes recall against candidate volume, and the plane depth grows
+    with the corpus past ANN_TARGET_N so the candidate set never
+    degenerates toward all-pairs-per-query."""
     emb = _emb(spark, sf_dir)
+    n_planes = _ann_planes(emb.count())
     # Bucket the tiny query block separately — bucketing is deterministic,
     # so this matches the corpus pass without streaming the corpus twice.
-    probes = _bucketed(emb.filter(F.col("vec_id") < QUERY_CAP)).select(
+    probes = _bucketed(emb.filter(F.col("vec_id") < QUERY_CAP), n_planes=n_planes).select(
         F.col("vec_id").alias("query_id"), "tbl", F.col("bucket").alias("qbucket")
     )
-    return _lsh_topk_from_probes(spark, emb, probes)
+    return _lsh_topk_from_probes(spark, emb, probes, n_planes=n_planes)
 
 
 def _lsh_topk_from_probes(
-    spark: SparkSession, emb: DataFrame, probes: DataFrame
+    spark: SparkSession, emb: DataFrame, probes: DataFrame, n_planes: int = N_PLANES
 ) -> DataFrame:
     """Shared LSH query path: join a (query_id, tbl, qbucket) probe set
     against the bucketed corpus and score the candidates — one
     definition for the single-probe and multi-probe entries (review
     finding: a fix to the candidate join must not need making twice)."""
-    corpus = _bucketed(emb).select(
+    corpus = _bucketed(emb, n_planes=n_planes).select(
         F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
     ).alias("cs")
     probes = probes.alias("qs")
@@ -533,9 +554,12 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-probe entry. Candidates are a strict superset of
     single-probe's, so recall vs the brute truth is provably monotone
     (asserted in tests). Scale: corpus bucketing unchanged (one pass);
-    only the broadcast query side fans out ×(1 + N_PLANES)."""
+    only the broadcast query side fans out ×(1 + planes), and the
+    plane depth follows the same corpus-size knee as the single-probe
+    entry (ANN_TARGET_N)."""
     emb = _emb(spark, sf_dir)
-    queries = _bucketed(emb.filter(F.col("vec_id") < QUERY_CAP)).select(
+    n_planes = _ann_planes(emb.count())
+    queries = _bucketed(emb.filter(F.col("vec_id") < QUERY_CAP), n_planes=n_planes).select(
         F.col("vec_id").alias("query_id"), "tbl", F.col("bucket").alias("qbucket")
     )
     probes = queries.select(
@@ -546,12 +570,12 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("qbucket"),
                 *[
                     F.col("qbucket").bitwiseXOR(F.lit(1 << p))
-                    for p in range(N_PLANES)
+                    for p in range(n_planes)
                 ],
             )
         ).alias("qbucket"),
     )
-    return _lsh_topk_from_probes(spark, emb, probes)
+    return _lsh_topk_from_probes(spark, emb, probes, n_planes=n_planes)
 
 
 def _lsh_multiprobe_sql() -> str:

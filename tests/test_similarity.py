@@ -257,3 +257,63 @@ def test_deeper_planes_candidates_are_a_subset(spark):
     shallow, deep = pairs(6), pairs(8)
     assert deep <= shallow
     assert len(deep) < len(shallow)  # deepening genuinely prunes here
+
+
+def test_ann_planes_formula_and_probe_containment(spark):
+    """The query-path depth knee mirrors the semantic one, and deeper
+    probing only ever narrows candidates: a deeper-bucket collision
+    implies a shallower one (bit prefix), and every Hamming-1 probe at
+    depth P+d projects onto the exact-or-Hamming-1 probe set at depth P
+    — so the multiprobe candidate set at deeper planes is a subset of
+    the default-depth set."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import similarity as S
+
+    assert S._ann_planes(1) == S.N_PLANES
+    assert S._ann_planes(S.ANN_TARGET_N) == S.N_PLANES
+    assert S._ann_planes(2 * S.ANN_TARGET_N) == S.N_PLANES + 1
+    assert S._ann_planes(300 * S.ANN_TARGET_N) == S.N_PLANES + 9
+
+    from .conftest import SF_SMALL
+
+    emb = S._emb(spark, SF_SMALL)
+
+    def cand(n_planes: int) -> set:
+        queries = S._bucketed(
+            emb.filter(F.col("vec_id") < S.QUERY_CAP), n_planes=n_planes
+        ).select(
+            F.col("vec_id").alias("query_id"), "tbl", F.col("bucket").alias("qbucket")
+        )
+        probes = queries.select(
+            "query_id",
+            "tbl",
+            F.explode(
+                F.array(
+                    F.col("qbucket"),
+                    *[
+                        F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(n_planes)
+                    ],
+                )
+            ).alias("qbucket"),
+        )
+        corpus = S._bucketed(emb, n_planes=n_planes).select(
+            F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
+        )
+        got = (
+            corpus.alias("cs")
+            .join(
+                probes.alias("qs"),
+                (F.col("cs.tbl") == F.col("qs.tbl"))
+                & (F.col("cs.bucket") == F.col("qs.qbucket"))
+                & (F.col("qs.query_id") != F.col("cs.neighbor_id")),
+            )
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        return {(r.query_id, r.neighbor_id) for r in got.collect()}
+
+    shallow, deep = cand(4), cand(6)
+    assert deep <= shallow
+    assert len(deep) < len(shallow)
