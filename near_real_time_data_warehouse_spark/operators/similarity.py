@@ -337,33 +337,60 @@ def _topk_over_candidates(spark: SparkSession, emb: DataFrame, cand: DataFrame) 
     )
 
 
-N_CENTROIDS = 16   # IVF list count (≈√corpus at these sf; √N at scale)
+N_CENTROIDS = 16   # IVF list count at/below the knee (≈√corpus there)
 N_PROBE = 6        # probed lists per query (synthetic corpus is weakly
                    # clustered, so recall needs a deeper probe than the
                    # 1-2 lists a clustered production corpus would)
 KMEANS_ITERATIONS = 8      # Lloyd steps on the training sample — driver-side
-                           # numpy on ≤TRAIN_SAMPLE_TARGET rows, so extra
+                           # numpy on ≤ the sample-size rows, so extra
                            # iterations are free (round 1 paid a full
                            # distributed corpus pass per step and stopped at 2)
-TRAIN_SAMPLE_TARGET = 2048  # ≈ sample size the centroids are trained on
+TRAIN_SAMPLE_TARGET = 2048  # ≈ sample size at/below the knee
+# Knee for the IVF list count: a FIXED 16-list index probes
+# N_PROBE/16 ≈ 37% of the corpus per query AT ANY SCALE — the same
+# degenerate-to-brute-force shape the LSH query path had. Past the
+# knee the list count follows the standard √N discipline
+# (FAISS-style nlist ≈ √corpus): probe cost ∝ N_PROBE·corpus/nlist =
+# O(√corpus) per query. Below the knee (every oracle-verified SF) the
+# construction — and so the stored index and every driver hash — is
+# bit-identical to the static one.
+IVF_TARGET_N = 8192
+
+
+def _ivf_centroids(n: int) -> int:
+    """IVF list count for an n-vector corpus: the static N_CENTROIDS up
+    to the knee, then ∝ √corpus (doubling per 4× the corpus)."""
+    import math
+
+    if n <= IVF_TARGET_N:
+        return N_CENTROIDS
+    return N_CENTROIDS * (2 ** math.ceil(math.log2(math.sqrt(n / IVF_TARGET_N))))
+
+
+def _train_sample_target(n_centroids: int) -> int:
+    """Training-sample size: ≥ 128 vectors per centroid (the usual
+    k-means-for-IVF budget), never below the static target. Grows
+    ∝ √corpus with the list count — bounded driver state at any scale."""
+    return max(TRAIN_SAMPLE_TARGET, 128 * n_centroids)
 
 
 def _train_centroids_on_sample(emb: DataFrame) -> np.ndarray:
     """IVF centroid training on a bounded deterministic sample.
 
-    Sample rule: ``vec_id % mod == 0`` with mod sized so ≈
-    TRAIN_SAMPLE_TARGET vectors survive — deterministic, pushdown-friendly
-    (a scan filter, no shuffle), and bounded regardless of corpus size
-    (the 100 TB requirement: training state must not grow with N).
-    Lloyd runs in driver numpy on the collected sample; centroid updates
-    are floor(exact-int64-sum / count) — identical arithmetic to the
+    Sample rule: ``vec_id % mod == 0`` with mod sized so ≈ the sample
+    target survives — deterministic, pushdown-friendly (a scan filter,
+    no shuffle), and bounded ∝ √corpus (the 100 TB requirement:
+    training state must not grow linearly with N). Lloyd runs in driver
+    numpy on the collected sample; centroid updates are
+    floor(exact-int64-sum / count) — identical arithmetic to the
     round-1 distributed version, so results are bit-reproducible."""
     n = emb.count()
-    mod = max(1, n // TRAIN_SAMPLE_TARGET)
+    n_centroids = _ivf_centroids(n)
+    mod = max(1, n // _train_sample_target(n_centroids))
     sids, smat = _collect_quantized(emb.filter(F.col("vec_id") % mod == 0))
     order = np.argsort(sids)
     smat = smat[order]
-    cmat = smat[:N_CENTROIDS].copy()
+    cmat = smat[:n_centroids].copy()
 
     snorm = np.sqrt((smat * smat).sum(axis=1).astype(np.float64))
     for _ in range(KMEANS_ITERATIONS):
@@ -371,7 +398,7 @@ def _train_centroids_on_sample(emb: DataFrame) -> np.ndarray:
         cos = (smat @ cmat.T) / (snorm[:, None] * cnorm[None, :])
         assign = cos.argmax(axis=1)
         new = cmat.copy()
-        for c in range(N_CENTROIDS):
+        for c in range(n_centroids):
             members = smat[assign == c]
             if len(members):
                 new[c] = members.sum(axis=0) // len(members)  # exact int64

@@ -317,3 +317,25 @@ def test_ann_planes_formula_and_probe_containment(spark):
     shallow, deep = cand(4), cand(6)
     assert deep <= shallow
     assert len(deep) < len(shallow)
+
+
+def test_ivf_centroid_scaling_formula():
+    """√N list-count discipline past the knee: static below it (every
+    oracle-verified SF), doubling per 4× the corpus above it, sample
+    budget ≥ 128 vectors per centroid."""
+    from near_real_time_data_warehouse_spark.operators.similarity import (
+        IVF_TARGET_N,
+        N_CENTROIDS,
+        TRAIN_SAMPLE_TARGET,
+        _ivf_centroids,
+        _train_sample_target,
+    )
+
+    assert _ivf_centroids(100) == N_CENTROIDS
+    assert _ivf_centroids(IVF_TARGET_N) == N_CENTROIDS
+    assert _ivf_centroids(4 * IVF_TARGET_N) == 2 * N_CENTROIDS
+    assert _ivf_centroids(16 * IVF_TARGET_N) == 4 * N_CENTROIDS
+    # 50x-probe scale: 250k vectors -> 6x doubling-rounded list count
+    assert _ivf_centroids(250_000) == N_CENTROIDS * 8
+    assert _train_sample_target(N_CENTROIDS) == TRAIN_SAMPLE_TARGET
+    assert _train_sample_target(128) == 128 * 128
