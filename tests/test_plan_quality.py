@@ -511,3 +511,38 @@ def test_robust_outliers_windows_are_partitioned(spark):
 
     plan = plan_of(robust_outliers(spark, SF_SMALL))
     assert "SinglePartition" not in plan
+
+
+def test_mixture_unimax_corpus_path_is_broadcast_and_scan_local(spark):
+    """The corpus-sized path of docs_mixture_unimax must be a broadcast
+    join of the tiny rate table onto the scan plus a scan-local filter —
+    never a shuffle of the corpus on lang. The only exchanges allowed
+    are the tiny language-histogram aggregation and the waterfill's
+    single-partition windows over it."""
+    from near_real_time_data_warehouse_spark.operators import corpus
+
+    plan = plan_of(corpus.mixture_unimax(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # documents scan must prune to the columns the entry touches
+    assert "doc_id" in plan and "n_chars" not in plan
+
+
+def test_perplexity_buckets_thresholds_broadcast_no_corpus_window(spark):
+    """docs_perplexity_buckets' tercile cut points come from the
+    (lang, score) HISTOGRAM; the corpus-sized path joins the broadcast
+    threshold table — a per-lang window over raw docs (the naive ntile
+    port) would single-reducer a whole language at 100 TB. The plan must
+    broadcast-join the thresholds and keep every Window bounded by the
+    histogram aggregate, not the doc stream."""
+    from near_real_time_data_warehouse_spark.operators import corpus
+
+    df = corpus.perplexity_buckets(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # the ntile-style anti-pattern would partition a Window by lang over
+    # doc rows: every Window here must sit ABOVE the histogram aggregate
+    # (its input contains the histogram count column), which plan text
+    # shows as windows over the aggregated cnt/cum columns, never a
+    # window whose input is the raw tokenized doc stream
+    assert "ntile" not in plan.lower()
