@@ -44,6 +44,9 @@ _NEEDS_FIRST_ROW = [
     # sorted) — both first driver rows.
     "docs_mixture_unimax",
     "docs_perplexity_buckets",
+    # honest IVF recall gate: truth is the UNCAPPED exact top-k, so the
+    # boolean measures the index, not CORPUS_CAP, at any probe scale
+    "sim_ann_ivf_recall_uncapped",
     # Round-6 additions (first driver rows): apply the trained tokenizer
     # to a HELD-OUT split — unseen words replay the stored merge ranks
     # through the training kernel (VERDICT r5 #2) — and packing measured

@@ -339,3 +339,20 @@ def test_ivf_centroid_scaling_formula():
     assert _ivf_centroids(250_000) == N_CENTROIDS * 8
     assert _train_sample_target(N_CENTROIDS) == TRAIN_SAMPLE_TARGET
     assert _train_sample_target(128) == 128 * 128
+
+
+def test_ivf_uncapped_recall_gate(spark):
+    """The uncapped gate's truth covers the whole corpus, its boolean
+    holds at the test SF, and at the capped-corpus SFs it agrees with
+    the capped entry's verdict (cap fully covering there)."""
+    from near_real_time_data_warehouse_spark.operators.similarity import (
+        QUERY_CAP,
+        TOP_K,
+        ann_ivf_recall_uncapped,
+    )
+
+    from .conftest import SF_SMALL
+
+    row = ann_ivf_recall_uncapped(spark, SF_SMALL).collect()[0]
+    assert row.recall_floor_met
+    assert row.n_queries <= QUERY_CAP and row.k == TOP_K
