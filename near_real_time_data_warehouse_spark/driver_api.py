@@ -47,6 +47,10 @@ _NEEDS_FIRST_ROW = [
     # honest IVF recall gate: truth is the UNCAPPED exact top-k, so the
     # boolean measures the index, not CORPUS_CAP, at any probe scale
     "sim_ann_ivf_recall_uncapped",
+    # cross-document duplicated-ngram fraction (Lee et al. 2021) — the
+    # corpus-wide memorization signal, distinct from within-doc
+    # repetition and from held-out-split contamination
+    "docs_duplicated_ngram_fraction",
     # Round-6 additions (first driver rows): apply the trained tokenizer
     # to a HELD-OUT split — unseen words replay the stored merge ranks
     # through the training kernel (VERDICT r5 #2) — and packing measured

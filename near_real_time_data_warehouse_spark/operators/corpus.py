@@ -993,6 +993,67 @@ FROM s WHERE strat < rate_k
 """
 
 
+# Cross-document duplication signal (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better"): the memorization-risk
+# flag fires when at least this fraction of a document's distinct
+# 3-gram shingles also occur in some OTHER document. Distinct from
+# text_repetition_stats (WITHIN-doc repetition) and from
+# docs_benchmark_contamination (overlap with the held-out split only).
+DUP_NGRAM_FLAG_FRACTION = 0.5
+
+
+def duplicated_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: how much of it is duplicated text ANYWHERE else in
+    the corpus — the fraction of its distinct 3-gram shingles that occur
+    in ≥ 1 other document, plus the memorization-risk flag at
+    DUP_NGRAM_FLAG_FRACTION. The cross-corpus companion of the
+    within-doc repetition filter; high-fraction docs are the
+    boilerplate/mirror pages whose n-grams an LM would memorize.
+
+    Scale shape: one shingle scan (memo-shared with the dedup chain),
+    a map-side-combinable per-shingle document count, and one join of
+    shingle instances back against that count table on the 8-byte
+    shingle hash — shuffle ∝ shingle instances, the same LM-scoring
+    floor as the surprisal entries. No candidate pairs, no banding, no
+    quadratic term anywhere."""
+    from .dedup import _shingles_materialized
+
+    sh = _shingles_materialized(spark, sf_dir)
+    hashed = sh.select("doc_id", _shingle_hash().alias("h"))
+    counts = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup_frac = F.sum((F.col("n_docs") >= 2).cast("long")).cast(
+        "double"
+    ) / F.count(F.lit(1)).cast("double")
+    return (
+        hashed.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_duplicated"),
+            dup_frac.alias("dup_fraction"),
+            (dup_frac >= DUP_NGRAM_FLAG_FRACTION).alias("is_dup_heavy"),
+        )
+    )
+
+
+DUPLICATED_NGRAM_SQL = f"""
+WITH sh AS ({{shingles}}),
+hashed AS (SELECT doc_id, {_SHINGLE_HASH_SQL} AS h FROM sh),
+c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs FROM hashed GROUP BY h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicated,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_fraction,
+       (CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE)) >= {DUP_NGRAM_FLAG_FRACTION}
+         AS is_dup_heavy
+FROM hashed JOIN c USING (h)
+GROUP BY doc_id
+""".format(shingles=_SHINGLES_SQL.format(where=""))
+
+
 def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
     document with the exact-integer unigram LM (text_unigram_surprisal's
@@ -1091,6 +1152,9 @@ FROM sc JOIN th ON sc.lang = th.lang
 
 registry.register("docs_cdc_chunks", cdc_chunks, CDC_CHUNKS_SQL)
 registry.register("docs_mixture_unimax", mixture_unimax, MIXTURE_UNIMAX_SQL)
+registry.register(
+    "docs_duplicated_ngram_fraction", duplicated_ngram_fraction, DUPLICATED_NGRAM_SQL
+)
 registry.register("docs_perplexity_buckets", perplexity_buckets, PERPLEXITY_BUCKETS_SQL)
 registry.register("docs_column_profile", column_profile, COLUMN_PROFILE_SQL)
 registry.register("docs_chunk_windows", chunk_windows, CHUNK_WINDOWS_SQL)

@@ -266,3 +266,29 @@ def test_perplexity_buckets_exact_terciles(spark):
         # the tied boundary score drops it back under n/3 (t1 minimal)
         assert 3 * (g.score_milli <= t1).sum() >= n
         assert 3 * (g.score_milli < t1).sum() < n
+
+
+def test_duplicated_ngram_fraction_bounds_and_exact_dups(spark):
+    """Bounds hold; every member of an exact-duplicate pair (same
+    normalized text, different doc_id) must score dup_fraction 1.0 —
+    all of its shingles occur in its twin."""
+    df = corpus.duplicated_ngram_fraction(spark, SF_SMALL).toPandas()
+    assert len(df) > 0
+    assert (df.n_duplicated <= df.n_shingles).all()
+    assert ((df.dup_fraction >= 0) & (df.dup_fraction <= 1)).all()
+    assert (df.is_dup_heavy == (df.dup_fraction >= corpus.DUP_NGRAM_FLAG_FRACTION)).all()
+    # cross-operator invariant: for a verified near-dup pair with
+    # Jaccard J, each member's duplicated fraction is >= J (the shared
+    # shingles |A∩B| are duplicated for both, and |A∩B|/|A| >= J)
+    from near_real_time_data_warehouse_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(spark, SF_SMALL).toPandas()
+    assert len(pairs) > 0
+    scored = df.set_index("doc_id")
+    for r in pairs.itertuples():
+        for d in (r.doc_a, r.doc_b):
+            if d in scored.index:  # pairs entry may be capped to an id range
+                assert scored.loc[d].dup_fraction >= JACCARD_THRESHOLD
