@@ -67,7 +67,7 @@ def _shingles_materialized(
         d = _docs(spark, sf_dir)
         if cap is not None:
             d = d.filter(F.col("doc_id") < cap)
-        sh = _shingles(d).localCheckpoint(eager=False)
+        sh = _local_checkpoint_stats_clean(_shingles(d), eager=False)
         _SHINGLE_MEMO[key] = sh
     return sh
 
@@ -233,7 +233,7 @@ def _bands_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _BANDS_MEMO.get(key)
     if bands is None:
         sh = _shingles_materialized(spark, sf_dir)
-        bands = _band_signatures(sh).localCheckpoint(eager=False)
+        bands = _local_checkpoint_stats_clean(_band_signatures(sh), eager=False)
         _BANDS_MEMO[key] = bands
     return bands
 
@@ -257,7 +257,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _PAIRS_MEMO.get(key)
     if got is None:
-        got = _minhash_lsh_pairs_build(spark, sf_dir).localCheckpoint(eager=False)
+        got = _local_checkpoint_stats_clean(
+            _minhash_lsh_pairs_build(spark, sf_dir), eager=False
+        )
         _PAIRS_MEMO[key] = got
     return got
 
@@ -346,7 +348,7 @@ WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 
 # --- Connected components over the near-dup graph -------------------------
 
-def _local_checkpoint_stats_clean(df: DataFrame) -> DataFrame:
+def _local_checkpoint_stats_clean(df: DataFrame, eager: bool = True) -> DataFrame:
     """localCheckpoint that does NOT inherit the origin plan's Catalyst
     size statistics. ``Dataset.localCheckpoint`` copies the checkpointed
     plan's estimated stats into the new ``LogicalRDD`` — for an
@@ -360,8 +362,18 @@ def _local_checkpoint_stats_clean(df: DataFrame) -> DataFrame:
     fix rebuilds the frame over the checkpointed rows without origin
     stats (AQE still sees the true runtime sizes, so physical plans
     stay sane). Falls back to a plain localCheckpoint if the internal
-    constructor is unavailable."""
-    jdf = df._jdf.localCheckpoint(True)  # noqa: SLF001
+    constructor is unavailable.
+
+    The flip side of inheriting stats is inheriting UNDERestimates:
+    Catalyst sized a checkpointed corpus-proportional table (shingles,
+    bands, bucketed embeddings) from its origin aggregate's estimate
+    and STATICALLY broadcast it — fine at test SFs, a
+    notEnoughMemoryToBuildAndBroadcastTable driver abort at the 100×
+    probe scale. Stats-clean checkpoints are therefore the default for
+    every memoized corpus-proportional frame that feeds a join; AQE
+    still broadcasts at runtime whenever the REAL materialized size is
+    small."""
+    jdf = df._jdf.localCheckpoint(eager)  # noqa: SLF001
     try:
         spark = df.sparkSession
         njdf = spark._jsparkSession.internalCreateDataFrame(  # noqa: SLF001
@@ -692,7 +704,7 @@ def _memoized_components(tag: str, spark: SparkSession, sf_dir: str, build) -> D
     key = (tag, spark.sparkContext.applicationId, sf_dir)
     got = _COMPONENTS_MEMO.get(key)
     if got is None:
-        got = build().localCheckpoint(eager=False)
+        got = _local_checkpoint_stats_clean(build(), eager=False)
         _COMPONENTS_MEMO[key] = got
     return got
 
@@ -1538,9 +1550,10 @@ def dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge-close join, cost ∝ Σ deg² (wedges), never all-pairs. Counts
     are exact integers; the coefficient is one double division."""
     return triangle_stats(
-        ngram_jaccard_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        _local_checkpoint_stats_clean(
+            ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+            eager=False,
+        )
     )
 
 

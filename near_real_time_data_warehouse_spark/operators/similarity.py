@@ -840,9 +840,12 @@ def semantic_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join branch; plane depth scales with the corpus (see
     # SEM_TARGET_N) — constant-depth buckets made the self-join
     # quadratic, caught by the 50× probe
-    b = _bucketed(
-        e, n_tables=SEM_TABLES, n_planes=_sem_planes(e.count())
-    ).localCheckpoint(eager=False)
+    from .dedup import _local_checkpoint_stats_clean
+
+    b = _local_checkpoint_stats_clean(
+        _bucketed(e, n_tables=SEM_TABLES, n_planes=_sem_planes(e.count())),
+        eager=False,
+    )
     cand = (
         b.alias("a")
         .join(
@@ -853,11 +856,12 @@ def semantic_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
         .distinct()
-        # checkpointed: cand feeds BOTH the cosine-scoring and the
-        # shingle-intersection lineages; without this the bucket
-        # self-join + distinct would execute twice
-        .localCheckpoint(eager=False)
     )
+    # checkpointed: cand feeds BOTH the cosine-scoring and the
+    # shingle-intersection lineages; without this the bucket self-join
+    # + distinct would execute twice. Stats-clean like every other
+    # corpus-proportional memo (see _local_checkpoint_stats_clean).
+    cand = _local_checkpoint_stats_clean(cand, eager=False)
     q = _quantized(e)
     qa = q.select(F.col("vec_id").alias("doc_a"), F.col("q").alias("qa"), F.col("norm_sq").alias("na"))
     qb = q.select(F.col("vec_id").alias("doc_b"), F.col("q").alias("qb"), F.col("norm_sq").alias("nb"))
