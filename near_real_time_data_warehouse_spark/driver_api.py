@@ -38,32 +38,15 @@ def _star_query(q: analysis.AnalysisQuery) -> QueryFn:
 # registry in module registration order), where any 50-entry prefix is
 # pure re-certification of already-green rows.
 _NEEDS_FIRST_ROW = [
-    # Round-6 late additions: UniMax budget-capped language mixing
-    # (integer waterfill over the lang histogram) and CCNet-style exact
-    # equi-depth perplexity terciles (histogram-windowed, corpus never
-    # sorted) — both first driver rows.
-    "docs_mixture_unimax",
-    "docs_perplexity_buckets",
-    # honest IVF recall gate: truth is the UNCAPPED exact top-k, so the
-    # boolean measures the index, not CORPUS_CAP, at any probe scale
-    "sim_ann_ivf_recall_uncapped",
-    # cross-document duplicated-ngram fraction (Lee et al. 2021) — the
-    # corpus-wide memorization signal, distinct from within-doc
-    # repetition and from held-out-split contamination
-    "docs_duplicated_ngram_fraction",
-    # Round-6 additions (first driver rows): apply the trained tokenizer
-    # to a HELD-OUT split — unseen words replay the stored merge ranks
-    # through the training kernel (VERDICT r5 #2) — and packing measured
-    # in trained-BPE pieces instead of whitespace tokens (VERDICT r5 #4).
-    "text_bpe_encode_holdout",
-    "docs_token_packing_bpe",
-    "text_bpe_vocab",
-    "docs_chunk_bpe_budget",
-    # in-query reversed-word injection: the driver hash certifies the
-    # unseen-word rank-replay kernel with a non-empty unseen set (the
-    # testdata holdout's unseen set is empty by construction)
-    "text_bpe_encode_unseen",
-    # (Round-5 names pruned — their driver rows exist in CORRECTNESS_r05;
+    # Round-7 additions (first driver rows): exact integer-state k-means
+    # domain clustering — the semantic-bucketing step of a data-mixing
+    # pipeline. Three views over one trained state: per-vector domain
+    # assignment, per-domain profile, and the serialized centroid table;
+    # the oracle replays all KMEANS_ROUNDS Lloyd updates as chained CTEs.
+    "emb_kmeans_assign",
+    "emb_kmeans_domains",
+    "emb_kmeans_centroids",
+    # (Round-6 names pruned — their driver rows exist in CORRECTNESS_r06;
     # the remaining window is re-certification in stable registration
     # order.)
 ]

@@ -1,0 +1,334 @@
+"""K-means domain clustering over the ``embeddings`` table.
+
+The clustering step of a training-data mixing pipeline (SemDedup-style
+semantic bucketing / DoReMi-style domain discovery): partition the corpus
+into K latent domains by embedding geometry, then reweight, filter, or
+dedup per domain. The reference warehouse has no clustering operator —
+this belongs to the LLM-pipeline brief, alongside the mixture
+(docs_mixture_unimax) and perplexity-bucket entries it composes with.
+
+Determinism design (the repo's standard exact-integer discipline,
+similarity.py:19-23): embeddings are quantized once to integer
+micro-units, and the centroid STATE is also integer micro-units —
+after every Lloyd update the per-dimension mean is rounded back to a
+micro-unit integer (one IEEE double division + one half-away-from-zero
+round per dimension, the exact arithmetic `_QUANT_SQL` already proves
+portable). Distances are then pure int64 ``Σ (q_i − m_i)²`` — no
+floating-point accumulation anywhere, so Spark, numpy, and the DuckDB
+oracle agree bit-for-bit on every assignment of every round, and ties
+break on the smaller cluster id in all three.
+
+Scale shape (100 TB): each Lloyd round is ONE corpus scan — an
+Arrow-batched ``mapInPandas`` kernel does the exact int64 matmul
+against the broadcast K×64 centroid matrix and emits per-batch
+PARTIAL sums (K rows of 64 integer sums + a count per batch), so the
+only shuffle per round is K × (EMB_DIM + 2) scalars per input
+partition — map-side-combined by construction, independent of corpus
+size. Driver state is the K×64 integer centroid matrix (bounded);
+rounds are fixed (KMEANS_ROUNDS). Empty clusters drop out of the
+state, exactly as in the SQL twin. The one-time init reads K vectors
+chosen by md5 order (deterministic, content-independent spread).
+
+Overflow audit: |q_i| ≤ ~6e4 micro-units ⇒ per-term (q_i − m_i)² ≤
+1.5e10, ×64 dims < 1e12 ≪ 2^63 — int64-exact at ANY corpus size
+(centroids are means, never sums, so nothing grows with N).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import registry
+from .similarity import (
+    EMB_DIM,
+    _QUANT_SQL,
+    _emb,
+    _memoized,
+    _quant_np,
+    _quantized,
+)
+
+K_CLUSTERS = 8      # latent domains
+KMEANS_ROUNDS = 4   # Lloyd updates (fixed — the oracle chains one CTE block each)
+
+
+# (applicationId, sf_dir) -> (cluster_ids int64[k], centroid matrix int64[k,64])
+# Tiny driver-side trained state — the persisted centroid table a real
+# pipeline maintains; see session.clear_query_memos.
+_KMEANS_STATE_MEMO: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _init_state(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """K seed centroids: the quantized vectors of the K vec_ids that sort
+    first by md5(vec_id) — deterministic and content-independent (id order
+    could correlate with generation order; the hash order cannot)."""
+    rows = (
+        _quantized(_emb(spark, sf_dir))
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(K_CLUSTERS)
+        .select("q")
+        .collect()
+    )
+    m = np.array([r["q"] for r in rows], dtype=np.int64)
+    return np.arange(len(rows), dtype=np.int64), m
+
+
+def _dist_matrix(x: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """Exact int64 squared euclidean distances, (n, k): Σ(q−m)² expanded
+    as xx + mm − 2·X@Mᵀ (every term integer, bounds in module docstring)."""
+    xx = (x * x).sum(axis=1)
+    mm = (m * m).sum(axis=1)
+    return xx[:, None] + mm[None, :] - 2 * (x @ m.T)
+
+
+def _partial_sums(e: DataFrame, ids: np.ndarray, m: np.ndarray) -> DataFrame:
+    """One Lloyd half-step as per-batch partials: assign each vector to
+    its nearest centroid and emit, per Arrow batch, one row per cluster
+    holding (count, per-dim integer sums). The downstream groupBy sums
+    K·batches tiny rows — the corpus itself never shuffles."""
+    k = len(ids)
+    cols = ["cluster_id", "n"] + [f"s{i}" for i in range(EMB_DIM)]
+    schema = "cluster_id long, n long, " + ", ".join(
+        f"s{i} long" for i in range(EMB_DIM)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = _quant_np(pdf["embedding"])
+            near = np.argmin(_dist_matrix(x, m), axis=1)  # ties -> lowest id
+            s = np.zeros((k, EMB_DIM), dtype=np.int64)
+            np.add.at(s, near, x)
+            n = np.bincount(near, minlength=k).astype(np.int64)
+            keep = n > 0
+            out = np.column_stack([ids[keep], n[keep], s[keep]])
+            yield pd.DataFrame(out, columns=cols)
+
+    return e.mapInPandas(batches, schema)
+
+
+def _round_half_away(v: np.ndarray) -> np.ndarray:
+    """round() half away from zero — the same convention Spark F.round
+    and DuckDB round() apply to doubles (proven portable by _QUANT_SQL)."""
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+
+
+def _trained_state(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _KMEANS_STATE_MEMO.get(key)
+    if got is not None:
+        return got
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    ids, m = _init_state(spark, sf_dir)
+    for _ in range(KMEANS_ROUNDS):
+        agg = (
+            _partial_sums(e, ids, m)
+            .groupBy("cluster_id")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(EMB_DIM)],
+            )
+            .collect()
+        )
+        agg.sort(key=lambda r: r["cluster_id"])
+        ids = np.array([r["cluster_id"] for r in agg], dtype=np.int64)
+        n = np.array([r["n"] for r in agg], dtype=np.float64)
+        s = np.array([[r[f"s{i}"] for i in range(EMB_DIM)] for r in agg], dtype=np.float64)
+        m = _round_half_away(s / n[:, None])
+    _KMEANS_STATE_MEMO[key] = (ids, m)
+    return ids, m
+
+
+def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, cluster_id, dist_sq) against the trained state —
+    the standing domain-assignment table the mixture/filter entries
+    consume. Memoized like the ANN truth tables (similarity._memoized)."""
+
+    def build() -> DataFrame:
+        ids, m = _trained_state(spark, sf_dir)
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                x = _quant_np(pdf["embedding"])
+                d = _dist_matrix(x, m)
+                near = np.argmin(d, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                        "label": pdf["label"].to_numpy(np.int64),
+                        "cluster_id": ids[near],
+                        "dist_sq": d[np.arange(len(near)), near],
+                    }
+                )
+
+        e = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+        return e.mapInPandas(
+            batches, "vec_id long, label long, cluster_id long, dist_sq long"
+        )
+
+    return _memoized("kmeans_final", spark, sf_dir, build)
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector domain assignment after KMEANS_ROUNDS exact Lloyd
+    updates: (vec_id, label, cluster_id, dist_sq)."""
+    return _final_assignment(spark, sf_dir)
+
+
+def kmeans_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain profile: size, label diversity, the dominant source
+    label with its count (ties → smaller label), and mean squared
+    distance to the centroid (one IEEE division — hash-portable) —
+    the table a data-mixing decision actually reads."""
+    a = _final_assignment(spark, sf_dir)
+    per_label = a.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    w = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.desc("n_label"), "label")
+    )
+    top = per_label.withColumn("rn", w).filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("label").alias("top_label"),
+        F.col("n_label").alias("top_label_n"),
+    )
+    stats = a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_distinct("label").alias("n_labels"),
+        F.sum("dist_sq").alias("_sd"),
+    )
+    return (
+        stats.join(top, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_vecs",
+            "n_labels",
+            "top_label",
+            "top_label_n",
+            (F.col("_sd").cast("double") / F.col("n_vecs")).alias("avg_dist_sq"),
+        )
+    )
+
+
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained centroid table itself, one scalar row per (cluster,
+    dim) in integer micro-units — with kmeans_assign this fully
+    serializes the clustering (same contract shape as
+    emb_label_centroids: no array output columns)."""
+    ids, m = _trained_state(spark, sf_dir)
+    rows = [
+        (int(ids[c]), d + 1, int(m[c, d]))
+        for c in range(len(ids))
+        for d in range(EMB_DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster_id long, dim long, centroid_microunits long"
+    )
+
+
+def _kmeans_cte_sql() -> str:
+    """The shared DuckDB replay: init by md5 order, then KMEANS_ROUNDS
+    chained (assign, state) CTE blocks — each state pinned AS MATERIALIZED
+    because the next round references it twice (distance + update), same
+    rationale as the BPE merge chain (text.py)."""
+    dist = (
+        "list_sum(list_transform(list_zip(v.q, s.m), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    parts = [
+        f"quant AS MATERIALIZED ({_QUANT_SQL})",
+        f"""init AS (
+  SELECT vec_id, q FROM quant
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {K_CLUSTERS}
+)""",
+        """state0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+              AS BIGINT) AS cluster_id,
+         q AS m
+  FROM init
+)""",
+    ]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        parts.append(
+            f"""assign{r} AS MATERIALIZED (
+  SELECT vec_id, cluster_id, dist_sq FROM (
+    SELECT v.vec_id, s.cluster_id, {dist} AS dist_sq,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, s.cluster_id) AS rn
+    FROM quant v CROSS JOIN state{r - 1} s
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""state{r} AS MATERIALIZED (
+  SELECT cluster_id, list(m ORDER BY dim) AS m FROM (
+    SELECT a.cluster_id, t.dim,
+           CAST(round(CAST(SUM(v.q[t.dim]) AS DOUBLE) / COUNT(*), 0) AS BIGINT) AS m
+    FROM assign{r} a JOIN quant v USING (vec_id), range(1, {EMB_DIM + 1}) t(dim)
+    GROUP BY a.cluster_id, t.dim
+  ) GROUP BY cluster_id
+)"""
+        )
+    parts.append(
+        f"""final_assign AS MATERIALIZED (
+  SELECT vec_id, label, cluster_id, dist_sq FROM (
+    SELECT v.vec_id, CAST(v.label AS BIGINT) AS label, s.cluster_id,
+           {dist} AS dist_sq,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, s.cluster_id) AS rn
+    FROM quant v CROSS JOIN state{KMEANS_ROUNDS} s
+  ) WHERE rn = 1
+)"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+KMEANS_ASSIGN_SQL = f"""{_kmeans_cte_sql()}
+SELECT vec_id, label, cluster_id, CAST(dist_sq AS BIGINT) AS dist_sq
+FROM final_assign
+"""
+
+KMEANS_DOMAINS_SQL = f"""{_kmeans_cte_sql()},
+per_label AS (
+  SELECT cluster_id, label, COUNT(*) AS n_label
+  FROM final_assign GROUP BY cluster_id, label
+),
+top AS (
+  SELECT cluster_id, label AS top_label, n_label AS top_label_n FROM (
+    SELECT cluster_id, label, n_label,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_label DESC, label) AS rn
+    FROM per_label
+  ) WHERE rn = 1
+),
+stats AS (
+  SELECT cluster_id, COUNT(*) AS n_vecs,
+         COUNT(DISTINCT label) AS n_labels,
+         SUM(dist_sq) AS sd
+  FROM final_assign GROUP BY cluster_id
+)
+SELECT s.cluster_id, CAST(s.n_vecs AS BIGINT) AS n_vecs,
+       CAST(s.n_labels AS BIGINT) AS n_labels,
+       t.top_label, CAST(t.top_label_n AS BIGINT) AS top_label_n,
+       CAST(s.sd AS DOUBLE) / s.n_vecs AS avg_dist_sq
+FROM stats s JOIN top t ON s.cluster_id = t.cluster_id
+"""
+
+KMEANS_CENTROIDS_SQL = f"""{_kmeans_cte_sql()}
+SELECT s.cluster_id, CAST(t.dim AS BIGINT) AS dim,
+       s.m[t.dim] AS centroid_microunits
+FROM state{KMEANS_ROUNDS} s, range(1, {EMB_DIM + 1}) t(dim)
+"""
+
+registry.register("emb_kmeans_assign", kmeans_assign, KMEANS_ASSIGN_SQL)
+registry.register("emb_kmeans_domains", kmeans_domains, KMEANS_DOMAINS_SQL)
+registry.register("emb_kmeans_centroids", kmeans_centroids, KMEANS_CENTROIDS_SQL)

@@ -87,7 +87,7 @@ def clear_query_memos() -> None:
     one-time build cold (best-of-N over the SHARED builds, not just the
     marginal entries) and so long-lived sessions can release checkpoint
     storage. Not needed for correctness anywhere."""
-    from .operators import dedup, similarity, text
+    from .operators import clustering, dedup, similarity, text
     from .plans import star
 
     dedup._SHINGLE_MEMO.clear()
@@ -98,4 +98,5 @@ def clear_query_memos() -> None:
     similarity._RESULT_MEMO.clear()
     similarity._CENTROID_MEMO.clear()
     text._BPE_TRAIN_MEMO.clear()
+    clustering._KMEANS_STATE_MEMO.clear()
     star._STAR_CACHE.clear()

@@ -1,0 +1,168 @@
+"""K-means domain clustering: kernel pins independent of the SQL oracle.
+
+test_analysis_oracle.py already certifies the three emb_kmeans_* entries
+against the DuckDB chained-CTE replay; these tests pin the KERNEL against
+a from-scratch numpy reimplementation of the whole training loop (so a
+bug mirrored into the oracle cannot hide), plus the edge semantics the
+driver data never exercises (empty-cluster drop, distance ties).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from near_real_time_data_warehouse_spark.operators import clustering
+from near_real_time_data_warehouse_spark.operators.clustering import (
+    EMB_DIM,
+    K_CLUSTERS,
+    KMEANS_ROUNDS,
+    _dist_matrix,
+    _final_assignment,
+    _partial_sums,
+    _quant_np,
+    _round_half_away,
+    _trained_state,
+)
+
+from .conftest import SF_SMALL
+
+
+def _numpy_replay(sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """From-scratch sequential reimplementation: returns (vec_ids, labels,
+    cluster assignment, trained centroid matrix aligned to sorted
+    surviving cluster ids)."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, label, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    labels = np.array([r[1] for r in rows], dtype=np.int64)
+    import pandas as pd
+
+    x = _quant_np(pd.Series([r[2] for r in rows]))
+
+    order = sorted(range(len(ids)), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]))
+    seed = order[:K_CLUSTERS]
+    cids = np.arange(len(seed), dtype=np.int64)
+    m = x[seed].copy()
+    for _ in range(KMEANS_ROUNDS):
+        near = np.argmin(_dist_matrix(x, m), axis=1)
+        keep = np.array([np.any(near == j) for j in range(len(cids))])
+        new_m = []
+        new_ids = []
+        for j in range(len(cids)):
+            if keep[j]:
+                sel = x[near == j]
+                new_m.append(_round_half_away(sel.sum(axis=0).astype(np.float64) / len(sel)))
+                new_ids.append(cids[j])
+        m = np.vstack(new_m)
+        cids = np.array(new_ids, dtype=np.int64)
+    final = np.argmin(_dist_matrix(x, m), axis=1)
+    return ids, labels, cids[final], m
+
+
+def test_trained_state_matches_numpy_replay(spark):
+    ids, m = _trained_state(spark, SF_SMALL)
+    _, _, _, m_ref = _numpy_replay(SF_SMALL)
+    assert m.shape == m_ref.shape
+    assert np.array_equal(m, m_ref)
+
+
+def test_final_assignment_matches_numpy_replay(spark):
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["dist_sq"])
+        for r in _final_assignment(spark, SF_SMALL).collect()
+    }
+    vec_ids, _, assign_ref, m_ref = _numpy_replay(SF_SMALL)
+    import duckdb
+    import pandas as pd
+
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    x = _quant_np(pd.Series([r[1] for r in rows]))
+    d = _dist_matrix(x, m_ref)
+    for i, vid in enumerate(vec_ids):
+        c, ds = got[int(vid)]
+        assert c == assign_ref[i]
+        assert ds == d[i].min()
+
+
+def test_assignment_is_optimal_and_total(spark):
+    """Every vector appears exactly once and its dist_sq is the true
+    minimum over the trained centroids (optimality certificate)."""
+    ids, m = _trained_state(spark, SF_SMALL)
+    rows = _final_assignment(spark, SF_SMALL).collect()
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_SMALL}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    assert {r["cluster_id"] for r in rows} <= set(int(i) for i in ids)
+
+
+def test_empty_clusters_drop_from_partials(spark):
+    """With more centroids than occupied regions, unoccupied clusters emit
+    no partial rows — they disappear from the state exactly as in the SQL
+    twin (where an absent group is an absent row)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [[0.5] * EMB_DIM, [0.5] * EMB_DIM, [0.5] * EMB_DIM],
+        }
+    )
+    e = spark.createDataFrame(pdf)
+    far = np.full((1, EMB_DIM), 10**6, dtype=np.int64)
+    near = np.full((1, EMB_DIM), 5000, dtype=np.int64)
+    m = np.vstack([near, far])
+    out = (
+        _partial_sums(e, np.array([0, 1], dtype=np.int64), m)
+        .groupBy("cluster_id")
+        .sum("n")
+        .collect()
+    )
+    got = {r["cluster_id"]: r["sum(n)"] for r in out}
+    assert got == {0: 3}
+
+
+def test_distance_ties_break_to_lowest_cluster():
+    """Duplicate centroids ⇒ equal distances; argmin must take the lowest
+    cluster index (the ORDER BY dist, cluster_id tie-break in the SQL)."""
+    x = np.array([[3] * EMB_DIM], dtype=np.int64)
+    m = np.vstack([np.full(EMB_DIM, 7), np.full(EMB_DIM, 7)]).astype(np.int64)
+    d = _dist_matrix(x, m)
+    assert d[0, 0] == d[0, 1]
+    assert np.argmin(d, axis=1)[0] == 0
+
+
+def test_distance_matrix_exact_int64():
+    rng = np.random.RandomState(7)
+    x = rng.randint(-60000, 60000, size=(5, EMB_DIM)).astype(np.int64)
+    m = rng.randint(-60000, 60000, size=(3, EMB_DIM)).astype(np.int64)
+    d = _dist_matrix(x, m)
+    for i in range(5):
+        for j in range(3):
+            ref = int(((x[i] - m[j]) ** 2).sum())
+            assert int(d[i, j]) == ref
+
+
+def test_round_half_away_parity():
+    v = np.array([0.5, 1.5, -0.5, -1.5, 2.4999, -2.5])
+    assert _round_half_away(v).tolist() == [1, 2, -1, -2, 2, -3]
+
+
+def test_state_memo_cleared_by_session_hook(spark):
+    from near_real_time_data_warehouse_spark.session import clear_query_memos
+
+    _trained_state(spark, SF_SMALL)
+    assert clustering._KMEANS_STATE_MEMO
+    clear_query_memos()
+    assert not clustering._KMEANS_STATE_MEMO
