@@ -46,6 +46,9 @@ _NEEDS_FIRST_ROW = [
     "emb_kmeans_assign",
     "emb_kmeans_domains",
     "emb_kmeans_centroids",
+    # signature-estimate prefilter between band collision and exact
+    # verify (NEXT.md r6 candidate #6) — semantics-visible, own oracle
+    "dedup_minhash_prefiltered",
     # (Round-6 names pruned — their driver rows exist in CORRECTNESS_r06;
     # the remaining window is re-certification in stable registration
     # order.)

@@ -186,20 +186,29 @@ def _perm_constants(n: int = N_PERM) -> list[tuple[int, int]]:
     return out
 
 
-def _band_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, band_sig) from shingles — no row explosion: the 32
-    signature mins are array expressions over the per-doc base-hash list."""
+def _signature_table(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<long>[N_PERM]) — the full MinHash signature,
+    no row explosion: the 32 permutation mins are array expressions over
+    the per-doc base-hash list. Shared by the band builder (which folds
+    sig into band md5s) and the prefilter entry (which compares raw
+    signatures to ESTIMATE Jaccard before any shingle-level work)."""
     consts = _perm_constants()
     base = sh.withColumn(
         "h31",
         F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long") % MERSENNE_P,
     )
     hs = base.groupBy("doc_id").agg(F.collect_list("h31").alias("hs"))
+
     def perm_min(a: int, b: int) -> F.Column:
         return F.array_min(F.transform(F.col("hs"), lambda h: (h * a + b) % MERSENNE_P))
 
     sig = F.array(*[perm_min(a, b) for a, b in consts])
-    with_sig = hs.withColumn("sig", sig)
+    return hs.withColumn("sig", sig)
+
+
+def _band_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) from shingles via the signature table."""
+    with_sig = _signature_table(sh)
     bands_arr = F.array(
         *[
             F.struct(
@@ -264,11 +273,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got
 
 
-def _minhash_lsh_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_materialized(spark, sf_dir)
-    bands = _bands_materialized(spark, sf_dir)
+def _band_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs colliding on any (band, band_sig)."""
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -278,7 +286,12 @@ def _minhash_lsh_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Verify candidates with true Jaccard (candidates only — cheap).
+
+
+def _verify_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-verify candidate pairs with true shingle Jaccard — the
+    expensive stage (candidate × shingle-list join); everything upstream
+    of it exists to shrink its input."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -295,6 +308,13 @@ def _minhash_lsh_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return out.select("doc_a", "doc_b", "jaccard")
+
+
+def _minhash_lsh_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_materialized(spark, sf_dir)
+    cand = _band_candidates(_bands_materialized(spark, sf_dir))
+    # Verify candidates with true Jaccard (candidates only — cheap).
+    return _verify_jaccard(sh, cand)
 
 
 def _minhash_bands_sql() -> str:
@@ -342,6 +362,117 @@ SELECT doc_a, doc_b,
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- Signature-prefiltered MinHash verify ---------------------------------
+
+# Minimum agreeing permutations (of N_PERM=32) a band-collision candidate
+# must show before it is admitted to the exact shingle-level verify join.
+# A band collision alone only proves ROWS_PER_BAND=4 consecutive agreeing
+# mins; demanding 5 overall (estimated Jaccard ≥ 5/32 ≈ 0.156, just under
+# the 0.2 verify threshold) rejects the accidental-collision tail at
+# O(N_PERM) integer compares per pair instead of O(|shingles|) join rows.
+PREFILTER_MIN_AGREE = 5
+
+
+def minhash_prefiltered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs with a signature-estimate prefilter
+    between candidate generation and exact verification — the
+    production three-stage shape (band collide → estimate → verify).
+
+    Semantics are deliberately DISTINCT from dedup_minhash_lsh (which
+    verifies every collision): a true pair whose signature underestimates
+    its Jaccard (P[X<5], X ~ Binomial(32, J)) is dropped here — the
+    standard recall-for-cost trade, so this is its own entry + oracle
+    rather than a silent swap (NEXT.md round-6 candidate #6). The
+    estimate is exact integer arithmetic on signatures both engines
+    derive identically, so the surviving set — and therefore the driver
+    hash — is deterministic.
+
+    Scale: the verify join's input shrinks by the estimate's rejection
+    rate at a cost of 32 integer compares per candidate; at 100 TB the
+    signature table is the standing per-doc sketch (N_PERM longs/doc)
+    a real pipeline already persists."""
+    sh = _shingles_materialized(spark, sf_dir)
+    cand = _band_candidates(_bands_materialized(spark, sf_dir))
+    sigs = _signature_table(sh).select("doc_id", "sig")
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    est = (
+        cand.join(sigs.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
+        .join(sigs.alias("b"), F.col("b.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", agree.alias("n_agree"))
+    )
+    surv = est.filter(F.col("n_agree") >= PREFILTER_MIN_AGREE)
+    verified = _verify_jaccard(sh, surv.select("doc_a", "doc_b"))
+    return verified.join(surv, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "n_agree",
+        (F.col("n_agree").cast("double") / F.lit(N_PERM)).alias("est_jaccard"),
+        "jaccard",
+    )
+
+
+def _minhash_sig_list_sql() -> str:
+    """DuckDB list literal of the 32 permutation-min expressions."""
+    consts = _perm_constants()
+    exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE_P}))"
+        for a, b in consts
+    )
+    return f"[{exprs}]"
+
+
+MINHASH_PREFILTERED_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL.format(where="")}),
+base AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % {MERSENNE_P} AS h31
+  FROM sh
+),
+hs AS (SELECT doc_id, list(h31) AS hs FROM base GROUP BY doc_id),
+bands AS ({_minhash_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sigs AS (SELECT doc_id, {_minhash_sig_list_sql()} AS sig FROM hs),
+surv AS (
+  SELECT doc_a, doc_b, n_agree FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
+                p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS BIGINT) AS n_agree
+    FROM cand c
+    JOIN sigs a ON a.doc_id = c.doc_a
+    JOIN sigs b ON b.doc_id = c.doc_b
+  ) WHERE n_agree >= {PREFILTER_MIN_AGREE}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT s.doc_a, s.doc_b, COUNT(*) AS n_common
+  FROM surv s
+  JOIN sh sa ON sa.doc_id = s.doc_a
+  JOIN sh sb ON sb.doc_id = s.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, s.n_agree,
+       CAST(s.n_agree AS DOUBLE) / {N_PERM} AS est_jaccard,
+       n_common / (sa.n + sb.n - n_common) AS jaccard
+FROM common c
+JOIN surv s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 """
 
@@ -1937,6 +2068,9 @@ registry.register("dedup_keep_best", dedup_keep_best, KEEP_BEST_SQL)
 registry.register("dedup_components_minhash", dedup_components_minhash, COMPONENTS_MINHASH_SQL)
 registry.register("dedup_ngram_jaccard", ngram_jaccard_pairs, NGRAM_SQL)
 registry.register("dedup_minhash_lsh", minhash_lsh_pairs, MINHASH_SQL)
+registry.register(
+    "dedup_minhash_prefiltered", minhash_prefiltered_pairs, MINHASH_PREFILTERED_SQL
+)
 registry.register("dedup_simhash", simhash, SIMHASH_SQL)
 registry.register("dedup_simhash_pairs", simhash_pairs, SIMHASH_PAIRS_SQL)
 registry.register("dedup_simhash_banded", simhash_banded, SIMHASH_BANDED_SQL)

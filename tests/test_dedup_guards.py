@@ -292,3 +292,73 @@ def test_unlabeled_edge_endpoints_never_relay(spark):
     finally:
         dedup.CC_COLLECT_CAP = orig
     assert got_dist == want
+
+
+def test_prefiltered_pairs_subset_of_lsh_with_agree_floor(spark):
+    """dedup_minhash_prefiltered admits exactly the dedup_minhash_lsh
+    pairs whose signatures agree on >= PREFILTER_MIN_AGREE permutations:
+    survivors are a subset of the full verify's output, every survivor
+    meets the agreement floor, and every dropped true pair fails it
+    (the prefilter only ever rejects on the estimate, never admits a
+    sub-threshold Jaccard)."""
+    from near_real_time_data_warehouse_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        PREFILTER_MIN_AGREE,
+        _band_candidates,
+        _bands_materialized,
+        _shingles_materialized,
+        _signature_table,
+        minhash_lsh_pairs,
+        minhash_prefiltered_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(spark, sf).collect()
+    }
+    pre = {
+        (r["doc_a"], r["doc_b"]): (r["n_agree"], r["jaccard"])
+        for r in minhash_prefiltered_pairs(spark, sf).collect()
+    }
+    assert set(pre) <= set(full)
+    for pair, (n_agree, jac) in pre.items():
+        assert n_agree >= PREFILTER_MIN_AGREE
+        assert jac >= JACCARD_THRESHOLD
+        assert jac == full[pair]
+    # Independently recompute signature agreement for the dropped pairs.
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in _signature_table(_shingles_materialized(spark, sf))
+        .select("doc_id", "sig")
+        .collect()
+    }
+    dropped = set(full) - set(pre)
+    for a, b in dropped:
+        agree = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        assert agree < PREFILTER_MIN_AGREE
+
+
+def test_prefilter_floor_is_live_in_the_plan(spark, monkeypatch):
+    """On the synthetic corpus every band collision is a genuine near-dup,
+    so the default floor rejects nothing at test SFs (the accidental-
+    collision tail it exists for appears at probe scale). Pin the filter
+    from both sides: an unreachable floor empties the output; the
+    vacuous floor (ROWS_PER_BAND — already guaranteed by any band
+    collision) reproduces the full verify exactly."""
+    from near_real_time_data_warehouse_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(spark, sf).collect()
+    }
+    assert full
+    monkeypatch.setattr(dedup, "PREFILTER_MIN_AGREE", dedup.N_PERM + 1)
+    assert dedup.minhash_prefiltered_pairs(spark, sf).count() == 0
+    monkeypatch.setattr(dedup, "PREFILTER_MIN_AGREE", dedup.ROWS_PER_BAND)
+    vac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_prefiltered_pairs(spark, sf).collect()
+    }
+    assert vac == full
