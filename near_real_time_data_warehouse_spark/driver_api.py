@@ -49,6 +49,9 @@ _NEEDS_FIRST_ROW = [
     # signature-estimate prefilter between band collision and exact
     # verify (NEXT.md r6 candidate #6) — semantics-visible, own oracle
     "dedup_minhash_prefiltered",
+    # q16's basket ranking in the join-free one-shuffle shape (NEXT.md
+    # r6 candidate #7): 4× less spill / 42% less peak memory at 50×
+    "star_basket_pairs_onepass",
     # (Round-6 names pruned — their driver rows exist in CORRECTNESS_r06;
     # the remaining window is re-certification in stable registration
     # order.)

@@ -867,6 +867,59 @@ def star_grouping_sets(star: Star) -> DataFrame:
     return spark.sql(GROUPING_SETS_SQL)
 
 
+def star_basket_onepass(star: Star) -> DataFrame:
+    """q16's market-basket ranking in the one-shuffle shape that survives
+    100 TB: the reference-parity theta self-join (q16) sorts the fact
+    twice and its row-pair intermediate honestly sort-spills at the 50×
+    probe (3.5 GB, NEXT.md r6 #7). Here each order's items aggregate
+    once (map-side-combined), the i<j pairs expand from the per-order
+    array with codegen lambdas, and pairs re-aggregate — no join, so
+    there is nothing to sort-merge and nothing to spill but the final
+    top-k. Pair multiplicity is preserved exactly (a product appearing
+    c_a times pairs c_a·c_b ways), so the result — and the oracle — are
+    identical to q16's. Pair-expansion compute is bounded by the max
+    basket size squared, a data constant, and the heaviest basket lands
+    in ONE row's array (AQE-splittable by order_id, never a hub
+    partition).
+
+    Measured at the 50× probe (~30M lineitem): spill 3.46 GB → 0.84 GB,
+    shuffle 1.19 GB → 0.86 GB, peak execution memory 10.2 GB → 5.9 GB vs
+    q16; single-host wall is ~25% slower (local spill is nearly free
+    here) — on a real cluster, where spill and shuffle are the costs
+    that matter, this is the shape to run. Faster than q16 at sf0.1."""
+    f = star["salefact"].select("order_id", "product_id")
+    baskets = f.groupBy("order_id").agg(
+        F.array_sort(F.collect_list("product_id")).alias("items")
+    )
+    items = F.col("items")
+    # Sorted row list; pairs are (x, every LATER element strictly greater),
+    # so duplicate-product row pairs drop exactly as the join's strict <.
+    pairs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice(items, i + F.lit(2), F.size(items)),
+                    lambda y: y > x,
+                ),
+                lambda y: F.struct(
+                    x.alias("product_01"), y.alias("product_02")
+                ),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.product_01").alias("product_01"),
+            F.col("p.product_02").alias("product_02"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "product_01", "product_02")
+        .limit(5)
+    )
+
+
 QUERIES.update(
     {
         "star_grouping_sets_store_season": AnalysisQuery(
@@ -874,6 +927,9 @@ QUERIES.update(
             star_grouping_sets, GROUPING_SETS_SQL),
         "star_cube_store_quarter": AnalysisQuery(
             "star_cube_store_quarter", star_cube.__doc__, star_cube, STAR_CUBE_SQL),
+        "star_basket_pairs_onepass": AnalysisQuery(
+            "star_basket_pairs_onepass", star_basket_onepass.__doc__,
+            star_basket_onepass, Q16_SQL),
         "star_rolling_7day_revenue": AnalysisQuery(
             "star_rolling_7day_revenue", star_rolling_revenue.__doc__,
             star_rolling_revenue, STAR_ROLLING_SQL),
