@@ -52,6 +52,9 @@ _NEEDS_FIRST_ROW = [
     # q16's basket ranking in the join-free one-shuffle shape (NEXT.md
     # r6 candidate #7): 4× less spill / 42% less peak memory at 50×
     "star_basket_pairs_onepass",
+    # Q21 shape as per-order aggregation (same candidate): distinct
+    # supplier counts replace both lineitem self-joins; ~25% faster at 50×
+    "classic_waiting_suppliers_agg",
     # (Round-6 names pruned — their driver rows exist in CORRECTNESS_r06;
     # the remaining window is re-certification in stable registration
     # order.)
