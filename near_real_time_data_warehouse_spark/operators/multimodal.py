@@ -8,11 +8,12 @@ features), PPM (P6: genuine width/height, pixel features), GIF
 (87a/89a: a real LZW decompressor with variable-width codes,
 clear/end handling, deinterlacing, and palette mapping), and PNG
 (chunk walking + stdlib-zlib DEFLATE + all five scanline unfilters,
-color types 0/2/3/4/6 normalized to RGB, plain and Adam7), and
+color types 0/2/3/4/6 at every spec bit depth 1/2/4/8/16 normalized
+to RGB, plain and Adam7), and
 baseline JPEG (operators/jpeg.py: Huffman + IDCT from the spec) —
 three genuinely COMPRESSED formats — with malformed payloads routed to
 quarantine rows (``decode_with_quarantine``), never executor crashes.
-Formats that need heavyweight codecs (JPEG/MP3/MP4…) raise
+Formats that need heavyweight codecs (MP3/MP4…) raise
 ``DecodeNotAvailable``; the
 deterministic fake decoder remains for driver-scaled oracle entries
 (the synthetic corpus has no real media column). Everything
@@ -69,7 +70,10 @@ FEATURE_SCHEMA = T.StructType(
 
 class DecodeNotAvailable(NotImplementedError):
     """Raised by the real-decoder path for formats (or format variants)
-    this module doesn't implement — JPEG/MP3/MP4, non-8-bit PNG. WAV, PPM, GIF, and 8-bit PNG ARE decoded for real below."""
+    this module doesn't implement — MP3/MP4 (and jpeg.py's progressive/
+    arithmetic gates). WAV, PPM, GIF, and PNG at every spec bit depth
+    (1/2/4/8/16, all color types, plain and Adam7) ARE decoded for real
+    below; baseline JPEG in jpeg.py."""
 
 
 class MalformedMedia(ValueError):
@@ -324,9 +328,12 @@ _ADAM7 = [
 ]
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, channels: int) -> bytearray:
-    """Undo the five PNG scanline filters over one (sub-)image whose
-    rows are (1 filter byte + w·channels samples) each."""
+def _png_unfilter(raw: bytes, row_bytes: int, h: int, bpp: int) -> bytearray:
+    """Undo the five PNG scanline filters over one (sub-)image whose rows
+    are (1 filter byte + row_bytes) each. Filters are defined BYTEWISE
+    with the left/up-left neighbour ``bpp = max(1, channels·depth/8)``
+    bytes back (PNG spec §6.2), which is what makes one unfilter serve
+    every bit depth."""
 
     def paeth(a: int, b: int, c: int) -> int:
         p = a + b - c
@@ -335,7 +342,7 @@ def _png_unfilter(raw: bytes, w: int, h: int, channels: int) -> bytearray:
             return a
         return b if pb <= pc else c
 
-    stride = w * channels
+    stride = row_bytes
     prev = bytearray(stride)
     out = bytearray()
     for y in range(h):
@@ -343,19 +350,19 @@ def _png_unfilter(raw: bytes, w: int, h: int, channels: int) -> bytearray:
         ftype = raw[off]
         line = bytearray(raw[off + 1 : off + 1 + stride])
         if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                ul = prev[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + paeth(left, prev[i], ul)) & 0xFF
         elif ftype != 0:
             raise MalformedMedia(f"unknown PNG filter {ftype}")
@@ -364,14 +371,44 @@ def _png_unfilter(raw: bytes, w: int, h: int, channels: int) -> bytearray:
     return out
 
 
+def _png_samples_u8(
+    sub: bytes, wp: int, hp: int, channels: int, depth: int, color_type: int
+) -> bytes:
+    """One unfiltered (sub-)image → 8-bit samples (wp·hp·channels bytes).
+
+    16-bit samples reduce to their high byte (the standard 16→8
+    truncation: the low byte carries < 0.4% of the value); 1/2/4-bit
+    rows unpack per scanline (rows are padded to byte boundaries, so
+    unpacking is per-row, not over the flat stream), grayscale scaling
+    to the full 0–255 range (×255/(2^d−1)), palette indices passed
+    through for the PLTE lookup."""
+    import numpy as np
+
+    if depth == 8:
+        return bytes(sub)
+    if depth == 16:
+        return np.frombuffer(bytes(sub), dtype=np.uint8)[0::2].tobytes()
+    # depth in (1, 2, 4): gray or palette only, channels == 1
+    row_bytes = (wp * depth + 7) // 8
+    rows = np.frombuffer(bytes(sub), dtype=np.uint8).reshape(hp, row_bytes)
+    bits = np.unpackbits(rows, axis=1)[:, : wp * depth].reshape(hp, wp, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (bits.astype(np.uint16) * weights).sum(axis=2)
+    if color_type == 0:
+        vals = vals * 255 // ((1 << depth) - 1)
+    return vals.astype(np.uint8).tobytes()
+
+
 def parse_png(payload: bytes) -> dict:
     """Dependency-free PNG decoder — DEFLATE via the stdlib ``zlib``
     this runtime always ships, chunk walking, and per-scanline
     unfiltering (None/Sub/Up/Average/Paeth) implemented here. Supports
-    8-bit grayscale (0), RGB (2), palette (3), gray+alpha (4) and RGBA
-    (6), plain AND Adam7-interlaced (seven independently-filtered
-    sub-images scattered back). Output is the shared {width, height,
-    pixels(RGB)} shape. Raises MalformedMedia on violations."""
+    grayscale (0), RGB (2), palette (3), gray+alpha (4) and RGBA (6) at
+    every spec-valid bit depth — 1/2/4-bit packed rows, 8-bit, and
+    16-bit (reduced to the high byte) — plain AND Adam7-interlaced
+    (seven independently-filtered sub-images scattered back). Output is
+    the shared {width, height, pixels(RGB)} shape. Raises
+    MalformedMedia on violations."""
     import zlib
 
     if payload is None or payload[:8] != _PNG_MAGIC:
@@ -410,19 +447,29 @@ def parse_png(payload: bytes) -> dict:
     w, h = ihdr["width"], ihdr["height"]
     if w < 1 or h < 1 or w * h > GIF_MAX_PIXELS:
         raise MalformedMedia("nonsensical PNG dimensions")
-    if ihdr["bit_depth"] != 8:
-        # valid PNG, unsupported here — the honest gate, not a parse
-        # failure (review finding)
-        raise DecodeNotAvailable(
-            f"{ihdr['bit_depth']}-bit PNG not implemented (8-bit only)"
+    depth = ihdr["bit_depth"]
+    color_type = ihdr["color_type"]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise MalformedMedia(f"unknown PNG color type {color_type}")
+    # Spec-valid (depth, color type) combinations (PNG spec table 11.1):
+    # every depth for gray(0); 8/16 for RGB(2)/GA(4)/RGBA(6); 1/2/4/8
+    # for palette(3).
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}[color_type]
+    if depth not in valid_depths:
+        raise MalformedMedia(
+            f"invalid bit depth {depth} for PNG color type {color_type}"
         )
     if ihdr["interlace"] not in (0, 1):
         raise MalformedMedia(f"unknown interlace method {ihdr['interlace']}")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ihdr["color_type"])
-    if channels is None:
-        raise MalformedMedia(f"unknown PNG color type {ihdr['color_type']}")
-    if ihdr["color_type"] == 3 and palette is None:
+    if color_type == 3 and palette is None:
         raise MalformedMedia("palette color type without PLTE")
+
+    def row_bytes(wp: int) -> int:
+        return (wp * channels * depth + 7) // 8
+
+    bpp = max(1, channels * depth // 8)
     if ihdr["interlace"]:
         # Adam7: seven reduced sub-images, each independently filtered
         passes = [
@@ -432,11 +479,11 @@ def parse_png(payload: bytes) -> dict:
         ]
         dims = [((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
                 for (x0, y0, dx, dy) in passes]
-        expected = sum(hp * (wp * channels + 1) for wp, hp in dims)
+        expected = sum(hp * (row_bytes(wp) + 1) for wp, hp in dims)
     else:
         passes = [(0, 0, 1, 1)]
         dims = [(w, h)]
-        expected = h * (w * channels + 1)
+        expected = h * (row_bytes(w) + 1)
     # Bounded inflate: zlib.decompress on attacker bytes can expand
     # ~1000:1 and OOM the executor before any size check runs (review
     # finding). decompressobj(max_length) stops at exactly the bytes a
@@ -455,8 +502,11 @@ def parse_png(payload: bytes) -> dict:
         out = bytearray(w * h * channels)
         off = 0
         for (x0, y0, dx, dy), (wp, hp) in zip(passes, dims):
-            sub_len = hp * (wp * channels + 1)
-            sub = _png_unfilter(raw[off : off + sub_len], wp, hp, channels)
+            sub_len = hp * (row_bytes(wp) + 1)
+            sub = _png_samples_u8(
+                _png_unfilter(raw[off : off + sub_len], row_bytes(wp), hp, bpp),
+                wp, hp, channels, depth, color_type,
+            )
             off += sub_len
             for i in range(hp):
                 row = (y0 + i * dy) * w
@@ -465,7 +515,10 @@ def parse_png(payload: bytes) -> dict:
                     src = (i * wp + j) * channels
                     out[dst : dst + channels] = sub[src : src + channels]
     else:
-        out = _png_unfilter(raw, w, h, channels)
+        out = _png_samples_u8(
+            _png_unfilter(raw, row_bytes(w), h, bpp), w, h, channels, depth,
+            color_type,
+        )
 
     # normalize to RGB — vectorized (per-pixel Python loops cost seconds
     # per megapixel frame in the executor hot path; review finding)

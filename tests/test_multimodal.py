@@ -637,3 +637,194 @@ def test_parse_png_adam7_interlaced():
         plain = mm.parse_png(_png_bytes(width, height, pixels))
         inter = mm.parse_png(_png_adam7_bytes(width, height, pixels))
         assert inter["pixels"] == plain["pixels"] == pixels, (width, height)
+
+
+def _png_bytes_depth(width, height, samples, depth, color_type=0,
+                     palette=None, filters=None, interlace=0):
+    """Depth-aware reference encoder: ``samples`` is the flat list of
+    per-channel sample VALUES (0..2^depth−1). Rows pack to byte
+    boundaries for depth<8, big-endian pairs for depth 16; scanline
+    filters apply bytewise with the spec's bpp, exactly inverse to the
+    decoder. Supports plain (interlace=0) and Adam7 (interlace=1,
+    filter 0 only — value path and scatter are what it pins)."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = max(1, ch * depth // 8)
+
+    def pack_rows(vals, wp, hp):
+        rows = []
+        per_row = wp * ch
+        for y in range(hp):
+            row_vals = vals[y * per_row:(y + 1) * per_row]
+            if depth == 16:
+                rows.append(b"".join(struct.pack(">H", v) for v in row_vals))
+            elif depth == 8:
+                rows.append(bytes(row_vals))
+            else:
+                bits = "".join(format(v, f"0{depth}b") for v in row_vals)
+                bits += "0" * (-len(bits) % 8)
+                rows.append(bytes(int(bits[i:i + 8], 2)
+                                  for i in range(0, len(bits), 8)))
+        return rows
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def filter_rows(rows):
+        raw = bytearray()
+        prev = bytes(len(rows[0])) if rows else b""
+        for y, line in enumerate(rows):
+            f = (filters[y] if filters else y % 5)
+            enc = bytearray(line)
+            n = len(line)
+            if f == 1:
+                for i in range(n - 1, bpp - 1, -1):
+                    enc[i] = (line[i] - line[i - bpp]) & 0xFF
+            elif f == 2:
+                for i in range(n):
+                    enc[i] = (line[i] - prev[i]) & 0xFF
+            elif f == 3:
+                for i in range(n):
+                    left = line[i - bpp] if i >= bpp else 0
+                    enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+            elif f == 4:
+                for i in range(n):
+                    left = line[i - bpp] if i >= bpp else 0
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    enc[i] = (line[i] - paeth(left, prev[i], ul)) & 0xFF
+            raw += bytes([f]) + bytes(enc)
+            prev = line
+        return raw
+
+    if interlace:
+        adam7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        raw = bytearray()
+        for (x0, y0, dx, dy) in adam7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub = []
+            for i in range(hp):
+                for j in range(wp):
+                    base = ((y0 + i * dy) * width + (x0 + j * dx)) * ch
+                    sub.extend(samples[base:base + ch])
+            for line in pack_rows(sub, wp, hp):
+                raw += b"\x00" + line
+    else:
+        raw = filter_rows(pack_rows(samples, width, height))
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0,
+                       interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", b"".join(bytes(c) for c in palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_parse_png_16bit_sub_filter_known_bytes():
+    """Hand-crafted IDAT (not the mirror encoder): 3×1 16-bit gray,
+    filter Sub with bpp=2 — catches a shared encoder/decoder bpp bug."""
+    import struct
+    import zlib
+
+    raw = bytes([1, 0x12, 0x34, 0x44, 0x44, 0x44, 0x44])  # Sub-encoded
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 16, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    p = mm.parse_png(payload)
+    # samples 0x1234, 0x5678, 0x9ABC -> high bytes 0x12, 0x56, 0x9A
+    assert p["pixels"] == bytes([0x12] * 3 + [0x56] * 3 + [0x9A] * 3)
+
+
+def test_parse_png_16bit_rgb_all_filters():
+    import random
+
+    rng = random.Random(5)
+    w, h = 6, 5
+    samples = [rng.randrange(65536) for _ in range(w * h * 3)]
+    p = mm.parse_png(_png_bytes_depth(w, h, samples, 16, color_type=2))
+    expect = bytes(v >> 8 for v in samples)
+    assert (p["width"], p["height"]) == (w, h)
+    assert p["pixels"] == expect
+
+
+def test_parse_png_16bit_rgba_and_gray_alpha():
+    import random
+
+    rng = random.Random(6)
+    w, h = 4, 3
+    rgba = [rng.randrange(65536) for _ in range(w * h * 4)]
+    p = mm.parse_png(_png_bytes_depth(w, h, rgba, 16, color_type=6))
+    expect = bytearray()
+    for i in range(w * h):
+        expect += bytes(v >> 8 for v in rgba[i * 4:i * 4 + 3])
+    assert p["pixels"] == bytes(expect)
+    ga = [rng.randrange(65536) for _ in range(w * h * 2)]
+    p = mm.parse_png(_png_bytes_depth(w, h, ga, 16, color_type=4))
+    expect = b"".join(bytes([ga[i * 2] >> 8] * 3) for i in range(w * h))
+    assert p["pixels"] == expect
+
+
+def test_parse_png_low_depth_gray_scaling_and_padding():
+    # 4-bit gray, odd width -> padded final byte per row
+    vals = [0, 5, 10, 15, 7, 1, 2, 3, 4, 8]
+    p = mm.parse_png(_png_bytes_depth(5, 2, vals, 4, color_type=0,
+                                      filters=[0, 2]))
+    expect = b"".join(bytes([v * 255 // 15] * 3) for v in vals)
+    assert p["pixels"] == expect
+    # 1-bit gray: alternating bits across a 10-wide row
+    vals = [1, 0] * 5
+    p = mm.parse_png(_png_bytes_depth(10, 1, vals, 1, color_type=0))
+    expect = b"".join(bytes([255 * v] * 3) for v in vals)
+    assert p["pixels"] == expect
+
+
+def test_parse_png_2bit_palette():
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    vals = [0, 1, 2, 3, 3, 2, 1, 0]
+    p = mm.parse_png(_png_bytes_depth(4, 2, vals, 2, color_type=3,
+                                      palette=pal, filters=[0, 0]))
+    expect = b"".join(bytes(pal[v]) for v in vals)
+    assert p["pixels"] == expect
+
+
+def test_parse_png_16bit_adam7_equals_plain():
+    import random
+
+    rng = random.Random(7)
+    w, h = 9, 10
+    samples = [rng.randrange(65536) for _ in range(w * h * 3)]
+    plain = mm.parse_png(_png_bytes_depth(w, h, samples, 16, color_type=2,
+                                          filters=[0] * h))
+    inter = mm.parse_png(_png_bytes_depth(w, h, samples, 16, color_type=2,
+                                          interlace=1))
+    assert plain["pixels"] == inter["pixels"]
+
+
+def test_parse_png_rejects_invalid_depth_combinations():
+    import pytest as _pytest
+
+    with _pytest.raises(mm.MalformedMedia):
+        mm.parse_png(_png_bytes_depth(2, 2, [0] * 4, 16, color_type=3,
+                                      palette=[(0, 0, 0)] * 4))
+    with _pytest.raises(mm.MalformedMedia):
+        mm.parse_png(_png_bytes_depth(2, 2, [0] * 12, 4, color_type=2))
