@@ -1,16 +1,24 @@
-"""Dependency-free baseline JPEG (JFIF) decoder.
+"""Dependency-free baseline + progressive JPEG (JFIF) decoder.
 
 The codec everyone assumes needs a library, implemented from the spec
 on numpy: marker segment walking, 8-bit quantization tables, canonical
-Huffman table reconstruction from DHT bits/values, the entropy-coded
-scan with byte unstuffing and restart markers, per-MCU DC-differential
-+ run/length AC coefficient decoding in zigzag order, dequantization,
-a separable orthonormal 8×8 IDCT, sampling-factor plane assembly with
-chroma upsampling, and JFIF YCbCr→RGB. Supports SOF0 (baseline
-sequential), 8-bit precision, 1 or 3 components, sampling factors 1–2,
-DRI/RSTn restarts. Progressive (SOF2) and arithmetic-coded variants
+Huffman table reconstruction from DHT bits/values, entropy-coded scans
+with byte unstuffing and restart markers, DC-differential + run/length
+AC coefficient decoding in zigzag order, dequantization, a separable
+orthonormal 8×8 IDCT, sampling-factor plane assembly with chroma
+upsampling, and JFIF YCbCr→RGB.
+
+Scans decode into per-component COEFFICIENT arrays and pixels
+materialize once at the end, so one engine covers every Huffman
+process: SOF0 baseline and SOF1 extended sequential (interleaved or
+per-component multi-scan), and SOF2 progressive — spectral selection
+(DC/AC band scans) and successive approximation (first + refinement
+scans, including EOB-run coding and AC correction bits) per ITU T.81
+Annex G. 8-bit precision, 1 or 3 components, sampling factors 1–2,
+DRI/RSTn restarts. Lossless/hierarchical/arithmetic-coded processes
 raise ``DecodeNotAvailable`` — valid files this decoder doesn't cover,
-not parse failures; everything else malformed raises ``MalformedMedia``.
+not parse failures; everything else malformed raises
+``MalformedMedia``.
 
 Determinism note: the IDCT is float64 but every consumer quantizes to
 uint8 through the same numpy expressions, so decoded pixels are
@@ -149,6 +157,144 @@ def _extend(value: int, size: int) -> int:
     return value
 
 
+def _scan_end(payload: bytes, pos: int) -> int:
+    """First offset at or after ``pos`` holding a real marker (not a
+    stuffed FF00, not an RSTn) — where the entropy-coded segment ends."""
+    p = pos
+    while p + 1 < len(payload):
+        if (
+            payload[p] == 0xFF
+            and payload[p + 1] != 0x00
+            and not (0xD0 <= payload[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return len(payload)
+
+
+def _block_baseline(reader, dc_tbl, ac_tbl, blk, pred, cid) -> None:
+    """One sequential data unit: DC diff + run/length AC into zigzag
+    coefficient order (T.81 F.2.2)."""
+    MalformedMedia, _ = _errors()
+    size = dc_tbl.decode(reader)
+    if size > 11:
+        raise MalformedMedia("DC category out of range")
+    pred[cid] += _extend(reader.receive(size), size)
+    blk[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = ac_tbl.decode(reader)
+        run, ssss = rs >> 4, rs & 0x0F
+        if ssss == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise MalformedMedia("AC run past block end")
+        blk[k] = _extend(reader.receive(ssss), ssss)
+        k += 1
+
+
+def _block_dc_first(reader, dc_tbl, blk, pred, cid, al: int) -> None:
+    """Progressive DC, first scan: diffs of DC>>Al accumulate in the
+    shifted domain (T.81 G.1.2.1)."""
+    MalformedMedia, _ = _errors()
+    size = dc_tbl.decode(reader)
+    if size > 11:
+        raise MalformedMedia("DC category out of range")
+    pred[cid] += _extend(reader.receive(size), size)
+    blk[0] = pred[cid] << al
+
+
+def _block_dc_refine(reader, blk, al: int) -> None:
+    """Progressive DC refinement: one bit per block ORs in bit Al —
+    exact for negative values too (two's-complement low bits)."""
+    if reader.bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _block_ac_first(reader, ac_tbl, blk, ss, se, al, eobrun) -> int:
+    """Progressive AC, first scan of a spectral band: run/length coding
+    plus EOBn end-of-band run codes (T.81 G.1.2.2)."""
+    MalformedMedia, _ = _errors()
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac_tbl.decode(reader)
+        run, ssss = rs >> 4, rs & 0x0F
+        if ssss == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += reader.receive(run)
+            break
+        k += run
+        if k > se:
+            raise MalformedMedia("AC run past band end")
+        blk[k] = _extend(reader.receive(ssss), ssss) << al
+        k += 1
+    return eobrun
+
+
+def _block_ac_refine(reader, ac_tbl, blk, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement (T.81 G.1.2.3): newly-nonzero
+    coefficients arrive as ±1<<Al; every already-nonzero coefficient
+    traversed consumes a correction bit that, when set, grows its
+    magnitude by 1<<Al."""
+    MalformedMedia, _ = _errors()
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def correct(pos: int) -> None:
+        v = int(blk[pos])
+        if reader.bit() and (v & p1) == 0:
+            blk[pos] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_tbl.decode(reader)
+            run, ssss = rs >> 4, rs & 0x0F
+            coeff = 0
+            if ssss == 0:
+                if run < 15:
+                    # EOBn includes the CURRENT block: its remaining
+                    # nonzero-history coefficients still consume
+                    # correction bits in the traversal below.
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += reader.receive(run)
+                    break
+                # run == 15: ZRL — skip 16 zero-history positions
+            else:
+                if ssss != 1:
+                    raise MalformedMedia("AC refinement size must be 1")
+                coeff = p1 if reader.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if coeff and k <= se:
+                blk[k] = coeff
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def parse_jpeg(payload: bytes) -> dict:
     MalformedMedia, DecodeNotAvailable = _errors()
     if payload is None or payload[:2] != b"\xff\xd8":
@@ -158,9 +304,14 @@ def parse_jpeg(payload: bytes) -> dict:
     huff_dc: dict[int, _Huffman] = {}
     huff_ac: dict[int, _Huffman] = {}
     sof = None
+    progressive = False
     restart_interval = 0
-    scan = None
-    while pos + 4 <= len(payload):
+    coef: dict[int, np.ndarray] = {}   # cid -> (bh_pad, bw_pad, 64) zigzag
+    geo: dict[int, dict] = {}          # per-component block geometry
+    by_id: dict[int, dict] = {}
+    scanned: set[int] = set()
+
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise MalformedMedia(f"expected marker at {pos}")
         marker = payload[pos + 1]
@@ -172,6 +323,8 @@ def parse_jpeg(payload: bytes) -> dict:
         if marker == 0x01 or marker == 0xFF:  # TEM / fill byte
             pos += 2 if marker == 0x01 else 1
             continue
+        if pos + 4 > len(payload):
+            raise MalformedMedia("truncated marker segment header")
         length = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         if length < 2:
             raise MalformedMedia(f"segment FF{marker:02X} with bad length")
@@ -203,9 +356,12 @@ def parse_jpeg(payload: bytes) -> dict:
                 table = _Huffman(bits, values)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if sof is not None:
+                raise MalformedMedia("multiple SOF segments")
+            progressive = marker == 0xC2
             if len(body) < 6:
-                raise MalformedMedia("SOF0 truncated")
+                raise MalformedMedia("SOF truncated")
             if body[0] != 8:
                 raise DecodeNotAvailable("non-8-bit JPEG precision")
             h = int.from_bytes(body[1:3], "big")
@@ -214,123 +370,119 @@ def parse_jpeg(payload: bytes) -> dict:
             if nc not in (1, 3):
                 raise DecodeNotAvailable(f"{nc}-component JPEG")
             if len(body) < 6 + 3 * nc:
-                raise MalformedMedia("SOF0 component list truncated")
+                raise MalformedMedia("SOF component list truncated")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
+            if len({c["id"] for c in comps}) != nc:
+                raise MalformedMedia("duplicate component ids in SOF")
             sof = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if w < 1 or h < 1 or w * h > (1 << 22):
+                raise MalformedMedia("nonsensical JPEG dimensions")
+            if not all(
+                1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps
+            ):
+                raise DecodeNotAvailable("sampling factors beyond 2 not supported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            sof.update({"hmax": hmax, "vmax": vmax,
+                        "mcus_x": mcus_x, "mcus_y": mcus_y})
+            by_id = {c["id"]: c for c in comps}
+            for c in comps:
+                # padded to whole MCUs (interleaved scans write there);
+                # non-interleaved scans cover the smaller true block grid
+                bw_pad, bh_pad = mcus_x * c["h"], mcus_y * c["v"]
+                cw = (w * c["h"] + hmax - 1) // hmax
+                chh = (h * c["v"] + vmax - 1) // vmax
+                geo[c["id"]] = {
+                    "bw": (cw + 7) // 8, "bh": (chh + 7) // 8,
+                    "bw_pad": bw_pad, "bh_pad": bh_pad,
+                }
+                coef[c["id"]] = np.zeros((bh_pad, bw_pad, 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise DecodeNotAvailable(
-                f"JPEG SOF type FF{marker:02X} (only baseline SOF0)"
+                f"JPEG SOF type FF{marker:02X} (lossless/hierarchical/"
+                "arithmetic processes not supported)"
             )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise MalformedMedia("DRI truncated")
             restart_interval = int.from_bytes(body[0:2], "big")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan in place
+            if sof is None:
+                raise MalformedMedia("SOS before SOF")
             if not body:
                 raise MalformedMedia("empty SOS")
             ns = body[0]
-            if len(body) < 1 + 2 * ns:
-                raise MalformedMedia("SOS component list truncated")
-            scan_comps = []
+            if len(body) < 1 + 2 * ns + 3:
+                raise MalformedMedia("SOS header truncated")
+            scan = []
             for i in range(ns):
                 cs, tables = body[1 + 2 * i], body[2 + 2 * i]
-                scan_comps.append(
-                    {"id": cs, "dc": tables >> 4, "ac": tables & 0x0F}
-                )
-            scan = scan_comps
-            pos = pos + 2 + length
-            break
+                if cs not in by_id:
+                    raise MalformedMedia("scan references unknown component")
+                scan.append({"id": cs, "dc": tables >> 4, "ac": tables & 0x0F})
+            if len({sc["id"] for sc in scan}) != ns:
+                raise MalformedMedia("duplicate component in SOS")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise MalformedMedia("sequential scan with progressive header")
+            if progressive:
+                if ss > 63 or se > 63 or ss > se or al > 13 or ah > 13:
+                    raise MalformedMedia("bad progressive scan parameters")
+                if ss == 0 and se != 0:
+                    raise MalformedMedia("progressive DC scan with Se != 0")
+                if ss > 0 and ns != 1:
+                    raise MalformedMedia(
+                        "progressive AC scan must cover exactly one component"
+                    )
+                if ah and ah != al + 1:
+                    raise MalformedMedia("refinement must reveal one bit")
+            reader = _BitReader(payload, pos + 2 + length)
+            _decode_scan(
+                reader, scan, sof, geo, by_id, coef, huff_dc, huff_ac,
+                restart_interval, progressive, ss, se, ah, al,
+            )
+            scanned.update(sc["id"] for sc in scan)
+            pos = _scan_end(payload, reader.pos)
+            continue
         # APPn / COM / anything else: skip
         pos = pos + 2 + length
-    if sof is None or scan is None:
-        raise MalformedMedia("missing SOF0 or SOS")
-    if len(scan) != len(sof["comps"]) or len({sc["id"] for sc in scan}) != len(scan):
-        # Baseline allows multiple NON-interleaved scans (ns < nc each);
-        # decoding only the first as if it covered every component would
-        # silently produce garbage planes (zero chroma, wrong MCU
-        # geometry) feeding wrong perceptual hashes downstream. Valid but
-        # uncovered → the typed gate, not MalformedMedia (ADVICE r4).
-        raise DecodeNotAvailable(
-            "non-interleaved multi-scan JPEG (SOS covers a component subset)"
-        )
+
+    if sof is None or not scanned:
+        raise MalformedMedia("missing SOF or SOS")
+    missing = {c["id"] for c in sof["comps"]} - scanned
+    if missing:
+        raise MalformedMedia("components never covered by any scan")
+
+    # Materialize pixels: scatter zigzag -> natural order, dequantize,
+    # batched separable IDCT (identical 8x8 matmuls to the per-block
+    # form), assemble planes, upsample, crop, color-convert.
     w, h = sof["w"], sof["h"]
-    if w < 1 or h < 1 or w * h > (1 << 22):
-        raise MalformedMedia("nonsensical JPEG dimensions")
-
-    hmax = max(c["h"] for c in sof["comps"])
-    vmax = max(c["v"] for c in sof["comps"])
-    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in sof["comps"]):
-        raise DecodeNotAvailable("sampling factors beyond 2 not supported")
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-
-    by_id = {c["id"]: c for c in sof["comps"]}
-    planes = {}
-    for c in sof["comps"]:
-        pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
-        planes[c["id"]] = np.zeros((ph, pw))
-
-    reader = _BitReader(payload, pos)
-    pred = {c["id"]: 0 for c in sof["comps"]}
-    mcu_index = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                reader.align_to_restart()
-                pred = {c["id"]: 0 for c in sof["comps"]}
-            for sc in scan:
-                comp = by_id.get(sc["id"])
-                if comp is None:
-                    raise MalformedMedia("scan references unknown component")
-                if sc["dc"] not in huff_dc or sc["ac"] not in huff_ac:
-                    raise MalformedMedia("scan references missing Huffman table")
-                if comp["tq"] not in qt:
-                    raise MalformedMedia("component references missing DQT")
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        coeffs = np.zeros(64)
-                        size = huff_dc[sc["dc"]].decode(reader)
-                        if size > 11:
-                            raise MalformedMedia("DC category out of range")
-                        diff = _extend(reader.receive(size), size)
-                        pred[comp["id"]] += diff
-                        coeffs[0] = pred[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = huff_ac[sc["ac"]].decode(reader)
-                            run, ssss = rs >> 4, rs & 0x0F
-                            if ssss == 0:
-                                if run == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise MalformedMedia("AC run past block end")
-                            coeffs[k] = _extend(reader.receive(ssss), ssss)
-                            k += 1
-                        block = np.zeros((8, 8))
-                        block.flat[_ZIGZAG] = coeffs
-                        block *= qt[comp["tq"]]
-                        px = _idct2(block) + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_index += 1
-
-    # upsample to full resolution and crop
+    hmax, vmax = sof["hmax"], sof["vmax"]
     full = []
     for c in sof["comps"]:
-        p = planes[c["id"]]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        full.append(p[:h, :w])
+        if c["tq"] not in qt:
+            raise MalformedMedia("component references missing DQT")
+        arr = coef[c["id"]]
+        bh_pad, bw_pad = arr.shape[0], arr.shape[1]
+        natural = np.zeros((bh_pad, bw_pad, 64))
+        natural[..., _ZIGZAG] = arr
+        deq = natural.reshape(bh_pad, bw_pad, 8, 8) * qt[c["tq"]][None, None]
+        px = _IDCT_C.T @ deq @ _IDCT_C + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh_pad * 8, bw_pad * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(plane[:h, :w])
     if len(full) == 1:
         gray = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         rgb = np.repeat(gray[:, :, None], 3, axis=2)
@@ -343,3 +495,78 @@ def parse_jpeg(payload: bytes) -> dict:
             np.uint8
         )
     return {"width": w, "height": h, "format": "jpeg", "pixels": rgb.tobytes()}
+
+
+def _decode_scan(
+    reader, scan, sof, geo, by_id, coef, huff_dc, huff_ac,
+    restart_interval, progressive, ss, se, ah, al,
+) -> None:
+    """Decode one entropy-coded scan into the coefficient arrays.
+
+    ns == 1 -> non-interleaved: data units walk the component's own
+    (bh, bw) block grid. ns > 1 -> interleaved: MCU walk, v x h blocks
+    per component per MCU (T.81 A.2). Restart markers reset DC
+    predictors and the EOB run every ``restart_interval`` units."""
+    MalformedMedia, _ = _errors()
+    need_dc = (not progressive) or (ss == 0 and ah == 0)
+    need_ac = (not progressive) or ss > 0
+    for sc in scan:
+        if need_dc and sc["dc"] not in huff_dc:
+            raise MalformedMedia("scan references missing DC Huffman table")
+        if need_ac and sc["ac"] not in huff_ac:
+            raise MalformedMedia("scan references missing AC Huffman table")
+
+    state = {"pred": {sc["id"]: 0 for sc in scan}, "eobrun": 0, "units": 0}
+
+    def unit_boundary() -> None:
+        if (
+            restart_interval
+            and state["units"]
+            and state["units"] % restart_interval == 0
+        ):
+            reader.align_to_restart()
+            state["pred"] = {sc["id"]: 0 for sc in scan}
+            state["eobrun"] = 0
+
+    def decode_block(sc, blk) -> None:
+        cid = sc["id"]
+        if not progressive:
+            _block_baseline(
+                reader, huff_dc[sc["dc"]], huff_ac[sc["ac"]], blk,
+                state["pred"], cid,
+            )
+        elif ss == 0 and ah == 0:
+            _block_dc_first(reader, huff_dc[sc["dc"]], blk, state["pred"], cid, al)
+        elif ss == 0:
+            _block_dc_refine(reader, blk, al)
+        elif ah == 0:
+            state["eobrun"] = _block_ac_first(
+                reader, huff_ac[sc["ac"]], blk, ss, se, al, state["eobrun"]
+            )
+        else:
+            state["eobrun"] = _block_ac_refine(
+                reader, huff_ac[sc["ac"]], blk, ss, se, al, state["eobrun"]
+            )
+
+    if len(scan) == 1:
+        sc = scan[0]
+        g = geo[sc["id"]]
+        arr = coef[sc["id"]]
+        for by in range(g["bh"]):
+            for bx in range(g["bw"]):
+                unit_boundary()
+                decode_block(sc, arr[by, bx])
+                state["units"] += 1
+    else:
+        for my in range(sof["mcus_y"]):
+            for mx in range(sof["mcus_x"]):
+                unit_boundary()
+                for sc in scan:
+                    comp = by_id[sc["id"]]
+                    arr = coef[sc["id"]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            decode_block(
+                                sc, arr[my * comp["v"] + by, mx * comp["h"] + bx]
+                            )
+                state["units"] += 1

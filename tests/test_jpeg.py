@@ -197,19 +197,20 @@ def test_jpeg_grayscale_and_solid():
     assert np.abs(got.astype(int) - 200).max() <= 3
 
 
-def test_jpeg_progressive_raises_typed_gate():
+def test_jpeg_progressive_sof_with_sequential_scan_is_malformed():
+    """SOF2 with a full-band Ah=Al=0 interleaved scan header (Ss=0,
+    Se=63) is inconsistent — progressive DC scans must have Se=0."""
     img = _test_image(8, 8)
-    payload = encode_jpeg(img, sof_marker=0xC2)  # SOF2 progressive
-    with pytest.raises(mm.DecodeNotAvailable, match="SOF"):
+    payload = encode_jpeg(img, sof_marker=0xC2)
+    with pytest.raises(mm.MalformedMedia, match="DC scan"):
         J.parse_jpeg(payload)
 
 
-def test_jpeg_noninterleaved_scan_raises_typed_gate():
-    """A baseline file whose first SOS covers a component SUBSET
-    (non-interleaved multi-scan layout: ns < nc) is valid-but-unsupported:
-    decoding it as one interleaved scan would silently produce garbage
-    planes, so the parser must raise the typed gate, not pixels and not
-    MalformedMedia (ADVICE r4)."""
+def test_jpeg_incomplete_component_coverage_is_malformed():
+    """A 3-component baseline file whose only scan covers Y then hits
+    EOI never defines the chroma planes — malformed (was the old
+    non-interleaved DecodeNotAvailable gate; proper per-component
+    multi-scan files now decode for real, see the tests below)."""
     import struct
 
     payload = encode_jpeg(_test_image(8, 8))
@@ -221,7 +222,7 @@ def test_jpeg_noninterleaved_scan_raises_typed_gate():
         + b"\xff\xda" + struct.pack(">H", len(sos1) + 2) + sos1
         + payload[i + 2 + seg_len :]
     )
-    with pytest.raises(mm.DecodeNotAvailable, match="non-interleaved"):
+    with pytest.raises(mm.MalformedMedia):
         J.parse_jpeg(patched)
 
 
@@ -379,3 +380,331 @@ def test_cross_format_perceptual_hash_agrees():
     assert hashes["ppm"] == hashes["png"] == hashes["gif"]
     ham = bin(hashes["ppm"] ^ hashes["jpeg"]).count("1")
     assert ham <= 4, ham
+
+
+# --- progressive reference encoder (ITU T.81 Annex G forward path) --------
+# Emits real spectral-selection + successive-approximation scan sequences
+# so the decoder is validated against the TRUSTED baseline decode of the
+# same quantized coefficients: both paths must produce identical pixels.
+
+_AC_SYMBOLS_PROG = [r << 4 for r in range(16)] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS_PROG = [0] * 7 + [len(_AC_SYMBOLS_PROG)] + [0] * 8
+_AC_VALUES_PROG = bytes(_AC_SYMBOLS_PROG)
+_AC_CODES_PROG = _canonical_codes(_AC_BITS_PROG, _AC_VALUES_PROG)
+
+
+def _quantized_planes(rgb, grayscale=False):
+    """Per-component (bh, bw, 64) zigzag coefficient arrays, flat quant."""
+    h, w, _ = rgb.shape
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [y] if grayscale else [y, cb, cr]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    comps = []
+    for p in planes:
+        pp = np.zeros((ph, pw))
+        pp[:h, :w] = p
+        pp[h:, :w] = p[-1:, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        zz = np.zeros((ph // 8, pw // 8, 64), dtype=int)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                co = np.rint(_FDCT_C @ (blk - 128.0) @ _FDCT_C.T).astype(int)
+                zz[by, bx] = co.flat[_ZZ]
+        comps.append(zz)
+    return comps
+
+
+class _ProgScanWriter:
+    """One scan's entropy coder with libjpeg-style EOB-run batching and
+    the saved (BE) vs current-block (BR) correction-bit split."""
+
+    def __init__(self):
+        self.w = _BitWriter()
+        self.eobrun = 0
+        self.saved_bits = []   # flushed with the next EOBn emission
+        self.cur_bits = []     # flushed after the next in-block symbol
+
+    def _emit(self, codes, sym):
+        c, ln = codes[sym]
+        self.w.write(c, ln)
+
+    def _flush_bits(self, bits):
+        for b in bits:
+            self.w.write(b, 1)
+        bits.clear()
+
+    def flush_eobrun(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self._emit(_AC_CODES_PROG, r << 4)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        self._flush_bits(self.saved_bits)
+
+    def dc_first(self, dc_shifted, pred):
+        diff = dc_shifted - pred
+        size = abs(diff).bit_length()
+        self._emit(_DC_CODES, size)
+        if size:
+            raw = diff if diff >= 0 else diff + (1 << size) - 1
+            self.w.write(raw, size)
+        return dc_shifted
+
+    def dc_refine(self, dc, al):
+        self.w.write((dc >> al) & 1, 1)
+
+    def ac_first(self, zz, ss, se, al):
+        band = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al
+            band.append(t if v >= 0 else -t)
+        if not any(band):
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+            return
+        self.flush_eobrun()
+        r = 0
+        last_nz = max(i for i, v in enumerate(band) if v)
+        for i, v in enumerate(band):
+            if i > last_nz:
+                self.eobrun += 1
+                return
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                self._emit(_AC_CODES_PROG, 0xF0)
+                r -= 16
+            size = abs(v).bit_length()
+            self._emit(_AC_CODES_PROG, (r << 4) | size)
+            raw = v if v >= 0 else v + (1 << size) - 1
+            self.w.write(raw, size)
+            r = 0
+
+    def ac_refine(self, zz, ss, se, al):
+        t = []
+        hist = []
+        sign = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t.append(abs(v) >> al)
+            hist.append((abs(v) >> (al + 1)) != 0)
+            sign.append(v >= 0)
+        eob = -1
+        for i, ti in enumerate(t):
+            if ti == 1 and not hist[i]:
+                eob = i
+        r = 0
+        for i, ti in enumerate(t):
+            if ti == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                self.flush_eobrun()
+                self._emit(_AC_CODES_PROG, 0xF0)
+                r -= 16
+                self._flush_bits(self.cur_bits)
+            if hist[i]:
+                self.cur_bits.append(ti & 1)
+                continue
+            # newly visible (ti == 1)
+            self.flush_eobrun()
+            self._emit(_AC_CODES_PROG, (r << 4) | 1)
+            self.w.write(1 if sign[i] else 0, 1)
+            self._flush_bits(self.cur_bits)
+            r = 0
+        if r > 0 or self.cur_bits:
+            self.eobrun += 1
+            self.saved_bits.extend(self.cur_bits)
+            self.cur_bits.clear()
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def finish(self):
+        self.flush_eobrun()
+        return self.w.flush()
+
+
+def encode_jpeg_progressive(rgb, grayscale=False, dc_al=1, ac_al=1,
+                            bands=((1, 5), (6, 63))):
+    """Spectral selection + successive approximation: interleaved DC
+    first/refine scans, per-component AC band first/refine scans."""
+    import struct
+
+    comps = _quantized_planes(rgb, grayscale)
+    h, w, _ = rgb.shape
+    nc = len(comps)
+    bh, bw = comps[0].shape[0], comps[0].shape[1]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(scan_comps, ss, se, ah, al, data):
+        body = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body) + data
+
+    out = b"\xff\xd8" + seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALUES
+               + bytes([0x10]) + bytes(_AC_BITS_PROG) + _AC_VALUES_PROG)
+
+    # DC first (interleaved, Al=dc_al)
+    sw = _ProgScanWriter()
+    preds = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                preds[ci] = sw.dc_first(int(comps[ci][by, bx, 0]) >> dc_al,
+                                        preds[ci])
+    out += sos(list(range(1, nc + 1)), 0, 0, 0, dc_al, sw.finish())
+
+    # AC first scans: per component, per spectral band
+    for ci in range(nc):
+        for (ss, se) in bands:
+            sw = _ProgScanWriter()
+            for by in range(bh):
+                for bx in range(bw):
+                    sw.ac_first(comps[ci][by, bx], ss, se, ac_al)
+            out += sos([ci + 1], ss, se, 0, ac_al, sw.finish())
+
+    # DC refinement scans down to full precision
+    for al in range(dc_al - 1, -1, -1):
+        sw = _ProgScanWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(nc):
+                    sw.dc_refine(int(comps[ci][by, bx, 0]), al)
+        out += sos(list(range(1, nc + 1)), 0, 0, al + 1, al, sw.finish())
+
+    # AC refinement scans
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(nc):
+            for (ss, se) in bands:
+                sw = _ProgScanWriter()
+                for by in range(bh):
+                    for bx in range(bw):
+                        sw.ac_refine(comps[ci][by, bx], ss, se, al)
+                out += sos([ci + 1], ss, se, al + 1, al, sw.finish())
+
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """Progressive and baseline files built from the SAME quantized
+    coefficients must decode to IDENTICAL pixels — certifying spectral
+    selection, successive approximation, EOB runs, and AC correction
+    bits against the independently-tested sequential path."""
+    for h, w, gray in [(16, 16, False), (24, 17, False), (9, 13, True),
+                       (8, 8, False)]:
+        img = _test_image(h, w, seed=h + w)
+        base = J.parse_jpeg(encode_jpeg(img, grayscale=gray))
+        prog = J.parse_jpeg(encode_jpeg_progressive(img, grayscale=gray))
+        assert (prog["width"], prog["height"]) == (w, h)
+        assert prog["pixels"] == base["pixels"], (h, w, gray)
+
+
+def test_jpeg_progressive_single_band_and_deeper_approximation():
+    img = _test_image(17, 19, seed=11)
+    base = J.parse_jpeg(encode_jpeg(img))
+    prog = J.parse_jpeg(
+        encode_jpeg_progressive(img, dc_al=2, ac_al=2, bands=((1, 63),))
+    )
+    assert prog["pixels"] == base["pixels"]
+    prog2 = J.parse_jpeg(
+        encode_jpeg_progressive(img, dc_al=0, ac_al=0,
+                                bands=((1, 2), (3, 20), (21, 63)))
+    )
+    assert prog2["pixels"] == base["pixels"]
+
+
+def test_jpeg_baseline_noninterleaved_multiscan_decodes():
+    """A sequential file with one scan PER COMPONENT (ns=1 each) must
+    decode identically to the interleaved single-scan file."""
+    import struct
+
+    img = _test_image(16, 16, seed=4)
+    base = J.parse_jpeg(encode_jpeg(img))
+    comps = _quantized_planes(img)
+    h, w = 16, 16
+    bh, bw = comps[0].shape[0], comps[0].shape[1]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8" + seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for i in range(3):
+        sof += bytes([i + 1, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALUES
+               + bytes([0x10]) + bytes(_AC_BITS) + _AC_VALUES)
+    for ci in range(3):
+        writer = _BitWriter()
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                zz = comps[ci][by, bx]
+                diff = int(zz[0]) - pred
+                pred = int(zz[0])
+                size = abs(diff).bit_length()
+                c, ln = _DC_CODES[size]
+                writer.write(c, ln)
+                if size:
+                    raw = diff if diff >= 0 else diff + (1 << size) - 1
+                    writer.write(raw, size)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = _AC_CODES[0xF0]
+                        writer.write(c, ln)
+                        run -= 16
+                    size = abs(v).bit_length()
+                    c, ln = _AC_CODES[(run << 4) | size]
+                    writer.write(c, ln)
+                    raw = v if v >= 0 else v + (1 << size) - 1
+                    writer.write(raw, size)
+                    run = 0
+                if last_nz < 63:
+                    c, ln = _AC_CODES[0x00]
+                    writer.write(c, ln)
+        out += seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0])) + writer.flush()
+    out += b"\xff\xd9"
+    got = J.parse_jpeg(out)
+    assert got["pixels"] == base["pixels"]
+
+
+def test_jpeg_progressive_never_crashes_on_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = encode_jpeg_progressive(_test_image(8, 8))
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, len(valid) - 1), st.integers(0, 255))
+    def run(mi, mb):
+        try:
+            J.parse_jpeg(valid[:mi] + bytes([mb]) + valid[mi + 1:])
+        except (mm.MalformedMedia, mm.DecodeNotAvailable):
+            pass
+
+    run()
