@@ -46,6 +46,9 @@ _NEEDS_FIRST_ROW = [
     "emb_kmeans_assign",
     "emb_kmeans_domains",
     "emb_kmeans_centroids",
+    # UniMax waterfill over the LEARNED domains (cluster histogram) —
+    # the discovered-domain mixing composition
+    "emb_kmeans_mixture",
     # signature-estimate prefilter between band collision and exact
     # verify (NEXT.md r6 candidate #6) — semantics-visible, own oracle
     "dedup_minhash_prefiltered",

@@ -46,11 +46,11 @@ from pyspark.sql import functions as F
 from . import registry
 from .similarity import (
     EMB_DIM,
+    QUANT,
     _QUANT_SQL,
     _emb,
     _memoized,
     _quant_np,
-    _quantized,
 )
 
 K_CLUSTERS = 8      # latent domains
@@ -63,12 +63,17 @@ KMEANS_ROUNDS = 4   # Lloyd updates (fixed — the oracle chains one CTE block e
 _KMEANS_STATE_MEMO: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
 
 
-def _init_state(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+def _init_state_on(e: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """K seed centroids: the quantized vectors of the K vec_ids that sort
     first by md5(vec_id) — deterministic and content-independent (id order
-    could correlate with generation order; the hash order cannot)."""
+    could correlate with generation order; the hash order cannot).
+    ``e`` is any (vec_id, embedding) frame — the corpus for the batch
+    entries, the first micro-batch for the streaming twin."""
+    q = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * QUANT, 0).cast("long")
+    )
     rows = (
-        _quantized(_emb(spark, sf_dir))
+        e.select("vec_id", q.alias("q"))
         .withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
         .limit(K_CLUSTERS)
@@ -120,13 +125,11 @@ def _round_half_away(v: np.ndarray) -> np.ndarray:
     return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
 
 
-def _trained_state(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    got = _KMEANS_STATE_MEMO.get(key)
-    if got is not None:
-        return got
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    ids, m = _init_state(spark, sf_dir)
+def _train_state_on(e: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Run the full training loop (init + KMEANS_ROUNDS exact Lloyd
+    updates) over any (vec_id, embedding) frame."""
+    e = e.select("vec_id", "embedding")
+    ids, m = _init_state_on(e)
     for _ in range(KMEANS_ROUNDS):
         agg = (
             _partial_sums(e, ids, m)
@@ -142,8 +145,42 @@ def _trained_state(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.nda
         n = np.array([r["n"] for r in agg], dtype=np.float64)
         s = np.array([[r[f"s{i}"] for i in range(EMB_DIM)] for r in agg], dtype=np.float64)
         m = _round_half_away(s / n[:, None])
-    _KMEANS_STATE_MEMO[key] = (ids, m)
     return ids, m
+
+
+def _trained_state(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _KMEANS_STATE_MEMO.get(key)
+    if got is not None:
+        return got
+    got = _train_state_on(_emb(spark, sf_dir))
+    _KMEANS_STATE_MEMO[key] = got
+    return got
+
+
+def _assign_frame(e: DataFrame, ids: np.ndarray, m: np.ndarray) -> DataFrame:
+    """(vec_id, cluster_id, dist_sq) for any (vec_id, embedding) frame
+    against a given centroid state — the shared assignment kernel of the
+    batch entries and the streaming twin."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = _quant_np(pdf["embedding"])
+            d = _dist_matrix(x, m)
+            near = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "cluster_id": ids[near],
+                    "dist_sq": d[np.arange(len(near)), near],
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        batches, "vec_id long, cluster_id long, dist_sq long"
+    )
 
 
 def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,6 +269,58 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "cluster_id long, dim long, centroid_microunits long"
+    )
+
+
+def kmeans_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixing over LEARNED domains: the waterfill allocation
+    (corpus.mixture_waterfill — same budget, same exact integer
+    arithmetic) applied to the k-means cluster histogram instead of the
+    source-language labels, then materialized by a salted-hash
+    threshold on vec_id — the actual SemDedup→DoReMi-style composition
+    a training pipeline runs when its mixing domains are discovered
+    rather than annotated. Kept rows carry the inverse-rate weight.
+
+    Scale shape: the cluster histogram is K rows; waterfill windows run
+    over that tiny table; the rate table broadcasts back onto the
+    assignment scan and membership is a scan-local hash filter — the
+    corpus-sized path never shuffles beyond the assignment itself."""
+    from .corpus import mixture_waterfill
+
+    a = _final_assignment(spark, sf_dir)
+    hist = (
+        a.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("cluster_id").cast("string").alias("lang"), "c")
+    )
+    rates = mixture_waterfill(hist).select(
+        F.col("lang").cast("long").alias("cluster_id"),
+        F.least(F.lit(1000), F.expr("(1000 * alloc) div c")).alias("rate_k"),
+    )
+    strat = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmix|"), F.col("vec_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000),
+    )
+    return (
+        a.select("vec_id", "cluster_id", strat.alias("strat"))
+        .join(F.broadcast(rates), "cluster_id")
+        .filter(F.col("strat") < F.col("rate_k"))
+        .select(
+            "vec_id",
+            "cluster_id",
+            "rate_k",
+            (
+                F.lit(1000).cast("double") / F.col("rate_k").cast("double")
+            ).alias("weight"),
+        )
     )
 
 
@@ -329,6 +418,62 @@ SELECT s.cluster_id, CAST(t.dim AS BIGINT) AS dim,
 FROM state{KMEANS_ROUNDS} s, range(1, {EMB_DIM + 1}) t(dim)
 """
 
+def _kmeans_mixture_sql() -> str:
+    from .corpus import MIX_BUDGET_DEN, MIX_BUDGET_NUM
+
+    return f"""{_kmeans_cte_sql()},
+hist AS (
+  SELECT CAST(cluster_id AS VARCHAR) AS lang, COUNT(*) AS c
+  FROM final_assign GROUP BY cluster_id
+),
+w1 AS (
+  SELECT lang, c,
+         ROW_NUMBER() OVER (ORDER BY c, lang) AS rn,
+         COALESCE(SUM(c) OVER (ORDER BY c, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev,
+         COUNT(*) OVER () AS n_langs,
+         SUM(c) OVER () AS total
+  FROM hist
+),
+w2 AS (
+  SELECT *, (total * {MIX_BUDGET_NUM}) // {MIX_BUDGET_DEN} AS b FROM w1
+),
+w3 AS (
+  SELECT *, CASE WHEN c > ((b - s_prev) // (n_langs - rn + 1))
+                 THEN rn END AS fail_rn
+  FROM w2
+),
+w4 AS (
+  SELECT *, COALESCE(MIN(fail_rn) OVER () - 1, n_langs) AS k FROM w3
+),
+w5 AS (
+  SELECT *, COALESCE(SUM(CASE WHEN rn <= k THEN c END) OVER (), 0) AS s_k
+  FROM w4
+),
+alloc AS (
+  SELECT lang, c,
+         CASE WHEN rn <= k THEN c
+              ELSE LEAST(c, (b - s_k) // GREATEST(n_langs - k, 1)) END AS alloc
+  FROM w5
+),
+rates AS (
+  SELECT CAST(lang AS BIGINT) AS cluster_id,
+         CAST(LEAST(1000, (1000 * alloc) // c) AS BIGINT) AS rate_k
+  FROM alloc
+),
+member AS (
+  SELECT a.vec_id, a.cluster_id, r.rate_k,
+         CAST(('0x' || substr(md5('kmix|' || CAST(a.vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000 AS strat
+  FROM final_assign a JOIN rates r ON a.cluster_id = r.cluster_id
+)
+SELECT vec_id, cluster_id, rate_k,
+       CAST(1000 AS DOUBLE) / CAST(rate_k AS DOUBLE) AS weight
+FROM member WHERE strat < rate_k
+"""
+
+
 registry.register("emb_kmeans_assign", kmeans_assign, KMEANS_ASSIGN_SQL)
+registry.register("emb_kmeans_mixture", kmeans_mixture, _kmeans_mixture_sql())
 registry.register("emb_kmeans_domains", kmeans_domains, KMEANS_DOMAINS_SQL)
 registry.register("emb_kmeans_centroids", kmeans_centroids, KMEANS_CENTROIDS_SQL)
