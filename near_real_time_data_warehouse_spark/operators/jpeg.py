@@ -14,11 +14,12 @@ process: SOF0 baseline and SOF1 extended sequential (interleaved or
 per-component multi-scan), and SOF2 progressive — spectral selection
 (DC/AC band scans) and successive approximation (first + refinement
 scans, including EOB-run coding and AC correction bits) per ITU T.81
-Annex G. 8-bit precision, 1 or 3 components, sampling factors 1–2,
-DRI/RSTn restarts. Lossless/hierarchical/arithmetic-coded processes
-raise ``DecodeNotAvailable`` — valid files this decoder doesn't cover,
-not parse failures; everything else malformed raises
-``MalformedMedia``.
+Annex G. 8-bit sample precision, 1 or 3 components, 8- and 16-bit
+quantization tables, divisible sampling factors 1–4, DRI/RSTn
+restarts. Lossless/hierarchical/arithmetic-coded processes and
+non-divisible sampling ratios raise ``DecodeNotAvailable`` — valid
+files this decoder doesn't cover, not parse failures; everything else
+malformed raises ``MalformedMedia``.
 
 Determinism note: the IDCT is float64 but every consumer quantizes to
 uint8 through the same numpy expressions, so decoded pixels are
@@ -335,15 +336,20 @@ def parse_jpeg(payload: bytes) -> dict:
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0x0F
-                if pq != 0:
-                    raise DecodeNotAvailable("16-bit quantization tables")
-                if p + 65 > len(body):
+                if pq not in (0, 1):
+                    raise MalformedMedia("bad DQT precision")
+                step = 1 + pq  # 8- or 16-bit entries
+                if p + 1 + 64 * step > len(body):
                     raise MalformedMedia("DQT truncated")
                 tbl = np.zeros(64)
                 for i in range(64):
-                    tbl[_ZIGZAG[i]] = body[p + 1 + i]
+                    off = p + 1 + i * step
+                    v = body[off] if pq == 0 else int.from_bytes(
+                        body[off : off + 2], "big"
+                    )
+                    tbl[_ZIGZAG[i]] = v
                 qt[tq] = tbl.reshape(8, 8)
-                p += 65
+                p += 1 + 64 * step
         elif marker == 0xC4:  # DHT
             p = 0
             while p + 17 <= len(body):
@@ -383,11 +389,18 @@ def parse_jpeg(payload: bytes) -> dict:
             if w < 1 or h < 1 or w * h > (1 << 22):
                 raise MalformedMedia("nonsensical JPEG dimensions")
             if not all(
-                1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps
+                1 <= c["h"] <= 4 and 1 <= c["v"] <= 4 for c in comps
             ):
-                raise DecodeNotAvailable("sampling factors beyond 2 not supported")
+                raise MalformedMedia("sampling factors out of spec range 1-4")
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
+            if not all(
+                hmax % c["h"] == 0 and vmax % c["v"] == 0 for c in comps
+            ):
+                # valid but needs fractional chroma upsampling
+                raise DecodeNotAvailable(
+                    "non-divisible sampling factor ratios not supported"
+                )
             mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
             mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
             sof.update({"hmax": hmax, "vmax": vmax,

@@ -708,3 +708,42 @@ def test_jpeg_progressive_never_crashes_on_fuzz():
             pass
 
     run()
+
+
+def test_jpeg_16bit_dqt_and_sampling_gates():
+    import struct
+
+    img = _test_image(16, 16, seed=9)
+    payload = encode_jpeg(img)
+    base = J.parse_jpeg(payload)
+    # swap the 8-bit DQT (pq=0, flat 1s) for a 16-bit one (pq=1, same 1s)
+    i = payload.find(b"\xff\xdb")
+    old_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+    dqt16 = bytes([0x10]) + b"".join(struct.pack(">H", 1) for _ in range(64))
+    patched = (
+        payload[:i]
+        + b"\xff\xdb" + struct.pack(">H", len(dqt16) + 2) + dqt16
+        + payload[i + 2 + old_len :]
+    )
+    assert J.parse_jpeg(patched)["pixels"] == base["pixels"]
+    # 16-bit DQT with a LARGE value (>255) must actually be read as 16-bit
+    big = bytearray(dqt16)
+    big[1:3] = struct.pack(">H", 300)  # DC quant step 300
+    patched_big = (
+        payload[:i]
+        + b"\xff\xdb" + struct.pack(">H", len(big) + 2) + bytes(big)
+        + payload[i + 2 + old_len :]
+    )
+    assert J.parse_jpeg(patched_big)["pixels"] != base["pixels"]
+    # sampling factor gates: 5 is out of spec; 3-vs-2 is non-divisible
+    s = payload.find(b"\xff\xc0")
+    sof_body = bytearray(payload[s + 4 : s + 4 + 15])
+    bad = bytearray(payload)
+    bad[s + 4 + 7] = 0x55  # Y h=5, v=5
+    with pytest.raises(mm.MalformedMedia, match="1-4"):
+        J.parse_jpeg(bytes(bad))
+    nondiv = bytearray(payload)
+    nondiv[s + 4 + 7] = 0x31   # Y h=3
+    nondiv[s + 4 + 10] = 0x21  # Cb h=2 -> 3 % 2 != 0
+    with pytest.raises(mm.DecodeNotAvailable, match="non-divisible"):
+        J.parse_jpeg(bytes(nondiv))
