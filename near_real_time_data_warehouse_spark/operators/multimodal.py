@@ -319,6 +319,170 @@ def parse_gif(payload: bytes) -> dict:
     raise MalformedMedia("GIF contains no image frame")
 
 
+def parse_gif_frames(payload: bytes, max_frames: int = 64) -> dict:
+    """Animated-GIF decode (GIF89a): every frame composited onto the
+    logical-screen canvas with sub-rectangle placement, Graphic Control
+    Extension transparency (transparent indices leave the canvas
+    untouched — inter-frame delta encoding), and disposal methods
+    none/keep (0/1), restore-to-background (2) and restore-to-previous
+    (3). Returns {width, height, n_frames, frames: [{delay_cs,
+    pixels(RGB, canvas-sized)}]} — the real decode behind frame
+    sampling / motion features for the one "video-like" container this
+    runtime can decode dependency-free. ``parse_gif`` remains the
+    single-frame fast path (a frame's OWN rectangle, not the canvas).
+    Raises MalformedMedia on violations; frames beyond ``max_frames``
+    are not decoded (bounded work on attacker payloads)."""
+    import numpy as np
+
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MalformedMedia("not a GIF87a/89a payload")
+    if len(payload) < 13:
+        raise MalformedMedia("truncated logical screen descriptor")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    if w < 1 or h < 1 or w * h > GIF_MAX_PIXELS:
+        raise MalformedMedia("nonsensical GIF canvas dimensions")
+    flags = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise MalformedMedia("truncated global color table")
+        pos += 3 * n
+    bg_rgb = np.zeros(3, dtype=np.uint8)
+    if gct is not None and bg_index < len(gct) // 3:
+        bg_rgb = np.frombuffer(
+            bytes(gct[3 * bg_index : 3 * bg_index + 3]), dtype=np.uint8
+        )
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+    frames: list[dict] = []
+    gce: dict | None = None  # pending Graphic Control Extension
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise MalformedMedia("truncated extension")
+            label = payload[pos + 1]
+            p = pos + 2
+            subs = []
+            while p < len(payload) and payload[p] != 0:
+                subs.append(payload[p + 1 : p + 1 + payload[p]])
+                p += 1 + payload[p]
+            if p >= len(payload):
+                raise MalformedMedia("unterminated extension sub-blocks")
+            pos = p + 1
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                b = subs[0]
+                gce = {
+                    "disposal": (b[0] >> 2) & 0x07,
+                    "transparent": b[3] if b[0] & 1 else None,
+                    "delay_cs": int.from_bytes(b[1:3], "little"),
+                }
+            continue
+        if block != 0x2C:
+            raise MalformedMedia(f"unknown GIF block 0x{block:02x}")
+        if pos + 10 > len(payload):
+            raise MalformedMedia("truncated image descriptor")
+        left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+        iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        palette = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            palette = payload[pos : pos + 3 * n]
+            if len(palette) < 3 * n:
+                raise MalformedMedia("truncated local color table")
+            pos += 3 * n
+        if palette is None:
+            raise MalformedMedia("no color table for image frame")
+        if iw < 1 or ih < 1 or left + iw > w or top + ih > h:
+            raise MalformedMedia("frame rectangle outside the canvas")
+        if pos >= len(payload):
+            raise MalformedMedia("missing LZW min code size")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise MalformedMedia("unterminated LZW sub-blocks")
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            chunk = payload[pos : pos + n]
+            if len(chunk) < n:
+                raise MalformedMedia("truncated LZW sub-block")
+            data += chunk
+            pos += n
+        if len(frames) >= max_frames:
+            gce = None
+            continue  # bounded: later frames parsed structurally, not decoded
+        idx = _gif_lzw_decode(min_code_size, bytes(data), iw * ih)
+        if len(idx) < iw * ih:
+            raise MalformedMedia("LZW output shorter than frame")
+        idx = bytearray(idx[: iw * ih])
+        if iflags & 0x40:  # interlaced
+            rows = [bytes(idx[r * iw : (r + 1) * iw]) for r in range(ih)]
+            idx = bytearray(b"".join(_deinterlace(rows, ih)))
+        iv = np.frombuffer(bytes(idx), dtype=np.uint8).reshape(ih, iw)
+        n_colors = len(palette) // 3
+        if int(iv.max()) >= n_colors:
+            raise MalformedMedia("palette index out of range")
+        pal = np.frombuffer(bytes(palette), dtype=np.uint8).reshape(-1, 3)
+        disposal = gce["disposal"] if gce else 0
+        transparent = gce["transparent"] if gce else None
+        delay_cs = gce["delay_cs"] if gce else 0
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + ih, left : left + iw]
+        mask = (
+            iv != transparent if transparent is not None
+            else np.ones_like(iv, dtype=bool)
+        )
+        region[mask] = pal[iv[mask]]
+        frames.append({"delay_cs": delay_cs, "pixels": canvas.tobytes()})
+        if disposal == 2:
+            canvas[top : top + ih, left : left + iw] = bg_rgb
+        elif disposal == 3:
+            canvas = prev
+        gce = None
+    if not frames:
+        raise MalformedMedia("GIF contains no image frame")
+    return {"width": w, "height": h, "n_frames": len(frames), "frames": frames}
+
+
+def gif_motion_stats(parsed: dict) -> dict:
+    """Per-animation motion profile from composited frames: mean
+    absolute inter-frame pixel delta (motion energy), the fraction of
+    pixels that changed at all, and total duration — the features a
+    video-curation pass keys on (static-banner detection, frame-sample
+    rate selection)."""
+    import numpy as np
+
+    frames = [
+        np.frombuffer(f["pixels"], dtype=np.uint8).astype(np.int32)
+        for f in parsed["frames"]
+    ]
+    deltas = [np.abs(b - a) for a, b in zip(frames, frames[1:])]
+    return {
+        "n_frames": parsed["n_frames"],
+        "duration_cs": int(sum(f["delay_cs"] for f in parsed["frames"])),
+        "motion_energy": float(np.mean([d.mean() for d in deltas])) if deltas else 0.0,
+        "changed_fraction": (
+            float(np.mean([(d.reshape(-1, 3).sum(axis=1) > 0).mean() for d in deltas]))
+            if deltas
+            else 0.0
+        ),
+    }
+
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 # Adam7 interlace pass origins/strides (x0, y0, dx, dy), in order.

@@ -828,3 +828,140 @@ def test_parse_png_rejects_invalid_depth_combinations():
                                       palette=[(0, 0, 0)] * 4))
     with _pytest.raises(mm.MalformedMedia):
         mm.parse_png(_png_bytes_depth(2, 2, [0] * 12, 4, color_type=2))
+
+
+def _gif_anim_bytes(width, height, frames, palette, bg_index=0):
+    """Animated GIF89a builder: frames are dicts with indices (row-major
+    over their own rect), left/top/w/h, delay_cs, disposal, transparent."""
+    n = max(2, len(palette))
+    size_field = max(1, (n - 1).bit_length()) - 1
+    table_n = 2 << size_field
+    gct = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (table_n - len(palette))
+    out = bytearray(
+        b"GIF89a"
+        + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        + bytes([0x80 | size_field, bg_index, 0])
+        + gct
+    )
+    for f in frames:
+        tflag = 1 if f.get("transparent") is not None else 0
+        out += bytes([0x21, 0xF9, 4,
+                      (f.get("disposal", 0) << 2) | tflag])
+        out += f.get("delay_cs", 0).to_bytes(2, "little")
+        out += bytes([f.get("transparent") or 0, 0])
+        out += b"\x2c"
+        out += f.get("left", 0).to_bytes(2, "little")
+        out += f.get("top", 0).to_bytes(2, "little")
+        out += f["w"].to_bytes(2, "little") + f["h"].to_bytes(2, "little")
+        out += bytes([0])
+        lzw = _gif_lzw_encode(f["indices"], 2)
+        out += bytes([2])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    return bytes(out) + b"\x3b"
+
+
+_PAL4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+
+
+def _canvas(parsed, i):
+    import numpy as np
+
+    return np.frombuffer(parsed["frames"][i]["pixels"], np.uint8).reshape(
+        parsed["height"], parsed["width"], 3
+    )
+
+
+def test_gif_frames_composite_subrect_and_transparency():
+    import numpy as np
+
+    # frame 1: full canvas of color 1; frame 2: 2x2 patch at (1,1) where
+    # index 3 is transparent (shows frame 1 through)
+    f1 = {"indices": [1] * 16, "w": 4, "h": 4, "delay_cs": 5}
+    f2 = {"indices": [2, 3, 3, 2], "left": 1, "top": 1, "w": 2, "h": 2,
+          "transparent": 3, "delay_cs": 7}
+    p = mm.parse_gif_frames(_gif_anim_bytes(4, 4, [f1, f2], _PAL4))
+    assert (p["width"], p["height"], p["n_frames"]) == (4, 4, 2)
+    assert [f["delay_cs"] for f in p["frames"]] == [5, 7]
+    c1, c2 = _canvas(p, 0), _canvas(p, 1)
+    assert (c1 == (0, 255, 0)).all()
+    assert tuple(c2[1, 1]) == (0, 0, 255)    # opaque patch pixel
+    assert tuple(c2[1, 2]) == (0, 255, 0)    # transparent -> frame 1
+    assert tuple(c2[2, 2]) == (0, 0, 255)
+    assert tuple(c2[0, 0]) == (0, 255, 0)    # outside the rect
+
+
+def test_gif_frames_disposal_background_and_previous():
+    # disposal 2 wipes the frame's rect to background before the next
+    # frame; disposal 3 restores the pre-frame canvas
+    f1 = {"indices": [1] * 16, "w": 4, "h": 4}
+    f2 = {"indices": [2] * 4, "left": 0, "top": 0, "w": 2, "h": 2,
+          "disposal": 2}
+    f3 = {"indices": [3], "left": 3, "top": 3, "w": 1, "h": 1}
+    p = mm.parse_gif_frames(_gif_anim_bytes(4, 4, [f1, f2, f3], _PAL4,
+                                            bg_index=0))
+    c3 = _canvas(p, 2)
+    assert tuple(c3[0, 0]) == (255, 0, 0)   # rect wiped to background (red)
+    assert tuple(c3[2, 2]) == (0, 255, 0)   # untouched frame-1 pixel
+    assert tuple(c3[3, 3]) == (9, 9, 9)     # frame 3's own pixel
+
+    f2b = dict(f2, disposal=3)
+    p = mm.parse_gif_frames(_gif_anim_bytes(4, 4, [f1, f2b, f3], _PAL4))
+    c3 = _canvas(p, 2)
+    assert tuple(c3[0, 0]) == (0, 255, 0)   # restored to previous (frame 1)
+
+
+def test_gif_single_frame_path_unchanged_on_animations():
+    f1 = {"indices": [1] * 16, "w": 4, "h": 4}
+    f2 = {"indices": [2] * 4, "left": 1, "top": 1, "w": 2, "h": 2}
+    payload = _gif_anim_bytes(4, 4, [f1, f2], _PAL4)
+    p = mm.parse_gif(payload)
+    assert (p["width"], p["height"]) == (4, 4)
+    assert p["pixels"] == bytes(_PAL4[1]) * 16
+
+
+def test_gif_motion_stats():
+    static = [{"indices": [1] * 16, "w": 4, "h": 4, "delay_cs": 10}] * 3
+    p = mm.parse_gif_frames(_gif_anim_bytes(4, 4, static, _PAL4))
+    s = mm.gif_motion_stats(p)
+    assert s["n_frames"] == 3 and s["duration_cs"] == 30
+    assert s["motion_energy"] == 0.0 and s["changed_fraction"] == 0.0
+
+    dot = [
+        {"indices": [1] * 16, "w": 4, "h": 4},
+        {"indices": [2], "left": 0, "top": 0, "w": 1, "h": 1},
+        {"indices": [2], "left": 1, "top": 0, "w": 1, "h": 1},
+    ]
+    s = mm.gif_motion_stats(mm.parse_gif_frames(_gif_anim_bytes(4, 4, dot, _PAL4)))
+    assert s["motion_energy"] > 0
+    assert 0 < s["changed_fraction"] <= 2 / 16 + 1e-9
+
+
+def test_gif_frames_rejects_out_of_canvas_rect():
+    import pytest as _pytest
+
+    f = {"indices": [1] * 4, "left": 3, "top": 3, "w": 2, "h": 2}
+    with _pytest.raises(mm.MalformedMedia, match="outside"):
+        mm.parse_gif_frames(_gif_anim_bytes(4, 4, [f], _PAL4))
+
+
+def test_gif_frames_never_crashes_on_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    f1 = {"indices": [1] * 16, "w": 4, "h": 4, "delay_cs": 5}
+    f2 = {"indices": [2, 3, 3, 2], "left": 1, "top": 1, "w": 2, "h": 2,
+          "transparent": 3}
+    valid = _gif_anim_bytes(4, 4, [f1, f2], _PAL4)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(0, len(valid) - 1), st.integers(0, 255))
+    def run(mi, mb):
+        try:
+            mm.parse_gif_frames(valid[:mi] + bytes([mb]) + valid[mi + 1:])
+        except mm.MalformedMedia:
+            pass
+
+    run()
