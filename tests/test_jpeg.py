@@ -529,15 +529,24 @@ class _ProgScanWriter:
             if self.eobrun == 0x7FFF:
                 self.flush_eobrun()
 
+    def restart(self, marker_idx):
+        """Flush all pending state and byte-align to an RSTn marker —
+        the encoder side of the decoder's unit_boundary reset."""
+        self.flush_eobrun()
+        self._flush_bits(self.cur_bits)
+        self.w.flush_to_marker(0xD0 + (marker_idx % 8))
+
     def finish(self):
         self.flush_eobrun()
         return self.w.flush()
 
 
 def encode_jpeg_progressive(rgb, grayscale=False, dc_al=1, ac_al=1,
-                            bands=((1, 5), (6, 63))):
+                            bands=((1, 5), (6, 63)), restart_interval=0):
     """Spectral selection + successive approximation: interleaved DC
-    first/refine scans, per-component AC band first/refine scans."""
+    first/refine scans, per-component AC band first/refine scans;
+    optional DRI/RSTn restarts every ``restart_interval`` data units
+    (MCUs in the interleaved DC scans, blocks in the AC scans)."""
     import struct
 
     comps = _quantized_planes(rgb, grayscale)
@@ -562,12 +571,32 @@ def encode_jpeg_progressive(rgb, grayscale=False, dc_al=1, ac_al=1,
     out += seg(0xC2, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALUES
                + bytes([0x10]) + bytes(_AC_BITS_PROG) + _AC_VALUES_PROG)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    class _Rst:
+        """Counts data units and emits RSTn every restart_interval."""
+
+        def __init__(self, sw):
+            self.sw, self.units, self.n = sw, 0, 0
+
+        def boundary(self):
+            hit = (restart_interval and self.units
+                   and self.units % restart_interval == 0)
+            if hit:
+                self.sw.restart(self.n)
+                self.n += 1
+            self.units += 1
+            return hit
 
     # DC first (interleaved, Al=dc_al)
     sw = _ProgScanWriter()
+    rst = _Rst(sw)
     preds = [0] * nc
     for by in range(bh):
         for bx in range(bw):
+            if rst.boundary():
+                preds = [0] * nc
             for ci in range(nc):
                 preds[ci] = sw.dc_first(int(comps[ci][by, bx, 0]) >> dc_al,
                                         preds[ci])
@@ -577,16 +606,20 @@ def encode_jpeg_progressive(rgb, grayscale=False, dc_al=1, ac_al=1,
     for ci in range(nc):
         for (ss, se) in bands:
             sw = _ProgScanWriter()
+            rst = _Rst(sw)
             for by in range(bh):
                 for bx in range(bw):
+                    rst.boundary()
                     sw.ac_first(comps[ci][by, bx], ss, se, ac_al)
             out += sos([ci + 1], ss, se, 0, ac_al, sw.finish())
 
     # DC refinement scans down to full precision
     for al in range(dc_al - 1, -1, -1):
         sw = _ProgScanWriter()
+        rst = _Rst(sw)
         for by in range(bh):
             for bx in range(bw):
+                rst.boundary()
                 for ci in range(nc):
                     sw.dc_refine(int(comps[ci][by, bx, 0]), al)
         out += sos(list(range(1, nc + 1)), 0, 0, al + 1, al, sw.finish())
@@ -596,12 +629,25 @@ def encode_jpeg_progressive(rgb, grayscale=False, dc_al=1, ac_al=1,
         for ci in range(nc):
             for (ss, se) in bands:
                 sw = _ProgScanWriter()
+                rst = _Rst(sw)
                 for by in range(bh):
                     for bx in range(bw):
+                        rst.boundary()
                         sw.ac_refine(comps[ci][by, bx], ss, se, al)
                 out += sos([ci + 1], ss, se, al + 1, al, sw.finish())
 
     return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_with_restarts_matches_baseline():
+    """DRI/RSTn inside progressive scans: predictors and EOB runs reset
+    at every restart boundary in all four scan kinds; pixels must still
+    equal the baseline decode."""
+    img = _test_image(24, 17, seed=13)
+    base = J.parse_jpeg(encode_jpeg(img))
+    for ri in (1, 3):
+        prog = J.parse_jpeg(encode_jpeg_progressive(img, restart_interval=ri))
+        assert prog["pixels"] == base["pixels"], ri
 
 
 def test_jpeg_progressive_matches_baseline_decode():
