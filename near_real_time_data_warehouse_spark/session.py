@@ -53,6 +53,16 @@ def get_spark(app_name: str = "nrtdw_spark", shuffle_partitions: int | None = No
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Measured and rejected (round 7): starting shuffles wide via
+        # adaptive.coalescePartitions.initialPartitionNum=512 DOUBLED
+        # the 50×-probe spill on the heaviest verify join (back-to-back
+        # A/B on the same host: 50 s / 31 GB spilled at 32 initial
+        # partitions vs 99 s / 70 GB at 512 — AQE's advisory-size
+        # coalesce rebuilt large partitions while the extra map
+        # fan-out added its own pressure). The partition-count knob for
+        # big deployments stays SPARK_GRAFT_SHUFFLE_PARTITIONS (the
+        # shuffle-probe showed ≤2.07× and zero spill at 512/2048 when
+        # set as the REAL partition count rather than a coalesce start).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
