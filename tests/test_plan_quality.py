@@ -546,3 +546,59 @@ def test_perplexity_buckets_thresholds_broadcast_no_corpus_window(spark):
     # shows as windows over the aggregated cnt/cum columns, never a
     # window whose input is the raw tokenized doc stream
     assert "ntile" not in plan.lower()
+
+
+def test_basket_onepass_plan_has_no_join(spark, star):
+    """star_basket_pairs_onepass exists to remove the theta self-join:
+    the physical plan must contain NO join operator of any kind — the
+    wide stages are the per-order aggregate and the pair re-aggregate."""
+    from near_real_time_data_warehouse_spark.plans.analysis import (
+        star_basket_onepass,
+    )
+
+    # materialize salefact so the star-ETL's own enrichment joins
+    # (upstream of the operator) don't appear in the inspected plan
+    star2 = dict(star)
+    star2["salefact"] = star["salefact"].localCheckpoint(eager=True)
+    plan = plan_of(star_basket_onepass(star2))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, (op, plan)
+
+
+def test_expectations_row_predicates_share_one_scan(spark):
+    """lineitem_expectations folds every row-predicate rule into ONE
+    conditional-aggregate scan: the whole plan reads lineitem exactly
+    three times (predicates, PK-unique groupBy, FK anti join) and
+    orders twice (FK parent keys, parent rule) — a per-rule-scan
+    implementation would show six lineitem scans."""
+    from near_real_time_data_warehouse_spark.operators.quality import (
+        lineitem_expectations,
+    )
+
+    plan = plan_of(lineitem_expectations(spark, SF_SMALL))
+    assert plan.count("lineitem.parquet") == 3, plan
+    assert plan.count("orders.parquet") == 2, plan
+
+
+def test_kmeans_assignment_has_no_exchange(spark):
+    """The k-means assignment pass is a pure map over the scan (exact
+    int64 matmul against the broadcast centroid state in mapInPandas):
+    no Exchange anywhere in its plan — the per-round shuffle lives only
+    in the tiny partial-sum aggregate."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators.clustering import (
+        EMB_DIM,
+        _assign_frame,
+    )
+
+    # read directly (load_table_parallel's round-robin repartition is a
+    # test-fixture parallelism shim, not part of the algorithm)
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ids = np.arange(3, dtype=np.int64)
+    m = np.zeros((3, EMB_DIM), dtype=np.int64)
+    plan = plan_of(_assign_frame(e, ids, m))
+    assert "Exchange" not in plan, plan
