@@ -58,10 +58,11 @@ _NEEDS_FIRST_ROW = [
     # Q21 shape as per-order aggregation (same candidate): distinct
     # supplier counts replace both lineitem self-joins; ~25% faster at 50×
     "classic_waiting_suppliers_agg",
-    # declarative expectations gate (row predicates folded into ONE
-    # conditional-agg scan + PK-unique groupBy + FK anti join); mixed
+    # declarative expectations gates (row predicates folded into ONE
+    # conditional-agg scan + uniqueness groupBys + FK anti join); mixed
     # firing/passing rules so the hash certifies both polarities
     "lineitem_expectations",
+    "docs_expectations",
     # (Round-6 names pruned — their driver rows exist in CORRECTNESS_r06;
     # the remaining window is re-certification in stable registration
     # order.)

@@ -177,4 +177,117 @@ SELECT 'o_totalprice_nonnegative',
 FROM orders
 """
 
+_DOC_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def docs_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over the documents corpus — the ingest gate a
+    training-data pipeline runs before a crawl snapshot enters curation:
+    identity (unique doc_id), content presence, METADATA CONSISTENCY
+    (n_chars must equal length(text) — stale derived columns are the
+    classic silent-corruption bug), a language enum, an exact-duplicate
+    content audit, and a short-document audit (n_chars < 150, which
+    genuinely fires on this corpus). Same shapes and output contract as
+    lineitem_expectations: row predicates share ONE scan; uniqueness
+    rules are one groupBy each."""
+    d = load_table(spark, sf_dir, "documents")
+    preds = [
+        _rule_row(
+            "text_not_empty",
+            F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0),
+            F.col("doc_id"),
+        ),
+        _rule_row(
+            "n_chars_matches_text_length",
+            F.col("n_chars") != F.length(F.col("text")),
+            F.col("doc_id"),
+        ),
+        _rule_row(
+            "lang_in_enum",
+            ~F.col("lang").isin(*_DOC_LANGS) | F.col("lang").isNull(),
+            F.col("doc_id"),
+        ),
+        _rule_row(
+            "short_doc_audit_lt150",
+            F.col("n_chars") < 150,
+            F.col("doc_id"),
+        ),
+    ]
+    agg_exprs = []
+    for i, (_, n, s) in enumerate(preds):
+        agg_exprs += [n.alias(f"n{i}"), s.alias(f"s{i}")]
+    one = d.agg(*agg_exprs)
+    rows = F.array(
+        *[
+            F.struct(
+                preds[i][0].alias("rule"),
+                F.col(f"n{i}").alias("n_violations"),
+                F.col(f"s{i}").alias("sample_key"),
+            )
+            for i in range(len(preds))
+        ]
+    )
+    scan_rules = one.select(F.explode(rows).alias("r")).select("r.*")
+    pk = (
+        d.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.lit("pk_unique_doc_id").alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+            F.min("doc_id").cast("long").alias("sample_key"),
+        )
+    )
+    dup = (
+        d.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("k"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.lit("exact_duplicate_text_audit").alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+            F.min("k").cast("long").alias("sample_key"),
+        )
+    )
+    return scan_rules.unionByName(pk).unionByName(dup)
+
+
+_DOC_LANG_LIST = ", ".join(f"'{x}'" for x in _DOC_LANGS)
+
+DOCS_EXPECTATIONS_SQL = f"""
+SELECT 'text_not_empty' AS rule,
+       CAST(SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(MIN(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                     THEN doc_id END) AS BIGINT) AS sample_key
+FROM documents
+UNION ALL
+SELECT 'n_chars_matches_text_length',
+       CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MIN(CASE WHEN n_chars <> length(text) THEN doc_id END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'lang_in_enum',
+       CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ({_DOC_LANG_LIST})
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MIN(CASE WHEN lang IS NULL OR lang NOT IN ({_DOC_LANG_LIST})
+                     THEN doc_id END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'short_doc_audit_lt150',
+       CAST(SUM(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MIN(CASE WHEN n_chars < 150 THEN doc_id END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'pk_unique_doc_id',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(MIN(doc_id) AS BIGINT)
+FROM (SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'exact_duplicate_text_audit',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(MIN(k) AS BIGINT)
+FROM (SELECT MIN(doc_id) AS k FROM documents GROUP BY text HAVING COUNT(*) > 1)
+"""
+
 registry.register("lineitem_expectations", lineitem_expectations, EXPECTATIONS_SQL)
+registry.register("docs_expectations", docs_expectations, DOCS_EXPECTATIONS_SQL)

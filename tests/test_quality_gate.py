@@ -45,3 +45,25 @@ def test_expectations_sample_is_min_offender(spark):
         for r in lineitem_expectations(spark, SF_SMALL).collect()
     }
     assert rows["l_quantity_gt_45_audit"] == want
+
+
+def test_docs_expectations_polarity(spark):
+    from near_real_time_data_warehouse_spark.operators.quality import (
+        docs_expectations,
+    )
+
+    rows = {
+        r["rule"]: (r["n_violations"], r["sample_key"])
+        for r in docs_expectations(spark, SF_SMALL).collect()
+    }
+    assert len(rows) == 6
+    for rule in (
+        "text_not_empty",
+        "n_chars_matches_text_length",
+        "lang_in_enum",
+        "pk_unique_doc_id",
+        "exact_duplicate_text_audit",
+    ):
+        assert rows[rule] == (0, None), rule
+    n, sample = rows["short_doc_audit_lt150"]
+    assert n > 0 and sample is not None
