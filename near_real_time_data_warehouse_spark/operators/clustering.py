@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from . import registry
 from .similarity import (
+    _round_half_away,
     EMB_DIM,
     QUANT,
     _QUANT_SQL,
@@ -117,12 +118,6 @@ def _partial_sums(e: DataFrame, ids: np.ndarray, m: np.ndarray) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return e.mapInPandas(batches, schema)
-
-
-def _round_half_away(v: np.ndarray) -> np.ndarray:
-    """round() half away from zero — the same convention Spark F.round
-    and DuckDB round() apply to doubles (proven portable by _QUANT_SQL)."""
-    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
 
 
 def _train_state_on(e: DataFrame) -> tuple[np.ndarray, np.ndarray]:

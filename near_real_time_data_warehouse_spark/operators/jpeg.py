@@ -416,7 +416,12 @@ def parse_jpeg(payload: bytes) -> dict:
                     "bw": (cw + 7) // 8, "bh": (chh + 7) // 8,
                     "bw_pad": bw_pad, "bh_pad": bh_pad,
                 }
-                coef[c["id"]] = np.zeros((bh_pad, bw_pad, 64), dtype=np.int32)
+                # int64, not int32: a crafted progressive DC scan can
+                # accumulate pred to ~2047 * 65536 blocks and shift by
+                # Al up to 13 — past int32, numpy>=2 raises OverflowError
+                # which would escape the quarantine catch.  int64 holds
+                # the worst case (~1.1e12) with huge margin.
+                coef[c["id"]] = np.zeros((bh_pad, bw_pad, 64), dtype=np.int64)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise DecodeNotAvailable(

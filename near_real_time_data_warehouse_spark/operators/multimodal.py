@@ -166,13 +166,21 @@ def parse_ppm(payload: bytes) -> dict:
 # loop runs (a 6-byte header can claim 65535×65535 — never let a
 # malformed payload allocate that).
 GIF_MAX_PIXELS = 1 << 22
+# Bound on TOTAL materialized animation pixels (canvas x decoded
+# frames): max_frames alone still allows 64 x 4M px x 3 B ~ 770 MB of
+# composited RGB per adversarial payload.  16M px -> <= 48 MB resident.
+GIF_MAX_TOTAL_PIXELS = 1 << 24
 
 
 def _gif_lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytearray:
     """GIF-variant LZW: variable code width starting at min_code_size+1,
     LSB-first bit packing, clear/end codes, dictionary capped at 12 bits.
     Raises MalformedMedia on any protocol violation."""
-    if not (2 <= min_code_size <= 11):
+    # GIF palette indices are single bytes, so the spec bound is <= 8
+    # (root codes 0..255).  Sizes 9-11 would build a >256-entry root
+    # table of bytes([i]) and crash with ValueError instead of routing
+    # to quarantine; reject them here as malformed.
+    if not (2 <= min_code_size <= 8):
         raise MalformedMedia(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
@@ -352,6 +360,10 @@ def parse_gif_frames(payload: bytes, max_frames: int = 64) -> dict:
         if len(gct) < 3 * n:
             raise MalformedMedia("truncated global color table")
         pos += 3 * n
+    # Effective decoded-frame bound: the caller's max_frames AND the
+    # total-pixels budget (a 4M-px canvas gets 4 composited frames, a
+    # tiny banner keeps all 64) — never below 1 so motion stats exist.
+    max_frames = max(1, min(max_frames, GIF_MAX_TOTAL_PIXELS // (w * h)))
     bg_rgb = np.zeros(3, dtype=np.uint8)
     if gct is not None and bg_index < len(gct) // 3:
         bg_rgb = np.frombuffer(

@@ -95,10 +95,24 @@ def _cosine(dot: F.Column, na: F.Column, nb: F.Column) -> F.Column:
 # oracle performs — results stay bit-identical while running at BLAS speed
 # instead of per-element Catalyst lambda evaluation.
 
+def _round_half_away(v: np.ndarray) -> np.ndarray:
+    """round() half away from zero — the convention Spark F.round and
+    DuckDB round() apply to doubles.  Decided on the double ITSELF
+    (frac >= 0.5 after an exact floor subtraction), not via
+    floor(v + 0.5): for the representable double just below an x.5
+    boundary, v + 0.5 can round UP to x+1.0 in IEEE arithmetic and
+    floor would then disagree with std::round/BigDecimal-HALF_UP by 1.
+    Everywhere outside that half-ULP window the two forms are equal,
+    so switching changes no previously-hashed oracle output."""
+    a = np.abs(v)
+    f = np.floor(a)
+    r = np.where(a - f >= 0.5, f + 1.0, f)  # a - f is exact (Sterbenz)
+    return np.where(v >= 0, r, -r).astype(np.int64)
+
+
 def _quant_np(col: pd.Series) -> np.ndarray:
     """round(x·QUANT) half-away-from-zero, matching Spark/DuckDB round()."""
-    v = np.vstack(col.values).astype(np.float64) * QUANT
-    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+    return _round_half_away(np.vstack(col.values).astype(np.float64) * QUANT)
 
 
 def _collect_quantized(df: DataFrame) -> tuple[np.ndarray, np.ndarray]:

@@ -166,3 +166,16 @@ def test_state_memo_cleared_by_session_hook(spark):
     assert clustering._KMEANS_STATE_MEMO
     clear_query_memos()
     assert not clustering._KMEANS_STATE_MEMO
+
+
+def test_round_half_away_half_ulp_boundary():
+    """The double just below x.5 must round DOWN (std::round semantics);
+    the naive floor(v + 0.5) form rounds it up whenever v + 0.5 lands on
+    x + 1.0 after IEEE rounding."""
+    import numpy as np
+
+    below = np.nextafter(0.5, -np.inf)          # 0.49999999999999994
+    naive = np.floor(np.array([below]) + 0.5)   # the bug this pins against
+    assert naive[0] == 1.0                       # naive form really diverges
+    got = _round_half_away(np.array([below, -below, 2.5, -2.5, 2.0**53]))
+    assert got.tolist() == [0, 0, 3, -3, 2**53]

@@ -793,3 +793,33 @@ def test_jpeg_16bit_dqt_and_sampling_gates():
     nondiv[s + 4 + 10] = 0x21  # Cb h=2 -> 3 % 2 != 0
     with pytest.raises(mm.DecodeNotAvailable, match="non-divisible"):
         J.parse_jpeg(bytes(nondiv))
+
+
+def test_jpeg_progressive_dc_accumulation_past_int32_is_exact():
+    """A crafted DC-first scan can climb the predictor by +2047 per
+    block; with Al=13 the stored coefficient exceeds int32 after ~129
+    blocks.  The coefficient store must hold it exactly (int64): numpy
+    1.x would silently wrap to a negative DC (pixels 0 instead of 255),
+    numpy >= 2 would raise OverflowError and escape quarantine."""
+    import struct
+
+    h, w = 8, 1032           # 1 x 129 blocks, grayscale
+    nblocks = w // 8
+    sw = _ProgScanWriter()
+    pred = 0
+    for i in range(nblocks):
+        pred = sw.dc_first(2047 * (i + 1), pred)
+    assert pred << 13 > 2**31  # the crafted stream really crosses int32
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8" + seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + _DC_VALUES)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x0D])) + sw.finish()
+    out += b"\xff\xd9"
+
+    got = J.parse_jpeg(out)
+    px = np.frombuffer(got["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    assert int(px[0, w - 1, 0]) == 255  # int32 wrap would clip to 0

@@ -965,3 +965,18 @@ def test_gif_frames_never_crashes_on_fuzz():
             pass
 
     run()
+
+
+def test_gif_frames_total_pixel_budget_caps_decoded_frames():
+    """A max-size canvas (4M px) must not materialize 64 composited RGB
+    copies (~770 MB): the total-pixels budget caps decode at
+    GIF_MAX_TOTAL_PIXELS // canvas_px frames, later frames are parsed
+    structurally only.  Small canvases keep the caller's max_frames."""
+    frames = [{"indices": bytes([i % 4]), "w": 1, "h": 1, "delay_cs": 1}
+              for i in range(6)]
+    big = _gif_anim_bytes(2048, 2048, frames, _PAL4)
+    parsed = mm.parse_gif_frames(big)
+    assert parsed["n_frames"] == mm.GIF_MAX_TOTAL_PIXELS // (2048 * 2048)
+    small = _gif_anim_bytes(4, 4, [dict(f, indices=bytes([f["indices"][0]] * 16),
+                                        w=4, h=4) for f in frames], _PAL4)
+    assert mm.parse_gif_frames(small)["n_frames"] == 6
