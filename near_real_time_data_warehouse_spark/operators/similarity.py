@@ -474,7 +474,10 @@ def _probe_topk(
     qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
     cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
     qcos = (qmat @ cmat.T) / (qnorm[:, None] * cnorm[None, :])
-    probe_idx = np.argsort(-qcos, axis=1)[:, :N_PROBE]
+    # stable: exact cosine ties (possible when Lloyd converges two lists
+    # to the same centroid) break on the lower list id — the same order
+    # the SQL replay's (cos DESC, c ASC) row_number produces
+    probe_idx = np.argsort(-qcos, axis=1, kind="stable")[:, :N_PROBE]
     probes = [
         (int(qids[i]), int(c)) for i in range(len(qids)) for c in probe_idx[i]
     ]
@@ -1392,11 +1395,144 @@ FROM q
 """
 
 
+def _ivf_topk_sql() -> str:
+    """Complete DuckDB twin of ``ann_ivf_topk`` — the ENTIRE index
+    lifecycle replayed in SQL so the driver hash certifies training,
+    assignment, probing, and ranking together (upgrading the entry from
+    recall-gated to bit-exact, the same promotion the LSH path got):
+
+    - corpus-size knee arithmetic (``_ivf_centroids`` /
+      ``_train_sample_target``) as scalar CTEs — the SQL computes
+      n_centroids and the sample modulus from COUNT(*) exactly as the
+      Python does, so the oracle stays valid on either side of the knee;
+    - the deterministic training sample (``vec_id % smod = 0``), seeds =
+      its first n_centroids vec_ids;
+    - KMEANS_ITERATIONS exact Lloyd rounds as chained MATERIALIZED CTE
+      pairs (assign by cosine argmax with ties to the lower list id,
+      update by FLOOR integer division of exact int64 sums — DuckDB's
+      ``//`` truncates toward zero, so negative sums take the
+      -((-s + cnt - 1) // cnt) form to match numpy's floor);
+      empty lists carry the previous centroid (LEFT JOIN + COALESCE);
+    - one corpus-wide assignment pass, the N_PROBE nearest lists per
+      query (row_number over cos DESC, c ASC — the numpy side sorts
+      with kind='stable' for the same tie order), and the exact-cosine
+      top-k over probed candidates with the standard
+      (cosine DESC, neighbor_id) presentation tie-break.
+
+    Every cosine is CAST(int64 dot AS DOUBLE) / (sqrt(a)*sqrt(b)) — the
+    identical IEEE op sequence the Arrow kernels run, so assignments,
+    probes, and ranks agree bit-for-bit (dots bounded ≪ 2^53)."""
+    cos_vs = (
+        "CAST(list_sum(list_transform(list_zip(v.q, s.m), p -> p[1] * p[2])) AS DOUBLE)"
+        " / (sqrt(CAST(v.norm_sq AS DOUBLE)) * sqrt(CAST(s.msq AS DOUBLE)))"
+    )
+    parts = [
+        f"quant AS MATERIALIZED ({_QUANT_SQL})",
+        f"normed AS MATERIALIZED ({_NORM_SQL})",
+        f"""params AS (
+  SELECT n,
+         CASE WHEN n <= {IVF_TARGET_N} THEN {N_CENTROIDS}
+              ELSE {N_CENTROIDS} * CAST(power(2, ceil(log2(sqrt(CAST(n AS DOUBLE) / {IVF_TARGET_N}))))
+                                        AS BIGINT) END AS nc
+  FROM (SELECT COUNT(*) AS n FROM normed)
+)""",
+        f"""params2 AS (
+  SELECT n, nc,
+         GREATEST(1, n // GREATEST({TRAIN_SAMPLE_TARGET}, 128 * nc)) AS smod
+  FROM params
+)""",
+        """sample AS MATERIALIZED (
+  SELECT vec_id, q, norm_sq FROM normed
+  WHERE vec_id % (SELECT smod FROM params2) = 0
+)""",
+        """state0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+         q AS m, norm_sq AS msq
+  FROM sample ORDER BY vec_id LIMIT (SELECT nc FROM params2)
+)""",
+    ]
+    for r in range(1, KMEANS_ITERATIONS + 1):
+        parts.append(
+            f"""assign{r} AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, s.c,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vs} DESC, s.c) AS rn
+    FROM sample v CROSS JOIN state{r - 1} s
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""state{r} AS MATERIALIZED (
+  SELECT s.c, COALESCE(u.m, s.m) AS m,
+         list_sum(list_transform(COALESCE(u.m, s.m), x -> x * x)) AS msq
+  FROM state{r - 1} s LEFT JOIN (
+    SELECT c, list(md ORDER BY dim) AS m FROM (
+      SELECT a.c, t.dim,
+             CASE WHEN SUM(v.q[t.dim]) >= 0
+                  THEN SUM(v.q[t.dim]) // COUNT(*)
+                  ELSE -((-SUM(v.q[t.dim]) + COUNT(*) - 1) // COUNT(*))
+             END AS md
+      FROM assign{r} a JOIN sample v USING (vec_id), range(1, {EMB_DIM + 1}) t(dim)
+      GROUP BY a.c, t.dim
+    ) GROUP BY c
+  ) u USING (c)
+)"""
+        )
+    final = f"state{KMEANS_ITERATIONS}"
+    parts.append(
+        f"""lists AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, c FROM (
+    SELECT v.vec_id, s.c,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vs} DESC, s.c) AS rn
+    FROM normed v CROSS JOIN {final} s
+  ) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""probes AS (
+  SELECT query_id, c FROM (
+    SELECT v.vec_id AS query_id, s.c,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos_vs} DESC, s.c) AS rn
+    FROM normed v CROSS JOIN {final} s
+    WHERE v.vec_id < {QUERY_CAP}
+  ) WHERE rn <= {N_PROBE}
+)"""
+    )
+    parts.append(
+        f"""scored AS (
+  SELECT p.query_id, l.neighbor_id,
+         CAST(list_sum(list_transform(list_zip(nb.q, qv.q), z -> z[1] * z[2])) AS DOUBLE)
+           / (sqrt(CAST(nb.norm_sq AS DOUBLE)) * sqrt(CAST(qv.norm_sq AS DOUBLE))) AS cosine
+  FROM lists l
+  JOIN probes p USING (c)
+  JOIN normed nb ON nb.vec_id = l.neighbor_id
+  JOIN normed qv ON qv.vec_id = p.query_id
+  WHERE p.query_id <> l.neighbor_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+         cosine
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+    )
+
+
 registry.register("sim_bruteforce_topk", brute_force_topk, BRUTE_SQL)
 registry.register("emb_quantize_int8", quantize_int8, QUANTIZE_INT8_SQL)
 registry.register("sim_ann_lsh_topk", ann_lsh_topk, _lsh_topk_sql())
 registry.register("sim_ann_lsh_multiprobe", ann_lsh_multiprobe, _lsh_multiprobe_sql())
-registry.register("sim_ann_ivf_topk", ann_ivf_topk, None)   # recall-tested; see sim_ann_ivf_recall
+registry.register("sim_ann_ivf_topk", ann_ivf_topk, _ivf_topk_sql())
 registry.register("sim_ann_ivf_recall", ann_ivf_recall, IVF_RECALL_SQL)
 registry.register(
     "sim_ann_ivf_recall_uncapped", ann_ivf_recall_uncapped, IVF_RECALL_UNCAPPED_SQL

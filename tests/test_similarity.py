@@ -356,3 +356,44 @@ def test_ivf_uncapped_recall_gate(spark):
     row = ann_ivf_recall_uncapped(spark, SF_SMALL).collect()[0]
     assert row.recall_floor_met
     assert row.n_queries <= QUERY_CAP and row.k == TOP_K
+
+
+def test_ivf_topk_oracle_matches_above_knee(spark, tmp_path):
+    """The sim_ann_ivf_topk oracle replays the WHOLE lifecycle — knee
+    arithmetic, sampled training, Lloyd floor-division updates, corpus
+    assignment, probe order, ranking.  Every driver SF sits below the
+    8192-vector knee, so this pins the other side: a 9000-vector corpus
+    engages the knee (32 lists, modulus-sampled training set) and the
+    Spark result must still match the DuckDB replay bit-for-bit."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from near_real_time_data_warehouse_spark.operators.similarity import (
+        _ivf_centroids,
+        _ivf_topk_sql,
+        ann_ivf_topk,
+    )
+    from near_real_time_data_warehouse_spark.oracle_harness import compare
+
+    n, dim = 9000, 64
+    assert _ivf_centroids(n) == 32  # genuinely past the knee
+    rng = np.random.default_rng(42)
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(emb), type=pa.list_(pa.float32())),
+            "label": pa.array((np.arange(n) % 7).astype(np.int32)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    r = compare(
+        "ivf_above_knee", ann_ivf_topk(spark, str(tmp_path)), con, _ivf_topk_sql()
+    )
+    assert r.ok, str(r)
