@@ -27,46 +27,19 @@ def _star_query(q: analysis.AnalysisQuery) -> QueryFn:
     return run
 
 
-# Driver-evaluation window policy (two rules, per VERDICT r3 item 3 /
-# NEXT.md): the driver evaluates the FIRST 50 registered entries each
-# round, and union coverage across rounds (COVERAGE.md ledger) is the
-# instrument — after round 3, every oracled entry EXCEPT the two listed
-# below has a green driver row in some recorded round. So ordering needs
-# only: (1) entries with no green driver row yet — entries new this
-# round, plus any prior fails — run first; (2) everything else follows
-# in stable registration order (analysis q01..q20, then operator
-# registry in module registration order), where any 50-entry prefix is
-# pure re-certification of already-green rows.
-_NEEDS_FIRST_ROW = [
-    # Round-7 additions (first driver rows): exact integer-state k-means
-    # domain clustering — the semantic-bucketing step of a data-mixing
-    # pipeline. Three views over one trained state: per-vector domain
-    # assignment, per-domain profile, and the serialized centroid table;
-    # the oracle replays all KMEANS_ROUNDS Lloyd updates as chained CTEs.
-    "emb_kmeans_assign",
-    "emb_kmeans_domains",
-    "emb_kmeans_centroids",
-    # UniMax waterfill over the LEARNED domains (cluster histogram) —
-    # the discovered-domain mixing composition
-    "emb_kmeans_mixture",
-    # signature-estimate prefilter between band collision and exact
-    # verify (NEXT.md r6 candidate #6) — semantics-visible, own oracle
-    "dedup_minhash_prefiltered",
-    # q16's basket ranking in the join-free one-shuffle shape (NEXT.md
-    # r6 candidate #7): 4× less spill / 42% less peak memory at 50×
-    "star_basket_pairs_onepass",
-    # Q21 shape as per-order aggregation (same candidate): distinct
-    # supplier counts replace both lineitem self-joins; ~25% faster at 50×
-    "classic_waiting_suppliers_agg",
-    # declarative expectations gates (row predicates folded into ONE
-    # conditional-agg scan + uniqueness groupBys + FK anti join); mixed
-    # firing/passing rules so the hash certifies both polarities
-    "lineitem_expectations",
-    "docs_expectations",
-    # (Round-6 names pruned — their driver rows exist in CORRECTNESS_r06;
-    # the remaining window is re-certification in stable registration
-    # order.)
-]
+# Driver-evaluation window policy (VERDICT r7 "what\'s wrong" #2): the
+# driver evaluates the FIRST 50 registered entries each round, and union
+# coverage across rounds is the instrument.  Ordering is two rules:
+#   (1) entries with NO green driver row in any recorded round — brand
+#       new this round, never-green, or prior fails — run first, in
+#       stable registration order;
+#   (2) the re-certification tail follows sorted by LAST_GREEN ascending
+#       (least-recently-certified first; ties in stable registration
+#       order), so every entry cycles back through the oracle gate every
+#       ceil(161/50) ≈ 4 rounds instead of 111 entries riding forever on
+#       round-1..3 rows while the code under them evolves.
+# LAST_GREEN lives in certification.py, regenerated each round from the
+# recorded CORRECTNESS_r*.json files by scripts/update_last_green.py.
 
 
 def queries() -> dict[str, QueryFn]:
@@ -77,14 +50,15 @@ def queries() -> dict[str, QueryFn]:
 
     unordered.update(op_registry.queries())
 
-    out: dict[str, QueryFn] = {}
-    for name in _NEEDS_FIRST_ROW:
-        if name in unordered:
-            out[name] = unordered[name]
-    for name, fn in unordered.items():
-        if name not in out:
-            out[name] = fn
-    return out
+    from .certification import LAST_GREEN
+
+    reg_pos = {name: i for i, name in enumerate(unordered)}
+    never_green = [n for n in unordered if n not in LAST_GREEN]
+    tail = sorted(
+        (n for n in unordered if n in LAST_GREEN),
+        key=lambda n: (LAST_GREEN[n], reg_pos[n]),
+    )
+    return {n: unordered[n] for n in never_green + tail}
 
 
 def oracle_sql() -> dict[str, str]:
