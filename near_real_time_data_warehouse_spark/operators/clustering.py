@@ -54,8 +54,27 @@ from .similarity import (
     _quant_np,
 )
 
-K_CLUSTERS = 8      # latent domains
+K_CLUSTERS = 8      # latent domains at/below the corpus-size knee
 KMEANS_ROUNDS = 4   # Lloyd updates (fixed — the oracle chains one CTE block each)
+# Knee for the domain count (the standard √N discipline _ann_planes and
+# _ivf_centroids already follow): a FIXED K=8 at 100 TB would average
+# corpora of billions of documents into 8 means — domain discovery wants
+# K to grow with corpus character. Below the knee (every oracle-tested
+# SF) the construction is bit-identical to the static one; above it K
+# doubles per 4× the corpus. Per-round cost stays ONE corpus scan — the
+# shuffle is K(n)×(EMB_DIM+2) scalars per partition, still
+# corpus-size-independent, and driver state stays a K×64 int matrix.
+KMEANS_TARGET_N = 8192
+
+
+def _k_clusters(n: int) -> int:
+    """Domain count for an n-vector corpus: static K_CLUSTERS up to the
+    knee, then ∝ √corpus (doubling per 4× the corpus)."""
+    import math
+
+    if n <= KMEANS_TARGET_N:
+        return K_CLUSTERS
+    return K_CLUSTERS * (2 ** math.ceil(math.log2(math.sqrt(n / KMEANS_TARGET_N))))
 
 
 # (applicationId, sf_dir) -> (cluster_ids int64[k], centroid matrix int64[k,64])
@@ -73,11 +92,12 @@ def _init_state_on(e: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     q = F.transform(
         F.col("embedding"), lambda x: F.round(x.cast("double") * QUANT, 0).cast("long")
     )
+    k = _k_clusters(e.count())
     rows = (
         e.select("vec_id", q.alias("q"))
         .withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
-        .limit(K_CLUSTERS)
+        .limit(k)
         .select("q")
         .collect()
     )
@@ -330,9 +350,15 @@ def _kmeans_cte_sql() -> str:
     )
     parts = [
         f"quant AS MATERIALIZED ({_QUANT_SQL})",
-        f"""init AS (
+        f"""kparams AS (
+  SELECT CASE WHEN n <= {KMEANS_TARGET_N} THEN {K_CLUSTERS}
+              ELSE {K_CLUSTERS} * CAST(power(2, ceil(log2(sqrt(CAST(n AS DOUBLE) / {KMEANS_TARGET_N}))))
+                                       AS BIGINT) END AS k
+  FROM (SELECT COUNT(*) AS n FROM quant)
+)""",
+        """init AS (
   SELECT vec_id, q FROM quant
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {K_CLUSTERS}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT (SELECT k FROM kparams)
 )""",
         """state0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1

@@ -179,3 +179,62 @@ def test_round_half_away_half_ulp_boundary():
     assert naive[0] == 1.0                       # naive form really diverges
     got = _round_half_away(np.array([below, -below, 2.5, -2.5, 2.0**53]))
     assert got.tolist() == [0, 0, 3, -3, 2**53]
+
+
+def test_k_clusters_knee_formula():
+    """√N domain-count discipline past the knee: static below it (every
+    oracle-verified SF), doubling per 4× the corpus above it."""
+    from near_real_time_data_warehouse_spark.operators.clustering import (
+        K_CLUSTERS,
+        KMEANS_TARGET_N,
+        _k_clusters,
+    )
+
+    assert _k_clusters(100) == K_CLUSTERS
+    assert _k_clusters(KMEANS_TARGET_N) == K_CLUSTERS
+    assert _k_clusters(4 * KMEANS_TARGET_N) == 2 * K_CLUSTERS
+    assert _k_clusters(16 * KMEANS_TARGET_N) == 4 * K_CLUSTERS
+    # 50x-probe scale: 250k vectors -> 8x
+    assert _k_clusters(250_000) == 8 * K_CLUSTERS
+
+
+def test_kmeans_oracle_matches_above_knee(spark, tmp_path):
+    """Above the knee the k-means entries must STILL match the DuckDB
+    replay bit-for-bit: a 9000-vector corpus trains K=16 domains (knee
+    engaged in both the Spark kernel and the SQL's kparams CTE)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from near_real_time_data_warehouse_spark.operators.clustering import (
+        KMEANS_CENTROIDS_SQL,
+        _k_clusters,
+        kmeans_centroids,
+    )
+    from near_real_time_data_warehouse_spark.oracle_harness import compare
+
+    n, dim = 9000, 64
+    assert _k_clusters(n) == 16
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(emb), type=pa.list_(pa.float32())),
+            "label": pa.array((np.arange(n) % 5).astype(np.int32)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    r = compare(
+        "kmeans_above_knee",
+        kmeans_centroids(spark, str(tmp_path)),
+        con,
+        KMEANS_CENTROIDS_SQL,
+    )
+    assert r.ok, str(r)
+    assert kmeans_centroids(spark, str(tmp_path)).count() <= 16 * 64
