@@ -117,6 +117,49 @@ def enrich(txns: DataFrame, customer_dim: DataFrame, product_dim: DataFrame) -> 
     )
 
 
+def enrich_flagged(
+    txns: DataFrame, customer_dim: DataFrame, product_dim: DataFrame
+) -> DataFrame:
+    """``enrich`` with the customer leg LEFT plus a ``cust_matched``
+    flag instead of the bare inner join: filtering the flag yields rows
+    IDENTICAL to ``enrich`` (J1 eviction semantics), but the
+    dropped-tuple count becomes observable from the same joined batch —
+    the reference PRINTS its evicted unmatched-key counts
+    (hybrid_join.py:208,236,354) while a bare inner join swallows them.
+    One stream-static broadcast join serves both the load and the
+    metric; no second pass over the batch."""
+    with_date = txns.filter(F.col("Customer_ID").isNotNull()).withColumn(
+        "full_date", F.to_date("date", "M/d/yyyy")
+    )
+    joined = (
+        with_date.join(
+            F.broadcast(
+                customer_dim.select(
+                    F.col("customer_id").alias("Customer_ID")
+                ).withColumn("cust_matched", F.lit(True))
+            ),
+            "Customer_ID",
+            "left",
+        )
+        .join(
+            F.broadcast(product_dim.select(F.col("product_id").alias("Product_ID"), "price")),
+            "Product_ID",
+            "left",
+        )
+    )
+    return joined.select(
+        F.col("orderID").alias("order_id"),
+        F.col("Customer_ID").alias("customer_id"),
+        F.col("Product_ID").alias("product_id"),
+        "full_date",
+        F.col("quantity"),
+        F.round(F.col("quantity") * F.col("price"), 2)
+        .cast("decimal(12,2)")
+        .alias("purchase_amount"),
+        F.coalesce(F.col("cust_matched"), F.lit(False)).alias("cust_matched"),
+    )
+
+
 def orphan_transactions(txns: DataFrame, customer_dim: DataFrame) -> DataFrame:
     """Transactions whose customer key has no master row yet. The
     reference evicts these permanently (hybrid_join.py:229-231); a

@@ -46,6 +46,34 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+
+class EvictionLedger:
+    """Per-batch operational counters for the streaming ETL — the
+    observable twin of the reference's evicted unmatched-key prints
+    (hybrid_join.py:208,236,354). The inner customer join drops
+    unmatched stream tuples silently; an operator running the pipeline
+    needs the per-batch count (a sudden spike means a master-data feed
+    stopped refreshing). One row per micro-batch: epoch id, rows loaded
+    into the fact table, rows evicted by the customer leg. Driver-side
+    and bounded (one tuple per micro-batch); a deployment would forward
+    ``record`` to its metrics system."""
+
+    def __init__(self) -> None:
+        self.batches: list[dict[str, int]] = []
+
+    def record(self, epoch_id: int, loaded: int, evicted: int) -> None:
+        self.batches.append(
+            {"epoch_id": int(epoch_id), "loaded": int(loaded), "evicted": int(evicted)}
+        )
+
+    @property
+    def total_evicted(self) -> int:
+        return sum(b["evicted"] for b in self.batches)
+
+    @property
+    def total_loaded(self) -> int:
+        return sum(b["loaded"] for b in self.batches)
+
 _HOUR_US = 3_600_000_000
 _SIX = Decimal("0.000001")
 LATE_HOURS = 24  # max event-time lateness refreshed by re-emission

@@ -21,15 +21,18 @@ SURVEY.md §2.6).
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..etl import (
     enrich,
+    enrich_flagged,
     load_star_batch,
     orphan_transactions,
     read_customer_master,
     read_product_master,
     read_transactions,
 )
+from .monitor import EvictionLedger
 
 
 def run_streaming_etl(
@@ -40,9 +43,17 @@ def run_streaming_etl(
     warehouse_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    metrics: EvictionLedger | None = None,
 ) -> None:
     """Replay transaction CSVs as a stream and load the star schema;
-    blocks until the source is drained (availableNow)."""
+    blocks until the source is drained (availableNow).
+
+    With a ``metrics`` ledger the enrichment keeps the customer leg as a
+    flagged LEFT join (``enrich_flagged``): the sink counts loaded vs
+    evicted rows in ONE aggregation over the already-joined batch, then
+    filters to the inner-join semantics before loading — facts are
+    bit-identical to the default path, and the reference's per-batch
+    eviction counters (hybrid_join.py:208,236,354) become observable."""
     cust = read_customer_master(spark, customer_master_path)
     prod = read_product_master(spark, product_master_path)
     stream = read_transactions(spark, transactions_dir, streaming=True)
@@ -54,13 +65,31 @@ def run_streaming_etl(
             .schema(stream.schema)
             .load(transactions_dir)
         )
-    enriched = enrich(stream, cust, prod)
+    enriched = (
+        enrich(stream, cust, prod) if metrics is None
+        else enrich_flagged(stream, cust, prod)
+    )
 
     def sink(batch_df, epoch_id: int) -> None:  # noqa: ANN001
         # epoch_id keys the fact write's overwrite directory: foreachBatch
         # alone is at-least-once, and a crash between the fact append and
         # the checkpoint commit would replay the batch; the per-epoch
         # overwrite (+ left-anti dim upserts) makes the replay idempotent.
+        if metrics is not None:
+            batch_df = batch_df.persist()
+            by = {
+                r["cust_matched"]: r["n"]
+                for r in batch_df.groupBy("cust_matched").agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+            metrics.record(epoch_id, loaded=by.get(True, 0), evicted=by.get(False, 0))
+            kept = batch_df.filter(F.col("cust_matched")).drop("cust_matched")
+            load_star_batch(
+                batch_df.sparkSession, kept, cust, prod, warehouse_dir, epoch_id=epoch_id
+            )
+            batch_df.unpersist()
+            return
         load_star_batch(
             batch_df.sparkSession, batch_df, cust, prod, warehouse_dir, epoch_id=epoch_id
         )

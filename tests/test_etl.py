@@ -244,3 +244,40 @@ def test_sql_text_runs_over_warehouse_views(spark, star):
         rows = spark.sql(sql).collect()  # must analyze and execute cleanly
         nonempty += bool(rows)
     assert nonempty >= 15  # the fixture timeline feeds rows to most queries
+
+
+def test_streaming_eviction_metric_equals_anti_join(
+    spark, star, paths, tmp_path_factory
+):
+    """The per-batch eviction ledger (reference prints these counts,
+    hybrid_join.py:208,236,354): total evicted across micro-batches must
+    equal the batch anti-join cardinality, total loaded must equal the
+    fact count, and the metered star must equal the default-path star."""
+    from near_real_time_data_warehouse_spark.streaming.monitor import (
+        EvictionLedger,
+    )
+
+    wh = str(tmp_path_factory.mktemp("warehouse_metered"))
+    ckpt = str(tmp_path_factory.mktemp("checkpoint_metered"))
+    ledger = EvictionLedger()
+    run_streaming_etl(
+        spark,
+        str(paths["transactions"]),
+        str(paths["customer"]),
+        str(paths["product"]),
+        wh,
+        ckpt,
+        metrics=ledger,
+    )
+    txns = etl.read_transactions(spark, str(paths["transactions"]))
+    cust = etl.read_customer_master(spark, str(paths["customer"]))
+    expected_evicted = etl.orphan_transactions(txns, cust).count()
+    assert expected_evicted > 0  # fixture genuinely evicts (~5% unknown)
+    assert ledger.batches, "no micro-batch was recorded"
+    assert ledger.total_evicted == expected_evicted
+    streamed = etl.read_star(spark, wh)
+    assert ledger.total_loaded == streamed["salefact"].count()
+    for name in etl.STAR_TABLES:
+        b = {tuple(str(v) for v in r) for r in star[name].collect()}
+        s = {tuple(str(v) for v in r) for r in streamed[name].collect()}
+        assert b == s, f"{name}: metered stream diverges from batch"
