@@ -1213,6 +1213,122 @@ WHERE CAST(doc_id % 3 AS INT) = 2
 
 from . import registry  # noqa: E402
 
+def synthesize_gif(
+    frames_rows: list[int],
+    v: int,
+    delay_cs: int,
+    width: int = 8,
+    height: int = 8,
+) -> bytes:
+    """Dependency-free GIF89a writer for in-query media synthesis (the
+    pii-redact discipline: the driver corpus has no real media column,
+    so entries BUILD payloads deterministically from table columns and
+    the oracle states the closed-form outcome). Frame i paints the top
+    ``frames_rows[i]`` rows in color (v,0,0) over black, full-canvas,
+    disposal=keep. The LZW stream interleaves a CLEAR before every
+    pixel at min_code_size=7, so every code is exactly one byte — a
+    valid (2× inflated) stream with no bit-packing logic to mirror a
+    decoder bug into."""
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80, 0, 0])  # GCT flag, 2 colors; bg 0; no aspect
+    out += bytes([0, 0, 0, v & 0xFF, 0, 0])  # palette: black, (v,0,0)
+    for rows in frames_rows:
+        out += bytes([0x21, 0xF9, 4, 0])  # GCE: disposal 0, no transparency
+        out += delay_cs.to_bytes(2, "little") + bytes([0, 0])
+        out += b"\x2c" + bytes(4) + width.to_bytes(2, "little")
+        out += height.to_bytes(2, "little") + bytes([0])
+        idx = bytes(
+            [1 if y < rows else 0 for y in range(height) for _ in range(width)]
+        )
+        lzw = b"".join(b"\x80" + bytes([p]) for p in idx) + b"\x81"
+        out += bytes([7])  # LZW min code size
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    return bytes(out) + b"\x3b"
+
+
+def multimodal_gif_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the animated-GIF decode + motion kernel: per
+    document, synthesize a small animation whose geometry derives from
+    ``doc_id`` (frame count 2-4, fill heights alternating between
+    a = doc_id % 9 and b = (7·doc_id + 3) % 9, red level 1 + doc_id % 255,
+    per-frame delay 10 + doc_id % 7), run the REAL ``parse_gif_frames``
+    + ``gif_motion_stats`` pipeline in Arrow batches, and emit the
+    motion profile. All consecutive frame deltas equal |a − b|·8 changed
+    pixels × the red level, so the oracle states the expected stats in
+    closed form — replaying numpy's exact fold order (((x+x)+x)/3) for
+    the 1-3 delta means. Docs with doc_id ≡ 1 (mod 3) yield a = b: a
+    genuinely static animation, so the hash certifies both the moving
+    and the static-banner polarity."""
+    from ..sources.testdata import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                n_frames = 2 + doc_id % 3
+                a, b = doc_id % 9, (7 * doc_id + 3) % 9
+                payload = synthesize_gif(
+                    [(a, b)[i % 2] for i in range(n_frames)],
+                    v=1 + doc_id % 255,
+                    delay_cs=10 + doc_id % 7,
+                )
+                stats = gif_motion_stats(parse_gif_frames(payload))
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "n_frames": stats["n_frames"],
+                        "duration_cs": stats["duration_cs"],
+                        "motion_energy": stats["motion_energy"],
+                        "changed_fraction": stats["changed_fraction"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        batches,
+        "media_id long, n_frames long, duration_cs long, "
+        "motion_energy double, changed_fraction double",
+    )
+
+
+GIF_MOTION_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS n_frames,
+         10 + doc_id % 7 AS delay_cs,
+         1 + doc_id % 255 AS v,
+         abs(doc_id % 9 - (7 * doc_id + 3) % 9) AS ab
+  FROM documents
+),
+x AS (
+  SELECT doc_id, n_frames,
+         n_frames * delay_cs AS duration_cs,
+         CAST(ab * 8 * v AS DOUBLE) / 192 AS me1,
+         CAST(ab * 8 AS DOUBLE) / 64 AS cf1,
+         n_frames - 1 AS nd
+  FROM p
+)
+SELECT doc_id AS media_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(duration_cs AS BIGINT) AS duration_cs,
+       CASE nd WHEN 1 THEN me1 WHEN 2 THEN (me1 + me1) / 2
+               ELSE ((me1 + me1) + me1) / 3 END AS motion_energy,
+       CASE nd WHEN 1 THEN cf1 WHEN 2 THEN (cf1 + cf1) / 2
+               ELSE ((cf1 + cf1) + cf1) / 3 END AS changed_fraction
+FROM x
+"""
+
+
 registry.register("multimodal_features", multimodal_features, MULTIMODAL_SQL)
+registry.register("multimodal_gif_motion", multimodal_gif_motion, GIF_MOTION_SQL)
 registry.register("multimodal_frame_index", multimodal_frame_index, FRAME_INDEX_SQL)
 registry.register("multimodal_phash_neardup", multimodal_phash_neardup, PHASH_NEARDUP_SQL)

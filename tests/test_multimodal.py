@@ -980,3 +980,26 @@ def test_gif_frames_total_pixel_budget_caps_decoded_frames():
     small = _gif_anim_bytes(4, 4, [dict(f, indices=bytes([f["indices"][0]] * 16),
                                         w=4, h=4) for f in frames], _PAL4)
     assert mm.parse_gif_frames(small)["n_frames"] == 6
+
+
+def test_synthesize_gif_roundtrips_through_real_decoder():
+    """The in-query GIF writer must produce payloads the real decoder
+    reproduces exactly: frame count, composited pixels (top-rows fill),
+    delays — including the static (a == b) polarity."""
+    payload = mm.synthesize_gif([3, 6, 3], v=200, delay_cs=4)
+    parsed = mm.parse_gif_frames(payload)
+    assert parsed["n_frames"] == 3 and (parsed["width"], parsed["height"]) == (8, 8)
+    import numpy as np
+
+    for fi, rows in enumerate([3, 6, 3]):
+        px = np.frombuffer(parsed["frames"][fi]["pixels"], np.uint8).reshape(8, 8, 3)
+        assert (px[:rows] == [200, 0, 0]).all()
+        assert (px[rows:] == 0).all()
+        assert parsed["frames"][fi]["delay_cs"] == 4
+    stats = mm.gif_motion_stats(parsed)
+    assert stats["duration_cs"] == 12
+    assert stats["changed_fraction"] == 3 * 8 / 64
+    static = mm.gif_motion_stats(
+        mm.parse_gif_frames(mm.synthesize_gif([5, 5], v=9, delay_cs=1))
+    )
+    assert static["motion_energy"] == 0.0 and static["changed_fraction"] == 0.0
