@@ -1,10 +1,11 @@
 """The driver contract must stay consistent.
 
-Window policy (VERDICT r3 item 3): entries needing their first driver
-row head the registration order; everything else follows in stable
-registration order. A typo in ``_NEEDS_FIRST_ROW`` silently drops an
-entry from its window position, invisible until a CORRECTNESS round
-misses a row — so the list is test-guarded.
+Window policy (VERDICT r7 "what's wrong" #2): entries with no green
+driver row in any recorded round head the registration order; the
+re-certification tail follows by LAST_GREEN round ascending (ties in
+stable registration order), so certification staleness is bounded. The
+ledger is generated (scripts/update_last_green.py) — the ordering rule
+itself is test-guarded here.
 
 Output-shape guard (VERDICT r3 item 1/2): the driver canonicalizes each
 result with pandas ``sort_values`` over every column, which raises
@@ -21,41 +22,47 @@ from pyspark.sql import types as T
 from near_real_time_data_warehouse_spark import driver_api
 
 
-def test_needs_first_row_references_real_entries():
-    names = set(driver_api.queries())
-    missing = [n for n in driver_api._NEEDS_FIRST_ROW if n not in names]
-    assert not missing, f"_NEEDS_FIRST_ROW names not in registry: {missing}"
-    dupes = {
-        n for n in driver_api._NEEDS_FIRST_ROW
-        if driver_api._NEEDS_FIRST_ROW.count(n) > 1
-    }
-    assert not dupes, f"duplicated in _NEEDS_FIRST_ROW: {dupes}"
-
-
-def test_ordering_is_first_rows_then_stable_registration_order():
-    q = list(driver_api.queries())
-    head = driver_api._NEEDS_FIRST_ROW
-    assert q[: len(head)] == head
-    # The tail must be the stable registration order with the head removed:
-    # analysis QUERIES first, then the operator registry order.
+def test_ordering_is_never_green_then_least_recently_certified():
+    from near_real_time_data_warehouse_spark.certification import LAST_GREEN
     from near_real_time_data_warehouse_spark.operators import registry as op_registry
     from near_real_time_data_warehouse_spark.plans import analysis
 
+    q = list(driver_api.queries())
     stable = list(analysis.QUERIES) + [
         n for n in op_registry.queries() if n not in analysis.QUERIES
     ]
-    expected_tail = [n for n in stable if n not in head]
-    assert q[len(head):] == expected_tail
+    assert sorted(q) == sorted(stable)  # same entries, reordered only
+    reg_pos = {n: i for i, n in enumerate(stable)}
+    expected = [n for n in stable if n not in LAST_GREEN] + sorted(
+        (n for n in stable if n in LAST_GREEN),
+        key=lambda n: (LAST_GREEN[n], reg_pos[n]),
+    )
+    assert q == expected
+
+
+def test_certification_ledger_is_sane():
+    """Every ledger round is a plausible round number and the stalest
+    registry entries really do lead the re-certification tail."""
+    from near_real_time_data_warehouse_spark.certification import LAST_GREEN
+
+    assert LAST_GREEN, "empty ledger — run scripts/update_last_green.py"
+    assert all(isinstance(r, int) and r >= 1 for r in LAST_GREEN.values())
+    q = list(driver_api.queries())
+    in_ledger = [n for n in q if n in LAST_GREEN]
+    rounds = [LAST_GREEN[n] for n in in_ledger]
+    assert rounds == sorted(rounds), "tail not sorted by staleness"
 
 
 def test_every_query_has_oracle_or_documented_companion():
-    """Every entry either has an oracle or is one of the two documented
-    no-oracle entries, each with an oracled companion row."""
+    """Every entry has an oracle except the one documented sketch
+    (approximate-distinct), which has an oracled exact-error companion.
+    (sim_ann_ivf_topk graduated in round 8: its oracle replays the full
+    IVF lifecycle in SQL.)"""
     q = set(driver_api.queries())
     o = set(driver_api.oracle_sql())
     no_oracle = q - o
-    assert no_oracle == {"sim_ann_ivf_topk", "events_approx_distinct_users"}, no_oracle
-    assert {"sim_ann_ivf_recall", "events_approx_distinct_error"} <= o
+    assert no_oracle == {"events_approx_distinct_users"}, no_oracle
+    assert "events_approx_distinct_error" in o
 
 
 _FORBIDDEN = (T.ArrayType, T.MapType, T.StructType)
