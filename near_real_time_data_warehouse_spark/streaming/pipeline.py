@@ -112,6 +112,7 @@ def run_streaming_etl_with_retry(
     checkpoint_dir: str,
     orphans_dir: str,
     max_files_per_trigger: int | None = None,
+    on_batch=None,
 ) -> None:
     """Streaming ETL with late-arriving-dimension handling: transactions
     whose customer has no master row are PARKED (raw shape) instead of
@@ -124,7 +125,15 @@ def run_streaming_etl_with_retry(
     deterministic inputs; under a crash between the orphan write and the
     checkpoint commit, the replayed union can double a parked line until
     it loads — production would key parked rows by (source file, offset)
-    to close that window."""
+    to close that window.
+
+    ``on_batch(epoch_id)``, if given, runs at the top of every
+    micro-batch — the injection seam the mid-query master-refresh test
+    uses to swap the master file between batches of ONE streaming
+    query. Production needs no hook: masters are ordinary files that
+    change on disk, and this path re-reads them per batch, so an SCD
+    update published mid-query flows into the very next batch's
+    stream-static join."""
     stream = read_transactions(spark, transactions_dir, streaming=True)
     if max_files_per_trigger is not None:
         stream = (
@@ -136,6 +145,8 @@ def run_streaming_etl_with_retry(
         )
 
     def sink(batch_df, epoch_id: int) -> None:  # noqa: ANN001
+        if on_batch is not None:
+            on_batch(epoch_id)
         s = batch_df.sparkSession
         # Re-read masters per batch: the refresh is what rescues orphans.
         cust = read_customer_master(s, customer_master_path)
