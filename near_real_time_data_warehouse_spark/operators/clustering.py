@@ -494,7 +494,78 @@ FROM member WHERE strat < rate_k
 """
 
 
+SEMDEDUP_COSINE = 0.35  # within-cluster near-dup threshold (both
+                        # polarities live on the synthetic corpus:
+                        # ~99 of ~15k cluster-mate pairs pass at sf0.01)
+
+
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-shape semantic near-duplicate pairs: embedding-cosine
+    near-dups searched ONLY among k-means cluster-mates — the published
+    semantic-dedup recipe (cluster the corpus, dedup within clusters),
+    composed from this module's certified assignment and similarity's
+    exact integer cosine.
+
+    Scale shape: candidate generation is the cluster partition itself —
+    cost Σ|cluster|², never corpus², and each cluster's dense block is
+    one Arrow group through ``applyInPandas`` (one int64 matmul). At
+    100 TB oversized clusters are sub-sharded (recurse the same kernel
+    on a secondary k-means inside the cluster); the knee-adaptive
+    K(n) keeps expected cluster size ∝ √corpus.
+
+    Semantics-visible restriction, NOT a silent approximation: pairs
+    whose members land in different clusters are not candidates (the
+    SemDedup trade), so this is its own entry + oracle — the same
+    discipline as dedup_minhash_prefiltered — and the containment
+    test pins semdedup ⊆ global near-dup at the same threshold."""
+    a = _final_assignment(spark, sf_dir).select("vec_id", "cluster_id")
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    j = a.join(e, "vec_id")
+
+    def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        q = _quant_np(pdf["embedding"])
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+        cos = (q @ q.T) / (nrm[:, None] * nrm[None, :])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = cos[iu, ju] >= SEMDEDUP_COSINE
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "cluster_id": np.full(int(keep.sum()), key[0], dtype=np.int64),
+                "cosine": cos[iu, ju][keep],
+            }
+        )
+
+    return j.groupBy("cluster_id").applyInPandas(
+        per_cluster, "vec_a long, vec_b long, cluster_id long, cosine double"
+    )
+
+
+def _semdedup_sql() -> str:
+    cos = (
+        "CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2])) AS DOUBLE)"
+        " / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE)))"
+    )
+    return f"""{_kmeans_cte_sql()},
+sd_normed AS (
+  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS norm_sq FROM quant
+)
+SELECT fa.vec_id AS vec_a, fb.vec_id AS vec_b,
+       fa.cluster_id AS cluster_id, {cos} AS cosine
+FROM final_assign fa
+JOIN final_assign fb
+  ON fa.cluster_id = fb.cluster_id AND fa.vec_id < fb.vec_id
+JOIN sd_normed a ON a.vec_id = fa.vec_id
+JOIN sd_normed b ON b.vec_id = fb.vec_id
+WHERE {cos} >= {SEMDEDUP_COSINE}
+"""
+
+
 registry.register("emb_kmeans_assign", kmeans_assign, KMEANS_ASSIGN_SQL)
+registry.register("emb_semdedup_pairs", semdedup_pairs, _semdedup_sql())
 registry.register("emb_kmeans_mixture", kmeans_mixture, _kmeans_mixture_sql())
 registry.register("emb_kmeans_domains", kmeans_domains, KMEANS_DOMAINS_SQL)
 registry.register("emb_kmeans_centroids", kmeans_centroids, KMEANS_CENTROIDS_SQL)

@@ -238,3 +238,47 @@ def test_kmeans_oracle_matches_above_knee(spark, tmp_path):
     )
     assert r.ok, str(r)
     assert kmeans_centroids(spark, str(tmp_path)).count() <= 16 * 64
+
+
+def test_semdedup_pairs_contained_in_global_neardup(spark):
+    """SemDedup containment: within-cluster pairs at the threshold are a
+    SUBSET of the global all-pairs near-dups at the same threshold (the
+    restriction only removes cross-cluster candidates, never invents
+    pairs or scores), every returned pair is cluster-consistent, and the
+    dropped complement is genuinely nonempty on this corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from near_real_time_data_warehouse_spark.operators.clustering import (
+        SEMDEDUP_COSINE,
+        semdedup_pairs,
+    )
+    from near_real_time_data_warehouse_spark.operators.similarity import (
+        _collect_quantized,
+        _emb,
+    )
+
+    got = semdedup_pairs(spark, SF_SMALL).collect()
+    assert got, "no within-cluster near-dup pairs at the test SF"
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in _final_assignment(spark, SF_SMALL).collect()
+    }
+    ids, q = _collect_quantized(_emb(spark, SF_SMALL))
+    nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+    cos = (q @ q.T) / (nrm[:, None] * nrm[None, :])
+    pos = {int(v): i for i, v in enumerate(ids)}
+    global_pairs = {
+        (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if cos[i, j] >= SEMDEDUP_COSINE
+    }
+    got_pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert got_pairs <= global_pairs
+    for r in got:
+        assert assign[r["vec_a"]] == assign[r["vec_b"]] == r["cluster_id"]
+        assert r["cosine"] == cos[pos[r["vec_a"]], pos[r["vec_b"]]]
+    dropped = global_pairs - got_pairs
+    assert dropped, "restriction vacuous: every global pair is intra-cluster"
+    assert all(assign[a] != assign[b] for a, b in dropped)
