@@ -1328,7 +1328,97 @@ FROM x
 """
 
 
+def synthesize_wav(
+    n_silent_frames: int,
+    n_loud_frames: int,
+    k: int,
+    sample_rate: int = 8000,
+    frame_ms: int = AUDIO_FRAME_MS,
+) -> bytes:
+    """Dependency-free RIFF/PCM16 writer for in-query audio synthesis
+    (the gif-motion discipline): ``n_silent_frames`` of zeros followed
+    by ``n_loud_frames`` of the constant sample 1024·k (mono). With
+    amplitude restricted to multiples of 1024 and k ≤ 31, every frame's
+    squared-sample sum is an exact multiple of 1/1024 with a ≤ 20-bit
+    numerator, so the RMS chain (sum, per-frame divide, sqrt) is EXACT
+    in IEEE doubles in any summation order — the closed-form oracle
+    doesn't have to replay numpy's pairwise-sum tree."""
+    import struct
+
+    frame_len = sample_rate * frame_ms // 1000
+    n = (n_silent_frames + n_loud_frames) * frame_len
+    data = b"\x00\x00" * (n_silent_frames * frame_len) + struct.pack(
+        "<h", 1024 * k
+    ) * (n_loud_frames * frame_len)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(out) - 4) + out
+
+
+def multimodal_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the audio-curation leg: per document, synthesize
+    a WAV whose silence/loudness geometry derives from ``doc_id``
+    (doc_id % 3 leading silent frames, 3 + doc_id % 4 total frames,
+    amplitude 1024·(1 + doc_id % 31)), run the REAL ``parse_wav`` +
+    ``wav_loudness_stats`` pipeline through ``audio_quality`` (incl.
+    its quarantine routing), and emit the profile. The amplitude-grid
+    trick makes every RMS exact (see synthesize_wav), so the oracle
+    states the whole profile in closed form; docs with doc_id ≡ 0
+    (mod 3) have zero silence — both polarities of the silence filter
+    are certified by the hash."""
+    from ..sources.testdata import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                ns = doc_id % 3
+                total = 3 + doc_id % 4
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "kind": "audio",
+                        "payload": synthesize_wav(ns, total - ns, 1 + doc_id % 31),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = d.mapInPandas(synth, "media_id long, kind string, payload binary")
+    return audio_quality(media)
+
+
+AUDIO_QUALITY_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 3 AS ns,
+         3 + doc_id % 4 AS total,
+         1 + doc_id % 31 AS k
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       true AS ok,
+       CAST(NULL AS VARCHAR) AS error,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(total * 100 AS INT) AS duration_ms,
+       CAST(total AS INT) AS n_frames,
+       (CAST((total - ns) * k AS DOUBLE) / 32) / total AS rms_mean,
+       CAST(k AS DOUBLE) / 32 AS rms_max,
+       CAST(ns AS DOUBLE) / total AS silent_frac,
+       CAST(ns * 100 AS INT) AS longest_silence_ms,
+       CAST(0.0 AS DOUBLE) AS clip_frac
+FROM p
+"""
+
+
 registry.register("multimodal_features", multimodal_features, MULTIMODAL_SQL)
+registry.register("multimodal_audio_quality", multimodal_audio_quality, AUDIO_QUALITY_SQL)
 registry.register("multimodal_gif_motion", multimodal_gif_motion, GIF_MOTION_SQL)
 registry.register("multimodal_frame_index", multimodal_frame_index, FRAME_INDEX_SQL)
 registry.register("multimodal_phash_neardup", multimodal_phash_neardup, PHASH_NEARDUP_SQL)

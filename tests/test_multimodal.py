@@ -1003,3 +1003,22 @@ def test_synthesize_gif_roundtrips_through_real_decoder():
         mm.parse_gif_frames(mm.synthesize_gif([5, 5], v=9, delay_cs=1))
     )
     assert static["motion_energy"] == 0.0 and static["changed_fraction"] == 0.0
+
+
+def test_synthesize_wav_roundtrips_with_exact_rms():
+    """The amplitude-grid WAV synthesizer: the real parser + loudness
+    kernel must reproduce the closed form exactly — per-frame RMS k/32,
+    leading silence counted, duration from byte_rate."""
+    payload = mm.synthesize_wav(2, 3, k=5)
+    parsed = mm.parse_wav(payload)
+    assert parsed["sample_rate"] == 8000 and parsed["n_channels"] == 1
+    assert parsed["duration_ms"] == 500
+    st = mm.wav_loudness_stats(parsed)
+    assert st["n_frames"] == 5
+    assert st["rms_max"] == 5 / 32
+    assert st["rms_mean"] == (3 * 5 / 32) / 5
+    assert st["silent_frac"] == 2 / 5
+    assert st["longest_silence_ms"] == 200
+    assert st["clip_frac"] == 0.0
+    loud = mm.wav_loudness_stats(mm.parse_wav(mm.synthesize_wav(0, 4, k=31)))
+    assert loud["silent_frac"] == 0.0 and loud["rms_max"] == 31 / 32
