@@ -517,10 +517,35 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose members land in different clusters are not candidates (the
     SemDedup trade), so this is its own entry + oracle — the same
     discipline as dedup_minhash_prefiltered — and the containment
-    test pins semdedup ⊆ global near-dup at the same threshold."""
-    a = _final_assignment(spark, sf_dir).select("vec_id", "cluster_id")
+    test pins semdedup ⊆ global near-dup at the same threshold.
+
+    Plan note: the assignment is computed INLINE (broadcast K×64
+    centroid matrix into the same Arrow pass that carries the
+    embedding), not by joining the assignment table back onto the
+    corpus — at the test SF that join broadcasts, but at 100 TB the
+    assignment table is corpus-sized and the join becomes a second
+    full-corpus shuffle. This shape has exactly ONE corpus shuffle
+    (the cluster groupBy)."""
+    ids, m = _trained_state(spark, sf_dir)
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    j = a.join(e, "vec_id")
+
+    def assign_carry(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = _quant_np(pdf["embedding"])
+            near = np.argmin(_dist_matrix(x, m), axis=1)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": ids[near],
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    j = e.mapInPandas(
+        assign_carry, "cluster_id long, vec_id long, embedding array<float>"
+    )
 
     def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
