@@ -527,7 +527,15 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus shuffle. This shape has exactly ONE corpus shuffle
     (the cluster groupBy)."""
     ids, m = _trained_state(spark, sf_dir)
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return semdedup_pairs_on(
+        _emb(spark, sf_dir).select("vec_id", "embedding"), ids, m
+    )
+
+
+def semdedup_pairs_on(e: DataFrame, ids: np.ndarray, m: np.ndarray) -> DataFrame:
+    """``semdedup_pairs`` against a GIVEN centroid state — the shared
+    kernel of the batch entry (corpus-trained state) and the streaming
+    fold's batch twin (first-batch-trained state)."""
 
     def assign_carry(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -1,0 +1,179 @@
+"""Streaming SemDedup maintenance: a foreachBatch fold that keeps the
+within-cluster semantic near-dup pair set current as embedding batches
+arrive — the streaming twin of ``operators/clustering.semdedup_pairs``
+(the "every incremental kernel has a streaming form" set: SCD2, dedup
+graph, rollup, IVF, k-means domains, and now SemDedup).
+
+State layout at ``state_dir``:
+  - ``centroids/`` — kmeans_stream's integer-microunit centroid state,
+    trained ONCE by the first batch (the standing corpus), never
+    retrained silently (domain drift is a retraining decision).
+  - ``members/`` — (cluster_id, vec_id, embedding), partitioned by
+    (cluster_id, _epoch): cluster first so a batch's pair pass reads
+    ONLY its touched clusters' partitions (partition pruning), epoch
+    second so a re-delivered batch overwrites its own member rows.
+  - ``pairs/`` — (vec_a, vec_b, cluster_id, cosine) in ``_epoch``
+    partitions with dynamic overwrite (replay-idempotent).
+
+Per micro-batch cost ∝ |batch| × |touched clusters' members|: the batch
+assigns against the broadcast K×64 state (one Arrow pass), the pair
+kernel computes the NEW×(old ∪ new) cosine block per touched cluster —
+never all-pairs over the standing members, never a corpus re-scan. The
+old-member read excludes the current epoch's own partitions, so a
+replayed epoch reproduces exactly its original pairs. Every cosine is
+the same exact-int64-dot / sqrt·sqrt chain as the batch kernel
+(multiplication order differences are IEEE-commutative), so the drained
+pair set is bit-equal to the batch twin — tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.clustering import SEMDEDUP_COSINE, _dist_matrix, _train_state_on
+from ..operators.similarity import _quant_np
+from .dedup_stream import _overwrite_epoch
+from .kmeans_stream import _load_state, _save_state
+
+_PAIR_SCHEMA = "vec_a long, vec_b long, cluster_id long, cosine double"
+
+
+def _overwrite_cluster_epoch(
+    spark: SparkSession, df: DataFrame, out_dir: str, epoch_id: int
+) -> None:
+    """Dynamic overwrite partitioned (cluster_id, _epoch): cluster-first
+    for pruning, epoch-second for exactly-once replay."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.withColumn("_epoch", F.lit(epoch_id)).write.mode("overwrite").partitionBy(
+            "cluster_id", "_epoch"
+        ).parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def merge_semdedup_batch(
+    spark: SparkSession, batch: DataFrame, state_dir: str, epoch_id: int = 0
+) -> None:
+    """Fold one embedding batch (vec_id, embedding) into the persisted
+    SemDedup state. First batch trains the centroids (full exact Lloyd
+    loop on that batch); every batch is assigned against the stored
+    state, paired against its clusters' standing members plus itself,
+    and appended to the member store."""
+    from ..sources.maintenance import path_exists
+
+    if batch.isEmpty():
+        return
+    cent_dir = f"{state_dir}/centroids"
+    mem_dir = f"{state_dir}/members"
+    pair_dir = f"{state_dir}/pairs"
+
+    batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
+    if not path_exists(spark, cent_dir):
+        ids, m = _train_state_on(batch)
+        _save_state(spark, ids, m, cent_dir)
+    else:
+        ids, m = _load_state(spark, cent_dir)
+
+    def assign_carry(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = _quant_np(pdf["embedding"])
+            near = np.argmin(_dist_matrix(x, m), axis=1)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": ids[near],
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = batch.mapInPandas(
+        assign_carry, "cluster_id long, vec_id long, embedding array<float>"
+    ).localCheckpoint(eager=True)
+
+    touched = [r["cluster_id"] for r in assigned.select("cluster_id").distinct().collect()]
+    new_flagged = assigned.withColumn("is_new", F.lit(True))
+    if path_exists(spark, mem_dir):
+        old = (
+            spark.read.parquet(mem_dir)
+            .filter(F.col("cluster_id").isin(touched) & (F.col("_epoch") != epoch_id))
+            .select("cluster_id", "vec_id", "embedding")
+            .withColumn("is_new", F.lit(False))
+        )
+        union = new_flagged.unionByName(old)
+    else:
+        union = new_flagged
+
+    def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        q = _quant_np(pdf["embedding"])
+        vids = pdf["vec_id"].to_numpy(np.int64)
+        nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+        is_new = pdf["is_new"].to_numpy(bool)
+        qn, idn, nn = q[is_new], vids[is_new], nrm[is_new]
+        # NEW × (old ∪ new) block — cost ∝ batch members, not |cluster|²
+        cos = (qn @ q.T) / (nn[:, None] * nrm[None, :])
+        # old partners always emit (canonical a<b); new-new pairs emit
+        # once, from the smaller-id row
+        keep = (
+            (cos >= SEMDEDUP_COSINE)
+            & (idn[:, None] != vids[None, :])
+            & ~(is_new[None, :] & (idn[:, None] > vids[None, :]))
+        )
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(idn[ii], vids[jj]),
+                "vec_b": np.maximum(idn[ii], vids[jj]),
+                "cluster_id": np.full(len(ii), key[0], dtype=np.int64),
+                "cosine": cos[ii, jj],
+            },
+            columns=["vec_a", "vec_b", "cluster_id", "cosine"],
+        )
+
+    pairs = union.groupBy("cluster_id").applyInPandas(per_cluster, _PAIR_SCHEMA)
+    _overwrite_epoch(spark, pairs, pair_dir, epoch_id)
+    _overwrite_cluster_epoch(spark, assigned, mem_dir, epoch_id)
+
+
+def read_semdedup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained pair set (vec_a, vec_b, cluster_id, cosine)."""
+    return spark.read.parquet(f"{state_dir}/pairs").select(
+        "vec_a", "vec_b", "cluster_id", "cosine"
+    )
+
+
+def run_streaming_semdedup(
+    spark: SparkSession,
+    emb_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain the available embedding files (availableNow), folding each
+    micro-batch into the SemDedup state."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(emb_dir)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_semdedup_batch(batch_df.sparkSession, batch_df, state_dir, epoch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
