@@ -532,6 +532,44 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Executor-memory guard for the per-cluster kernel: applyInPandas
+# materializes the whole group, so a skew-hot cluster above this many
+# rows is hash-split into ⌈|c|/CAP⌉ sub-shards and paired block-by-block
+# (each unordered shard pair is its own group — the classic triangle
+# enumeration). Work stays Σ|c|²; replication factor is the shard count.
+# Every tested SF sits far below the cap, so the fast path is the only
+# one the oracle hashes — the sharded path is pinned pair-set-identical
+# by monkeypatching the cap down in tests.
+SEMDEDUP_CLUSTER_CAP = 4096
+
+_PAIR_SCHEMA = "vec_a long, vec_b long, cluster_id long, cosine double"
+
+
+def _pair_frame(cluster_id, ids_a, q_a, nrm_a, ids_b, q_b, nrm_b, triangle):
+    """Thresholded cosine pairs between two member blocks (the SAME
+    block when ``triangle``): exact int64 dot / sqrt·sqrt, canonical
+    vec_a < vec_b. The float op sequence is identical whichever block a
+    pair's members sit in (multiplication is IEEE-commutative)."""
+    cos = (q_a @ q_b.T) / (nrm_a[:, None] * nrm_b[None, :])
+    if triangle:
+        iu, ju = np.triu_indices(len(ids_a), k=1)
+        keep = cos[iu, ju] >= SEMDEDUP_COSINE
+        ii, jj = iu[keep], ju[keep]
+    else:
+        keep = cos >= SEMDEDUP_COSINE
+        ii, jj = np.nonzero(keep)
+    va, vb = ids_a[ii], ids_b[jj]
+    return pd.DataFrame(
+        {
+            "vec_a": np.minimum(va, vb),
+            "vec_b": np.maximum(va, vb),
+            "cluster_id": np.full(len(ii), cluster_id, dtype=np.int64),
+            "cosine": cos[ii, jj],
+        },
+        columns=["vec_a", "vec_b", "cluster_id", "cosine"],
+    )
+
+
 def semdedup_pairs_on(e: DataFrame, ids: np.ndarray, m: np.ndarray) -> DataFrame:
     """``semdedup_pairs`` against a GIVEN centroid state — the shared
     kernel of the batch entry (corpus-trained state) and the streaming
@@ -555,25 +593,76 @@ def semdedup_pairs_on(e: DataFrame, ids: np.ndarray, m: np.ndarray) -> DataFrame
         assign_carry, "cluster_id long, vec_id long, embedding array<float>"
     )
 
-    def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    counts = {
+        r["cluster_id"]: r["n"]
+        for r in j.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    shards = {
+        c: max(1, -(-n // SEMDEDUP_CLUSTER_CAP)) for c, n in counts.items()
+    }
+
+    if all(v == 1 for v in shards.values()):
+
+        def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id")
+            q = _quant_np(pdf["embedding"])
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+            return _pair_frame(key[0], vids, q, nrm, vids, q, nrm, triangle=True)
+
+        return j.groupBy("cluster_id").applyInPandas(per_cluster, _PAIR_SCHEMA)
+
+    # Sharded path: replicate each member to every block pair its shard
+    # belongs to; the group (cluster, bi, bj) holds at most 2·CAP rows.
+    def explode_blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out = []
+            for cid, vid, emb in zip(
+                pdf["cluster_id"].astype("int64"),
+                pdf["vec_id"].astype("int64"),
+                pdf["embedding"],
+            ):
+                n_sh = shards[int(cid)]
+                s = int(vid) % n_sh
+                for t in range(n_sh):
+                    out.append(
+                        {
+                            "cluster_id": int(cid),
+                            "bi": min(s, t),
+                            "bj": max(s, t),
+                            "shard": s,
+                            "vec_id": int(vid),
+                            "embedding": emb,
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    exploded = j.mapInPandas(
+        explode_blocks,
+        "cluster_id long, bi int, bj int, shard int, vec_id long, embedding array<float>",
+    )
+
+    def per_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        cid, bi, bj = key
         pdf = pdf.sort_values("vec_id")
         q = _quant_np(pdf["embedding"])
-        ids = pdf["vec_id"].to_numpy(np.int64)
+        vids = pdf["vec_id"].to_numpy(np.int64)
         nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
-        cos = (q @ q.T) / (nrm[:, None] * nrm[None, :])
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = cos[iu, ju] >= SEMDEDUP_COSINE
-        return pd.DataFrame(
-            {
-                "vec_a": ids[iu[keep]],
-                "vec_b": ids[ju[keep]],
-                "cluster_id": np.full(int(keep.sum()), key[0], dtype=np.int64),
-                "cosine": cos[iu, ju][keep],
-            }
+        if bi == bj:
+            return _pair_frame(cid, vids, q, nrm, vids, q, nrm, triangle=True)
+        left = pdf["shard"].to_numpy() == bi
+        # the (bi, bi) group handles within-shard pairs; here only cross
+        return _pair_frame(
+            cid,
+            vids[left], q[left], nrm[left],
+            vids[~left], q[~left], nrm[~left],
+            triangle=False,
         )
 
-    return j.groupBy("cluster_id").applyInPandas(
-        per_cluster, "vec_a long, vec_b long, cluster_id long, cosine double"
+    return exploded.groupBy("cluster_id", "bi", "bj").applyInPandas(
+        per_block, _PAIR_SCHEMA
     )
 
 

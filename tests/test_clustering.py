@@ -282,3 +282,24 @@ def test_semdedup_pairs_contained_in_global_neardup(spark):
     dropped = global_pairs - got_pairs
     assert dropped, "restriction vacuous: every global pair is intra-cluster"
     assert all(assign[a] != assign[b] for a, b in dropped)
+
+
+def test_semdedup_sharded_path_equals_fast_path(spark, monkeypatch):
+    """Skew guard: with the cluster cap forced below the test cluster
+    sizes, every cluster hash-splits into blocks and pairs assemble from
+    the triangle of block pairs — the pair set (ids, cluster, exact
+    cosine) must equal the unsharded kernel's."""
+    from near_real_time_data_warehouse_spark.operators import clustering as C
+
+    ids, m = C._trained_state(spark, SF_SMALL)
+    e = C._emb(spark, SF_SMALL).select("vec_id", "embedding")
+    fast = {
+        (r.vec_a, r.vec_b, r.cluster_id, r.cosine)
+        for r in C.semdedup_pairs_on(e, ids, m).collect()
+    }
+    monkeypatch.setattr(C, "SEMDEDUP_CLUSTER_CAP", 16)  # clusters ~60 → 4 shards
+    sharded = {
+        (r.vec_a, r.vec_b, r.cluster_id, r.cosine)
+        for r in C.semdedup_pairs_on(e, ids, m).collect()
+    }
+    assert fast and sharded == fast

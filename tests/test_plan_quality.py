@@ -602,3 +602,17 @@ def test_kmeans_assignment_has_no_exchange(spark):
     m = np.zeros((3, EMB_DIM), dtype=np.int64)
     plan = plan_of(_assign_frame(e, ids, m))
     assert "Exchange" not in plan, plan
+
+
+def test_semdedup_single_corpus_shuffle(spark):
+    """emb_semdedup_pairs must plan as scan → inline-assign MapInPandas →
+    ONE hashpartition on cluster_id → per-cluster kernel. A join against
+    the assignment table (broadcastable at test SF, a second full-corpus
+    shuffle at scale) or any extra hash exchange is the regression this
+    pins against."""
+    plan = plan_of(QUERIES["emb_semdedup_pairs"](spark, SF_SMALL))
+    assert "Join" not in plan, "assignment joined back onto the corpus"
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert [c.split("#")[0] for c in hash_exchanges] == ["cluster_id"], plan
