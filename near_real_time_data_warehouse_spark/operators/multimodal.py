@@ -1417,7 +1417,111 @@ FROM p
 """
 
 
+def synthesize_png(width: int, height: int, base_r: int, const_b: int) -> bytes:
+    """Dependency-free PNG writer for in-query image synthesis (the
+    gif/wav discipline): truecolor 8-bit, every scanline Sub-filtered,
+    IDAT deflated with stdlib zlib — so the driver entry exercises the
+    REAL inflate + unfilter path. Pixel (y, x) = (base_r + x, 7·y,
+    const_b); callers keep base_r + width ≤ 256 and 7·height ≤ 256 so
+    channel sums have wrap-free closed forms."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    raw = bytearray()
+    for y in range(height):
+        row = bytes(
+            v for x in range(width) for v in (base_r + x, 7 * y, const_b)
+        )
+        raw.append(1)  # Sub filter
+        raw += bytes(
+            (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+            for i in range(len(row))
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the PNG decode path (stdlib-zlib DEFLATE +
+    Sub unfiltering): per document, synthesize a truecolor PNG whose
+    gradient geometry derives from doc_id (width 4 + doc_id % 13,
+    height 3 + doc_id % 7, red base doc_id % 240, blue doc_id % 251),
+    decode it with the REAL ``parse_png``, and emit integer-exact
+    channel sums — so the oracle states them in closed form
+    (sum_r = h·(w·b + w(w−1)/2), sum_g = 7·w·h(h−1)/2, sum_b = w·h·c)
+    with no float arithmetic to replicate at all."""
+    from ..sources.testdata import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                w, h = 4 + doc_id % 13, 3 + doc_id % 7
+                payload = synthesize_png(w, h, doc_id % 240, doc_id % 251)
+                parsed = parse_png(payload)
+                px = np.frombuffer(parsed["pixels"], dtype=np.uint8).reshape(
+                    parsed["height"], parsed["width"], 3
+                )
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "width": parsed["width"],
+                        "height": parsed["height"],
+                        "sum_r": int(sums[0]),
+                        "sum_g": int(sums[1]),
+                        "sum_b": int(sums[2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        batches,
+        "media_id long, width int, height int, sum_r long, sum_g long, sum_b long",
+    )
+
+
+PNG_STATS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         3 + doc_id % 7 AS h,
+         doc_id % 240 AS b,
+         doc_id % 251 AS cb
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(h * (w * b + w * (w - 1) // 2) AS BIGINT) AS sum_r,
+       CAST(7 * w * (h * (h - 1) // 2) AS BIGINT) AS sum_g,
+       CAST(w * h * cb AS BIGINT) AS sum_b
+FROM p
+"""
+
+
 registry.register("multimodal_features", multimodal_features, MULTIMODAL_SQL)
+registry.register("multimodal_png_stats", multimodal_png_stats, PNG_STATS_SQL)
 registry.register("multimodal_audio_quality", multimodal_audio_quality, AUDIO_QUALITY_SQL)
 registry.register("multimodal_gif_motion", multimodal_gif_motion, GIF_MOTION_SQL)
 registry.register("multimodal_frame_index", multimodal_frame_index, FRAME_INDEX_SQL)

@@ -1022,3 +1022,17 @@ def test_synthesize_wav_roundtrips_with_exact_rms():
     assert st["clip_frac"] == 0.0
     loud = mm.wav_loudness_stats(mm.parse_wav(mm.synthesize_wav(0, 4, k=31)))
     assert loud["silent_frac"] == 0.0 and loud["rms_max"] == 31 / 32
+
+
+def test_synthesize_png_roundtrips_through_real_decoder():
+    """The Sub-filtered PNG writer: the real decoder (zlib inflate +
+    unfilter) must reproduce the gradient exactly."""
+    import numpy as np
+
+    payload = mm.synthesize_png(6, 4, base_r=100, const_b=9)
+    parsed = mm.parse_png(payload)
+    assert (parsed["width"], parsed["height"]) == (6, 4)
+    px = np.frombuffer(parsed["pixels"], np.uint8).reshape(4, 6, 3)
+    for y in range(4):
+        for x in range(6):
+            assert tuple(px[y, x]) == (100 + x, 7 * y, 9)
