@@ -1520,7 +1520,128 @@ FROM p
 """
 
 
+def synthesize_jpeg_dc(bw: int, bh: int, dcs: list[int]) -> bytes:
+    """Dependency-free baseline-JPEG writer for in-query synthesis:
+    grayscale, flat quantization (all 1s), DC-only blocks (every AC run
+    is an immediate EOB), one Huffman-coded interleaved scan with
+    byte-stuffing. A DC-only block inverse-DCTs to the CONSTANT
+    128 + d/8 (exact for d a multiple of 8, |d| ≤ 1016 — verified to
+    survive the decoder's rint within float error), so the driver
+    entry's pixel sums have integer closed forms while the payload
+    still exercises the REAL marker walk, Huffman decode, DC
+    prediction, dequantize, and batched IDCT."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    # canonical tables: 12 DC categories at 4 bits; AC = one EOB code (2 bits)
+    dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+    dc_vals = bytes(range(12))
+    ac_bits = bytes([0, 1] + [0] * 14)
+    ac_vals = bytes([0x00])
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += seg(0xC0, bytes([8]) + struct.pack(">HH", bh * 8, bw * 8) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + dc_bits + dc_vals + bytes([0x10]) + ac_bits + ac_vals)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    acc, nbits, data = 0, 0, bytearray()
+
+    def write(code: int, length: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)  # byte stuffing
+
+    pred = 0
+    for d in dcs:
+        diff = d - pred
+        pred = d
+        size = abs(diff).bit_length()
+        write(size, 4)  # canonical: symbol k gets code k at length 4
+        if size:
+            raw = diff if diff >= 0 else diff + (1 << size) - 1
+            write(raw, size)
+        write(0, 2)  # AC: immediate EOB (the single length-2 code)
+    if nbits:
+        pad = 8 - nbits
+        write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+    return bytes(out) + bytes(data) + b"\xff\xd9"
+
+
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the baseline-JPEG decode path: per document,
+    synthesize a DC-only grayscale JPEG whose block grid and DC values
+    derive from doc_id (bw = 1 + doc_id % 3, bh = 1 + doc_id % 2,
+    block i's DC = 8·((doc_id + 13·i) % 200 − 100)), decode it with the
+    REAL ``parse_jpeg`` (marker walk, canonical-Huffman scan, DC
+    prediction, dequantize, batched IDCT, grayscale→RGB), and emit the
+    integer-exact sum over every RGB byte — the oracle replays the
+    closed form 192·(128·n + Σ_i k_i) with a tiny range join."""
+    from ..sources.testdata import load_table_parallel
+    from .jpeg import parse_jpeg
+
+    d = load_table_parallel(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                bw, bh = 1 + doc_id % 3, 1 + doc_id % 2
+                dcs = [
+                    8 * ((doc_id + 13 * i) % 200 - 100) for i in range(bw * bh)
+                ]
+                parsed = parse_jpeg(synthesize_jpeg_dc(bw, bh, dcs))
+                px = np.frombuffer(parsed["pixels"], dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "width": parsed["width"],
+                        "height": parsed["height"],
+                        "pixel_sum": int(px.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        batches, "media_id long, width int, height int, pixel_sum long"
+    )
+
+
+JPEG_STATS_SQL = """
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh FROM documents
+),
+k AS (
+  SELECT p.doc_id, p.bw, p.bh,
+         SUM((p.doc_id + 13 * t.i) % 200 - 100) AS ksum,
+         COUNT(*) AS n
+  FROM p, range(0, 6) t(i)
+  WHERE t.i < p.bw * p.bh
+  GROUP BY p.doc_id, p.bw, p.bh
+)
+SELECT doc_id AS media_id,
+       CAST(bw * 8 AS INT) AS width,
+       CAST(bh * 8 AS INT) AS height,
+       CAST(192 * (128 * n + ksum) AS BIGINT) AS pixel_sum
+FROM k
+"""
+
+
 registry.register("multimodal_features", multimodal_features, MULTIMODAL_SQL)
+registry.register("multimodal_jpeg_stats", multimodal_jpeg_stats, JPEG_STATS_SQL)
 registry.register("multimodal_png_stats", multimodal_png_stats, PNG_STATS_SQL)
 registry.register("multimodal_audio_quality", multimodal_audio_quality, AUDIO_QUALITY_SQL)
 registry.register("multimodal_gif_motion", multimodal_gif_motion, GIF_MOTION_SQL)

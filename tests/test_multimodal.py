@@ -1036,3 +1036,22 @@ def test_synthesize_png_roundtrips_through_real_decoder():
     for y in range(4):
         for x in range(6):
             assert tuple(px[y, x]) == (100 + x, 7 * y, 9)
+
+
+def test_synthesize_jpeg_dc_roundtrips_through_real_decoder():
+    """DC-only JPEG synthesis: the real decoder must reproduce the
+    constant 128 + d/8 per block, including negative DCs, multi-block
+    prediction chains, and byte-stuffing (a DC near max drives 0xFF
+    bytes into the entropy stream)."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators.jpeg import parse_jpeg
+
+    dcs = [8 * v for v in (-100, 99, 0, -1, 50, 99)]
+    parsed = parse_jpeg(mm.synthesize_jpeg_dc(3, 2, dcs))
+    assert (parsed["width"], parsed["height"]) == (24, 16)
+    px = np.frombuffer(parsed["pixels"], np.uint8).reshape(16, 24, 3)
+    for i, d in enumerate(dcs):
+        by, bx = divmod(i, 3)
+        block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+        assert (block == 128 + d // 8).all(), (i, d)
