@@ -35,7 +35,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.clustering import SEMDEDUP_COSINE, _dist_matrix, _train_state_on
+from ..operators.clustering import (
+    SEMDEDUP_CLUSTER_CAP,
+    SEMDEDUP_COSINE,
+    _dist_matrix,
+    _train_state_on,
+)
 from ..operators.similarity import _quant_np
 from .dedup_stream import _overwrite_epoch
 from .kmeans_stream import _load_state, _save_state
@@ -112,7 +117,18 @@ def merge_semdedup_batch(
     else:
         union = new_flagged
 
-    def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    # Same executor-memory guard as the batch kernel: a skew-hot
+    # cluster's union (standing members + batch) above the cap is
+    # hash-split into block pairs; each group holds ≤ 2·cap rows. The
+    # NEW×partner emission rule is per-pair, so it is split-invariant —
+    # a (new, x) pair lives in exactly one (shard_new, shard_x) group.
+    counts = {
+        r["cluster_id"]: r["n"]
+        for r in union.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    shards = {c: max(1, -(-n // SEMDEDUP_CLUSTER_CAP)) for c, n in counts.items()}
+
+    def _pairs_block(key_cluster: int, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         q = _quant_np(pdf["embedding"])
         vids = pdf["vec_id"].to_numpy(np.int64)
@@ -133,13 +149,101 @@ def merge_semdedup_batch(
             {
                 "vec_a": np.minimum(idn[ii], vids[jj]),
                 "vec_b": np.maximum(idn[ii], vids[jj]),
-                "cluster_id": np.full(len(ii), key[0], dtype=np.int64),
+                "cluster_id": np.full(len(ii), key_cluster, dtype=np.int64),
                 "cosine": cos[ii, jj],
             },
             columns=["vec_a", "vec_b", "cluster_id", "cosine"],
         )
 
-    pairs = union.groupBy("cluster_id").applyInPandas(per_cluster, _PAIR_SCHEMA)
+    if all(v == 1 for v in shards.values()):
+
+        def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _pairs_block(int(key[0]), pdf)
+
+        pairs = union.groupBy("cluster_id").applyInPandas(per_cluster, _PAIR_SCHEMA)
+    else:
+
+        def explode_blocks(it):
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                out = []
+                for cid, vid, emb, new in zip(
+                    pdf["cluster_id"].astype("int64"),
+                    pdf["vec_id"].astype("int64"),
+                    pdf["embedding"],
+                    pdf["is_new"],
+                ):
+                    n_sh = shards[int(cid)]
+                    sh = int(vid) % n_sh
+                    for t in range(n_sh):
+                        out.append(
+                            {
+                                "cluster_id": int(cid),
+                                "bi": min(sh, t),
+                                "bj": max(sh, t),
+                                "vec_id": int(vid),
+                                "embedding": emb,
+                                "is_new": bool(new),
+                            }
+                        )
+                yield pd.DataFrame(out)
+
+        exploded = union.mapInPandas(
+            explode_blocks,
+            "cluster_id long, bi int, bj int, vec_id long, "
+            "embedding array<float>, is_new boolean",
+        )
+
+        def per_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            cid, bi, bj = key
+            if bi == bj:
+                return _pairs_block(int(cid), pdf)
+            # cross-block: only pairs whose members sit in DIFFERENT
+            # shards belong here — restrict the partner axis per row
+            pdf = pdf.sort_values("vec_id")
+            shard = pdf["vec_id"].to_numpy(np.int64) % shards[int(cid)]
+            q = _quant_np(pdf["embedding"])
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+            is_new = pdf["is_new"].to_numpy(bool)
+            rows_i = is_new & (shard == bi)
+            rows_j = is_new & (shard == bj)
+            frames = []
+            for rmask, pmask in ((rows_i, shard == bj), (rows_j, shard == bi)):
+                if not rmask.any() or not pmask.any():
+                    continue
+                qn, idn, nn = q[rmask], vids[rmask], nrm[rmask]
+                qp, idp, np_, newp = q[pmask], vids[pmask], nrm[pmask], is_new[pmask]
+                cos = (qn @ qp.T) / (nn[:, None] * np_[None, :])
+                keep = (
+                    (cos >= SEMDEDUP_COSINE)
+                    & (idn[:, None] != idp[None, :])
+                    & ~(newp[None, :] & (idn[:, None] > idp[None, :]))
+                )
+                ii, jj = np.nonzero(keep)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": np.minimum(idn[ii], idp[jj]),
+                            "vec_b": np.maximum(idn[ii], idp[jj]),
+                            "cluster_id": np.full(len(ii), cid, dtype=np.int64),
+                            "cosine": cos[ii, jj],
+                        },
+                        columns=["vec_a", "vec_b", "cluster_id", "cosine"],
+                    )
+                )
+            if not frames:
+                return pd.DataFrame(
+                    {"vec_a": [], "vec_b": [], "cluster_id": [], "cosine": []}
+                ).astype(
+                    {"vec_a": "int64", "vec_b": "int64", "cluster_id": "int64", "cosine": "float64"}
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        pairs = exploded.groupBy("cluster_id", "bi", "bj").applyInPandas(
+            per_block, _PAIR_SCHEMA
+        )
     _overwrite_epoch(spark, pairs, pair_dir, epoch_id)
     _overwrite_cluster_epoch(spark, assigned, mem_dir, epoch_id)
 

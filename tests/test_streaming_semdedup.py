@@ -78,3 +78,24 @@ def test_streaming_semdedup_empty_batch_noop(spark, tmp_path_factory):
     before = _pair_set(ss.read_semdedup_pairs(spark, state))
     ss.merge_semdedup_batch(spark, emb.filter(F.lit(False)), state, 1)
     assert _pair_set(ss.read_semdedup_pairs(spark, state)) == before
+
+
+def test_streaming_semdedup_sharded_groups_equal_batch(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Skew guard parity in the fold: with the cluster cap forced below
+    the cluster sizes, every per-cluster group splits into block pairs —
+    the drained pair set must still equal the (unsharded) batch twin."""
+    want = _batch_twin(spark)
+    from near_real_time_data_warehouse_spark.operators import clustering as C_mod
+    from near_real_time_data_warehouse_spark.streaming import semdedup_stream as ss_mod
+
+    monkeypatch.setattr(C_mod, "SEMDEDUP_CLUSTER_CAP", 16)
+    monkeypatch.setattr(ss_mod, "SEMDEDUP_CLUSTER_CAP", 16)
+    base = tmp_path_factory.mktemp("semdedup_sharded")
+    emb = C._emb(spark, SF_SMALL).select("vec_id", "embedding")
+    state = str(base / "state")
+    ss.merge_semdedup_batch(spark, emb.filter(F.col("vec_id") < _SPLIT), state, 0)
+    ss.merge_semdedup_batch(spark, emb.filter(F.col("vec_id") >= _SPLIT), state, 1)
+    got = _pair_set(ss.read_semdedup_pairs(spark, state))
+    assert got == want
