@@ -45,6 +45,8 @@ from pyspark.sql import functions as F
 
 from . import registry
 from .similarity import (
+    _knee_scale,
+    _knee_sql,
     _round_half_away,
     EMB_DIM,
     QUANT,
@@ -70,11 +72,7 @@ KMEANS_TARGET_N = 8192
 def _k_clusters(n: int) -> int:
     """Domain count for an n-vector corpus: static K_CLUSTERS up to the
     knee, then ∝ √corpus (doubling per 4× the corpus)."""
-    import math
-
-    if n <= KMEANS_TARGET_N:
-        return K_CLUSTERS
-    return K_CLUSTERS * (2 ** math.ceil(math.log2(math.sqrt(n / KMEANS_TARGET_N))))
+    return _knee_scale(n, K_CLUSTERS, KMEANS_TARGET_N)
 
 
 # (applicationId, sf_dir) -> (cluster_ids int64[k], centroid matrix int64[k,64])
@@ -351,9 +349,7 @@ def _kmeans_cte_sql() -> str:
     parts = [
         f"quant AS MATERIALIZED ({_QUANT_SQL})",
         f"""kparams AS (
-  SELECT CASE WHEN n <= {KMEANS_TARGET_N} THEN {K_CLUSTERS}
-              ELSE {K_CLUSTERS} * CAST(power(2, ceil(log2(sqrt(CAST(n AS DOUBLE) / {KMEANS_TARGET_N}))))
-                                       AS BIGINT) END AS k
+  SELECT {_knee_sql("n", K_CLUSTERS, KMEANS_TARGET_N)} AS k
   FROM (SELECT COUNT(*) AS n FROM quant)
 )""",
         """init AS (
@@ -543,6 +539,39 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_CLUSTER_CAP = 4096
 
 _PAIR_SCHEMA = "vec_a long, vec_b long, cluster_id long, cosine double"
+ASSIGN_CARRY_SCHEMA = "cluster_id long, vec_id long, embedding array<float>"
+
+
+def _assign_carry_fn(ids: np.ndarray, m: np.ndarray):
+    """mapInPandas kernel factory shared by the batch entry and the
+    streaming fold: assign each vector to its nearest centroid
+    (broadcast K×64 integer state) and carry the embedding through."""
+
+    def assign_carry(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = _quant_np(pdf["embedding"])
+            near = np.argmin(_dist_matrix(x, m), axis=1)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": ids[near],
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return assign_carry
+
+
+def _shard_counts(df: DataFrame) -> dict[int, int]:
+    """Per-cluster shard count for the skew guard: ⌈|cluster|/CAP⌉ from
+    one tiny map-side-combined aggregation (K rows to the driver)."""
+    counts = {
+        r["cluster_id"]: r["n"]
+        for r in df.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {c: max(1, -(-n // SEMDEDUP_CLUSTER_CAP)) for c, n in counts.items()}
 
 
 def _pair_frame(cluster_id, ids_a, q_a, nrm_a, ids_b, q_b, nrm_b, triangle):
@@ -575,31 +604,14 @@ def semdedup_pairs_on(e: DataFrame, ids: np.ndarray, m: np.ndarray) -> DataFrame
     kernel of the batch entry (corpus-trained state) and the streaming
     fold's batch twin (first-batch-trained state)."""
 
-    def assign_carry(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if pdf.empty:
-                continue
-            x = _quant_np(pdf["embedding"])
-            near = np.argmin(_dist_matrix(x, m), axis=1)
-            yield pd.DataFrame(
-                {
-                    "cluster_id": ids[near],
-                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
-                    "embedding": pdf["embedding"],
-                }
-            )
-
-    j = e.mapInPandas(
-        assign_carry, "cluster_id long, vec_id long, embedding array<float>"
+    # ONE corpus pass: the assignment (with embeddings carried) is
+    # localCheckpointed — the persisted assignment table a real pipeline
+    # maintains — so the O(K) skew probe and the pair stage both read
+    # the materialized result instead of re-running the scan + matmul.
+    j = e.mapInPandas(_assign_carry_fn(ids, m), ASSIGN_CARRY_SCHEMA).localCheckpoint(
+        eager=True
     )
-
-    counts = {
-        r["cluster_id"]: r["n"]
-        for r in j.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    shards = {
-        c: max(1, -(-n // SEMDEDUP_CLUSTER_CAP)) for c, n in counts.items()
-    }
+    shards = _shard_counts(j)
 
     if all(v == 1 for v in shards.values()):
 

@@ -371,14 +371,31 @@ TRAIN_SAMPLE_TARGET = 2048  # ≈ sample size at/below the knee
 IVF_TARGET_N = 8192
 
 
+def _knee_scale(n: int, base: int, target: int) -> int:
+    """The repo's standard √N knee: ``base`` at/below ``target`` corpus
+    rows, then doubling per 4× the corpus. ONE implementation so the
+    IVF list count, the k-means domain count, and any future knee stay
+    in lockstep with their SQL twins (see ``_knee_sql``)."""
+    import math
+
+    if n <= target:
+        return base
+    return base * (2 ** math.ceil(math.log2(math.sqrt(n / target))))
+
+
+def _knee_sql(n_expr: str, base: int, target: int) -> str:
+    """DuckDB twin of ``_knee_scale`` as an inline expression."""
+    return (
+        f"CASE WHEN {n_expr} <= {target} THEN {base} "
+        f"ELSE {base} * CAST(power(2, ceil(log2(sqrt(CAST({n_expr} AS DOUBLE) / {target})))) "
+        f"AS BIGINT) END"
+    )
+
+
 def _ivf_centroids(n: int) -> int:
     """IVF list count for an n-vector corpus: the static N_CENTROIDS up
     to the knee, then ∝ √corpus (doubling per 4× the corpus)."""
-    import math
-
-    if n <= IVF_TARGET_N:
-        return N_CENTROIDS
-    return N_CENTROIDS * (2 ** math.ceil(math.log2(math.sqrt(n / IVF_TARGET_N))))
+    return _knee_scale(n, N_CENTROIDS, IVF_TARGET_N)
 
 
 def _train_sample_target(n_centroids: int) -> int:
@@ -1430,10 +1447,7 @@ def _ivf_topk_sql() -> str:
         f"quant AS MATERIALIZED ({_QUANT_SQL})",
         f"normed AS MATERIALIZED ({_NORM_SQL})",
         f"""params AS (
-  SELECT n,
-         CASE WHEN n <= {IVF_TARGET_N} THEN {N_CENTROIDS}
-              ELSE {N_CENTROIDS} * CAST(power(2, ceil(log2(sqrt(CAST(n AS DOUBLE) / {IVF_TARGET_N}))))
-                                        AS BIGINT) END AS nc
+  SELECT n, {_knee_sql("n", N_CENTROIDS, IVF_TARGET_N)} AS nc
   FROM (SELECT COUNT(*) AS n FROM normed)
 )""",
         f"""params2 AS (

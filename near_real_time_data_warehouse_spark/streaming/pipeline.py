@@ -77,18 +77,23 @@ def run_streaming_etl(
         # overwrite (+ left-anti dim upserts) makes the replay idempotent.
         if metrics is not None:
             batch_df = batch_df.persist()
-            by = {
-                r["cust_matched"]: r["n"]
-                for r in batch_df.groupBy("cust_matched").agg(
-                    F.count(F.lit(1)).alias("n")
-                ).collect()
-            }
-            metrics.record(epoch_id, loaded=by.get(True, 0), evicted=by.get(False, 0))
-            kept = batch_df.filter(F.col("cust_matched")).drop("cust_matched")
-            load_star_batch(
-                batch_df.sparkSession, kept, cust, prod, warehouse_dir, epoch_id=epoch_id
-            )
-            batch_df.unpersist()
+            try:
+                by = {
+                    r["cust_matched"]: r["n"]
+                    for r in batch_df.groupBy("cust_matched").agg(
+                        F.count(F.lit(1)).alias("n")
+                    ).collect()
+                }
+                metrics.record(
+                    epoch_id, loaded=by.get(True, 0), evicted=by.get(False, 0)
+                )
+                kept = batch_df.filter(F.col("cust_matched")).drop("cust_matched")
+                load_star_batch(
+                    batch_df.sparkSession, kept, cust, prod, warehouse_dir,
+                    epoch_id=epoch_id,
+                )
+            finally:
+                batch_df.unpersist()
             return
         load_star_batch(
             batch_df.sparkSession, batch_df, cust, prod, warehouse_dir, epoch_id=epoch_id

@@ -36,9 +36,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.clustering import (
-    SEMDEDUP_CLUSTER_CAP,
+    ASSIGN_CARRY_SCHEMA,
     SEMDEDUP_COSINE,
-    _dist_matrix,
+    _assign_carry_fn,
+    _shard_counts,
     _train_state_on,
 )
 from ..operators.similarity import _quant_np
@@ -86,22 +87,8 @@ def merge_semdedup_batch(
     else:
         ids, m = _load_state(spark, cent_dir)
 
-    def assign_carry(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if pdf.empty:
-                continue
-            x = _quant_np(pdf["embedding"])
-            near = np.argmin(_dist_matrix(x, m), axis=1)
-            yield pd.DataFrame(
-                {
-                    "cluster_id": ids[near],
-                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
-                    "embedding": pdf["embedding"],
-                }
-            )
-
     assigned = batch.mapInPandas(
-        assign_carry, "cluster_id long, vec_id long, embedding array<float>"
+        _assign_carry_fn(ids, m), ASSIGN_CARRY_SCHEMA
     ).localCheckpoint(eager=True)
 
     touched = [r["cluster_id"] for r in assigned.select("cluster_id").distinct().collect()]
@@ -122,11 +109,7 @@ def merge_semdedup_batch(
     # hash-split into block pairs; each group holds ≤ 2·cap rows. The
     # NEW×partner emission rule is per-pair, so it is split-invariant —
     # a (new, x) pair lives in exactly one (shard_new, shard_x) group.
-    counts = {
-        r["cluster_id"]: r["n"]
-        for r in union.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    shards = {c: max(1, -(-n // SEMDEDUP_CLUSTER_CAP)) for c, n in counts.items()}
+    shards = _shard_counts(union)
 
     def _pairs_block(key_cluster: int, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")

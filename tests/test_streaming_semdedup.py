@@ -88,10 +88,8 @@ def test_streaming_semdedup_sharded_groups_equal_batch(
     the drained pair set must still equal the (unsharded) batch twin."""
     want = _batch_twin(spark)
     from near_real_time_data_warehouse_spark.operators import clustering as C_mod
-    from near_real_time_data_warehouse_spark.streaming import semdedup_stream as ss_mod
 
     monkeypatch.setattr(C_mod, "SEMDEDUP_CLUSTER_CAP", 16)
-    monkeypatch.setattr(ss_mod, "SEMDEDUP_CLUSTER_CAP", 16)
     base = tmp_path_factory.mktemp("semdedup_sharded")
     emb = C._emb(spark, SF_SMALL).select("vec_id", "embedding")
     state = str(base / "state")
