@@ -185,20 +185,27 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, max_out: int) -> bytearray:
     clear = 1 << min_code_size
     end = clear + 1
     code_size = min_code_size + 1
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    # root table built ONCE; every CLEAR re-copies it (bytes are
+    # immutable, sharing is safe) — rebuilding it per CLEAR was the
+    # decode hot spot on clear-dense streams
+    root: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = root.copy()
     out = bytearray()
     prev: bytes | None = None
     total_bits = len(data) * 8
+    data = data + b"\x00\x00"  # 3-byte read window never indexes past the end
     bitpos = 0
     while True:
         if bitpos + code_size > total_bits:
             raise MalformedMedia("LZW stream ended without an end code")
-        code = 0
-        for k in range(code_size):
-            code |= ((data[(bitpos + k) >> 3] >> ((bitpos + k) & 7)) & 1) << k
+        # LSB-first codes span <= 3 bytes at <= 12-bit width: one windowed
+        # read replaces the former per-bit loop (the decode hot spot)
+        bp = bitpos >> 3
+        window = data[bp] | (data[bp + 1] << 8) | (data[bp + 2] << 16)
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
         bitpos += code_size
         if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            table = root.copy()
             code_size = min_code_size + 1
             prev = None
             continue
@@ -1225,10 +1232,11 @@ def synthesize_gif(
     so entries BUILD payloads deterministically from table columns and
     the oracle states the closed-form outcome). Frame i paints the top
     ``frames_rows[i]`` rows in color (v,0,0) over black, full-canvas,
-    disposal=keep. The LZW stream interleaves a CLEAR before every
-    pixel at min_code_size=7, so every code is exactly one byte — a
-    valid (2× inflated) stream with no bit-packing logic to mirror a
-    decoder bug into."""
+    disposal=keep. The LZW stream is one CLEAR followed by raw literal
+    codes at min_code_size=7: the dictionary grows one entry per pixel
+    but stays below 256 for ≤ 127-pixel frames, so every code is
+    exactly one byte — a valid stream with no bit-packing logic to
+    mirror a decoder bug into."""
     out = bytearray(b"GIF89a")
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
     out += bytes([0x80, 0, 0])  # GCT flag, 2 colors; bg 0; no aspect
@@ -1241,7 +1249,11 @@ def synthesize_gif(
         idx = bytes(
             [1 if y < rows else 0 for y in range(height) for _ in range(width)]
         )
-        lzw = b"".join(b"\x80" + bytes([p]) for p in idx) + b"\x81"
+        # one CLEAR then raw literal codes: the dictionary grows by one
+        # entry per pixel but stays < 256 for frames <= 127 pixels past
+        # the 128-entry root, so every code remains exactly one byte
+        assert width * height <= 127
+        lzw = b"\x80" + idx + b"\x81"
         out += bytes([7])  # LZW min code size
         for i in range(0, len(lzw), 255):
             chunk = lzw[i : i + 255]
