@@ -116,6 +116,30 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def _shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc DISTINCT n-gram shingle ARRAY + its size as a pure
+    projection — the pre-explode form of :func:`_shingles`, for consumers
+    that need per-doc sets (array_intersect verification) rather than an
+    inverted index. Zero shuffle: the explode → groupBy(collect_list)
+    round-trip this replaces sorted the whole corpus-sized shingle table
+    just to rebuild an array the scan already had. Docs with < n tokens
+    (or NULL text) get an empty array, matching the exploded form's
+    absence + COALESCE(0) convention bit-for-bit."""
+    tokenized = docs.select("doc_id", F.split(_norm_col(), " ").alias("t"))
+    toks = F.col("t")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+    # sequence(0, size-n) DESCENDS when size < n — guard before building
+    arr = F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return tokenized.select("doc_id", arr.alias("arr")).select(
+        "doc_id", "arr", F.size("arr").alias("n")
+    )
+
+
 # DuckDB twin (1-based list indexing; range(1, len-1) = 1..len-2).
 _SHINGLES_SQL = f"""
   SELECT DISTINCT doc_id,

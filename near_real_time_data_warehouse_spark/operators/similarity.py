@@ -218,18 +218,31 @@ def _plane_weights(table: int, plane: int, dims: int = 64) -> list[int]:
 
 
 def _bucketed(
-    e: DataFrame, dims: int = 64, n_tables: int = N_TABLES, n_planes: int = N_PLANES
+    e: DataFrame,
+    dims: int = 64,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+    carry_all: bool = False,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH: emits (vec_id, tbl, bucket) rows
     — one bucket id per hash table, packing the sign bit of q·w_p for each
     of that table's planes. Candidate pairs are unioned across tables, the
     standard recall/cost dial (L tables × k planes). Computed as one
-    int64 matmul against the (L·k × dims) weight matrix per Arrow batch."""
+    int64 matmul against the (L·k × dims) weight matrix per Arrow batch.
+
+    ``carry_all`` adds an ``all_buckets`` column (this vec's bucket in
+    every table, index = tbl) so a candidate self-join can emit each pair
+    exactly once — at its FIRST agreeing table — instead of once per
+    agreeing table followed by a corpus-scale DISTINCT (the sort that
+    spilled at the 50× probe)."""
     W = np.array(
         [_plane_weights(t, p, dims) for t in range(n_tables) for p in range(n_planes)],
         dtype=np.int64,
     )
     pow2 = 2 ** np.arange(n_planes, dtype=np.int64)
+    schema = "vec_id long, tbl int, bucket long"
+    if carry_all:
+        schema += ", all_buckets array<long>"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -239,15 +252,16 @@ def _bucketed(
             signs = (q @ W.T > 0).astype(np.int64).reshape(len(pdf), n_tables, n_planes)
             bkt = (signs * pow2).sum(axis=2)  # (n, n_tables)
             ids = pdf["vec_id"].to_numpy(np.int64)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(ids, n_tables),
-                    "tbl": np.tile(np.arange(n_tables), len(pdf)),
-                    "bucket": bkt.reshape(-1),
-                }
-            )
+            out = {
+                "vec_id": np.repeat(ids, n_tables),
+                "tbl": np.tile(np.arange(n_tables), len(pdf)),
+                "bucket": bkt.reshape(-1),
+            }
+            if carry_all:
+                out["all_buckets"] = [list(row) for row in bkt for _ in range(n_tables)]
+            yield pd.DataFrame(out)
 
-    return e.mapInPandas(batches, "vec_id long, tbl int, bucket long")
+    return e.mapInPandas(batches, schema)
 
 
 # Knee for the query-path LSH depth (same discipline as SEM_TARGET_N):
@@ -867,7 +881,7 @@ def semantic_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact buckets in SQL (the sim_ann_lsh_topk construction) and the
     shingle chain is dedup's — so the driver hash certifies the whole
     cross-table composition bit-for-bit."""
-    from .dedup import JACCARD_THRESHOLD, _shingles_materialized
+    from .dedup import JACCARD_THRESHOLD, _shingle_arrays
 
     e = _emb(spark, sf_dir)
     # checkpointed so the Python bucketing stage runs once, not once per
@@ -877,8 +891,20 @@ def semantic_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _local_checkpoint_stats_clean
 
     b = _local_checkpoint_stats_clean(
-        _bucketed(e, n_tables=SEM_TABLES, n_planes=_sem_planes(e.count())),
+        _bucketed(e, n_tables=SEM_TABLES, n_planes=_sem_planes(e.count()), carry_all=True),
         eager=False,
+    )
+    # Emit each pair exactly once — at its FIRST agreeing table — by
+    # comparing the carried all_buckets prefixes JVM-side. The previous
+    # shape emitted one row per agreeing table and ran a corpus-scale
+    # DISTINCT whose sort was a top 50× spill site; the pair SET is
+    # identical (slice(arr,1,0) = [] at tbl 0, so table 0 always emits).
+    seen_earlier = F.exists(
+        F.arrays_zip(
+            F.slice(F.col("a.all_buckets"), F.lit(1), F.col("a.tbl")).alias("x"),
+            F.slice(F.col("b.all_buckets"), F.lit(1), F.col("b.tbl")).alias("y"),
+        ),
+        lambda s: s["x"] == s["y"],
     )
     cand = (
         b.alias("a")
@@ -888,8 +914,8 @@ def semantic_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .filter(~seen_earlier)
         .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
-        .distinct()
     )
     # checkpointed: cand feeds BOTH the cosine-scoring and the
     # shingle-intersection lineages; without this the bucket self-join
@@ -911,12 +937,15 @@ def semantic_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort was the engine's biggest 50× spiller. This joins |cand| rows
     # against the corpus-sized array table twice and intersects
     # JVM-side: measured 24.5 s vs 89.4 s at 50× (bit-identical rows).
+    # The arrays come straight from the documents scan as a projection
+    # (_shingle_arrays) — the earlier explode → groupBy(collect_list)
+    # REBUILD of that array sorted the whole shingle table, the last
+    # 50× spill site. shuffle_hash keeps the big array side unsorted.
     # Array rows are ∝ document length — at extreme doc sizes shard the
     # verify by shingle-hash range; synthetic and web-scale docs fit.
-    sh = _shingles_materialized(spark, sf_dir)
-    arrs = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("arr"), F.count(F.lit(1)).alias("n")
-    )
+    from .dedup import _docs
+
+    arrs = _shingle_arrays(_docs(spark, sf_dir)).hint("shuffle_hash")
     j = (
         scored.join(
             arrs.select(
