@@ -1558,3 +1558,124 @@ registry.register("text_repetition_stats", repetition_stats, REPETITION_SQL)
 registry.register("text_pii_redact", pii_redact, PII_REDACT_SQL)
 registry.register("text_vocabulary", vocabulary, VOCABULARY_SQL)
 registry.register("text_fingerprint", fingerprint, FINGERPRINT_SQL)
+
+
+# --- hashing-trick linear classifier (quality-filter inference) ------------
+
+# Model size of the hashing classifier: every unigram/bigram feature maps
+# into one of CLF_BUCKETS embedding rows (the fastText hashing trick) —
+# collisions are part of the model, not an error. Weights live in
+# [-(CLF_WEIGHT_RANGE//2), CLF_WEIGHT_RANGE//2] as exact integers.
+CLF_BUCKETS = 4096
+CLF_WEIGHT_RANGE = 2001
+
+
+def hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashing-trick linear classifier INFERENCE — the
+    model-based quality-filter pass production corpora gate on (the
+    DCLM / FineWeb-Edu classifier-filter shape): per document, unigram +
+    adjacent-bigram features hash into CLF_BUCKETS weight rows, the score
+    is the summed weights, and the keep decision is its sign.
+
+    The per-bucket weight here is md5-derived — a deterministic stand-in
+    with the exact structure of a trained table (feature → bucket →
+    weight lookup → sum); a production deployment swaps the weight
+    expression for a broadcast join against its trained vectors, the
+    text_bpe_encode discipline. Everything else — tokenization, feature
+    construction, hashing, pooling — is the real kernel.
+
+    Scale shape: a pure scan-project — features, buckets, weights, and
+    the score all happen ARRAY-SIDE inside the row (transform +
+    aggregate, whole-stage codegen), so the entry is zero-shuffle,
+    zero-join, and embarrassingly parallel at any corpus size. Integer
+    score, one IEEE division for the mean: hash-portable."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
+    base = d.select("doc_id", toks.alias("toks"))
+    # sequence(1, size-1) DESCENDS when size < 2 — guard before building
+    bis = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _bucket(f: F.Column) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit("clf:"), f)), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % CLF_BUCKETS
+        )
+
+    def _weight(b: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w:"), b.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % CLF_WEIGHT_RANGE
+            - CLF_WEIGHT_RANGE // 2
+        )
+
+    feats = F.concat(F.col("toks"), bis)
+    score = F.aggregate(
+        F.transform(feats, lambda ft: _weight(_bucket(ft))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    out = base.select(
+        "doc_id", F.size(feats).alias("n_features"), score.alias("score_sum")
+    )
+    return out.select(
+        "doc_id",
+        "n_features",
+        "score_sum",
+        F.when(
+            F.col("n_features") > 0,
+            F.col("score_sum").cast("double") / F.col("n_features"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_weight"),
+        (F.col("score_sum") >= 0).alias("keep"),
+    )
+
+
+HASH_CLASSIFIER_SQL = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END) AS feats
+  FROM d
+),
+w AS (
+  SELECT doc_id, feats,
+         list_transform(feats, ft ->
+           CAST(('0x' || substr(md5('w:' || CAST(
+             CAST(('0x' || substr(md5('clf:' || ft), 1, 8)) AS BIGINT) % {CLF_BUCKETS}
+           AS VARCHAR)), 1, 8)) AS BIGINT) % {CLF_WEIGHT_RANGE} - {CLF_WEIGHT_RANGE // 2}
+         ) AS ws
+  FROM f
+)
+SELECT doc_id,
+       CAST(len(feats) AS BIGINT) AS n_features,
+       CAST(COALESCE(list_sum(ws), 0) AS BIGINT) AS score_sum,
+       CASE WHEN len(feats) > 0
+            THEN CAST(COALESCE(list_sum(ws), 0) AS DOUBLE) / len(feats)
+            ELSE 0.0 END AS mean_weight,
+       COALESCE(list_sum(ws), 0) >= 0 AS keep
+FROM w
+"""
+
+registry.register("text_hash_classifier", hash_classifier, HASH_CLASSIFIER_SQL)
