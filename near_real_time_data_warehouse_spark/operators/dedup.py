@@ -2085,7 +2085,151 @@ def triangles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.unionByName(recomputed)
 
 
+# --- exact-substring span dedup ---------------------------------------------
+
+# Window length (tokens) of the positional shingle: a repeated run of at
+# least this many consecutive tokens counts as a duplicated span (the
+# Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better" substring-dedup semantic, re-expressed relationally — the
+# suffix array becomes a positional-shingle group-join, which is the
+# shape that distributes).
+SUBSTR_K = 8
+
+
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile per document: find every
+    maximal token span covered by SUBSTR_K-token windows that occur at
+    least twice in the corpus (cross-doc or self-repetition), the signal
+    substring-level dedup trims where document-level dedup sees two
+    "different" documents sharing a long boilerplate run.
+
+    Kernel: positional shingles (doc_id, pos, md5(k-gram)) → window
+    hashes with global count ≥ 2 → per-doc interval union of the
+    surviving [pos, pos+K) windows via the running-max island trick
+    (a window starts a new span iff its pos exceeds every previous
+    window's end) → per-span coverage MAX(pos)+K−MIN(pos) → per-doc
+    span count / covered tokens / longest span / covered fraction.
+    Emits only documents with at least one duplicated span.
+
+    Scale shape: the shingle stream is one row per token (the LM-scoring
+    floor), the count table is a map-side-combinable groupBy on the
+    128-bit window hash, the join back is key-partitioned on that hash,
+    and both windows partition by doc_id — bounded by document length,
+    never corpus-wide. No all-pairs stage anywhere: cost is ∝ corpus
+    tokens + duplicated-window occurrences."""
+    return substring_spans_df(_docs(spark, sf_dir))
+
+
+def substring_spans_df(d: DataFrame) -> DataFrame:
+    """Kernel of docs_exact_substring_dedup over any (doc_id, text)
+    DataFrame — see :func:`exact_substring_spans`."""
+    from pyspark.sql import Window
+    toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= SUBSTR_K)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - SUBSTR_K + 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at("toks", i + k) for k in range(SUBSTR_K)]
+                )
+            ).alias("h"),
+        ),
+    )
+    sh = base.select(
+        "doc_id", F.size("toks").alias("n_tokens"), F.explode(grams).alias("g")
+    ).select("doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    dup_h = (
+        sh.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2)
+    )
+    dp = sh.join(dup_h.select("h"), "h")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + SUBSTR_K).over(w_prev)
+    flagged = dp.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("ni"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        flagged.select(
+            "doc_id", "n_tokens", "pos", F.sum("ni").over(w_run).alias("island")
+        )
+        .groupBy("doc_id", "n_tokens", "island")
+        .agg((F.max("pos") + SUBSTR_K - F.min("pos")).alias("span_tokens"))
+    )
+    return spans.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.max("span_tokens").alias("longest_span"),
+        (F.sum("span_tokens").cast("double") / F.col("n_tokens")).alias(
+            "dup_fraction"
+        ),
+    )
+
+
+_SUBSTR_GRAM_SQL = " || ' ' || ".join(f"toks[i+{k}]" for k in range(SUBSTR_K))
+
+SUBSTRING_SPANS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM d WHERE len(toks) >= {SUBSTR_K}),
+sh AS (
+  SELECT doc_id, n_tokens, i AS pos, md5({_SUBSTR_GRAM_SQL}) AS h
+  FROM (SELECT doc_id, n_tokens, toks,
+               unnest(range(1, n_tokens - {SUBSTR_K} + 2)) AS i
+        FROM b)
+),
+dups AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+dp AS (SELECT sh.* FROM sh JOIN dups USING (h)),
+fl AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN MAX(pos + {SUBSTR_K}) OVER w IS NULL
+                   OR pos > MAX(pos + {SUBSTR_K}) OVER w
+              THEN 1 ELSE 0 END AS ni
+  FROM dp
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+),
+sp AS (
+  SELECT doc_id, n_tokens, island,
+         MAX(pos) + {SUBSTR_K} - MIN(pos) AS span_tokens
+  FROM isl GROUP BY doc_id, n_tokens, island
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+       CAST(MAX(span_tokens) AS BIGINT) AS longest_span,
+       CAST(SUM(span_tokens) AS DOUBLE) / n_tokens AS dup_fraction
+FROM sp GROUP BY doc_id, n_tokens
+"""
+
+
 registry.register("dedup_exact", exact_dedup, EXACT_SQL)
+registry.register(
+    "docs_exact_substring_dedup", exact_substring_spans, SUBSTRING_SPANS_SQL
+)
 registry.register("dedup_cluster_stats", dedup_cluster_stats, CLUSTER_STATS_SQL)
 registry.register("dedup_connected_components", dedup_components, COMPONENTS_SQL)
 registry.register("dedup_keep_best", dedup_keep_best, KEEP_BEST_SQL)

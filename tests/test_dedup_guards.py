@@ -362,3 +362,45 @@ def test_prefilter_floor_is_live_in_the_plan(spark, monkeypatch):
         for r in dedup.minhash_prefiltered_pairs(spark, sf).collect()
     }
     assert vac == full
+
+
+def test_substring_spans_island_merge_semantics(spark):
+    """Pin docs_exact_substring_dedup's interval-union kernel on crafted
+    docs: overlapping duplicated windows merge into ONE span, disjoint
+    runs stay separate spans, within-doc repetition counts, and a doc
+    with no repeated 8-gram emits nothing."""
+    from near_real_time_data_warehouse_spark.operators.dedup import (
+        SUBSTR_K,
+        substring_spans_df,
+    )
+
+    assert SUBSTR_K == 8
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token shared run
+    tail = " ".join(f"t{i}" for i in range(10))
+    other = " ".join(f"o{i}" for i in range(10))
+    docs = [
+        # doc 0 and 1 share a 12-token run (5 overlapping windows -> 1 span)
+        (0, f"{shared} {tail}"),
+        (1, f"{other} {shared}"),
+        # doc 2: TWO disjoint copies of an 8-token self-repeat
+        (2, " ".join(f"r{i}" for i in range(8))
+            + " gap0 gap1 gap2 gap3 "
+            + " ".join(f"r{i}" for i in range(8))),
+        # doc 3: long but unique
+        (3, " ".join(f"u{i}" for i in range(30))),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in substring_spans_df(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    # 12-token shared run: windows at 5 consecutive positions merge to one
+    # span covering exactly the 12 shared tokens
+    assert out[0]["n_dup_spans"] == 1 and out[0]["dup_tokens"] == 12
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 12
+    assert out[1]["longest_span"] == 12
+    # self-repetition: each 8-token copy is its own span (4-token gap)
+    assert out[2]["n_dup_spans"] == 2 and out[2]["dup_tokens"] == 16
+    assert out[2]["dup_fraction"] == 16 / 20
