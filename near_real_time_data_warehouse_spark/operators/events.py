@@ -203,6 +203,132 @@ LEFT JOIN agg ON agg.h = spine.h AND agg.event_type = types.event_type
 """
 
 
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series completion one step past events_hourly_dense: every missing
+    hour of the per-type hourly series gets a LINEARLY INTERPOLATED value
+    between its nearest observed neighbors (leading/trailing gaps take
+    the nearest observed value — backfill/ffill), plus a fill-kind label.
+    The imputation pass a forecasting/feature pipeline runs after
+    densification: zero-fill says "nothing happened", interpolation says
+    "we didn't look".
+
+    Exactness: hourly totals become integer MICRO-units (decimal sum ×
+    1e6 → long), the interpolation numerator ``v_prev·gap + Δv·offset``
+    is pure int64, and the only float op is ONE IEEE division by
+    ``gap·1e6`` — identical in Spark and DuckDB, so even interpolated
+    doubles hash bit-exactly.
+
+    Scale shape: the heavy pass is the same tumbling aggregate
+    events_hourly_dense makes; everything after operates on the dense
+    spine (#hours × #types — tiny, broadcast-able), where the per-type
+    IGNORE-NULLS windows sort spine-sized partitions, never the event
+    stream."""
+    e = _events(spark, sf_dir)
+    hours = e.agg(
+        F.min(F.expr(f"us div {_HOUR_US}")).alias("h_min"),
+        F.max(F.expr(f"us div {_HOUR_US}")).alias("h_max"),
+    )
+    spine = hours.select(F.explode(F.sequence("h_min", "h_max")).alias("h")).crossJoin(
+        e.select("event_type").distinct()
+    )
+    agg = e.groupBy(F.expr(f"us div {_HOUR_US}").alias("h"), "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v")
+    )
+    dense = spine.join(agg, ["h", "event_type"], "left").select(
+        "h", "event_type", (F.col("v") * 1_000_000).cast("long").alias("vm")
+    )
+    w_b = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_f = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("vm").isNotNull(), F.col("h"))
+    x = dense.select(
+        "h",
+        "event_type",
+        "vm",
+        F.last(known_h, ignorenulls=True).over(w_b).alias("hp"),
+        F.last("vm", ignorenulls=True).over(w_b).alias("vp"),
+        F.first(known_h, ignorenulls=True).over(w_f).alias("hn"),
+        F.first("vm", ignorenulls=True).over(w_f).alias("vn"),
+    )
+    gap = F.col("hn") - F.col("hp")
+    num = F.col("vp") * gap + (F.col("vn") - F.col("vp")) * (F.col("h") - F.col("hp"))
+    filled = (
+        F.when(F.col("vm").isNotNull(), F.col("vm").cast("double") / 1_000_000)
+        .when(
+            F.col("hp").isNotNull() & F.col("hn").isNotNull(),
+            num.cast("double") / (gap * 1_000_000),
+        )
+        .when(F.col("hp").isNull(), F.col("vn").cast("double") / 1_000_000)
+        .otherwise(F.col("vp").cast("double") / 1_000_000)
+    )
+    kind = (
+        F.when(F.col("vm").isNotNull(), F.lit("observed"))
+        .when(F.col("hp").isNotNull() & F.col("hn").isNotNull(), F.lit("interpolated"))
+        .when(F.col("hp").isNull(), F.lit("backfill"))
+        .otherwise(F.lit("ffill"))
+    )
+    return x.select(
+        (F.col("h") * 3600).alias("hour_epoch_s"),
+        "event_type",
+        F.col("vm").isNull().alias("is_gap"),
+        filled.alias("filled_value"),
+        kind.alias("fill_kind"),
+    )
+
+
+GAP_FILL_SQL = f"""
+WITH e AS (
+  SELECT event_type, value, epoch_us(ts) // {_HOUR_US} AS h FROM events
+),
+bounds AS (SELECT MIN(h) AS h_min, MAX(h) AS h_max FROM e),
+spine AS (SELECT unnest(generate_series(h_min, h_max)) AS h FROM bounds),
+types AS (SELECT DISTINCT event_type FROM e),
+agg AS (
+  SELECT h, event_type, SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM e GROUP BY h, event_type
+),
+dense AS (
+  SELECT spine.h, types.event_type,
+         CAST(agg.v * 1000000 AS BIGINT) AS vm
+  FROM spine CROSS JOIN types
+  LEFT JOIN agg ON agg.h = spine.h AND agg.event_type = types.event_type
+),
+x AS (
+  SELECT h, event_type, vm,
+         last_value(CASE WHEN vm IS NOT NULL THEN h END IGNORE NULLS) OVER wb AS hp,
+         last_value(vm IGNORE NULLS) OVER wb AS vp,
+         first_value(CASE WHEN vm IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS hn,
+         first_value(vm IGNORE NULLS) OVER wf AS vn
+  FROM dense
+  WINDOW wb AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wf AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT h * 3600 AS hour_epoch_s,
+       event_type,
+       vm IS NULL AS is_gap,
+       CASE WHEN vm IS NOT NULL THEN CAST(vm AS DOUBLE) / 1000000
+            WHEN hp IS NOT NULL AND hn IS NOT NULL
+              THEN CAST(vp * (hn - hp) + (vn - vp) * (h - hp) AS DOUBLE)
+                   / ((hn - hp) * 1000000)
+            WHEN hp IS NULL THEN CAST(vn AS DOUBLE) / 1000000
+            ELSE CAST(vp AS DOUBLE) / 1000000 END AS filled_value,
+       CASE WHEN vm IS NOT NULL THEN 'observed'
+            WHEN hp IS NOT NULL AND hn IS NOT NULL THEN 'interpolated'
+            WHEN hp IS NULL THEN 'backfill'
+            ELSE 'ffill' END AS fill_kind
+FROM x
+"""
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): per user, session
     count, event count, and longest session length in events. Batch form
@@ -1327,6 +1453,7 @@ registry.register("events_hll_partial_merge", hll_partial_merge, HLL_PARTIAL_MER
 registry.register("events_trend_slope", trend_slope, TREND_SLOPE_SQL)
 registry.register("events_sliding_hourly", sliding_hourly, SLIDING_SQL)
 registry.register("events_hourly_dense", hourly_dense, HOURLY_DENSE_SQL)
+registry.register("events_gap_fill_interpolate", gap_fill_interpolate, GAP_FILL_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)
 registry.register("events_sessionize", sessionize, SESSIONIZE_SQL)
 registry.register("events_dedup_first_per_key", dedup_events, DEDUP_EVENTS_SQL)

@@ -168,3 +168,45 @@ def test_trend_slope_planted_line(spark):
     assert got["line"].slope_cents_per_hour == 250.0
     assert got["flat"].slope_cents_per_hour == 0.0
     assert got["line"].n == 10 and got["line"].sx == sum(range(10))
+
+
+def test_gap_fill_interpolation_exact_values(spark):
+    """Pin events_gap_fill_interpolate end-to-end on the real table:
+    every interpolated row must equal the exact linear form computed
+    from its observed neighbors, and every fill kind must obey its
+    definition (observed = not a gap, backfill before the first
+    observation, ffill after the last)."""
+    from near_real_time_data_warehouse_spark.operators.events import (
+        gap_fill_interpolate,
+    )
+
+    rows = gap_fill_interpolate(spark, "/root/testdata/sf0.001").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    kinds = {r["fill_kind"] for r in rows}
+    assert kinds == {"observed", "interpolated", "backfill", "ffill"}
+    for t, series in by_type.items():
+        series.sort(key=lambda r: r["hour_epoch_s"])
+        observed = [
+            (i, r["filled_value"]) for i, r in enumerate(series) if not r["is_gap"]
+        ]
+        obs_idx = [i for i, _ in observed]
+        for i, r in enumerate(series):
+            if r["fill_kind"] == "observed":
+                assert not r["is_gap"]
+                continue
+            assert r["is_gap"]
+            prevs = [j for j in obs_idx if j < i]
+            nxts = [j for j in obs_idx if j > i]
+            if r["fill_kind"] == "backfill":
+                assert not prevs and nxts
+                assert r["filled_value"] == series[nxts[0]]["filled_value"]
+            elif r["fill_kind"] == "ffill":
+                assert prevs and not nxts
+                assert r["filled_value"] == series[prevs[-1]]["filled_value"]
+            else:
+                p, n = prevs[-1], nxts[0]
+                vp, vn = series[p]["filled_value"], series[n]["filled_value"]
+                expect = vp + (vn - vp) * (i - p) / (n - p)
+                assert abs(r["filled_value"] - expect) < 1e-9
