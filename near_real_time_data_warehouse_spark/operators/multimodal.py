@@ -725,6 +725,113 @@ def parse_png(payload: bytes) -> dict:
     return {"width": w, "height": h, "format": "png", "pixels": rgb}
 
 
+def parse_bmp(payload: bytes) -> dict:
+    """Dependency-free BMP decoder: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    uncompressed (BI_RGB) 24-bit truecolor and 8-bit palette images,
+    bottom-up (positive height — the common case) AND top-down (negative
+    height), with the spec's 4-byte row stride padding. Output is the
+    shared {width, height, pixels(RGB)} shape. Raises MalformedMedia on
+    violations; anything needing RLE or bitfields is out of scope for
+    this runtime (production swaps in Pillow at _decode_real).
+
+    Reference parity note: the reference engine treats media as opaque
+    blobs; this decoder exists for the training-data extensions."""
+    import numpy as np
+
+    if payload is None or payload[:2] != b"BM" or len(payload) < 54:
+        raise MalformedMedia("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size != 40:
+        raise MalformedMedia(f"unsupported DIB header size {hdr_size}")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    n_colors = int.from_bytes(payload[46:50], "little")
+    if planes != 1:
+        raise MalformedMedia(f"planes must be 1, got {planes}")
+    if comp != 0:
+        raise MalformedMedia(f"only BI_RGB supported, got compression {comp}")
+    if bpp not in (8, 24):
+        raise MalformedMedia(f"unsupported bit depth {bpp}")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w < 1 or h < 1 or w * h > GIF_MAX_PIXELS:
+        raise MalformedMedia("nonsensical BMP dimensions")
+    palette = None
+    if bpp == 8:
+        if n_colors == 0:
+            n_colors = 256
+        if n_colors > 256:
+            raise MalformedMedia(f"palette too large ({n_colors})")
+        pal_end = 54 + 4 * n_colors
+        if len(payload) < pal_end:
+            raise MalformedMedia("palette truncated")
+        palette = np.frombuffer(payload, np.uint8, 4 * n_colors, 54).reshape(-1, 4)
+    stride = (bpp // 8 * w + 3) // 4 * 4
+    if data_off < 54 or data_off + stride * h > len(payload):
+        raise MalformedMedia("pixel data truncated")
+    rows = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        px = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    else:
+        idx = rows[:, :w]
+        if int(idx.max()) >= len(palette):
+            raise MalformedMedia("palette index out of range")
+        px = palette[idx][:, :, [2, 1, 0]]  # BGRX → RGB
+    return {
+        "width": w,
+        "height": h,
+        "pixels": np.ascontiguousarray(px).tobytes(),
+        "format": "bmp",
+    }
+
+
+def synthesize_bmp(
+    width: int,
+    height: int,
+    base: int,
+    const_b: int,
+    indexed: bool = False,
+    top_down: bool = False,
+) -> bytes:
+    """Dependency-free BMP writer for in-query synthesis and tests.
+    Truecolor mode stores pixel (x, y) = (base+x, 7·y, const_b) as
+    24-bit BGR; indexed mode stores index base+x+y against a 256-entry
+    grayscale palette. Rows are bottom-up unless ``top_down`` (negative
+    height), always padded to the 4-byte stride — so a decoder that
+    ignores the flip or the padding fails the roundtrip tests."""
+    import struct
+
+    bpp = 8 if indexed else 24
+    stride = (bpp // 8 * width + 3) // 4 * 4
+    pal = bytes(b for i in range(256) for b in (i, i, i, 0)) if indexed else b""
+    data_off = 14 + 40 + len(pal)
+    body = bytearray()
+    ys = range(height) if top_down else range(height - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for x in range(width):
+            if indexed:
+                row.append(base + x + y)
+            else:
+                row += bytes((const_b, (7 * y) & 0xFF, base + x))  # BGR
+        row += b"\x00" * (stride - len(row))
+        body += row
+    h_field = -height if top_down else height
+    hdr = b"BM" + struct.pack(
+        "<IHHI", data_off + len(body), 0, 0, data_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, h_field, 1, bpp, 0, len(body), 0, 0,
+        256 if indexed else 0, 0,
+    )
+    return bytes(hdr) + pal + bytes(body)
+
+
 def _wav_features(parsed: dict, dim: int = 8) -> list[float]:
     """Mean |amplitude| over ``dim`` equal time segments, [0, 1]."""
     import numpy as np
@@ -776,9 +883,11 @@ def _decode_real(payload: bytes, kind: str) -> list[float]:
         from .jpeg import parse_jpeg
 
         return _ppm_features(parse_jpeg(payload))
+    if kind == "image" and payload is not None and payload[:2] == b"BM":
+        return _ppm_features(parse_bmp(payload))
     raise DecodeNotAvailable(
-        f"no codec for kind={kind!r} beyond WAV/PPM/GIF/PNG/JPEG in this "
-        "environment; install pillow/torchaudio/pyav and extend _decode_real"
+        f"no codec for kind={kind!r} beyond WAV/PPM/GIF/PNG/JPEG/BMP in "
+        "this environment; install pillow/torchaudio/pyav and extend _decode_real"
     )
 
 
@@ -890,6 +999,8 @@ def decode_with_quarantine(media: DataFrame) -> DataFrame:
                             from .jpeg import parse_jpeg
 
                             parsed = parse_jpeg(payload)
+                        elif payload is not None and payload[:2] == b"BM":
+                            parsed = parse_bmp(payload)
                         else:
                             parsed = parse_ppm(payload)
                         row.update(
@@ -1532,6 +1643,94 @@ FROM p
 """
 
 
+def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the BMP decode path: per document, synthesize a
+    BMP whose geometry derives from doc_id and decode it with the REAL
+    ``parse_bmp``. Even doc_ids take the 24-bit truecolor bottom-up
+    branch (pixel (x,y) = (b+x, 7y, cb)); odd doc_ids take the 8-bit
+    palette TOP-DOWN branch (grayscale index b'+x+y) — so one entry
+    exercises both pixel layouts, both row orders, and the stride
+    padding. Channel sums are integer-exact with closed forms, and
+    ``first_row_sum`` (R+G+B over image row y=0) pins the vertical
+    orientation: a decoder that ignores the bottom-up flip or the
+    top-down sign inflates it by a y-dependent term the oracle would
+    catch."""
+    from ..sources.testdata import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                w, h = 5 + doc_id % 11, 2 + doc_id % 9
+                indexed = doc_id % 2 == 1
+                base = doc_id % 200 if indexed else doc_id % 240
+                payload = synthesize_bmp(
+                    w, h, base, doc_id % 251, indexed=indexed, top_down=indexed
+                )
+                parsed = parse_bmp(payload)
+                px = np.frombuffer(parsed["pixels"], dtype=np.uint8).reshape(
+                    parsed["height"], parsed["width"], 3
+                )
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "width": parsed["width"],
+                        "height": parsed["height"],
+                        "mode": "pal8" if indexed else "rgb24",
+                        "sum_r": int(sums[0]),
+                        "sum_g": int(sums[1]),
+                        "sum_b": int(sums[2]),
+                        "first_row_sum": int(px[0].astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        batches,
+        "media_id long, width int, height int, mode string, "
+        "sum_r long, sum_g long, sum_b long, first_row_sum long",
+    )
+
+
+BMP_STATS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         5 + doc_id % 11 AS w,
+         2 + doc_id % 9 AS h,
+         doc_id % 2 = 1 AS indexed,
+         CASE WHEN doc_id % 2 = 1 THEN doc_id % 200 ELSE doc_id % 240 END AS b,
+         doc_id % 251 AS cb
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CASE WHEN indexed THEN 'pal8' ELSE 'rgb24' END AS mode,
+       CAST(CASE WHEN indexed
+                 THEN w * h * b + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+                 ELSE h * (w * b + w * (w - 1) // 2) END AS BIGINT) AS sum_r,
+       CAST(CASE WHEN indexed
+                 THEN w * h * b + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+                 ELSE 7 * w * (h * (h - 1) // 2) END AS BIGINT) AS sum_g,
+       CAST(CASE WHEN indexed
+                 THEN w * h * b + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)
+                 ELSE w * h * cb END AS BIGINT) AS sum_b,
+       CAST(CASE WHEN indexed
+                 THEN 3 * (w * b + w * (w - 1) // 2)
+                 ELSE (w * b + w * (w - 1) // 2) + w * cb END AS BIGINT)
+         AS first_row_sum
+FROM p
+"""
+
+
 def synthesize_jpeg_dc(bw: int, bh: int, dcs: list[int]) -> bytes:
     """Dependency-free baseline-JPEG writer for in-query synthesis:
     grayscale, flat quantization (all 1s), DC-only blocks (every AC run
@@ -1655,6 +1854,7 @@ FROM k
 registry.register("multimodal_features", multimodal_features, MULTIMODAL_SQL)
 registry.register("multimodal_jpeg_stats", multimodal_jpeg_stats, JPEG_STATS_SQL)
 registry.register("multimodal_png_stats", multimodal_png_stats, PNG_STATS_SQL)
+registry.register("multimodal_bmp_stats", multimodal_bmp_stats, BMP_STATS_SQL)
 registry.register("multimodal_audio_quality", multimodal_audio_quality, AUDIO_QUALITY_SQL)
 registry.register("multimodal_gif_motion", multimodal_gif_motion, GIF_MOTION_SQL)
 registry.register("multimodal_frame_index", multimodal_frame_index, FRAME_INDEX_SQL)

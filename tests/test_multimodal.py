@@ -1055,3 +1055,87 @@ def test_synthesize_jpeg_dc_roundtrips_through_real_decoder():
         by, bx = divmod(i, 3)
         block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
         assert (block == 128 + d // 8).all(), (i, d)
+
+
+# --- BMP -------------------------------------------------------------------
+
+def test_bmp_roundtrip_truecolor_bottom_up():
+    """24-bit bottom-up BMP: per-pixel values after decode must match the
+    synthesis formula in IMAGE orientation (top-left origin) — a decoder
+    that skips the vertical flip or misreads BGR fails here."""
+    import numpy as np
+
+    w, h, base, cb = 7, 5, 100, 40  # stride 7*3=21 -> padded to 24
+    parsed = mm.parse_bmp(mm.synthesize_bmp(w, h, base, cb))
+    assert (parsed["width"], parsed["height"], parsed["format"]) == (w, h, "bmp")
+    px = np.frombuffer(parsed["pixels"], np.uint8).reshape(h, w, 3)
+    for y in range(h):
+        for x in range(w):
+            assert tuple(px[y, x]) == (base + x, 7 * y, cb)
+
+
+def test_bmp_roundtrip_palette_top_down():
+    """8-bit palette top-down BMP (negative height): grayscale index
+    base+x+y must come back in top-down order through the palette."""
+    import numpy as np
+
+    w, h, base = 6, 4, 50  # stride 6 -> padded to 8
+    parsed = mm.parse_bmp(mm.synthesize_bmp(w, h, base, 0, indexed=True, top_down=True))
+    px = np.frombuffer(parsed["pixels"], np.uint8).reshape(h, w, 3)
+    for y in range(h):
+        for x in range(w):
+            assert tuple(px[y, x]) == (base + x + y,) * 3
+
+
+def test_bmp_malformed_rejections():
+    import pytest
+
+    valid = mm.synthesize_bmp(4, 3, 10, 20)
+    for mutate, why in [
+        (lambda b: b"XX" + b[2:], "magic"),
+        (lambda b: b[:14] + (12).to_bytes(4, "little") + b[18:], "DIB size"),
+        (lambda b: b[:28] + (4).to_bytes(2, "little") + b[30:], "bit depth"),
+        (lambda b: b[:30] + (1).to_bytes(4, "little") + b[34:], "compression"),
+        (lambda b: b[:18] + (0).to_bytes(4, "little", signed=True) + b[22:], "width 0"),
+        (lambda b: b[:-8], "truncated pixels"),
+        (lambda b: b[:18] + (1 << 16).to_bytes(4, "little")
+                   + (1 << 16).to_bytes(4, "little") + b[26:], "pixel cap"),
+    ]:
+        with pytest.raises(mm.MalformedMedia):
+            mm.parse_bmp(mutate(valid))
+
+
+def test_bmp_never_crashes_on_fuzz():
+    """Single-byte corruptions of a valid BMP either decode or raise
+    MalformedMedia — never an executor-killing exception class (the GIF
+    LZW lesson applied to the new decoder)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = mm.synthesize_bmp(5, 4, 30, 60, indexed=True)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(0, len(valid) - 1), st.integers(0, 255))
+    def run(mi, mb):
+        try:
+            mm.parse_bmp(valid[:mi] + bytes([mb]) + valid[mi + 1:])
+        except mm.MalformedMedia:
+            pass
+
+    run()
+
+
+def test_bmp_routes_through_quarantine(spark):
+    """decode_with_quarantine dispatches BM payloads to parse_bmp: a valid
+    BMP yields ok=true with real dimensions; a poisoned one becomes a
+    quarantine row, not a task failure."""
+    good = mm.synthesize_bmp(6, 3, 10, 20)
+    bad = good[:30] + bytes([1]) + good[31:]  # RLE compression flag
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(good), None), (2, "image", bytearray(bad), None)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in mm.decode_with_quarantine(df).collect()}
+    assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"]) == (6, 3)
+    assert rows[1]["format"] == "bmp"
+    assert not rows[2]["ok"] and "MalformedMedia" in rows[2]["error"]
