@@ -2120,10 +2120,11 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_spans_df(_docs(spark, sf_dir))
 
 
-def substring_spans_df(d: DataFrame) -> DataFrame:
-    """Kernel of docs_exact_substring_dedup over any (doc_id, text)
-    DataFrame — see :func:`exact_substring_spans`."""
-    from pyspark.sql import Window
+def _positional_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, pos, h) stream of 1-based SUBSTR_K-token window
+    hashes — the shared front end of the substring-dedup profile and
+    apply entries. One row per token position; docs shorter than the
+    window emit nothing."""
     toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
     base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= SUBSTR_K)
     grams = F.transform(
@@ -2137,9 +2138,17 @@ def substring_spans_df(d: DataFrame) -> DataFrame:
             ).alias("h"),
         ),
     )
-    sh = base.select(
+    return base.select(
         "doc_id", F.size("toks").alias("n_tokens"), F.explode(grams).alias("g")
     ).select("doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+
+
+def substring_spans_df(d: DataFrame) -> DataFrame:
+    """Kernel of docs_exact_substring_dedup over any (doc_id, text)
+    DataFrame — see :func:`exact_substring_spans`."""
+    from pyspark.sql import Window
+
+    sh = _positional_shingles(d)
     dup_h = (
         sh.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2)
     )
@@ -2182,8 +2191,9 @@ def substring_spans_df(d: DataFrame) -> DataFrame:
 
 _SUBSTR_GRAM_SQL = " || ' ' || ".join(f"toks[i+{k}]" for k in range(SUBSTR_K))
 
-SUBSTRING_SPANS_SQL = f"""
-WITH d AS (
+# Shared CTE prefix of the substring-dedup profile and apply oracles:
+# tokenized docs (d), window-bearing docs (b), positional window hashes (sh).
+_POS_SH_CTES = f"""d AS (
   SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks
   FROM documents
 ),
@@ -2193,7 +2203,10 @@ sh AS (
   FROM (SELECT doc_id, n_tokens, toks,
                unnest(range(1, n_tokens - {SUBSTR_K} + 2)) AS i
         FROM b)
-),
+)"""
+
+SUBSTRING_SPANS_SQL = f"""
+WITH {_POS_SH_CTES},
 dups AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
 dp AS (SELECT sh.* FROM sh JOIN dups USING (h)),
 fl AS (
@@ -2226,9 +2239,155 @@ FROM sp GROUP BY doc_id, n_tokens
 """
 
 
+# Composite occurrence key for picking the canonical copy of a repeated
+# window: min(doc_id · 2³² + pos) — total order identical in Spark and
+# SQL with pure int64 arithmetic (positions are bounded far below 2³²).
+_CANON_MULT = 1 << 32
+
+
+def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of substring dedup: emit each document's CLEANED
+    text with every redundant duplicated span removed, where redundant
+    means "not the canonical occurrence" — for each repeated SUBSTR_K
+    window, the occurrence with the smallest (doc_id, pos) survives, all
+    others are cut (the Lee et al. keep-one-copy policy). Completes the
+    substring family: docs_exact_substring_dedup profiles, this rewrites.
+
+    Kernel: positional window hashes → per-hash canonical key
+    min(doc_id·2³² + pos) over occurrences ≥ 2 → non-canonical positions
+    → per-doc interval union (the profile entry's island windows) →
+    removable ranges collected per doc (islands are few and disjoint) →
+    one array-side projection rebuilds the text from uncovered token
+    positions. Output is the cleaned string itself, so the driver hash
+    certifies the rewrite byte-for-byte.
+
+    Scale shape: same as the profile entry (token-stream scan, hash
+    groupBy, key-partitioned join back, doc-partitioned windows) plus a
+    per-doc collect of its OWN removable ranges — bounded by doc length,
+    never corpus-wide — and a zero-shuffle final projection."""
+    return substring_apply_df(_docs(spark, sf_dir))
+
+
+def substring_apply_df(d: DataFrame) -> DataFrame:
+    """Kernel of docs_substring_dedup_apply over any (doc_id, text)
+    DataFrame — see :func:`substring_dedup_apply`."""
+    from pyspark.sql import Window
+
+    sh = _positional_shingles(d)
+    okey = F.col("doc_id") * _CANON_MULT + F.col("pos")
+    canon = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min(okey).alias("canon_key"))
+        .filter(F.col("cnt") >= 2)
+    )
+    red = (
+        sh.join(canon, "h")
+        .filter(okey != F.col("canon_key"))
+        .select("doc_id", "pos")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + SUBSTR_K).over(w_prev)
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = red.select(
+        "doc_id",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("ni"),
+    )
+    ranges = (
+        flagged.select("doc_id", "pos", F.sum("ni").over(w_run).alias("island"))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + SUBSTR_K).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("rng"))
+    )
+    toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
+    base = d.select("doc_id", toks.alias("toks")).join(ranges, "doc_id", "left")
+    rngc = F.coalesce(F.col("rng"), F.array().cast("array<struct<s:int,e:int>>"))
+    # sequence(1, size) DESCENDS when size = 0 — guard before building
+    keep_i = F.when(
+        F.size("toks") > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda i: ~F.exists(rngc, lambda r: (i >= r["s"]) & (i < r["e"])),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    out = base.select("doc_id", "toks", keep_i.alias("keep_i"))
+    return out.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size("keep_i")).cast("long").alias("n_removed_tokens"),
+        F.concat_ws(
+            " ", F.transform("keep_i", lambda i: F.element_at("toks", i))
+        ).alias("cleaned_text"),
+    )
+
+
+SUBSTRING_APPLY_SQL = f"""
+WITH {_POS_SH_CTES},
+canon AS (
+  SELECT h, MIN(doc_id * {_CANON_MULT} + pos) AS canon_key
+  FROM sh GROUP BY h HAVING COUNT(*) >= 2
+),
+red AS (
+  SELECT sh.doc_id, sh.pos FROM sh JOIN canon USING (h)
+  WHERE sh.doc_id * {_CANON_MULT} + sh.pos <> canon.canon_key
+),
+fl AS (
+  SELECT doc_id, pos,
+         CASE WHEN MAX(pos + {SUBSTR_K}) OVER w IS NULL
+                   OR pos > MAX(pos + {SUBSTR_K}) OVER w
+              THEN 1 ELSE 0 END AS ni
+  FROM red
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+),
+rg AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {SUBSTR_K} AS e
+  FROM isl GROUP BY doc_id, island
+),
+ts AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok FROM d
+),
+kept AS (
+  SELECT t.doc_id, t.i, t.tok
+  FROM ts t LEFT JOIN rg r ON t.doc_id = r.doc_id AND t.i >= r.s AND t.i < r.e
+  WHERE r.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed_tokens,
+       COALESCE(cleaned_text, '') AS cleaned_text
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
 registry.register("dedup_exact", exact_dedup, EXACT_SQL)
 registry.register(
     "docs_exact_substring_dedup", exact_substring_spans, SUBSTRING_SPANS_SQL
+)
+registry.register(
+    "docs_substring_dedup_apply", substring_dedup_apply, SUBSTRING_APPLY_SQL
 )
 registry.register("dedup_cluster_stats", dedup_cluster_stats, CLUSTER_STATS_SQL)
 registry.register("dedup_connected_components", dedup_components, COMPONENTS_SQL)

@@ -404,3 +404,40 @@ def test_substring_spans_island_merge_semantics(spark):
     # self-repetition: each 8-token copy is its own span (4-token gap)
     assert out[2]["n_dup_spans"] == 2 and out[2]["dup_tokens"] == 16
     assert out[2]["dup_fraction"] == 16 / 20
+
+
+def test_substring_apply_keeps_canonical_copy_only(spark):
+    """docs_substring_dedup_apply: the occurrence with the smallest
+    (doc_id, pos) survives; every other copy is cut from the cleaned
+    text — across documents AND within one document."""
+    from near_real_time_data_warehouse_spark.operators.dedup import (
+        substring_apply_df,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    tail = " ".join(f"t{i}" for i in range(10))
+    other = " ".join(f"o{i}" for i in range(10))
+    rep = " ".join(f"r{i}" for i in range(8))
+    docs = [
+        (0, f"{shared} {tail}"),
+        (1, f"{other} {shared}"),
+        (2, f"{rep} gap0 gap1 gap2 gap3 {rep}"),
+        (3, " ".join(f"u{i}" for i in range(30))),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in substring_apply_df(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    # doc 0 holds every canonical occurrence -> untouched
+    assert out[0]["n_removed_tokens"] == 0
+    assert out[0]["cleaned_text"] == f"{shared} {tail}"
+    # doc 1's copy of the shared run is redundant -> cut
+    assert out[1]["n_removed_tokens"] == 12
+    assert out[1]["cleaned_text"] == other
+    # doc 2: first self-repeat copy is canonical, second is cut
+    assert out[2]["n_removed_tokens"] == 8
+    assert out[2]["cleaned_text"] == f"{rep} gap0 gap1 gap2 gap3"
+    # unique doc untouched
+    assert out[3]["n_removed_tokens"] == 0
