@@ -1159,6 +1159,107 @@ registry.register("docs_perplexity_buckets", perplexity_buckets, PERPLEXITY_BUCK
 registry.register("docs_column_profile", column_profile, COLUMN_PROFILE_SQL)
 registry.register("docs_chunk_windows", chunk_windows, CHUNK_WINDOWS_SQL)
 registry.register("docs_stratified_sample", stratified_sample, STRATIFIED_SAMPLE_SQL)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing at T = 2 — the multilingual
+    sampling rule (mC4/XLM-R style) between proportional (T = 1) and
+    UniMax's budget-capped uniform: language i's share of the sampled
+    budget is √nᵢ / Σ√nⱼ, up-weighting tails without UniMax's hard cap.
+    Same salted content-hash membership and inverse-rate weights as the
+    sibling mixture entries (salt 'temp2|'), so the sample is
+    deterministic under re-ingestion and repartitioning.
+
+    Exact-integer discipline: √n is the EXACT integer isqrt — floor of
+    the double sqrt, then corrected by two integer comparisons, so both
+    engines agree even where the FP sqrt rounds wrong; the share and the
+    per-doc rate are two documented integer floors (share in
+    thousandths first, then rate = share·budget / nᵢ — keeps every
+    product within int64 at any corpus size).
+
+    Scale shape: identical to docs_mixture_unimax — one tiny language
+    histogram, rate arithmetic on that table only, broadcast join back,
+    scan-local filter. Zero corpus shuffles."""
+    d = _docs(spark, sf_dir)
+    hist = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    s0 = F.floor(F.sqrt(F.col("c").cast("double"))).cast("long")
+    isqrt = (
+        s0
+        - (s0 * s0 > F.col("c")).cast("long")
+        + ((s0 + 1) * (s0 + 1) <= F.col("c")).cast("long")
+    )
+    w_all = Window.partitionBy()
+    w = hist.select("lang", "c", isqrt.alias("s")).withColumn(
+        "total", F.sum("c").over(w_all)
+    )
+    rates = (
+        w.withColumn("ssum", F.sum("s").over(w_all))
+        .withColumn("b", F.expr(f"(total * {MIX_BUDGET_NUM}) div {MIX_BUDGET_DEN}"))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1000),
+                F.expr("((1000 * s) div ssum * b) div c"),
+            ).alias("rate_k"),
+        )
+        .filter(F.col("rate_k") >= 1)
+    )
+    strat = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("temp2|"), _norm_col())), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(1000),
+    )
+    return (
+        d.select("doc_id", "lang", strat.alias("strat"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("strat") < F.col("rate_k"))
+        .select(
+            "doc_id",
+            "lang",
+            "rate_k",
+            (F.lit(1000).cast("double") / F.col("rate_k").cast("double")).alias(
+                "weight"
+            ),
+        )
+    )
+
+
+MIXTURE_TEMP_SQL = f"""
+WITH hist AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+sq AS (
+  SELECT lang, c,
+         CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT)
+           - CASE WHEN CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT)
+                       * CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT) > c
+                  THEN 1 ELSE 0 END
+           + CASE WHEN (CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT) + 1)
+                       * (CAST(FLOOR(SQRT(CAST(c AS DOUBLE))) AS BIGINT) + 1) <= c
+                  THEN 1 ELSE 0 END AS s
+  FROM hist
+),
+tot AS (
+  SELECT lang, c, s,
+         SUM(c) OVER () AS total, SUM(s) OVER () AS ssum
+  FROM sq
+),
+rates AS (
+  SELECT lang,
+         CAST(LEAST(1000,
+           ((1000 * s) // ssum * ((total * {MIX_BUDGET_NUM}) // {MIX_BUDGET_DEN})) // c
+         ) AS BIGINT) AS rate_k
+  FROM tot
+),
+live AS (SELECT * FROM rates WHERE rate_k >= 1),
+s AS (
+  SELECT doc_id, d.lang, rate_k,
+         CAST(('0x' || substr(md5('temp2|' || {_NORM_SQL}), 1, 15)) AS BIGINT)
+           % 1000 AS strat
+  FROM documents d JOIN live ON d.lang = live.lang
+)
+SELECT doc_id, lang, rate_k,
+       CAST(1000 AS DOUBLE) / CAST(rate_k AS DOUBLE) AS weight
+FROM s WHERE strat < rate_k
+"""
+
+registry.register("docs_mixture_temperature", mixture_temperature, MIXTURE_TEMP_SQL)
 registry.register("docs_token_packing", token_packing, TOKEN_PACKING_SQL)
 registry.register("docs_token_packing_bpe", token_packing_bpe, _token_packing_bpe_sql())
 registry.register("docs_chunk_bpe_budget", chunk_bpe_budget, _chunk_bpe_budget_sql())

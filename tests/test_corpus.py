@@ -292,3 +292,51 @@ def test_duplicated_ngram_fraction_bounds_and_exact_dups(spark):
         for d in (r.doc_a, r.doc_b):
             if d in scored.index:  # pairs entry may be capped to an id range
                 assert scored.loc[d].dup_fraction >= JACCARD_THRESHOLD
+
+
+def test_mixture_temperature_upweights_tails(spark):
+    """T=2 mixing: the kept sample's per-language rates must be
+    monotonically NON-INCREASING in language size (sqrt scaling flattens
+    the head), every rate obeys share*budget/count, and weights invert
+    the rates exactly."""
+    from near_real_time_data_warehouse_spark.operators.corpus import (
+        MIX_BUDGET_DEN,
+        MIX_BUDGET_NUM,
+        mixture_temperature,
+    )
+    import math
+
+    rows = mixture_temperature(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    rates = {}
+    for r in rows:
+        rates[r["lang"]] = r["rate_k"]
+        assert r["weight"] == 1000.0 / r["rate_k"]
+    # recompute expected rates from the documents table
+    import duckdb
+
+    con = duckdb.connect()
+    hist = dict(
+        con.execute(
+            "SELECT lang, COUNT(*) FROM read_parquet('/root/testdata/sf0.001/documents.parquet') GROUP BY lang"
+        ).fetchall()
+    )
+    ssum = sum(math.isqrt(c) for c in hist.values())
+    total = sum(hist.values())
+    b = total * MIX_BUDGET_NUM // MIX_BUDGET_DEN
+    for lang, c in hist.items():
+        expect = min(1000, (1000 * math.isqrt(c) // ssum) * b // c)
+        if expect >= 1:
+            assert rates[lang] == expect
+        else:
+            assert lang not in rates
+    # tail up-weighting: rates follow ~1/sqrt(c), so clearly-separated
+    # sizes (4x apart -> true rates 2x apart, far beyond the two integer
+    # floors' error) must order correctly. Adjacent sizes may flip by
+    # the isqrt floor (isqrt(99)/99 < isqrt(100)/100) - by design.
+    by_size = sorted(hist.items(), key=lambda kv: kv[1])
+    kept = [(c, rates[lang]) for lang, c in by_size if lang in rates]
+    for c1, r1 in kept:
+        for c2, r2 in kept:
+            if c2 >= 4 * c1 and r1 < 1000:
+                assert r1 > r2
