@@ -329,6 +329,157 @@ FROM x
 """
 
 
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection over the per-type hourly series (the
+    dense zero-filled spine, so silent hours count as signal): the
+    classic sequential recurrence ``c_k = max(0, c_{k−1} + d_k)`` looks
+    un-SQL-able, but has the exact closed form ``c_k = P_k − min_{0≤j≤k}
+    P_j`` over prefix sums — two windows, fully relational, no recursion
+    and no Python. Both polarities are tracked (upward drift on d,
+    downward on −d is the same statistic with max/roles swapped:
+    ``max_{j≤k} P_j − P_k``).
+
+    Exact-integer discipline: hourly totals in micro-units, deviations
+    scaled by the series length (``d'_k = n·x_k − total`` — the mean
+    never becomes a float), so every statistic is pure int64 and the
+    drift verdicts are integer comparisons: a polarity flags when twice
+    its peak CUSUM exceeds the series' total absolute deviation — more
+    than half the deviation mass stacked in one run.
+
+    Scale shape: one corpus-sized tumbling aggregate; all windows run on
+    the dense spine (#hours × #types), partitioned by type."""
+    e = _events(spark, sf_dir)
+    hours = e.agg(
+        F.min(F.expr(f"us div {_HOUR_US}")).alias("h_min"),
+        F.max(F.expr(f"us div {_HOUR_US}")).alias("h_max"),
+    )
+    spine = hours.select(F.explode(F.sequence("h_min", "h_max")).alias("h")).crossJoin(
+        e.select("event_type").distinct()
+    )
+    agg = e.groupBy(F.expr(f"us div {_HOUR_US}").alias("h"), "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v")
+    )
+    dense = spine.join(agg, ["h", "event_type"], "left").select(
+        "h",
+        "event_type",
+        F.coalesce((F.col("v") * 1_000_000).cast("long"), F.lit(0)).alias("x"),
+    )
+    w_type = Window.partitionBy("event_type")
+    stats = dense.select(
+        "h",
+        "event_type",
+        "x",
+        F.count(F.lit(1)).over(w_type).alias("n"),
+        F.sum("x").over(w_type).alias("total"),
+    ).select(
+        "h",
+        "event_type",
+        "n",
+        "total",
+        (F.col("n") * F.col("x") - F.col("total")).alias("d"),
+    )
+    w_run = w_type.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    pre = stats.select(
+        "h",
+        "event_type",
+        "n",
+        "total",
+        F.abs("d").alias("absd"),
+        F.sum("d").over(w_run).alias("p"),
+    )
+    cus = pre.select(
+        "h",
+        "event_type",
+        "n",
+        "total",
+        "absd",
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(w_run))).alias("c_pos"),
+        (F.greatest(F.lit(0), F.max("p").over(w_run)) - F.col("p")).alias("c_neg"),
+    )
+    mx = cus.select(
+        "h",
+        "event_type",
+        "n",
+        "total",
+        "absd",
+        "c_pos",
+        "c_neg",
+        F.max("c_pos").over(w_type).alias("mp"),
+        F.max("c_neg").over(w_type).alias("mn"),
+    )
+    return mx.groupBy("event_type").agg(
+        F.first("n").alias("n_hours"),
+        F.first("total").alias("total_micro"),
+        F.max("c_pos").alias("max_cusum_pos"),
+        (F.min(F.when(F.col("c_pos") == F.col("mp"), F.col("h"))) * 3600).alias(
+            "peak_hour_pos"
+        ),
+        F.max("c_neg").alias("max_cusum_neg"),
+        (F.min(F.when(F.col("c_neg") == F.col("mn"), F.col("h"))) * 3600).alias(
+            "peak_hour_neg"
+        ),
+        (2 * F.max("c_pos") > F.sum("absd")).alias("drift_pos"),
+        (2 * F.max("c_neg") > F.sum("absd")).alias("drift_neg"),
+    )
+
+
+CUSUM_SQL = f"""
+WITH e AS (
+  SELECT event_type, value, epoch_us(ts) // {_HOUR_US} AS h FROM events
+),
+bounds AS (SELECT MIN(h) AS h_min, MAX(h) AS h_max FROM e),
+spine AS (SELECT unnest(generate_series(h_min, h_max)) AS h FROM bounds),
+types AS (SELECT DISTINCT event_type FROM e),
+agg AS (
+  SELECT h, event_type, SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM e GROUP BY h, event_type
+),
+dense AS (
+  SELECT spine.h, types.event_type,
+         COALESCE(CAST(agg.v * 1000000 AS BIGINT), 0) AS x
+  FROM spine CROSS JOIN types
+  LEFT JOIN agg ON agg.h = spine.h AND agg.event_type = types.event_type
+),
+stats AS (
+  SELECT h, event_type,
+         COUNT(*) OVER wt AS n,
+         SUM(x) OVER wt AS total,
+         COUNT(*) OVER wt * x - SUM(x) OVER wt AS d
+  FROM dense
+  WINDOW wt AS (PARTITION BY event_type)
+),
+pre AS (
+  SELECT h, event_type, n, total, ABS(d) AS absd,
+         SUM(d) OVER wr AS p
+  FROM stats
+  WINDOW wr AS (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING)
+),
+cus AS (
+  SELECT h, event_type, n, total, absd,
+         p - LEAST(0, MIN(p) OVER wr) AS c_pos,
+         GREATEST(0, MAX(p) OVER wr) - p AS c_neg
+  FROM pre
+  WINDOW wr AS (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING)
+),
+mx AS (
+  SELECT *, MAX(c_pos) OVER wt AS mp, MAX(c_neg) OVER wt AS mn
+  FROM cus
+  WINDOW wt AS (PARTITION BY event_type)
+)
+SELECT event_type,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_hours,
+       CAST(ANY_VALUE(total) AS BIGINT) AS total_micro,
+       CAST(MAX(c_pos) AS BIGINT) AS max_cusum_pos,
+       CAST(MIN(CASE WHEN c_pos = mp THEN h END) * 3600 AS BIGINT) AS peak_hour_pos,
+       CAST(MAX(c_neg) AS BIGINT) AS max_cusum_neg,
+       CAST(MIN(CASE WHEN c_neg = mn THEN h END) * 3600 AS BIGINT) AS peak_hour_neg,
+       2 * MAX(c_pos) > CAST(SUM(absd) AS BIGINT) AS drift_pos,
+       2 * MAX(c_neg) > CAST(SUM(absd) AS BIGINT) AS drift_neg
+FROM mx
+GROUP BY event_type
+"""
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): per user, session
     count, event count, and longest session length in events. Batch form
@@ -1454,6 +1605,7 @@ registry.register("events_trend_slope", trend_slope, TREND_SLOPE_SQL)
 registry.register("events_sliding_hourly", sliding_hourly, SLIDING_SQL)
 registry.register("events_hourly_dense", hourly_dense, HOURLY_DENSE_SQL)
 registry.register("events_gap_fill_interpolate", gap_fill_interpolate, GAP_FILL_SQL)
+registry.register("events_cusum_changepoint", cusum_changepoint, CUSUM_SQL)
 registry.register("events_tumbling_hourly", tumbling_hourly, TUMBLING_SQL)
 registry.register("events_sessionize", sessionize, SESSIONIZE_SQL)
 registry.register("events_dedup_first_per_key", dedup_events, DEDUP_EVENTS_SQL)

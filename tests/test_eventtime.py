@@ -210,3 +210,61 @@ def test_gap_fill_interpolation_exact_values(spark):
                 vp, vn = series[p]["filled_value"], series[n]["filled_value"]
                 expect = vp + (vn - vp) * (i - p) / (n - p)
                 assert abs(r["filled_value"] - expect) < 1e-9
+
+
+def test_cusum_closed_form_matches_sequential_recurrence(spark):
+    """The relational CUSUM (prefix sum minus running min) must equal the
+    textbook sequential recurrence c_k = max(0, c_{k-1} + d_k) replayed
+    in Python over the same dense integer series, for both polarities,
+    including peak hours and drift verdicts."""
+    import duckdb
+
+    from near_real_time_data_warehouse_spark.operators.events import (
+        cusum_changepoint,
+    )
+
+    out = {r["event_type"]: r for r in cusum_changepoint(spark, "/root/testdata/sf0.001").collect()}
+    con = duckdb.connect()
+    series = con.execute("""
+        WITH e AS (SELECT event_type, value, epoch_us(ts) // 3600000000 AS h
+                   FROM read_parquet('/root/testdata/sf0.001/events.parquet')),
+        bounds AS (SELECT MIN(h) AS h_min, MAX(h) AS h_max FROM e),
+        spine AS (SELECT unnest(generate_series(h_min, h_max)) AS h FROM bounds),
+        types AS (SELECT DISTINCT event_type FROM e),
+        agg AS (SELECT h, event_type, SUM(CAST(value AS DECIMAL(18,6))) AS v
+                FROM e GROUP BY h, event_type)
+        SELECT types.event_type, spine.h,
+               COALESCE(CAST(agg.v * 1000000 AS BIGINT), 0) AS x
+        FROM spine CROSS JOIN types
+        LEFT JOIN agg ON agg.h = spine.h AND agg.event_type = types.event_type
+        ORDER BY 1, 2
+    """).fetchall()
+    by_type: dict = {}
+    for t, h, x in series:
+        by_type.setdefault(t, []).append((h, x))
+    assert set(by_type) == set(out)
+    for t, pts in by_type.items():
+        n = len(pts)
+        total = sum(x for _, x in pts)
+        cp = cn = 0
+        mp = mn = 0
+        hp = hn = None
+        absd = 0
+        for h, x in pts:
+            d = n * x - total
+            absd += abs(d)
+            cp = max(0, cp + d)
+            cn = max(0, cn - d)
+            if cp > mp:
+                mp, hp = cp, h
+            if cn > mn:
+                mn, hn = cn, h
+            if hp is None and cp == mp:
+                hp = h
+            if hn is None and cn == mn:
+                hn = h
+        r = out[t]
+        assert r["max_cusum_pos"] == mp and r["max_cusum_neg"] == mn
+        assert r["peak_hour_pos"] == hp * 3600 and r["peak_hour_neg"] == hn * 3600
+        assert r["drift_pos"] == (2 * mp > absd)
+        assert r["drift_neg"] == (2 * mn > absd)
