@@ -2146,13 +2146,19 @@ def _positional_shingles(d: DataFrame) -> DataFrame:
 def substring_spans_df(d: DataFrame) -> DataFrame:
     """Kernel of docs_exact_substring_dedup over any (doc_id, text)
     DataFrame — see :func:`exact_substring_spans`."""
-    from pyspark.sql import Window
-
     sh = _positional_shingles(d)
     dup_h = (
         sh.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") >= 2)
     )
-    dp = sh.join(dup_h.select("h"), "h")
+    return _spans_profile(sh.join(dup_h.select("h"), "h"))
+
+
+def _spans_profile(dp: DataFrame) -> DataFrame:
+    """Island-merge + per-doc span profile over a (doc_id, n_tokens, pos)
+    frame of duplicated window positions — shared by the full profile and
+    the incremental screen."""
+    from pyspark.sql import Window
+
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -2382,12 +2388,49 @@ FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
+def substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time substring screening — the incremental form of
+    docs_exact_substring_dedup, at cost ∝ batch. A new crawl's window
+    hashes are checked against (a) the standing corpus's DISTINCT
+    window-hash set — the write-once artifact a real pipeline keeps
+    materialized between crawls, exactly like dedup_incremental's
+    fingerprint/band tables — and (b) the batch itself (within-batch
+    repeats). Because batch ∪ standing = corpus and they are disjoint,
+    "seen standing OR batch count ≥ 2" is EXACTLY the full profile's
+    global count ≥ 2 — so the oracle is the full-rebuild SQL restricted
+    to batch docs, certifying the fold ≡ rebuild bit-for-bit.
+
+    Scale shape: batch windows ∝ batch tokens; the standing set joins
+    key-partitioned on the 128-bit hash (batch-sized output); the
+    island windows partition by batch doc. Nothing corpus² anywhere."""
+    d = _docs(spark, sf_dir)
+    in_batch = F.col("doc_id") % _BATCH_MOD == 0
+    batch_sh = _positional_shingles(d.filter(in_batch))
+    standing_h = _positional_shingles(d.filter(~in_batch)).select("h").distinct()
+    bc = batch_sh.groupBy("h").agg(F.count(F.lit(1)).alias("bc"))
+    dup = (
+        batch_sh.join(bc, "h")
+        .join(standing_h.withColumn("_hit", F.lit(1)), "h", "left")
+        .filter((F.col("bc") >= 2) | F.col("_hit").isNotNull())
+        .select("doc_id", "n_tokens", "pos")
+    )
+    return _spans_profile(dup)
+
+
+SUBSTRING_INCR_SQL = f"""
+SELECT * FROM ({SUBSTRING_SPANS_SQL}) WHERE doc_id % {_BATCH_MOD} = 0
+"""
+
+
 registry.register("dedup_exact", exact_dedup, EXACT_SQL)
 registry.register(
     "docs_exact_substring_dedup", exact_substring_spans, SUBSTRING_SPANS_SQL
 )
 registry.register(
     "docs_substring_dedup_apply", substring_dedup_apply, SUBSTRING_APPLY_SQL
+)
+registry.register(
+    "docs_substring_incremental", substring_incremental, SUBSTRING_INCR_SQL
 )
 registry.register("dedup_cluster_stats", dedup_cluster_stats, CLUSTER_STATS_SQL)
 registry.register("dedup_connected_components", dedup_components, COMPONENTS_SQL)

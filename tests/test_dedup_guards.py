@@ -441,3 +441,23 @@ def test_substring_apply_keeps_canonical_copy_only(spark):
     assert out[2]["cleaned_text"] == f"{rep} gap0 gap1 gap2 gap3"
     # unique doc untouched
     assert out[3]["n_removed_tokens"] == 0
+
+
+def test_substring_incremental_equals_rebuild_on_batch(spark):
+    """The ingestion-time substring screen must equal the full-rebuild
+    profile restricted to batch docs (batch and standing partition the
+    corpus, so 'seen standing OR batch-repeat' == global count >= 2)."""
+    from near_real_time_data_warehouse_spark.operators.dedup import (
+        _BATCH_MOD,
+        exact_substring_spans,
+        substring_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    incr = {r["doc_id"]: r.asDict() for r in substring_incremental(spark, sf).collect()}
+    full = {
+        r["doc_id"]: r.asDict()
+        for r in exact_substring_spans(spark, sf).collect()
+        if r["doc_id"] % _BATCH_MOD == 0
+    }
+    assert incr == full and incr
