@@ -1591,7 +1591,150 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
     )
 
 
+# Matryoshka adaptive retrieval (Kusupati et al. 2022): stage 1 scores
+# candidates on the embedding's FIRST MRL_DIMS dims (4× fewer multiplies
+# per candidate; at cluster scale the truncated dims are what the ANN
+# index — LSH planes or IVF lists — would be built over), stage 2
+# reranks a bounded shortlist with the full vector.
+MRL_DIMS = 16
+MRL_SHORTLIST = 50
+
+
+def mrl_truncate_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage matryoshka retrieval + in-plan evaluation: truncated-dim
+    cosine builds a MRL_SHORTLIST-deep shortlist per query, the full
+    64-dim exact cosine reranks it to TOP_K, and each query's result is
+    scored against the memoized brute-force truth — emitting per query
+    the overlap count and recall@k. One entry certifies the truncation,
+    both rankings (deterministic tie-breaks), and the evaluation join.
+
+    Vectors whose truncated prefix is all zeros are excluded from stage
+    1 on both sides (their truncated cosine is undefined); recall is
+    still measured against the FULL-corpus truth, so truncation damage
+    is visible, not hidden. Everything is the integer-quantized exact
+    arithmetic of the sibling entries — bit-replayable in SQL."""
+    e = _quantized(_emb(spark, sf_dir))
+    t = e.withColumn("qt", F.slice("q", 1, MRL_DIMS)).withColumn(
+        "nt",
+        F.aggregate(
+            F.slice("q", 1, MRL_DIMS), F.lit(0).cast("long"), lambda a, x: a + x * x
+        ),
+    )
+    queries = t.filter((F.col("vec_id") < QUERY_CAP) & (F.col("nt") > 0)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("norm_sq").alias("na"),
+        F.col("qt").alias("qta"),
+        F.col("nt").alias("nta"),
+    )
+    corpus = t.filter((F.col("vec_id") < CORPUS_CAP) & (F.col("nt") > 0)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("norm_sq").alias("nb"),
+        F.col("qt").alias("qtb"),
+        F.col("nt").alias("ntb"),
+    )
+    pairs = corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+    s1 = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "qa",
+        "na",
+        "qb",
+        "nb",
+        _cosine(_dot("qta", "qtb"), F.col("nta"), F.col("ntb")).alias("tc"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("tc"), "neighbor_id")
+    short = s1.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= MRL_SHORTLIST
+    )
+    s2 = short.select(
+        "query_id",
+        "neighbor_id",
+        _cosine(_dot("qa", "qb"), F.col("na"), F.col("nb")).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    topk = (
+        s2.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    truth = brute_force_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_t")
+    )
+    return (
+        topk.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_topk"),
+            F.sum(F.col("_t").isNotNull().cast("long")).alias("n_overlap"),
+            (
+                F.sum(F.col("_t").isNotNull().cast("long")).cast("double") / TOP_K
+            ).alias("recall"),
+        )
+    )
+
+
+MRL_SQL = f"""
+WITH quant AS ({_QUANT_SQL}),
+normed AS ({_NORM_SQL}),
+t AS (
+  SELECT vec_id, q, norm_sq, q[1:{MRL_DIMS}] AS qt,
+         list_sum(list_transform(q[1:{MRL_DIMS}], x -> x * x)) AS nt
+  FROM normed
+),
+qs AS (SELECT * FROM t WHERE vec_id < {QUERY_CAP} AND nt > 0),
+cs AS (SELECT * FROM t WHERE vec_id < {CORPUS_CAP} AND nt > 0),
+s1 AS (
+  SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+         qs.q AS qa, qs.norm_sq AS na, cs.q AS qb, cs.norm_sq AS nb,
+         CAST(list_sum(list_transform(list_zip(qs.qt, cs.qt), p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(qs.nt AS DOUBLE)) * sqrt(CAST(cs.nt AS DOUBLE))) AS tc
+  FROM qs JOIN cs ON qs.vec_id <> cs.vec_id
+),
+short AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY tc DESC, neighbor_id) AS r1
+  FROM s1
+),
+s2 AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(list_zip(qa, qb), p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+  FROM short WHERE r1 <= {MRL_SHORTLIST}
+),
+rer AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s2
+),
+mtopk AS (SELECT query_id, neighbor_id FROM rer WHERE rank <= {TOP_K}),
+tpairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
+  FROM normed a JOIN normed b ON a.vec_id < {QUERY_CAP} AND b.vec_id < {CORPUS_CAP}
+   AND a.vec_id <> b.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM tpairs
+  ) WHERE rank <= {TOP_K}
+)
+SELECT m.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_topk,
+       CAST(SUM(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap,
+       CAST(SUM(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / {TOP_K} AS recall
+FROM mtopk m
+LEFT JOIN truth tr ON m.query_id = tr.query_id AND m.neighbor_id = tr.neighbor_id
+GROUP BY m.query_id
+"""
+
 registry.register("sim_bruteforce_topk", brute_force_topk, BRUTE_SQL)
+registry.register("sim_mrl_truncate_rerank", mrl_truncate_rerank, MRL_SQL)
 registry.register("emb_quantize_int8", quantize_int8, QUANTIZE_INT8_SQL)
 registry.register("sim_ann_lsh_topk", ann_lsh_topk, _lsh_topk_sql())
 registry.register("sim_ann_lsh_multiprobe", ann_lsh_multiprobe, _lsh_multiprobe_sql())
