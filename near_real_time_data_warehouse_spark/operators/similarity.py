@@ -1735,7 +1735,89 @@ GROUP BY m.query_id
 
 registry.register("sim_bruteforce_topk", brute_force_topk, BRUTE_SQL)
 registry.register("sim_mrl_truncate_rerank", mrl_truncate_rerank, MRL_SQL)
+def covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram/covariance statistics over the quantized
+    embeddings — the input every PCA / whitening / decorrelation pass
+    needs, computed the way a 100 TB job must: each Arrow batch emits
+    ONE numpy int64 partial Gram matrix QᵀQ (matmul on integers is
+    exact) plus per-dim partial sums, flattened to the 2080 upper-
+    triangle rows; the shuffle is 2080 rows per batch REGARDLESS of
+    corpus size (the k-means partial-sum discipline), and the final
+    groupBy is map-side combinable. Output per dim pair (i ≤ j): counts,
+    dim sums, exact ΣxᵢxⱼB, the integer covariance numerator
+    n·Σxᵢxⱼ − Σxᵢ·Σxⱼ, and the covariance as ONE IEEE division by n² —
+    every column hash-portable. Eigen-solving the 64×64 result is
+    driver-side numpy territory (it is 32 KB); the corpus-sized
+    reduction here is the part that has to scale."""
+    e = _emb(spark, sf_dir)
+    dims = 64
+    iu = np.triu_indices(dims)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            q = _quant_np(pdf["embedding"])
+            g = q.T @ q
+            s = q.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0] + 1,
+                    "j": iu[1] + 1,
+                    "sp": g[iu],
+                    "si": s[iu[0]],
+                    "sj": s[iu[1]],
+                    "nb": len(pdf),
+                }
+            )
+
+    partials = e.mapInPandas(
+        batches, "i int, j int, sp long, si long, sj long, nb long"
+    )
+    agg = partials.groupBy("i", "j").agg(
+        F.sum("nb").alias("n"),
+        F.sum("si").alias("sum_i"),
+        F.sum("sj").alias("sum_j"),
+        F.sum("sp").alias("sum_prod"),
+    )
+    cov_num = F.col("n") * F.col("sum_prod") - F.col("sum_i") * F.col("sum_j")
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        "sum_i",
+        "sum_j",
+        "sum_prod",
+        cov_num.alias("cov_num"),
+        (cov_num.cast("double") / (F.col("n") * F.col("n"))).alias("covariance"),
+    )
+
+
+COVARIANCE_SQL = f"""
+WITH quant AS ({_QUANT_SQL}),
+el AS (
+  SELECT vec_id, generate_subscripts(q, 1) AS i, unnest(q) AS x FROM quant
+),
+nv AS (SELECT COUNT(*) AS n FROM quant),
+ds AS (SELECT i, CAST(SUM(x) AS BIGINT) AS s FROM el GROUP BY i),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sum_prod
+  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT p.i, p.j,
+       CAST(nv.n AS BIGINT) AS n,
+       si.s AS sum_i, sj.s AS sum_j, p.sum_prod,
+       CAST(nv.n * p.sum_prod - si.s * sj.s AS BIGINT) AS cov_num,
+       CAST(nv.n * p.sum_prod - si.s * sj.s AS DOUBLE) / (nv.n * nv.n) AS covariance
+FROM pairs p
+CROSS JOIN nv
+JOIN ds si ON si.i = p.i
+JOIN ds sj ON sj.i = p.j
+"""
+
 registry.register("emb_quantize_int8", quantize_int8, QUANTIZE_INT8_SQL)
+registry.register("emb_covariance_stats", covariance_stats, COVARIANCE_SQL)
 registry.register("sim_ann_lsh_topk", ann_lsh_topk, _lsh_topk_sql())
 registry.register("sim_ann_lsh_multiprobe", ann_lsh_multiprobe, _lsh_multiprobe_sql())
 registry.register("sim_ann_ivf_topk", ann_ivf_topk, _ivf_topk_sql())

@@ -397,3 +397,36 @@ def test_ivf_topk_oracle_matches_above_knee(spark, tmp_path):
         "ivf_above_knee", ann_ivf_topk(spark, str(tmp_path)), con, _ivf_topk_sql()
     )
     assert r.ok, str(r)
+
+
+def test_covariance_stats_match_numpy_and_partition_invariant(spark):
+    """emb_covariance_stats must equal a from-scratch numpy computation
+    on the same quantized matrix, and be bit-identical under a different
+    partitioning (integer partials commute)."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    rows = {(r["i"], r["j"]): r for r in sim.covariance_stats(spark, sf).collect()}
+    pdf = sim._emb(spark, sf).toPandas()
+    q = sim._quant_np(pdf["embedding"])
+    g = q.T @ q
+    s = q.sum(axis=0)
+    n = len(q)
+    assert len(rows) == 64 * 65 // 2
+    for (i, j), r in rows.items():
+        assert r["sum_prod"] == g[i - 1, j - 1]
+        assert r["cov_num"] == n * g[i - 1, j - 1] - s[i - 1] * s[j - 1]
+        assert r["covariance"] == r["cov_num"] / (n * n)
+    # rebuild through the same kernel on a reshuffled input
+    df2 = sim._emb(spark, sf).repartition(7)
+    e_orig = sim._emb
+    try:
+        sim._emb = lambda _s, _d: df2
+        rows2 = {(r["i"], r["j"]): r for r in sim.covariance_stats(spark, sf).collect()}
+    finally:
+        sim._emb = e_orig
+    for k in rows:
+        a, b = rows[k], rows2[k]
+        assert (a["cov_num"], a["covariance"]) == (b["cov_num"], b["covariance"])
