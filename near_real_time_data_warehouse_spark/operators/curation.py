@@ -154,5 +154,97 @@ def _curation_semantic_sql() -> str:
     )
 
 
+def curation_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-gated curation v2 — the pass a classifier-filtered corpus
+    (DCLM / FineWeb-Edu lineage) actually runs, composed from this
+    round's individually-certified kernels: (1) hashing-classifier keep
+    gate, (2) substring keep-one-copy REWRITE of the kept docs (span
+    dedup changes the text, so it must precede content hashing),
+    (3) exact dedup on the CLEANED content (min-doc_id representative),
+    (4) hash-stable split on the cleaned fingerprint. One oracle embeds
+    all four chains, certifying the composition — two docs that differ
+    only in a boilerplate span collapse to one representative here,
+    which raw-content exact dedup can never do.
+
+    Scale shape is the sum of its parts: classifier is scan-local, the
+    rewrite is the apply entry's plan (token-stream windows by doc), the
+    dedup one groupBy on a 128-bit key, the split a projection. Note the
+    keep-one-copy canon runs over the CLASSIFIER-KEPT corpus (defined
+    semantics: you dedup what you ship)."""
+    from .dedup import substring_apply_df
+    from .text import hash_classifier_df
+
+    d = _docs(spark, sf_dir)
+    kept = d.join(hash_classifier_df(d).filter("keep").select("doc_id"), "doc_id")
+    cleaned = substring_apply_df(kept.select("doc_id", "text"))
+    fp = cleaned.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed_tokens",
+        F.md5("cleaned_text").alias("fingerprint"),
+    )
+    groups = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    out = fp.join(groups, "fingerprint").filter(F.col("doc_id") == F.col("rep_id"))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("curate|"), F.col("fingerprint"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed_tokens",
+        "fingerprint",
+        "n_copies",
+        F.when(bucket <= 7, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _curation_classified_sql() -> str:
+    from .dedup import SUBSTRING_APPLY_SQL
+    from .text import HASH_CLASSIFIER_SQL
+
+    # NB: the apply SQL defines its own CTE named "kept" — the outer
+    # source CTE must not collide or the inner "d" binds circularly.
+    apply_on_kept = SUBSTRING_APPLY_SQL.replace(
+        "FROM documents\n", "FROM kept_docs\n", 1
+    )
+    return f"""
+WITH kept_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM ({HASH_CLASSIFIER_SQL}) WHERE keep)
+),
+applied AS (SELECT * FROM ({apply_on_kept})),
+fp AS (
+  SELECT doc_id, n_tokens, n_removed_tokens,
+         md5(cleaned_text) AS fingerprint
+  FROM applied
+),
+groups AS (
+  SELECT fingerprint, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+  FROM fp GROUP BY fingerprint
+)
+SELECT f.doc_id, f.n_tokens, f.n_removed_tokens, f.fingerprint,
+       CAST(g.n_copies AS BIGINT) AS n_copies,
+       CASE WHEN CAST(('0x' || substr(md5('curate|' || f.fingerprint), 1, 15)) AS BIGINT) % 10 <= 7 THEN 'train'
+            WHEN CAST(('0x' || substr(md5('curate|' || f.fingerprint), 1, 15)) AS BIGINT) % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM fp f JOIN groups g ON f.fingerprint = g.fingerprint AND f.doc_id = g.rep_id
+"""
+
+
 registry.register("docs_curation_pipeline", curation_pipeline, CURATION_SQL)
 registry.register("docs_curation_semantic", curation_semantic, _curation_semantic_sql())
+registry.register(
+    "docs_curation_classified", curation_classified, _curation_classified_sql()
+)

@@ -2199,6 +2199,13 @@ _SUBSTR_GRAM_SQL = " || ' ' || ".join(f"toks[i+{k}]" for k in range(SUBSTR_K))
 
 # Shared CTE prefix of the substring-dedup profile and apply oracles:
 # tokenized docs (d), window-bearing docs (b), positional window hashes (sh).
+def _pos_sh_ctes(src: str = "documents") -> str:
+    """The shared CTE prefix with a parameterizable document source —
+    composition oracles (docs_curation_classified) point ``src`` at a
+    pre-filtered CTE instead of the raw table."""
+    return _POS_SH_CTES.replace("FROM documents\n", f"FROM {src}\n", 1)
+
+
 _POS_SH_CTES = f"""d AS (
   SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks
   FROM documents

@@ -1589,7 +1589,11 @@ def hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, whole-stage codegen), so the entry is zero-shuffle,
     zero-join, and embarrassingly parallel at any corpus size. Integer
     score, one IEEE division for the mean: hash-portable."""
-    d = _docs(spark, sf_dir)
+    return hash_classifier_df(_docs(spark, sf_dir))
+
+
+def hash_classifier_df(d: DataFrame) -> DataFrame:
+    """Kernel of text_hash_classifier over any (doc_id, text) DataFrame."""
     toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
     base = d.select("doc_id", toks.alias("toks"))
     # sequence(1, size-1) DESCENDS when size < 2 — guard before building
