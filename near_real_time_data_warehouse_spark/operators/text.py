@@ -1683,3 +1683,136 @@ FROM w
 """
 
 registry.register("text_hash_classifier", hash_classifier, HASH_CLASSIFIER_SQL)
+
+
+# --- trained Naive Bayes language classifier (train → apply → evaluate) -----
+
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A classifier actually TRAINED in-engine, end to end: multinomial
+    Naive Bayes over token features, trained on the shard split's train
+    buckets (md5 bucket ≤ 7 — the text_shard_split convention), applied
+    to the holdout (buckets 8–9), evaluated as a confusion matrix. NB
+    training IS aggregation — per-class token counts, class totals, doc
+    priors, vocabulary size — so the whole train/apply/eval pipeline is
+    relational and, in the engine's exact-integer discipline, bit-
+    portable: add-one-smoothed likelihoods become floor-log2 surprisal
+    ``bits(n_c + V) − bits(cnt+1)`` (the unigram_surprisal primitive),
+    priors ``bits(N) − bits(nd_c)``, prediction is the argmin score with
+    a deterministic (score, class) tie-break, and no float ever appears.
+
+    Scale shape: token-instance compaction (one shuffle, map-side
+    combinable), count tables ∝ vocabulary, scoring joins the holdout's
+    compacted instances against a BROADCAST class table (|langs| rows)
+    and the (lang, tok) count table key-partitioned — the LM-scoring
+    floor; the argmin window partitions by doc.
+
+    Honesty note: the synthetic corpus's text is largely independent of
+    its lang label, so holdout accuracy sits near chance with a
+    small-class bias (floor-log2 makes bits(n_c+V) a per-token constant
+    favoring the smallest class) — the driver hash certifies the
+    train/apply/eval PIPELINE on a real confusion matrix, exactly as
+    sim_mrl_truncate_rerank's hash pins a genuinely lossy recall."""
+    d = _docs(spark, sf_dir)
+    norm = _norm_col()
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long"), F.lit(10)
+    )
+    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    base = d.select(
+        "doc_id", "lang", bucket.alias("bucket"), toks.alias("toks")
+    ).filter(F.size("toks") > 0)
+    inst = (
+        base.select("doc_id", "lang", "bucket", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "lang", "bucket", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    train = inst.filter(F.col("bucket") <= 7)
+    counts = train.groupBy("lang", "tok").agg(F.sum("n").alias("cnt"))
+    totals = counts.groupBy("lang").agg(F.sum("cnt").alias("n_c"))
+    nd = train.groupBy("lang").agg(F.countDistinct("doc_id").alias("nd_c"))
+    vn = train.agg(
+        F.countDistinct("tok").alias("v"), F.countDistinct("doc_id").alias("nn")
+    )
+    cls = (
+        totals.join(nd, "lang")
+        .crossJoin(F.broadcast(vn))
+        .select(F.col("lang").alias("cls"), "n_c", "nd_c", "v", "nn")
+    )
+    ho = inst.filter(F.col("bucket") >= 8).select(
+        "doc_id", F.col("lang").alias("actual"), "tok", "n"
+    )
+    sc = (
+        ho.crossJoin(F.broadcast(cls))
+        .join(
+            counts.select(F.col("lang").alias("cls"), "tok", "cnt"),
+            ["cls", "tok"],
+            "left",
+        )
+        .groupBy("doc_id", "actual", "cls", "nd_c", "nn")
+        .agg(
+            F.sum(
+                F.col("n")
+                * (
+                    _bits(F.col("n_c") + F.col("v"))
+                    - _bits(F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                )
+            ).alias("tt")
+        )
+    )
+    from pyspark.sql import Window
+
+    score = F.col("tt") + _bits(F.col("nn")) - _bits(F.col("nd_c"))
+    w = Window.partitionBy("doc_id").orderBy(score.asc(), F.col("cls"))
+    pred = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("actual", F.col("cls").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+NB_CONFUSION_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5({_NORM_SQL}), 1, 15)) AS BIGINT) % 10 AS bucket,
+         list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+inst AS (
+  SELECT doc_id, lang, bucket, tok, COUNT(*) AS n
+  FROM (SELECT doc_id, lang, bucket, unnest(toks) AS tok FROM d WHERE len(toks) > 0)
+  GROUP BY doc_id, lang, bucket, tok
+),
+train AS (SELECT * FROM inst WHERE bucket <= 7),
+counts AS (SELECT lang, tok, CAST(SUM(n) AS BIGINT) AS cnt FROM train GROUP BY lang, tok),
+totals AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_c FROM counts GROUP BY lang),
+nd AS (SELECT lang, COUNT(DISTINCT doc_id) AS nd_c FROM train GROUP BY lang),
+vn AS (SELECT COUNT(DISTINCT tok) AS v, COUNT(DISTINCT doc_id) AS nn FROM train),
+cls AS (
+  SELECT t.lang AS cls, n_c, nd_c, v, nn
+  FROM totals t JOIN nd ON t.lang = nd.lang CROSS JOIN vn
+),
+ho AS (SELECT doc_id, lang AS actual, tok, n FROM inst WHERE bucket >= 8),
+sc AS (
+  SELECT ho.doc_id, ho.actual, cls.cls, cls.nd_c, cls.nn,
+         SUM(ho.n * (len(printf('%b', cls.n_c + cls.v))
+                     - len(printf('%b', COALESCE(c.cnt, 0) + 1)))) AS tt
+  FROM ho CROSS JOIN cls
+  LEFT JOIN counts c ON c.lang = cls.cls AND c.tok = ho.tok
+  GROUP BY ho.doc_id, ho.actual, cls.cls, cls.nd_c, cls.nn
+),
+ranked AS (
+  SELECT doc_id, actual, cls AS predicted,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY tt + len(printf('%b', nn)) - len(printf('%b', nd_c)), cls
+         ) AS rn
+  FROM sc
+)
+SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ranked WHERE rn = 1 GROUP BY actual, predicted
+"""
+
+registry.register("text_nb_lang_confusion", nb_lang_confusion, NB_CONFUSION_SQL)

@@ -277,3 +277,30 @@ def test_bpe_holdout_unseen_word_pieces_match_greedy_reference(
         registry.oracle_sql()["text_bpe_encode_holdout"],
     )
     assert res.ok, res
+
+
+def test_nb_confusion_covers_every_holdout_doc_once(spark):
+    """NB train/apply/eval: confusion-matrix mass equals the holdout doc
+    count (every doc predicted exactly once), actual labels partition the
+    holdout, and the matrix is deterministic across reruns."""
+    import duckdb
+
+    from near_real_time_data_warehouse_spark.operators.text import nb_lang_confusion
+
+    sf = "/root/testdata/sf0.001"
+    rows = {(r["actual"], r["predicted"]): r["n_docs"]
+            for r in nb_lang_confusion(spark, sf).collect()}
+    con = duckdb.connect()
+    holdout = dict(con.execute(f"""
+        SELECT lang, COUNT(*) FROM read_parquet('{sf}/documents.parquet')
+        WHERE CAST(('0x' || substr(md5(trim(regexp_replace(lower(text),'\\s+',' '))),1,15)) AS BIGINT) % 10 >= 8
+          AND len(list_filter(string_split(trim(regexp_replace(lower(text),'\\s+',' ')),' '), t -> t <> '')) > 0
+        GROUP BY lang""").fetchall())
+    assert sum(rows.values()) == sum(holdout.values())
+    per_actual = {}
+    for (a, _p), n in rows.items():
+        per_actual[a] = per_actual.get(a, 0) + n
+    assert per_actual == holdout
+    again = {(r["actual"], r["predicted"]): r["n_docs"]
+             for r in nb_lang_confusion(spark, sf).collect()}
+    assert again == rows
