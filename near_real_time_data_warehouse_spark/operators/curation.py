@@ -171,12 +171,25 @@ def curation_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup one groupBy on a 128-bit key, the split a projection. Note the
     keep-one-copy canon runs over the CLASSIFIER-KEPT corpus (defined
     semantics: you dedup what you ship)."""
-    from .dedup import substring_apply_df
+    from .dedup import _local_checkpoint_stats_clean, substring_apply_df
     from .text import hash_classifier_df
 
     d = _docs(spark, sf_dir)
-    kept = d.join(hash_classifier_df(d).filter("keep").select("doc_id"), "doc_id")
-    cleaned = substring_apply_df(kept.select("doc_id", "text"))
+    # Checkpoint the classifier FLAGS before filtering: a filter on
+    # `keep` pushes the predicate below the tokenization projection,
+    # INLINING the split/filter chain at every lambda reference inside
+    # the HOF score tree — each element access re-tokenizes the doc
+    # (the _shingles docstring pathology, in filter form). Measured at
+    # 50×: filter-on-lineage 251 s vs 7.8 s for the same columns
+    # projected; with the cut the whole entry drops to the apply
+    # entry's cost class. Stats-clean like every corpus-sized memo.
+    flags = _local_checkpoint_stats_clean(
+        hash_classifier_df(d).select("doc_id", "keep"), eager=False
+    )
+    kept = d.join(flags.filter("keep").select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
+    cleaned = substring_apply_df(kept)
     fp = cleaned.select(
         "doc_id",
         "n_tokens",
