@@ -210,29 +210,80 @@ def _perm_constants(n: int = N_PERM) -> list[tuple[int, int]]:
     return out
 
 
-def _signature_table(sh: DataFrame) -> DataFrame:
-    """(doc_id, sig: array<long>[N_PERM]) — the full MinHash signature,
-    no row explosion: the 32 permutation mins are array expressions over
-    the per-doc base-hash list. Shared by the band builder (which folds
-    sig into band md5s) and the prefilter entry (which compares raw
-    signatures to ESTIMATE Jaccard before any shingle-level work)."""
+def _sig_col() -> F.Column:
+    """The 32 permutation mins as array expressions over a per-doc
+    base-hash list column ``hs`` — min is order-insensitive, so any
+    construction of the same distinct-shingle hash SET yields the
+    identical signature."""
     consts = _perm_constants()
+
+    def perm_min(a: int, b: int) -> F.Column:
+        return F.array_min(F.transform(F.col("hs"), lambda h: (h * a + b) % MERSENNE_P))
+
+    return F.array(*[perm_min(a, b) for a, b in consts])
+
+
+def _signature_table(sh: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<long>[N_PERM]) from an EXPLODED shingle frame
+    — the streaming folds' entry point (their batches arrive exploded).
+    Batch-side consumers should prefer :func:`_signature_table_from_docs`,
+    which builds the same signatures as a pure projection."""
     base = sh.withColumn(
         "h31",
         F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long") % MERSENNE_P,
     )
     hs = base.groupBy("doc_id").agg(F.collect_list("h31").alias("hs"))
+    return hs.withColumn("sig", _sig_col())
 
-    def perm_min(a: int, b: int) -> F.Column:
-        return F.array_min(F.transform(F.col("hs"), lambda h: (h * a + b) % MERSENNE_P))
 
-    sig = F.array(*[perm_min(a, b) for a, b in consts])
-    return hs.withColumn("sig", sig)
+def _signature_table_from_docs(d: DataFrame) -> DataFrame:
+    """(doc_id, sig) straight from (doc_id, text) — the per-doc distinct
+    shingle ARRAY is a projection of the scan (:func:`_shingle_arrays`),
+    so the whole signature build is zero-shuffle: no explode, no
+    groupBy(collect_list), no corpus sort. Signatures are bit-identical
+    to the exploded path (same hash set, min is order-insensitive);
+    measured 2× faster at 50× and removes the one sort in the band
+    chain that could spill at larger corpora.
+
+    The hash-array projection is CHECKPOINTED before the shingle-bearing
+    filter: pushing ``n > 0`` below the projection substitutes the array
+    definition into the predicate, un-binding ``toks`` inside the window
+    lambdas — every element_at then re-runs the split chain (the
+    _shingles docstring pathology; measured >60× at 50×). Filtering the
+    MATERIALIZED column costs nothing."""
+    raw = _shingle_arrays(d).select(
+        "doc_id",
+        "n",
+        F.transform(
+            "arr",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+            % MERSENNE_P,
+        ).alias("hs"),
+    )
+    hs = _local_checkpoint_stats_clean(raw, eager=False).filter(F.col("n") > 0)
+    return hs.select("doc_id", "hs").withColumn("sig", _sig_col())
 
 
 def _band_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, band_sig) from shingles via the signature table."""
-    with_sig = _signature_table(sh)
+    """(doc_id, band, band_sig) from an exploded shingle frame."""
+    return _bands_from_sig(_signature_table(sh))
+
+
+def _band_signatures_from_docs(d: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) straight from documents — zero-shuffle
+    signature construction (see _signature_table_from_docs).
+
+    The signature table is CHECKPOINTED before the band fold: the fold
+    references ``sig`` once per band, and without a barrier
+    CollapseProject inlines the whole hs/md5 projection into every
+    reference (the exploded path's groupBy was an accidental barrier) —
+    measured as a ~30× md5 recompute at 50×. The cut costs one
+    materialization, no shuffle, no sort."""
+    sig = _local_checkpoint_stats_clean(_signature_table_from_docs(d), eager=False)
+    return _bands_from_sig(sig)
+
+
+def _bands_from_sig(with_sig: DataFrame) -> DataFrame:
     bands_arr = F.array(
         *[
             F.struct(
@@ -265,8 +316,9 @@ def _bands_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     bands = _BANDS_MEMO.get(key)
     if bands is None:
-        sh = _shingles_materialized(spark, sf_dir)
-        bands = _local_checkpoint_stats_clean(_band_signatures(sh), eager=False)
+        bands = _local_checkpoint_stats_clean(
+            _band_signatures_from_docs(_docs(spark, sf_dir)), eager=False
+        )
         _BANDS_MEMO[key] = bands
     return bands
 
@@ -421,7 +473,12 @@ def minhash_prefiltered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real pipeline already persists."""
     sh = _shingles_materialized(spark, sf_dir)
     cand = _band_candidates(_bands_materialized(spark, sf_dir))
-    sigs = _signature_table(sh).select("doc_id", "sig")
+    # checkpointed: the candidate join consumes sig on BOTH sides; the
+    # cut shares one zero-shuffle build (and stops projection collapse
+    # from inlining the md5 transform per reference)
+    sigs = _local_checkpoint_stats_clean(
+        _signature_table_from_docs(_docs(spark, sf_dir)), eager=False
+    ).select("doc_id", "sig")
     agree = F.aggregate(
         F.zip_with(
             F.col("a.sig"),
