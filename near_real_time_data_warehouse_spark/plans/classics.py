@@ -1321,3 +1321,103 @@ registry.register("classic_min_cost_supplier", min_cost_supplier, MIN_COST_SQL)
 registry.register("classic_supplier_part_variety", supplier_part_variety, PART_VARIETY_SQL)
 registry.register("classic_nation_profit", nation_profit, NATION_PROFIT_SQL)
 registry.register("classic_order_reconciliation", order_reconciliation, RECONCILIATION_SQL)
+
+
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring — the classic warehouse segmentation pass:
+    per customer, recency (days since last order, computed in tz-free
+    epoch days), frequency (order count), and monetary (exact DECIMAL
+    spend), each quintiled with exact ntile(5) semantics so that score
+    5 = most recent / most frequent / highest spend, plus the
+    concatenated RFM segment.
+
+    Scale shape: one map-side-combinable aggregate over orders, then
+    three :func:`operators.ranking.scalable_ntile` passes over the
+    CUSTOMER-level table (range-partitioned global rank — never a
+    single-partition window; see q12). Ordering carries full tie-breaks
+    (metric, custkey), and monetary is ranked as DECIMAL in both
+    engines, so every bucket is deterministic and the DuckDB NTILE
+    replay is bit-exact."""
+    from ..operators.ranking import scalable_ntile
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    # NTZ-safe epoch-day arithmetic (the functions/eventtime discipline):
+    # timestampdiff between NTZ values is pure field arithmetic, immune
+    # to the session timezone, and equals DuckDB's epoch_us bit-exactly.
+    day_expr = (
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', o_orderdate)"
+        " div 86400000000"
+    )
+    base = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            F.expr(day_expr).alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("day").alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("price").alias("monetary_dec"),
+        )
+    )
+    gmax = base.agg(F.max("last_day").alias("gmax"))
+    base = base.crossJoin(F.broadcast(gmax)).select(
+        "custkey",
+        (F.col("gmax") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary_dec",
+    )
+    r = scalable_ntile(
+        base, [F.desc("recency_days"), F.asc("custkey")], 5, "r_score"
+    )
+    f = scalable_ntile(r, [F.asc("frequency"), F.asc("custkey")], 5, "f_score")
+    m = scalable_ntile(f, [F.asc("monetary_dec"), F.asc("custkey")], 5, "m_score")
+    return m.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "", F.col("r_score").cast("string"), F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )
+
+
+RFM_SQL = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+  FROM orders GROUP BY o_custkey
+),
+g AS (SELECT MAX(last_day) AS gmax FROM base),
+r AS (
+  SELECT custkey,
+         CAST(g.gmax - last_day AS BIGINT) AS recency_days,
+         CAST(frequency AS BIGINT) AS frequency,
+         monetary_dec
+  FROM base CROSS JOIN g
+),
+s AS (
+  SELECT custkey, recency_days, frequency, monetary_dec,
+         CAST(NTILE(5) OVER (ORDER BY recency_days DESC, custkey) AS BIGINT) AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY frequency, custkey) AS BIGINT) AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY monetary_dec, custkey) AS BIGINT) AS m_score
+  FROM r
+)
+SELECT custkey, recency_days, frequency,
+       CAST(monetary_dec AS DOUBLE) AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR)
+         AS segment
+FROM s
+"""
+
+registry.register("orders_rfm_scores", rfm_scores, RFM_SQL)
