@@ -461,3 +461,51 @@ def test_substring_incremental_equals_rebuild_on_batch(spark):
         if r["doc_id"] % _BATCH_MOD == 0
     }
     assert incr == full and incr
+
+
+def test_spans_profile_interval_union_property(spark):
+    """Property: for ANY set of duplicated window positions, the span
+    profile equals the interval union computed by a direct Python
+    reference (coverage, span count, longest span)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from near_real_time_data_warehouse_spark.operators.dedup import (
+        SUBSTR_K,
+        _spans_profile,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.sets(st.integers(1, 60), min_size=1, max_size=12),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def run(doc_positions):
+        rows = [
+            (doc_id, 80, pos)
+            for doc_id, ps in enumerate(doc_positions)
+            for pos in ps
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in _spans_profile(
+                spark.createDataFrame(rows, "doc_id long, n_tokens int, pos int")
+            ).collect()
+        }
+        for doc_id, ps in enumerate(doc_positions):
+            ivs = sorted((p, p + SUBSTR_K) for p in ps)
+            merged = [list(ivs[0])]
+            for s, e in ivs[1:]:
+                if s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            r = out[doc_id]
+            assert r["n_dup_spans"] == len(merged)
+            assert r["dup_tokens"] == sum(e - s for s, e in merged)
+            assert r["longest_span"] == max(e - s for s, e in merged)
+
+    run()
