@@ -2338,9 +2338,19 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_apply_df(_docs(spark, sf_dir))
 
 
-def substring_apply_df(d: DataFrame) -> DataFrame:
-    """Kernel of docs_substring_dedup_apply over any (doc_id, text)
-    DataFrame — see :func:`substring_dedup_apply`."""
+# Tokens per rebuild shard: after tokenization every shuffled/joined row
+# in the apply rebuild carries at most this many tokens, so a multi-MB web
+# document never makes one row the memory unit (VERDICT r9 #1). Power of 2
+# so the float division in the segment count is exact.
+SUBSTR_APPLY_SEG = 4096
+
+
+def _apply_seg_out(d: DataFrame, seg: int) -> DataFrame:
+    """Segment stage of the sharded apply rebuild: one row per
+    ``seg``-token range of each non-empty document, carrying that
+    range's token count, kept-token count, and rebuilt kept-token string.
+    Exposed separately so tests can pin the bounded-row-width contract
+    (max seg_n ≤ seg regardless of document length)."""
     from pyspark.sql import Window
 
     sh = _positional_shingles(d)
@@ -2373,32 +2383,113 @@ def substring_apply_df(d: DataFrame) -> DataFrame:
         .otherwise(0)
         .alias("ni"),
     )
+    # Removable islands stay as ROWS (doc_id, s, e) — never collected
+    # into a per-doc array.
     ranges = (
         flagged.select("doc_id", "pos", F.sum("ni").over(w_run).alias("island"))
         .groupBy("doc_id", "island")
         .agg(F.min("pos").alias("s"), (F.max("pos") + SUBSTR_K).alias("e"))
-        .groupBy("doc_id")
+    )
+    # Each island lands on exactly the segments it overlaps: positions
+    # [s, e) with 1-based global pos p map to 0-based segment (p-1)/seg.
+    seg_rng = (
+        ranges.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    ((F.col("s") - 1) / seg).cast("int"),
+                    ((F.col("e") - 2) / seg).cast("int"),
+                )
+            ).alias("seg_no"),
+            "s",
+            "e",
+        )
+        .groupBy("doc_id", "seg_no")
         .agg(F.collect_list(F.struct("s", "e")).alias("rng"))
     )
     toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
-    base = d.select("doc_id", toks.alias("toks")).join(ranges, "doc_id", "left")
-    rngc = F.coalesce(F.col("rng"), F.array().cast("array<struct<s:int,e:int>>"))
-    # sequence(1, size) DESCENDS when size = 0 — guard before building
-    keep_i = F.when(
-        F.size("toks") > 0,
-        F.filter(
-            F.sequence(F.lit(1), F.size("toks")),
-            lambda i: ~F.exists(rngc, lambda r: (i >= r["s"]) & (i < r["e"])),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    out = base.select("doc_id", "toks", keep_i.alias("keep_i"))
-    return out.select(
+    base = d.select("doc_id", toks.alias("toks"))
+    # One bounded row per seg-token range; zero-token docs emit nothing
+    # here and are restored by the final left join.
+    segs = base.filter(F.size("toks") > 0).select(
         "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        (F.size("toks") - F.size("keep_i")).cast("long").alias("n_removed_tokens"),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), ((F.size("toks") - 1) / seg).cast("int")
+                ),
+                lambda s: F.slice("toks", s * seg + 1, seg),
+            )
+        ).alias("seg_no", "seg_toks"),
+    )
+    rngc = F.coalesce(
+        F.col("rng"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    off = F.col("seg_no") * seg  # global pos = off + local 1-based index
+    keep_i = F.filter(
+        F.sequence(F.lit(1), F.size("seg_toks")),
+        lambda i: ~F.exists(
+            rngc, lambda r: (i + off >= r["s"]) & (i + off < r["e"])
+        ),
+    )
+    return (
+        segs.join(seg_rng, ["doc_id", "seg_no"], "left")
+        .select("doc_id", "seg_no", "seg_toks", keep_i.alias("keep_i"))
+        .select(
+            "doc_id",
+            "seg_no",
+            F.size("seg_toks").alias("seg_n"),
+            F.size("keep_i").alias("seg_kept"),
+            F.concat_ws(
+                " ", F.transform("keep_i", lambda i: F.element_at("seg_toks", i))
+            ).alias("seg_text"),
+        )
+    )
+
+
+def substring_apply_df(d: DataFrame, seg: int = SUBSTR_APPLY_SEG) -> DataFrame:
+    """Kernel of docs_substring_dedup_apply over any (doc_id, text)
+    DataFrame — see :func:`substring_dedup_apply`.
+
+    The cleaned-text rebuild is SHARDED BY TOKEN RANGE (round 10,
+    VERDICT r9 #1): each document's token stream splits into
+    ``seg``-token segments (one row each), the removable [s, e) islands
+    are exploded onto exactly the segments they overlap and joined
+    key-partitioned on (doc_id, seg_no), each segment rebuilds its own
+    kept-token string locally, and the per-doc cleaned text reassembles
+    with concat_ws over the seg_no-sorted segment strings. Row width
+    after the scan is bounded by ``seg`` tokens plus one segment-string
+    per ``seg`` tokens at the reassembly — never the whole token array
+    (the pre-round-10 shape carried every token of the document in one
+    row, making a multi-MB document the memory unit)."""
+    seg_out = _apply_seg_out(d, seg)
+    # Reassemble per doc: sorted segment STRINGS (one per seg tokens),
+    # empty segments dropped so the join separator never doubles.
+    doc_agg = seg_out.groupBy("doc_id").agg(
+        F.sum("seg_kept").alias("n_kept"),
         F.concat_ws(
-            " ", F.transform("keep_i", lambda i: F.element_at("toks", i))
+            " ",
+            F.filter(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_no", "seg_text"))),
+                    lambda x: x["seg_text"],
+                ),
+                lambda t: t != "",
+            ),
         ).alias("cleaned_text"),
+    )
+    toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
+    return (
+        d.select("doc_id", F.size(toks).alias("n_tokens"))
+        .join(doc_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed_tokens"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
     )
 
 
