@@ -469,10 +469,50 @@ FROM per_group WHERE n_months > 1
 """
 
 
+# Delegation threshold for q16 (VERDICT r9 #3): above this many bytes of
+# scanned input the faithful theta self-join honestly sort-spills (9.4 GB
+# at the 50×-of-sf0.1 ≈ sf5 probe), so q16 routes through the join-free
+# onepass basket kernel, which computes the IDENTICAL result (pair
+# multiplicity preserved — same oracle, so the delegation is invisible to
+# correctness at any SF). ~500 MB of parquet ≈ sf3.5's star input; the
+# driver SFs (≤ sf0.1, ~14 MB) keep the reference-parity self-join plan.
+Q16_ONEPASS_BYTES = 500_000_000
+
+
+def _local_scan_bytes(df: DataFrame) -> int:
+    """Total on-disk size of the local files feeding a DataFrame's scans —
+    a zero-job SF proxy for plan delegation. Non-file sources (JDBC,
+    views over streams) report 0: delegation then stays off and the
+    faithful plan runs, which is the conservative default; a cluster
+    deployment overrides via Q16_ONEPASS_BYTES-style env configuration."""
+    import os
+
+    total = 0
+    for uri in df.inputFiles():
+        path = uri[5:] if uri.startswith("file:") else uri
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            pass
+    return total
+
+
 def q16(star: Star) -> DataFrame:
     """Top 5 product pairs purchased together (Analysis_Queries.sql:128-137):
     self-join on order_id with a ``<`` theta residual — equi on the order
-    key plus a range filter, exactly how Catalyst plans it."""
+    key plus a range filter, exactly how Catalyst plans it.
+
+    Above Q16_ONEPASS_BYTES of scanned input this delegates to
+    :func:`star_basket_onepass` — the join-free per-order array expansion
+    whose result (and oracle) are identical, but which has no sort-merge
+    intermediate to spill (the faithful plan sort-spills 9.4 GB at the
+    50× probe; the onepass shape spills nothing but the final top-k)."""
+    import os
+
+    env = os.environ.get("Q16_ONEPASS_BYTES")
+    threshold = int(env) if env else Q16_ONEPASS_BYTES
+    if _local_scan_bytes(star["salefact"]) > threshold:
+        return star_basket_onepass(star)
     f = star["salefact"].select("order_id", "product_id")
     a, b = f.alias("a"), f.alias("b")
     return (

@@ -62,6 +62,29 @@ def test_no_cartesian_products(star):
     assert "CartesianProduct" not in plan
 
 
+def test_q16_delegates_to_onepass_above_threshold(star, monkeypatch):
+    """Above Q16_ONEPASS_BYTES of scanned input q16 must route through
+    the join-free onepass basket kernel (VERDICT r9 #3): identical rows,
+    but no self-join in the plan — nothing to sort-merge-spill at scale.
+    At driver SFs (below threshold) the faithful self-join plan stands."""
+    faithful = analysis.QUERIES["q16_market_basket_pairs"].spark(star)
+    assert "Join" in plan_of(faithful)  # sf0.001 is far below threshold
+    monkeypatch.setenv("Q16_ONEPASS_BYTES", "1")
+    delegated = analysis.QUERIES["q16_market_basket_pairs"].spark(star)
+    onepass = analysis.QUERIES["star_basket_pairs_onepass"].spark(star)
+
+    def norm(df):  # strip expression/plan/subquery ids
+        import re
+
+        return re.sub(
+            r"(#|plan_id=|subquery|lambda [a-z]+_)\d+", r"\1", plan_of(df)
+        )
+
+    assert norm(delegated) == norm(onepass)
+    assert "SortMergeJoin" not in plan_of(delegated)
+    assert delegated.collect() == faithful.collect()
+
+
 def test_rollup_single_expand(star):
     """ROLLUP must use one Expand node (no per-grouping-set re-scan)."""
     plan = plan_of(analysis.QUERIES["q17_rollup_store_supplier_product"].spark(star))
