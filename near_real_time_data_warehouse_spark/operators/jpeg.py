@@ -9,17 +9,24 @@ orthonormal 8×8 IDCT, sampling-factor plane assembly with chroma
 upsampling, and JFIF YCbCr→RGB.
 
 Scans decode into per-component COEFFICIENT arrays and pixels
-materialize once at the end, so one engine covers every Huffman
+materialize once at the end, so one engine covers every DCT Huffman
 process: SOF0 baseline and SOF1 extended sequential (interleaved or
 per-component multi-scan), and SOF2 progressive — spectral selection
 (DC/AC band scans) and successive approximation (first + refinement
 scans, including EOB-run coding and AC correction bits) per ITU T.81
-Annex G. 8-bit sample precision, 1 or 3 components, 8- and 16-bit
-quantization tables, divisible sampling factors 1–4, DRI/RSTn
-restarts. Lossless/hierarchical/arithmetic-coded processes and
-non-divisible sampling ratios raise ``DecodeNotAvailable`` — valid
-files this decoder doesn't cover, not parse failures; everything else
-malformed raises ``MalformedMedia``.
+Annex G. SOF3 LOSSLESS (process 14, T.81 Annex H) decodes on a
+separate sample-domain path: the seven spatial predictors, point
+transform, mod-2^16 reconstruction, SSSS 0–16 difference coding with
+the DC Huffman tables, restart-interval predictor resets, interleaved
+or per-component scans; 3-component lossless is emitted as direct RGB
+(T.81 defines no color transform for lossless; DNG/TIFF-EP store
+components directly). 8-bit sample precision, 1 or 3 components, 8-
+and 16-bit quantization tables, divisible sampling factors 1–4,
+DRI/RSTn restarts. Hierarchical/arithmetic-coded processes,
+non-8-bit-precision lossless, subsampled lossless, and non-divisible
+sampling ratios raise ``DecodeNotAvailable`` — valid files this
+decoder doesn't cover, not parse failures (rationale per gate in
+COVERAGE.md); everything else malformed raises ``MalformedMedia``.
 
 Determinism note: the IDCT is float64 but every consumer quantizes to
 uint8 through the same numpy expressions, so decoded pixels are
@@ -311,6 +318,8 @@ def parse_jpeg(payload: bytes) -> dict:
     geo: dict[int, dict] = {}          # per-component block geometry
     by_id: dict[int, dict] = {}
     scanned: set[int] = set()
+    samples: dict[int, np.ndarray] = {}  # lossless: cid -> (h, w) samples
+    pt_by_comp: dict[int, int] = {}      # lossless: per-scan point transform
 
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -422,11 +431,44 @@ def parse_jpeg(payload: bytes) -> dict:
                 # which would escape the quarantine catch.  int64 holds
                 # the worst case (~1.1e12) with huge margin.
                 coef[c["id"]] = np.zeros((bh_pad, bw_pad, 64), dtype=np.int64)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # SOF3 lossless sequential Huffman (Annex H)
+            if sof is not None:
+                raise MalformedMedia("multiple SOF segments")
+            if len(body) < 6:
+                raise MalformedMedia("SOF truncated")
+            if body[0] != 8:
+                # spec allows 2-16 bits; the engine's pixel contract is
+                # 8-bit RGB, so deeper samples quarantine (COVERAGE.md)
+                raise DecodeNotAvailable("non-8-bit lossless JPEG precision")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise DecodeNotAvailable(f"{nc}-component JPEG")
+            if len(body) < 6 + 3 * nc:
+                raise MalformedMedia("SOF component list truncated")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            if len({c["id"] for c in comps}) != nc:
+                raise MalformedMedia("duplicate component ids in SOF")
+            if w < 1 or h < 1 or w * h > (1 << 22):
+                raise MalformedMedia("nonsensical JPEG dimensions")
+            if not all(c["h"] == 1 and c["v"] == 1 for c in comps):
+                # valid per spec but unseen in practice for lossless
+                raise DecodeNotAvailable("subsampled lossless JPEG")
+            sof = {"w": w, "h": h, "comps": comps, "lossless": True}
+            by_id = {c["id"]: c for c in comps}
+            for c in comps:
+                samples[c["id"]] = np.zeros((h, w), dtype=np.int64)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise DecodeNotAvailable(
-                f"JPEG SOF type FF{marker:02X} (lossless/hierarchical/"
-                "arithmetic processes not supported)"
+                f"JPEG SOF type FF{marker:02X} (hierarchical/arithmetic "
+                "processes not supported; rationale in COVERAGE.md)"
             )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -451,6 +493,25 @@ def parse_jpeg(payload: bytes) -> dict:
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
+            if sof.get("lossless"):
+                # Ss = predictor selector, Al = point transform (< P)
+                if not (1 <= ss <= 7) or se != 0 or ah != 0 or al > 7:
+                    raise MalformedMedia("bad lossless scan parameters")
+                for sc in scan:
+                    if sc["dc"] not in huff_dc:
+                        raise MalformedMedia(
+                            "scan references missing DC Huffman table"
+                        )
+                reader = _BitReader(payload, pos + 2 + length)
+                _decode_lossless_scan(
+                    reader, scan, sof, samples, huff_dc,
+                    restart_interval, ss, al,
+                )
+                for sc in scan:
+                    pt_by_comp[sc["id"]] = al
+                scanned.update(sc["id"] for sc in scan)
+                pos = _scan_end(payload, reader.pos)
+                continue
             if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
                 raise MalformedMedia("sequential scan with progressive header")
             if progressive:
@@ -480,6 +541,24 @@ def parse_jpeg(payload: bytes) -> dict:
     missing = {c["id"] for c in sof["comps"]} - scanned
     if missing:
         raise MalformedMedia("components never covered by any scan")
+
+    if sof.get("lossless"):
+        # Sample-domain assembly: undo the point transform; clip keeps
+        # the uint8 contract even for crafted mod-2^16 reconstructions.
+        planes = [
+            np.clip(
+                samples[c["id"]] << pt_by_comp[c["id"]], 0, 255
+            ).astype(np.uint8)
+            for c in sof["comps"]
+        ]
+        if len(planes) == 1:
+            rgb = np.repeat(planes[0][:, :, None], 3, axis=2)
+        else:
+            rgb = np.stack(planes, axis=2)  # direct RGB, no transform
+        return {
+            "width": sof["w"], "height": sof["h"], "format": "jpeg",
+            "pixels": rgb.tobytes(),
+        }
 
     # Materialize pixels: scatter zigzag -> natural order, dequantize,
     # batched separable IDCT (identical 8x8 matmuls to the per-block
@@ -513,6 +592,67 @@ def parse_jpeg(payload: bytes) -> dict:
             np.uint8
         )
     return {"width": w, "height": h, "format": "jpeg", "pixels": rgb.tobytes()}
+
+
+def _decode_lossless_scan(
+    reader, scan, sof, samples, huff_dc, restart_interval, psel, pt,
+) -> None:
+    """Decode one lossless (SOF3) scan per T.81 Annex H.
+
+    Differences are SSSS-coded with the DC Huffman tables (SSSS 16 means
+    +32768, no extra bits); reconstruction is modulo 2^16 in the
+    point-transformed domain. Predictor selection (H.1.2): the first
+    sample of the scan AND of each restart interval predicts from the
+    default 2^(P-Pt-1); the rest of that line predicts from Ra (left);
+    the first sample of every other line from Rb (above); all other
+    samples from the scan-header-selected predictor 1-7. All components
+    here are 1x1-sampled (gated in SOF3), so the interleaved MCU is one
+    sample per component and a single raster walk serves both ns==1 and
+    interleaved scans."""
+    w, h = sof["w"], sof["h"]
+    default = 1 << (8 - pt - 1)
+    tables = {sc["id"]: huff_dc[sc["dc"]] for sc in scan}
+
+    def diff(table):
+        s = table.decode(reader)
+        if s == 16:
+            return 32768
+        return _extend(reader.receive(s), s)
+
+    def predict(arr, y, x, start):
+        if y * w + x == start:
+            return default
+        if y == start // w:
+            return int(arr[y, x - 1])  # Ra for the interval's first line
+        if x == 0:
+            return int(arr[y - 1, 0])  # Rb at line starts
+        a, b = int(arr[y, x - 1]), int(arr[y - 1, x])
+        if psel == 1:
+            return a
+        if psel == 2:
+            return b
+        c = int(arr[y - 1, x - 1])
+        if psel == 3:
+            return c
+        if psel == 4:
+            return a + b - c
+        if psel == 5:
+            return a + ((b - c) >> 1)
+        if psel == 6:
+            return b + ((a - c) >> 1)
+        return (a + b) >> 1
+
+    start = {sc["id"]: 0 for sc in scan}
+    for n in range(w * h):
+        if restart_interval and n and n % restart_interval == 0:
+            reader.align_to_restart()
+            for sc in scan:
+                start[sc["id"]] = n
+        y, x = divmod(n, w)
+        for sc in scan:
+            arr = samples[sc["id"]]
+            d = diff(tables[sc["id"]])
+            arr[y, x] = (predict(arr, y, x, start[sc["id"]]) + d) & 0xFFFF
 
 
 def _decode_scan(

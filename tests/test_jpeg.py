@@ -823,3 +823,157 @@ def test_jpeg_progressive_dc_accumulation_past_int32_is_exact():
     got = J.parse_jpeg(out)
     px = np.frombuffer(got["pixels"], dtype=np.uint8).reshape(h, w, 3)
     assert int(px[0, w - 1, 0]) == 255  # int32 wrap would clip to 0
+
+
+# --- lossless (SOF3, T.81 Annex H) reference encoder ----------------------
+# Forward path of the decoder's sample-domain process: predict with the
+# same H.1.2 rules, difference mod 2^16, SSSS 0-16 coding with a DC-class
+# Huffman table (SSSS 16 = +32768, no extra bits), optional DRI/RSTn.
+
+_LL_BITS = [0, 0, 0, 0, 17] + [0] * 11   # all 17 SSSS symbols at 5 bits
+_LL_VALUES = bytes(range(17))
+_LL_CODES = _canonical_codes(_LL_BITS, _LL_VALUES)
+
+
+def encode_jpeg_lossless(rgb, predictor=4, pt=0, restart_interval=0,
+                         grayscale=False, interleaved=True):
+    """SOF3 forward path: components stored directly (RGB — T.81 defines
+    no lossless color transform), one interleaved scan or one scan per
+    component, point transform ``pt``, restarts every
+    ``restart_interval`` MCUs."""
+    import struct
+
+    h, w, _ = rgb.shape
+    planes = (
+        [rgb[:, :, 0].astype(int)]
+        if grayscale
+        else [rgb[:, :, i].astype(int) for i in range(3)]
+    )
+    planes = [p >> pt for p in planes]
+    nc = len(planes)
+    default = 1 << (8 - pt - 1)
+
+    def predict(p, y, x, start):
+        if y * w + x == start:
+            return default
+        if y == start // w:
+            return int(p[y, x - 1])
+        if x == 0:
+            return int(p[y - 1, 0])
+        a, b, c = int(p[y, x - 1]), int(p[y - 1, x]), int(p[y - 1, x - 1])
+        return {1: a, 2: b, 3: c, 4: a + b - c, 5: a + ((b - c) >> 1),
+                6: b + ((a - c) >> 1), 7: (a + b) >> 1}[predictor]
+
+    def encode_scan(scan_planes):
+        wtr = _BitWriter()
+        rstn = 0
+        start = 0
+        for n in range(w * h):
+            if restart_interval and n and n % restart_interval == 0:
+                wtr.flush_to_marker(0xD0 + (rstn % 8))
+                rstn += 1
+                start = n
+            y, x = divmod(n, w)
+            for p in scan_planes:
+                d = (int(p[y, x]) - predict(p, y, x, start)) % 65536
+                if d > 32768:
+                    d -= 65536
+                if d == 32768:
+                    c, ln = _LL_CODES[16]
+                    wtr.write(c, ln)
+                    continue
+                size = abs(d).bit_length()
+                c, ln = _LL_CODES[size]
+                wtr.write(c, ln)
+                if size:
+                    raw = d if d >= 0 else d + (1 << size) - 1
+                    wtr.write(raw, size)
+        return wtr.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])
+    out += seg(0xC3, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + _LL_VALUES)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    def sos(comp_ids, data):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([predictor, 0, pt])
+        return seg(0xDA, body) + data
+
+    if interleaved or nc == 1:
+        out += sos(list(range(1, nc + 1)), encode_scan(planes))
+    else:
+        for i, p in enumerate(planes):
+            out += sos([i + 1], encode_scan([p]))
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_lossless_roundtrip_every_predictor():
+    """SOF3 is LOSSLESS: decoded pixels must equal the source bytes
+    exactly for each of the seven predictors."""
+    img = _test_image(19, 23, seed=7)
+    for psel in range(1, 8):
+        got = J.parse_jpeg(encode_jpeg_lossless(img, predictor=psel))
+        assert (got["width"], got["height"]) == (23, 19)
+        assert got["pixels"] == img.tobytes(), psel
+
+
+def test_jpeg_lossless_point_transform_and_grayscale():
+    img = _test_image(11, 14, seed=9)
+    for pt in (1, 3):
+        got = J.parse_jpeg(encode_jpeg_lossless(img, predictor=5, pt=pt))
+        want = ((img.astype(int) >> pt) << pt).astype(np.uint8)
+        assert got["pixels"] == want.tobytes(), pt
+    gray = J.parse_jpeg(encode_jpeg_lossless(img, grayscale=True))
+    want = np.repeat(img[:, :, :1], 3, axis=2)
+    assert gray["pixels"] == want.tobytes()
+
+
+def test_jpeg_lossless_restarts_and_noninterleaved():
+    """RSTn resets the predictor to the interval-start rules (default
+    value, then Ra on that line) in both scan layouts; mid-line restart
+    intervals are exercised deliberately (w=13 is coprime to 5)."""
+    img = _test_image(9, 13, seed=21)
+    for ri in (1, 5):
+        got = J.parse_jpeg(
+            encode_jpeg_lossless(img, predictor=4, restart_interval=ri)
+        )
+        assert got["pixels"] == img.tobytes(), ri
+    non_i = J.parse_jpeg(
+        encode_jpeg_lossless(img, predictor=7, restart_interval=3,
+                             interleaved=False)
+    )
+    assert non_i["pixels"] == img.tobytes()
+
+
+def test_jpeg_lossless_gates_and_malformed():
+    """Unsupported-but-valid lossless shapes quarantine as
+    DecodeNotAvailable; nonsense scan parameters are MalformedMedia."""
+    import struct
+
+    img = _test_image(8, 8, seed=2)
+    payload = bytearray(encode_jpeg_lossless(img))
+    sof_at = payload.index(b"\xff\xc3")
+    deep = bytearray(payload)
+    deep[sof_at + 4] = 12  # precision 12: valid per spec, gated here
+    with pytest.raises(mm.DecodeNotAvailable):
+        J.parse_jpeg(bytes(deep))
+    sub = bytearray(payload)
+    sub[sof_at + 11] = 0x21  # 2x1 sampling on component 1
+    with pytest.raises(mm.DecodeNotAvailable):
+        J.parse_jpeg(bytes(sub))
+    # predictor selector 0 is hierarchical-only -> malformed in SOF3
+    bad = bytearray(payload)
+    sos_at = payload.index(b"\xff\xda")
+    bad[sos_at + 2 + 2 + 1 + 6] = 0  # Ss byte of the 3-component scan
+    with pytest.raises(mm.MalformedMedia):
+        J.parse_jpeg(bytes(bad))
