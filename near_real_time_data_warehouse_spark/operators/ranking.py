@@ -130,3 +130,44 @@ def scalable_ntile(
             F.lit(rem) + F.expr(f"(__rank - {split} - 1) div {base}") + 1
         )
     return ranked.withColumn(bucket_col, bucket.cast("long")).drop("__rank")
+
+
+def scalable_topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    salt_on: str,
+    rank_col: str = "rank",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact top-k per group without the hot-group cliff.
+
+    ``row_number().over(Window.partitionBy(group).orderBy(...))`` sends a
+    group's ENTIRE candidate set to one task — fine for many small groups
+    (tfidf_top_terms), fatal for a few huge ones (a retrieval query whose
+    candidate list is corpus-sized). Two phases, both bounded: phase 1
+    ranks within (group, salt) — salt = pmod(xxhash64(salt_on), B) — and
+    keeps k per salted subgroup, so no task ever sorts more than a 1/B
+    sample of a group and at most B·k survivors per group remain; phase 2
+    ranks the survivors per group (≤ B·k rows each — a constant).
+    Exact for any ordering because a group's true top-k is contained in
+    the union of its per-salt top-k. ``order_by`` must be a TOTAL order
+    (full tie-break keys) for deterministic output; ``salt_on`` names a
+    column that spreads a group's rows across salts (a per-row key)."""
+    from pyspark.sql import Window
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_on), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_by)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )

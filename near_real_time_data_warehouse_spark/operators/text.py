@@ -1816,3 +1816,128 @@ FROM ranked WHERE rn = 1 GROUP BY actual, predicted
 """
 
 registry.register("text_nb_lang_confusion", nb_lang_confusion, NB_CONFUSION_SQL)
+
+
+# --- keyword retrieval (inverted-index search) -----------------------------
+
+SEARCH_SKIP_TOP = 10     # the df-ranked head is stopword-like — skip it
+SEARCH_N_QUERIES = 8
+SEARCH_TERMS_PER_QUERY = 3
+SEARCH_TOP_K = 10
+
+
+def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index keyword retrieval — the SEARCH shape (query → ranked
+    documents) next to tfidf_top_terms' per-doc keyword extraction. The
+    query workload derives from the corpus itself so the entry is closed:
+    the vocabulary ranked by (df DESC, term ASC) yields ranks 11-34 (the
+    post-stopword band), dealt round-robin into 8 three-term queries.
+    score(q, d) = Σ_{t ∈ q ∩ d} tf(t,d) · idf_bits(t) with the exact-
+    integer ``_bits`` idf (floor-log2 difference — hash-portable), top 10
+    docs per query by (score DESC, doc_id ASC).
+
+    Scale shape: postings (doc_id, term, tf) are one explode pass; the
+    24-term query table is BROADCAST onto the postings (the inverted-
+    index probe — shuffle only the matching postings, ∝ hits); per-query
+    ranking uses ``scalable_topk_per_group`` because 8 queries over a
+    corpus-sized candidate list is exactly the hot-group cliff a
+    partitionBy(query_id) window would hit — phase 1 ranks inside
+    (query, 32-way salt) and keeps 10, phase 2 ranks ≤ 320 survivors.
+    The rank-11..34 query-term derivation is a global top-34 (TakeOrdered)
+    plus a 34-row window — both bounded constants."""
+    from .ranking import scalable_topk_per_group
+
+    d = _docs(spark, sf_dir)
+    toks = (
+        d.select("doc_id", F.explode(F.split(_norm_col(), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    from pyspark.sql import Window
+
+    n_terms = SEARCH_N_QUERIES * SEARCH_TERMS_PER_QUERY
+    head = df_.orderBy(F.desc("df"), "term").limit(SEARCH_SKIP_TOP + n_terms)
+    # 34 rows: the single-partition window is a bounded constant here
+    ranked = head.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("df"), "term"))
+    )
+    qt = (
+        ranked.filter(F.col("r") > SEARCH_SKIP_TOP)
+        .select(
+            ((F.col("r") - SEARCH_SKIP_TOP - 1) % SEARCH_N_QUERIES)
+            .cast("long")
+            .alias("query_id"),
+            "term",
+            "df",
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * (_bits(F.col("n_docs")) - _bits(F.col("df")))
+            ).alias("score_bits"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+    )
+    top = scalable_topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("score_bits"), F.asc("doc_id")],
+        SEARCH_TOP_K,
+        salt_on="doc_id",
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.col("score_bits").cast("long").alias("score_bits"),
+        F.col("n_hit_terms").cast("long").alias("n_hit_terms"),
+    )
+
+
+KEYWORD_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+),
+t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS r FROM df
+),
+qt AS (
+  SELECT (r - {SEARCH_SKIP_TOP} - 1) % {SEARCH_N_QUERIES} AS query_id, term, df
+  FROM ranked
+  WHERE r > {SEARCH_SKIP_TOP}
+    AND r <= {SEARCH_SKIP_TOP + SEARCH_N_QUERIES * SEARCH_TERMS_PER_QUERY}
+),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM(tf.tf * (len(printf('%b', n.n_docs)) - len(printf('%b', qt.df))))
+           AS score_bits,
+         COUNT(*) AS n_hit_terms
+  FROM tf JOIN qt USING (term) CROSS JOIN n
+  GROUP BY qt.query_id, tf.doc_id
+),
+rk AS (
+  SELECT query_id, doc_id, score_bits, n_hit_terms,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_bits DESC, doc_id) AS rank
+  FROM sc
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       doc_id,
+       CAST(score_bits AS BIGINT) AS score_bits,
+       CAST(n_hit_terms AS BIGINT) AS n_hit_terms
+FROM rk WHERE rank <= {SEARCH_TOP_K}
+"""
+
+registry.register("text_keyword_search_topk", keyword_search_topk, KEYWORD_SEARCH_SQL)

@@ -100,3 +100,34 @@ def test_ntile_properties_random():
         assert len(sizes) == min(n, k)
 
     check()
+
+
+def test_scalable_topk_per_group_matches_window(spark):
+    """The salted two-phase top-k must equal the naive
+    partitionBy(group) window for any group-size mix, including groups
+    smaller than k and a group far larger than the salt fanout."""
+    from pyspark.sql import Window
+
+    from near_real_time_data_warehouse_spark.operators.ranking import (
+        scalable_topk_per_group,
+    )
+
+    rows = []
+    for g, n in [(0, 3), (1, 500), (2, 1), (3, 64)]:
+        rows += [(g, i, (i * 48271 + g) % 101) for i in range(n)]
+    df = spark.createDataFrame(rows, "g int, id int, v int").repartition(7)
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        (r.g, r.rank, r.id)
+        for r in scalable_topk_per_group(
+            df, ["g"], order, 10, salt_on="id"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r.g, r.rank, r.id)
+        for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .collect()
+    }
+    assert got == want
