@@ -1941,3 +1941,185 @@ FROM rk WHERE rank <= {SEARCH_TOP_K}
 """
 
 registry.register("text_keyword_search_topk", keyword_search_topk, KEYWORD_SEARCH_SQL)
+
+
+# --- DSIR importance resampling --------------------------------------------
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) in the
+    exact-integer discipline: score raw documents by how much they look
+    like a TARGET distribution in a hashed n-gram feature space, then
+    keep the top quartile — the pretraining-data selection pass that
+    upweights target-domain-like text without a trained model.
+
+    Target here is the corpus's most frequent language (deterministic:
+    count DESC, lang ASC); features are unigrams + adjacent bigrams
+    hashed into DSIR_BUCKETS md5 buckets (the text_hash_classifier
+    mechanism). Per bucket, the importance weight is the floor-log2
+    likelihood ratio — bits(tgt_c+1) − bits(raw_c+1) + bits(T_raw) −
+    bits(T_tgt) (add-one smoothing; the total-count terms normalize the
+    distributions) — and a document's score is the sum of its feature
+    instances' bucket weights: pure BIGINT, hash-portable. The resample
+    is the top ntile quartile by (score DESC, doc_id).
+
+    Scale shape: one explode pass; bucket stats are a 1024-row aggregate
+    (map-side-combinable, broadcast back); the scoring join shuffles
+    ∝ feature instances (the LM-scoring join, as unigram_surprisal);
+    quartiles via scalable_ntile's range-partitioned global rank — no
+    single-partition window anywhere."""
+    from .ranking import scalable_ntile
+
+    d = _docs(spark, sf_dir)
+    tgt = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("tgt_lang"))
+    )
+    toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
+    bis = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = d.select("doc_id", "lang", toks.alias("toks")).select(
+        "doc_id", "lang", F.concat(F.col("toks"), bis).alias("feats")
+    )
+    fx = feats.select(
+        "doc_id",
+        "lang",
+        F.explode("feats").alias("ft"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("ft"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    ).crossJoin(F.broadcast(tgt))
+    is_tgt = F.when(F.col("lang") == F.col("tgt_lang"), 1).otherwise(0)
+    bs = fx.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_c"), F.sum(is_tgt).alias("tgt_c")
+    )
+    tot = fx.agg(
+        F.count(F.lit(1)).alias("t_raw"), F.sum(is_tgt).alias("t_tgt")
+    )
+    w = bs.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            _bits(F.col("tgt_c") + 1)
+            - _bits(F.col("raw_c") + 1)
+            + _bits(F.col("t_raw"))
+            - _bits(F.col("t_tgt"))
+        ).alias("w_bits"),
+    )
+    ds = (
+        fx.join(w, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_bits").alias("score_bits"),
+            F.count(F.lit(1)).alias("n_features"),
+        )
+    )
+    alls = (
+        d.select("doc_id", "lang")
+        .join(ds, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
+            F.coalesce("score_bits", F.lit(0)).cast("long").alias("score_bits"),
+        )
+    )
+    q = scalable_ntile(
+        alls, [F.desc("score_bits"), F.asc("doc_id")], 4, bucket_col="quartile"
+    )
+    return q.select(
+        "doc_id",
+        "lang",
+        "n_features",
+        "score_bits",
+        "quartile",
+        (F.col("quartile") == 1).alias("selected"),
+    )
+
+
+DSIR_SQL = f"""
+WITH dd AS (
+  SELECT doc_id, lang,
+         list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, lang,
+         list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END) AS feats
+  FROM dd
+),
+tl AS (
+  SELECT lang AS tgt_lang
+  FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ORDER BY n DESC, lang LIMIT 1)
+),
+fx AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('dsir:' || unnest(feats)), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket
+  FROM f
+),
+bs AS (
+  SELECT bucket, COUNT(*) AS raw_c,
+         SUM(CASE WHEN lang = (SELECT tgt_lang FROM tl) THEN 1 ELSE 0 END) AS tgt_c
+  FROM fx GROUP BY bucket
+),
+tot AS (
+  SELECT COUNT(*) AS t_raw,
+         SUM(CASE WHEN lang = (SELECT tgt_lang FROM tl) THEN 1 ELSE 0 END) AS t_tgt
+  FROM fx
+),
+w AS (
+  SELECT bucket,
+         len(printf('%b', CAST(tgt_c + 1 AS BIGINT)))
+           - len(printf('%b', CAST(raw_c + 1 AS BIGINT)))
+           + len(printf('%b', CAST(t_raw AS BIGINT)))
+           - len(printf('%b', CAST(t_tgt AS BIGINT))) AS w_bits
+  FROM bs CROSS JOIN tot
+),
+ds AS (
+  SELECT fx.doc_id, SUM(w.w_bits) AS score_bits, COUNT(*) AS n_features
+  FROM fx JOIN w USING (bucket) GROUP BY fx.doc_id
+),
+alls AS (
+  SELECT d0.doc_id, d0.lang,
+         COALESCE(ds.n_features, 0) AS n_features,
+         COALESCE(ds.score_bits, 0) AS score_bits
+  FROM documents d0 LEFT JOIN ds USING (doc_id)
+),
+q AS (
+  SELECT *, ntile(4) OVER (ORDER BY score_bits DESC, doc_id) AS quartile
+  FROM alls
+)
+SELECT doc_id, lang,
+       CAST(n_features AS BIGINT) AS n_features,
+       CAST(score_bits AS BIGINT) AS score_bits,
+       CAST(quartile AS BIGINT) AS quartile,
+       quartile = 1 AS selected
+FROM q
+"""
+
+registry.register("docs_dsir_importance", dsir_importance, DSIR_SQL)
