@@ -832,6 +832,137 @@ def synthesize_bmp(
     return bytes(hdr) + pal + bytes(body)
 
 
+def parse_qoi(payload: bytes) -> dict:
+    """Dependency-free QOI decoder (the qoiformat.org spec, public
+    domain): 14-byte header (magic ``qoif``, big-endian width/height,
+    channels 3/4, colorspace 0/1), then the six chunk ops — RGB, RGBA,
+    INDEX into the 64-slot hash array at (3r+5g+7b+11a) mod 64, DIFF
+    (2-bit channel deltas, bias 2), LUMA (6-bit green delta bias 32 +
+    4-bit dr−dg / db−dg bias 8), RUN (bias −1, lengths 1–62) — closed by
+    the 8-byte end marker. Alpha participates in the index hash and is
+    dropped at the RGB output (the shared pixel contract). Wraparound
+    arithmetic is mod 256 as specified. Raises MalformedMedia on
+    violations (QOI has no optional features, so there is no
+    DecodeNotAvailable route)."""
+    import numpy as np
+
+    if payload is None or payload[:4] != b"qoif" or len(payload) < 22:
+        raise MalformedMedia("not a QOI payload")
+    w = int.from_bytes(payload[4:8], "big")
+    h = int.from_bytes(payload[8:12], "big")
+    channels, colorspace = payload[12], payload[13]
+    if channels not in (3, 4) or colorspace not in (0, 1):
+        raise MalformedMedia("bad QOI channels/colorspace")
+    if w < 1 or h < 1 or w * h > GIF_MAX_PIXELS:
+        raise MalformedMedia("nonsensical QOI dimensions")
+    if payload[-8:] != b"\x00" * 7 + b"\x01":
+        raise MalformedMedia("bad QOI end marker")
+    n = w * h
+    out = bytearray(n * 3)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    p, end = 14, len(payload) - 8
+    i = 0
+    while i < n:
+        if p >= end:
+            raise MalformedMedia("QOI stream exhausted")
+        byte = payload[p]
+        p += 1
+        if byte == 0xFE:  # QOI_OP_RGB
+            if p + 3 > end:
+                raise MalformedMedia("QOI RGB chunk truncated")
+            r, g, b = payload[p], payload[p + 1], payload[p + 2]
+            p += 3
+        elif byte == 0xFF:  # QOI_OP_RGBA
+            if p + 4 > end:
+                raise MalformedMedia("QOI RGBA chunk truncated")
+            r, g, b, a = (
+                payload[p], payload[p + 1], payload[p + 2], payload[p + 3]
+            )
+            p += 4
+        else:
+            op = byte >> 6
+            if op == 0:  # QOI_OP_INDEX
+                r, g, b, a = index[byte & 0x3F]
+            elif op == 1:  # QOI_OP_DIFF
+                r = (r + ((byte >> 4) & 3) - 2) & 0xFF
+                g = (g + ((byte >> 2) & 3) - 2) & 0xFF
+                b = (b + (byte & 3) - 2) & 0xFF
+            elif op == 2:  # QOI_OP_LUMA
+                if p >= end:
+                    raise MalformedMedia("QOI LUMA chunk truncated")
+                dg = (byte & 0x3F) - 32
+                b2 = payload[p]
+                p += 1
+                r = (r + dg + ((b2 >> 4) & 0x0F) - 8) & 0xFF
+                g = (g + dg) & 0xFF
+                b = (b + dg + (b2 & 0x0F) - 8) & 0xFF
+            else:  # QOI_OP_RUN (0xFE/0xFF handled above, so 1..62)
+                run = (byte & 0x3F) + 1
+                if i + run > n:
+                    raise MalformedMedia("QOI run overruns the image")
+                index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+                for _ in range(run):
+                    o = i * 3
+                    out[o], out[o + 1], out[o + 2] = r, g, b
+                    i += 1
+                continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        o = i * 3
+        out[o], out[o + 1], out[o + 2] = r, g, b
+        i += 1
+    return {"width": w, "height": h, "pixels": bytes(out), "format": "qoi"}
+
+
+def encode_qoi(px: "np.ndarray") -> bytes:
+    """QOI encoder (reference algorithm from the spec): run detection →
+    index hit → DIFF → LUMA → literal RGB, greedy in that order, same
+    64-slot hash-array evolution as the decoder. Input (h, w, 3) uint8;
+    emits channels=3, colorspace=0 (sRGB). The tests' conformance
+    counterpart to ``parse_qoi`` — every image must roundtrip
+    byte-exactly."""
+    import struct
+
+    h, w, _ = px.shape
+    out = bytearray(b"qoif" + struct.pack(">II", w, h) + bytes([3, 0]))
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    flat = px.reshape(-1, 3)
+    for rr, gg, bb in flat.tolist():
+        cur = (rr, gg, bb, 255)
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        slot = (rr * 3 + gg * 5 + bb * 7 + 255 * 11) % 64
+        if index[slot] == cur:
+            out.append(slot)
+        else:
+            index[slot] = cur
+            dr = ((rr - prev[0] + 128) & 0xFF) - 128
+            dg = ((gg - prev[1] + 128) & 0xFF) - 128
+            db = ((bb - prev[2] + 128) & 0xFF) - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, rr, gg, bb))
+        prev = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    return bytes(out) + b"\x00" * 7 + b"\x01"
+
+
 def _wav_features(parsed: dict, dim: int = 8) -> list[float]:
     """Mean |amplitude| over ``dim`` equal time segments, [0, 1]."""
     import numpy as np
@@ -885,8 +1016,10 @@ def _decode_real(payload: bytes, kind: str) -> list[float]:
         return _ppm_features(parse_jpeg(payload))
     if kind == "image" and payload is not None and payload[:2] == b"BM":
         return _ppm_features(parse_bmp(payload))
+    if kind == "image" and payload is not None and payload[:4] == b"qoif":
+        return _ppm_features(parse_qoi(payload))
     raise DecodeNotAvailable(
-        f"no codec for kind={kind!r} beyond WAV/PPM/GIF/PNG/JPEG/BMP in "
+        f"no codec for kind={kind!r} beyond WAV/PPM/GIF/PNG/JPEG/BMP/QOI in "
         "this environment; install pillow/torchaudio/pyav and extend _decode_real"
     )
 
@@ -1001,6 +1134,8 @@ def decode_with_quarantine(media: DataFrame) -> DataFrame:
                             parsed = parse_jpeg(payload)
                         elif payload is not None and payload[:2] == b"BM":
                             parsed = parse_bmp(payload)
+                        elif payload is not None and payload[:4] == b"qoif":
+                            parsed = parse_qoi(payload)
                         else:
                             parsed = parse_ppm(payload)
                         row.update(
@@ -1700,6 +1835,99 @@ def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_qoi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the QOI codec path: per document, synthesize a
+    deterministic image from doc_id, ENCODE it with the real
+    ``encode_qoi``, decode the bytes back with the real ``parse_qoi``,
+    and emit integer channel sums with closed-form oracles — so the
+    driver hash certifies the full encode→decode loop. Even doc_ids
+    build a gradient (pixel (x,y) = (base+x, 7y, cb): DIFF ops inside
+    rows, literal RGB at row breaks); odd doc_ids build row stripes
+    alternating two colors (RUN ops inside rows, an INDEX op at every
+    return to the first color). ``compressed`` pins that the encoding
+    is actually smaller than raw+framing — a run/index regression that
+    falls back to literal RGB flips it and the hash goes red."""
+    from ..sources.testdata import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                w, h = 4 + doc_id % 9, 3 + doc_id % 7
+                base, cb = doc_id % 200, doc_id % 251
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                if doc_id % 2 == 0:
+                    for y in range(h):
+                        for x in range(w):
+                            img[y, x] = (base + x, (7 * y) & 0xFF, cb)
+                    mode = "gradient"
+                else:
+                    a = (base, 50, cb)
+                    b = ((base + 97) % 251, 180, cb)
+                    for y in range(h):
+                        img[y, :] = a if y % 2 == 0 else b
+                    mode = "stripes"
+                enc = encode_qoi(img)
+                parsed = parse_qoi(enc)
+                px = np.frombuffer(parsed["pixels"], dtype=np.uint8).reshape(
+                    parsed["height"], parsed["width"], 3
+                )
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "width": parsed["width"],
+                        "height": parsed["height"],
+                        "mode": mode,
+                        "sum_r": int(sums[0]),
+                        "sum_g": int(sums[1]),
+                        "sum_b": int(sums[2]),
+                        "compressed": len(enc) < 22 + 3 * w * h,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        batches,
+        "media_id long, width int, height int, mode string, "
+        "sum_r long, sum_g long, sum_b long, compressed boolean",
+    )
+
+
+QOI_STATS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 9 AS w,
+         3 + doc_id % 7 AS h,
+         doc_id % 200 AS b,
+         doc_id % 251 AS cb
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 'gradient' ELSE 'stripes' END AS mode,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN h * (w * b + w * (w - 1) // 2)
+                 ELSE w * ((h - h // 2) * b + (h // 2) * ((b + 97) % 251))
+            END AS BIGINT) AS sum_r,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN 7 * w * (h * (h - 1) // 2)
+                 ELSE w * ((h - h // 2) * 50 + (h // 2) * 180)
+            END AS BIGINT) AS sum_g,
+       CAST(w * h * cb AS BIGINT) AS sum_b,
+       true AS compressed
+FROM p
+"""
+
+
 BMP_STATS_SQL = """
 WITH p AS (
   SELECT doc_id,
@@ -1855,6 +2083,7 @@ registry.register("multimodal_features", multimodal_features, MULTIMODAL_SQL)
 registry.register("multimodal_jpeg_stats", multimodal_jpeg_stats, JPEG_STATS_SQL)
 registry.register("multimodal_png_stats", multimodal_png_stats, PNG_STATS_SQL)
 registry.register("multimodal_bmp_stats", multimodal_bmp_stats, BMP_STATS_SQL)
+registry.register("multimodal_qoi_stats", multimodal_qoi_stats, QOI_STATS_SQL)
 registry.register("multimodal_audio_quality", multimodal_audio_quality, AUDIO_QUALITY_SQL)
 registry.register("multimodal_gif_motion", multimodal_gif_motion, GIF_MOTION_SQL)
 registry.register("multimodal_frame_index", multimodal_frame_index, FRAME_INDEX_SQL)

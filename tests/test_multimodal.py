@@ -1139,3 +1139,141 @@ def test_bmp_routes_through_quarantine(spark):
     assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"]) == (6, 3)
     assert rows[1]["format"] == "bmp"
     assert not rows[2]["ok"] and "MalformedMedia" in rows[2]["error"]
+
+
+def _qoi_test_image(h, w, seed=5):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # low-entropy blocks + smooth ramps + flat runs: hits every QOI op
+    img = rng.integers(0, 8, (h, w, 3), dtype=np.uint8) * 16
+    img[: h // 2, : w // 2] = (10, 20, 30)  # runs + index revisits
+    x = np.arange(w, dtype=np.int64)
+    ramp = np.stack([x & 0xFF, (x // 2) & 0xFF, (x // 3) & 0xFF], axis=1)
+    img[h // 2 :, :] = ramp.astype(np.uint8)  # unit steps -> DIFF ops
+    return img
+
+
+def test_qoi_roundtrip_exact():
+    """QOI is lossless: encode -> parse must reproduce the pixels
+    byte-for-byte, across shapes that exercise every chunk op."""
+    for h, w, seed in [(1, 1, 0), (3, 17, 1), (16, 16, 2), (9, 130, 3)]:
+        img = _qoi_test_image(h, w, seed)
+        parsed = mm.parse_qoi(mm.encode_qoi(img))
+        assert (parsed["width"], parsed["height"]) == (w, h)
+        assert parsed["pixels"] == img.tobytes(), (h, w, seed)
+        assert parsed["format"] == "qoi"
+
+
+def test_qoi_encoder_emits_every_op():
+    """The conformance image must actually exercise RUN, INDEX, DIFF,
+    LUMA and literal RGB — otherwise the roundtrip proves less than it
+    claims. Ops are counted by re-walking the encoded stream."""
+    import numpy as np
+
+    img = _qoi_test_image(16, 16, seed=2)
+    enc = mm.encode_qoi(img)
+    ops = {"run": 0, "index": 0, "diff": 0, "luma": 0, "rgb": 0}
+    p, end = 14, len(enc) - 8
+    while p < end:
+        b = enc[p]
+        p += 1
+        if b == 0xFE:
+            ops["rgb"] += 1
+            p += 3
+        elif b == 0xFF:
+            p += 4
+        else:
+            kind = ("index", "diff", "luma", "run")[b >> 6]
+            ops[kind] += 1
+            if kind == "luma":
+                p += 1
+    assert all(v > 0 for v in ops.values()), ops
+    # a >62-pixel run must split per spec (run lengths cap at 62)
+    flat = np.full((1, 200, 3), 99, dtype=np.uint8)
+    enc2 = mm.encode_qoi(flat)
+    runs, p = [], 14
+    while p < len(enc2) - 8:
+        b = enc2[p]
+        p += 1
+        if b == 0xFE:
+            p += 3
+        elif b == 0xFF:
+            p += 4
+        elif b >> 6 == 3:
+            runs.append(b & 0x3F)
+        elif b >> 6 == 2:
+            p += 1
+    assert runs and max(runs) == 61  # bias -1: stored 61 = length 62
+
+
+def test_qoi_rgba_alpha_feeds_index_hash():
+    """An RGBA chunk's alpha participates in the 64-slot hash (spec):
+    craft a stream where the INDEX op can only resolve correctly if
+    alpha was hashed. Pixel A=(10,0,0,a1), B=(differs), INDEX(hash(A))."""
+    import struct
+
+    import numpy as np
+
+    w, h = 3, 1
+    a1 = 7  # hash slot of (10,0,0,7) = (30 + 77) % 64 = 43
+    slot = (10 * 3 + 0 + 0 + a1 * 11) % 64
+    body = bytes([0xFF, 10, 0, 0, a1])          # px0: RGBA
+    body += bytes([0xFE, 200, 200, 200])        # px1: RGB (slot differs)
+    body += bytes([slot])                       # px2: INDEX -> back to px0
+    enc = (
+        b"qoif" + struct.pack(">II", w, h) + bytes([4, 0]) + body
+        + b"\x00" * 7 + b"\x01"
+    )
+    parsed = mm.parse_qoi(enc)
+    px = np.frombuffer(parsed["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    assert tuple(px[0, 0]) == (10, 0, 0)
+    assert tuple(px[0, 2]) == (10, 0, 0)  # resolved through the hash slot
+
+
+def test_qoi_malformed_rejections():
+    import pytest
+
+    valid = mm.encode_qoi(_qoi_test_image(4, 5))
+    for mutate, why in [
+        (lambda b: b"XXXX" + b[4:], "magic"),
+        (lambda b: b[:12] + bytes([5]) + b[13:], "channels"),
+        (lambda b: b[:13] + bytes([2]) + b[14:], "colorspace"),
+        (lambda b: b[:4] + (0).to_bytes(4, "big") + b[8:], "width 0"),
+        (lambda b: b[:-1] + b"\x02", "end marker"),
+        (lambda b: b[:4] + (1 << 13).to_bytes(4, "big")
+                   + (1 << 13).to_bytes(4, "big") + b[12:], "pixel cap"),
+        (lambda b: b[:14] + b"\x00" * 7 + b"\x01", "stream exhausted"),
+    ]:
+        with pytest.raises(mm.MalformedMedia, match=""):
+            mm.parse_qoi(mutate(valid))
+
+
+def test_qoi_never_crashes_on_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = mm.encode_qoi(_qoi_test_image(6, 7, seed=11))
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(0, len(valid) - 1), st.integers(0, 255))
+    def run(mi, mb):
+        try:
+            mm.parse_qoi(valid[:mi] + bytes([mb]) + valid[mi + 1:])
+        except mm.MalformedMedia:
+            pass
+
+    run()
+
+
+def test_qoi_routes_through_quarantine(spark):
+    good = mm.encode_qoi(_qoi_test_image(6, 3, seed=4))
+    bad = good[:-1] + b"\x07"  # broken end marker
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(good), None), (2, "image", bytearray(bad), None)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in mm.decode_with_quarantine(df).collect()}
+    assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"]) == (3, 6)
+    assert rows[1]["format"] == "qoi"
+    assert not rows[2]["ok"] and "MalformedMedia" in rows[2]["error"]
