@@ -2123,3 +2123,229 @@ FROM q
 """
 
 registry.register("docs_dsir_importance", dsir_importance, DSIR_SQL)
+
+
+def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — the tokenizer-budget metric
+    multilingual pretraining planning runs first (how many subword-ish
+    tokens a language costs per whitespace word / per character decides
+    its effective context length and compute share). Per lang:
+    documents, whitespace words, BPE-style pre-tokens (the _BPE_RE
+    letter-run/digit/punct splitter text_bpe_* tokenizes with), chars;
+    fertility = pre-tokens per word and chars per pre-token, each ONE
+    IEEE division over exact integer sums (hash-portable).
+
+    Scale shape: pure scan + one lang-keyed aggregate; counts come from
+    array sizes (regexp_extract_all / split inside the row — whole-stage
+    codegen, zero joins), partials merge map-side. Grouping key
+    cardinality = languages, a data constant."""
+    d = _docs(spark, sf_dir)
+    norm = _norm_col()
+    words = F.size(F.filter(F.split(norm, " "), lambda t: t != ""))
+    pretoks = F.size(F.expr(f"regexp_extract_all({_NORM_SQL_SPARK}, '{_BPE_RE}', 0)"))
+    chars = F.length(norm)
+    per_doc = d.select(
+        "lang",
+        words.alias("w"),
+        pretoks.alias("p"),
+        chars.alias("c"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("total_words"),
+        F.sum("p").alias("total_pretokens"),
+        F.sum("c").alias("total_chars"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_words").cast("long").alias("total_words"),
+        F.col("total_pretokens").cast("long").alias("total_pretokens"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.when(
+            F.col("total_words") > 0,
+            F.col("total_pretokens").cast("double") / F.col("total_words"),
+        ).otherwise(F.lit(0.0)).alias("tokens_per_word"),
+        F.when(
+            F.col("total_pretokens") > 0,
+            F.col("total_chars").cast("double") / F.col("total_pretokens"),
+        ).otherwise(F.lit(0.0)).alias("chars_per_token"),
+    )
+
+
+# Spark-side twin of _NORM_SQL for use inside F.expr strings.
+_NORM_SQL_SPARK = r"trim(regexp_replace(lower(text), '\\s+', ' '))"
+
+
+LANG_FERTILITY_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '')) AS w,
+         len(regexp_extract_all({_NORM_SQL}, '{_BPE_RE}')) AS p,
+         len({_NORM_SQL}) AS c
+  FROM documents
+),
+agg AS (
+  SELECT lang, COUNT(*) AS n_docs, SUM(w) AS total_words,
+         SUM(p) AS total_pretokens, SUM(c) AS total_chars
+  FROM per_doc GROUP BY lang
+)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_words AS BIGINT) AS total_words,
+       CAST(total_pretokens AS BIGINT) AS total_pretokens,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CASE WHEN total_words > 0
+            THEN CAST(total_pretokens AS DOUBLE) / total_words
+            ELSE 0.0 END AS tokens_per_word,
+       CASE WHEN total_pretokens > 0
+            THEN CAST(total_chars AS DOUBLE) / total_pretokens
+            ELSE 0.0 END AS chars_per_token
+FROM agg
+"""
+
+registry.register("docs_lang_token_fertility", lang_token_fertility, LANG_FERTILITY_SQL)
+
+
+DSIR_BATCH_MOD = 5  # doc_id % 5 == 0 plays the incoming crawl batch
+
+
+def dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR as an INGESTION-TIME screen — the production mode: incoming
+    batch documents (doc_id % DSIR_BATCH_MOD == 0) score against the
+    STANDING corpus's persisted bucket statistics, never re-touching
+    standing text. Target = the standing corpus's most frequent
+    language; weights are the same floor-log2 likelihood ratios as
+    docs_dsir_importance but computed from standing counts only, and a
+    bucket the standing corpus never saw falls back to the pure
+    smoothing weight (tgt_c = raw_c = 0 → bits(1) − bits(1) + the total
+    normalizer). Scoring cost is ∝ batch; at 100 TB the 1024-row bucket
+    table is persisted state merged per batch (the dedup_graph_
+    incremental discipline), so the whole screen never rescans history.
+
+    The oracle replays standing-stats derivation + batch scoring in SQL
+    over the same partition, so the hash certifies both the screen and
+    the statistics it consumes."""
+    d = _docs(spark, sf_dir)
+    in_batch = F.col("doc_id") % DSIR_BATCH_MOD == 0
+    toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
+    bis = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fx = (
+        d.select("doc_id", "lang", in_batch.alias("in_batch"), toks.alias("toks"))
+        .select("doc_id", "lang", "in_batch", F.concat(F.col("toks"), bis).alias("feats"))
+        .select("doc_id", "lang", "in_batch", F.explode("feats").alias("ft"))
+        .select(
+            "doc_id",
+            "lang",
+            "in_batch",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("ft"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    standing = fx.filter(~F.col("in_batch"))
+    tgt = (
+        d.filter(~in_batch)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("tgt_lang"))
+    )
+    st = standing.crossJoin(F.broadcast(tgt))
+    is_tgt = F.when(F.col("lang") == F.col("tgt_lang"), 1).otherwise(0)
+    bs = st.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_c"), F.sum(is_tgt).alias("tgt_c")
+    )
+    tot = st.agg(
+        F.count(F.lit(1)).alias("t_raw"), F.sum(is_tgt).alias("t_tgt")
+    )
+    batch = fx.filter("in_batch").join(bs, "bucket", "left").crossJoin(
+        F.broadcast(tot)
+    )
+    w_bits = (
+        _bits(F.coalesce(F.col("tgt_c"), F.lit(0)) + 1)
+        - _bits(F.coalesce(F.col("raw_c"), F.lit(0)) + 1)
+        + _bits(F.col("t_raw"))
+        - _bits(F.col("t_tgt"))
+    )
+    return (
+        batch.groupBy("doc_id")
+        .agg(
+            F.sum(w_bits).alias("score_bits"),
+            F.count(F.lit(1)).alias("n_features"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_features").cast("long").alias("n_features"),
+            F.col("score_bits").cast("long").alias("score_bits"),
+        )
+    )
+
+
+DSIR_INCR_SQL = f"""
+WITH dd AS (
+  SELECT doc_id, lang, doc_id % {DSIR_BATCH_MOD} = 0 AS in_batch,
+         list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id, lang, in_batch,
+         list_concat(
+           toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END) AS feats
+  FROM dd
+),
+fx AS (
+  SELECT doc_id, lang, in_batch,
+         CAST(('0x' || substr(md5('dsir:' || unnest(feats)), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket
+  FROM f
+),
+tl AS (
+  SELECT lang AS tgt_lang
+  FROM (SELECT lang, COUNT(*) AS n FROM documents
+        WHERE doc_id % {DSIR_BATCH_MOD} <> 0 GROUP BY lang
+        ORDER BY n DESC, lang LIMIT 1)
+),
+bs AS (
+  SELECT bucket, COUNT(*) AS raw_c,
+         SUM(CASE WHEN lang = (SELECT tgt_lang FROM tl) THEN 1 ELSE 0 END) AS tgt_c
+  FROM fx WHERE NOT in_batch GROUP BY bucket
+),
+tot AS (
+  SELECT COUNT(*) AS t_raw,
+         SUM(CASE WHEN lang = (SELECT tgt_lang FROM tl) THEN 1 ELSE 0 END) AS t_tgt
+  FROM fx WHERE NOT in_batch
+),
+sc AS (
+  SELECT fx.doc_id,
+         len(printf('%b', CAST(COALESCE(bs.tgt_c, 0) + 1 AS BIGINT)))
+           - len(printf('%b', CAST(COALESCE(bs.raw_c, 0) + 1 AS BIGINT)))
+           + len(printf('%b', CAST(tot.t_raw AS BIGINT)))
+           - len(printf('%b', CAST(tot.t_tgt AS BIGINT))) AS w_bits
+  FROM fx LEFT JOIN bs USING (bucket) CROSS JOIN tot
+  WHERE fx.in_batch
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_features,
+       CAST(SUM(w_bits) AS BIGINT) AS score_bits
+FROM sc GROUP BY doc_id
+"""
+
+registry.register("docs_dsir_incremental", dsir_incremental, DSIR_INCR_SQL)
