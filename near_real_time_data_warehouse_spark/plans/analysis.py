@@ -484,9 +484,14 @@ def _local_scan_bytes(df: DataFrame) -> int:
     a zero-job SF proxy for plan delegation. Non-file sources (JDBC,
     views over streams) report 0: delegation then stays off and the
     faithful plan runs, which is the conservative default; a cluster
-    deployment overrides via Q16_ONEPASS_BYTES-style env configuration."""
+    deployment overrides via Q16_ONEPASS_BYTES-style env configuration.
+    Persisted DataFrames hide their scans behind InMemoryRelation, so
+    star_tables stamps ``_graft_scan_bytes`` pre-persist and it wins."""
     import os
 
+    stamped = getattr(df, "_graft_scan_bytes", None)
+    if stamped is not None:
+        return stamped
     total = 0
     for uri in df.inputFiles():
         path = uri[5:] if uri.startswith("file:") else uri

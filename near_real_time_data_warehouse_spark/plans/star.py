@@ -175,11 +175,24 @@ _STAR_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def star_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Cached, persisted star tables for query serving."""
+    """Cached, persisted star tables for query serving.
+
+    Each persisted DataFrame carries ``_graft_scan_bytes`` — the on-disk
+    size of the files its UNPERSISTED plan scans — because persist()
+    swaps InMemoryRelation into the analyzed plan and ``inputFiles()``
+    then reports nothing, which would silently disable size-based plan
+    delegation (analysis._local_scan_bytes / q16's onepass routing)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     star = _STAR_CACHE.get(key)
     if star is None:
-        star = {name: df.persist() for name, df in build_star(spark, sf_dir).items()}
+        from .analysis import _local_scan_bytes
+
+        star = {}
+        for name, df in build_star(spark, sf_dir).items():
+            nbytes = _local_scan_bytes(df)
+            p = df.persist()
+            p._graft_scan_bytes = nbytes  # noqa: SLF001
+            star[name] = p
         _STAR_CACHE[key] = star
     return star
 
