@@ -963,6 +963,311 @@ def encode_qoi(px: "np.ndarray") -> bytes:
     return bytes(out) + b"\x00" * 7 + b"\x01"
 
 
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits per the TIFF 6.0 spec: control byte n in 0..127
+    copies n+1 literals; 129..255 repeats the next byte 257−n times;
+    128 is a no-op. Output must be exactly ``expected`` bytes."""
+    out = bytearray()
+    p = 0
+    while len(out) < expected:
+        if p >= len(data):
+            raise MalformedMedia("PackBits stream exhausted")
+        n = data[p]
+        p += 1
+        if n < 128:
+            if p + n + 1 > len(data):
+                raise MalformedMedia("PackBits literal run truncated")
+            out += data[p : p + n + 1]
+            p += n + 1
+        elif n > 128:
+            if p >= len(data):
+                raise MalformedMedia("PackBits repeat run truncated")
+            out += bytes([data[p]]) * (257 - n)
+            p += 1
+        # n == 128: no-op
+    if len(out) != expected:
+        raise MalformedMedia("PackBits run overflows the strip")
+    return bytes(out)
+
+
+def parse_tiff(payload: bytes) -> dict:
+    """Dependency-free baseline TIFF 6.0 decoder: both byte orders
+    (II/MM), the first IFD's 12-byte entries with inline-or-offset
+    values, multi-strip layout (StripOffsets / StripByteCounts /
+    RowsPerStrip), uncompressed and PackBits strips, and the baseline
+    photometric interpretations — 8-bit grayscale (BlackIsZero and
+    WhiteIsZero, which inverts), 8-bit RGB, and 8-bit palette color with
+    the 16-bit ColorMap scaled to 8. Output is the shared
+    {width, height, pixels(RGB)} contract. LZW/CCITT/JPEG/Deflate
+    compression, non-8-bit depths, planar configuration 2, and tiled
+    layout raise DecodeNotAvailable (valid files outside the baseline-8
+    envelope — COVERAGE.md codec-gate table); structural violations
+    raise MalformedMedia."""
+    import numpy as np
+
+    if payload is None or len(payload) < 8:
+        raise MalformedMedia("not a TIFF payload")
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise MalformedMedia("bad TIFF byte-order mark")
+
+    def u16(off):
+        return int.from_bytes(payload[off : off + 2], bo)
+
+    def u32(off):
+        return int.from_bytes(payload[off : off + 4], bo)
+
+    ifd = u32(4)
+    if ifd + 2 > len(payload):
+        raise MalformedMedia("IFD offset out of range")
+    n_entries = u16(ifd)
+    if ifd + 2 + 12 * n_entries + 4 > len(payload):
+        raise MalformedMedia("IFD truncated")
+    _SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd + 2 + 12 * i
+        tag, typ, cnt = u16(e), u16(e + 2), u32(e + 4)
+        if typ not in _SIZES or cnt > (1 << 20):
+            continue  # unknown types are skippable per spec
+        size = _SIZES[typ] * cnt
+        voff = e + 8 if size <= 4 else u32(e + 8)
+        if voff + size > len(payload):
+            raise MalformedMedia(f"tag {tag} value out of range")
+        vals = []
+        for k in range(cnt):
+            if typ == 1:
+                vals.append(payload[voff + k])
+            elif typ == 3:
+                vals.append(u16(voff + 2 * k))
+            elif typ == 4:
+                vals.append(u32(voff + 4 * k))
+            elif typ == 5:
+                vals.append(u32(voff + 8 * k))  # numerator only
+        if typ != 2:
+            tags[tag] = vals
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise MalformedMedia(f"required TIFF tag {tag} missing")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    if w < 1 or h < 1 or w * h > GIF_MAX_PIXELS:
+        raise MalformedMedia("nonsensical TIFF dimensions")
+    comp = one(259, 1)
+    if comp not in (1, 32773):
+        raise DecodeNotAvailable(f"TIFF compression {comp} not supported")
+    if 322 in tags or 323 in tags:
+        raise DecodeNotAvailable("tiled TIFF not supported")
+    if one(284, 1) != 1:
+        raise DecodeNotAvailable("planar TIFF (PlanarConfiguration=2)")
+    phot = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise DecodeNotAvailable(f"non-8-bit TIFF samples {bits}")
+    if phot in (0, 1) and spp != 1:
+        raise MalformedMedia("grayscale TIFF with SamplesPerPixel != 1")
+    if phot == 2 and spp != 3:
+        raise DecodeNotAvailable(f"RGB TIFF with {spp} samples")
+    if phot == 3 and spp != 1:
+        raise MalformedMedia("palette TIFF with SamplesPerPixel != 1")
+    if phot not in (0, 1, 2, 3):
+        raise DecodeNotAvailable(f"TIFF photometric {phot}")
+
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise MalformedMedia("TIFF strip tables missing or mismatched")
+    rps = one(278, h)
+    row_bytes = w * spp
+    raw = bytearray()
+    rows_left = h
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows_here = min(rps, rows_left)
+        if rows_here <= 0:
+            break
+        if off + cnt > len(payload):
+            raise MalformedMedia("TIFF strip out of range")
+        strip = payload[off : off + cnt]
+        want = rows_here * row_bytes
+        if comp == 32773:
+            raw += _packbits_decode(strip, want)
+        else:
+            if len(strip) < want:
+                raise MalformedMedia("uncompressed strip truncated")
+            raw += strip[:want]
+        rows_left -= rows_here
+    if rows_left > 0:
+        raise MalformedMedia("TIFF strips cover fewer rows than ImageLength")
+    px = np.frombuffer(bytes(raw), np.uint8, h * row_bytes).reshape(h, w, spp)
+    if phot == 2:
+        rgb = px
+    elif phot == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise MalformedMedia("palette TIFF without a full ColorMap")
+        lut = (
+            np.array(cmap[: 3 * 256], dtype=np.uint32).reshape(3, 256).T // 257
+        ).astype(np.uint8)
+        rgb = lut[px[:, :, 0]]
+    else:
+        g = 255 - px[:, :, 0] if phot == 0 else px[:, :, 0]
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+    return {
+        "width": w,
+        "height": h,
+        "pixels": np.ascontiguousarray(rgb).tobytes(),
+        "format": "tiff",
+    }
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Per-row PackBits encoder (the spec recommends row-boundary
+    flushes): greedy repeat runs ≥ 3, literal runs otherwise."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 2 < n and row[i] == row[i + 1] == row[i + 2])
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + row[lit:i]
+    return bytes(out)
+
+
+def synthesize_tiff(
+    width: int,
+    height: int,
+    base: int,
+    const_b: int,
+    mode: str = "rgb",
+    packbits: bool = False,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Dependency-free baseline TIFF writer for in-query synthesis and
+    tests: 8-bit RGB (pixel (x,y) = (base+x, 7·y, const_b)), grayscale
+    BlackIsZero/WhiteIsZero (value base+x+y, the WhiteIsZero file
+    storing the INVERTED samples so decoders that skip the inversion
+    fail), or palette mode (index base+x+y against a ColorMap whose
+    entry i is (i, 255−i, i/2) scaled ×257) — multi-strip, optionally
+    PackBits-compressed, either byte order."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+    spp = 3 if mode == "rgb" else 1
+    rps = rows_per_strip or max(1, height // 3)
+    phot = {"rgb": 2, "gray": 1, "gray0": 0, "pal": 3}[mode]
+
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            if mode == "rgb":
+                row += bytes(((base + x) & 0xFF, (7 * y) & 0xFF, const_b))
+            else:
+                v = (base + x + y) & 0xFF
+                row.append((255 - v) if mode == "gray0" else v)
+        rows.append(bytes(row))
+
+    strips = []
+    for s0 in range(0, height, rps):
+        chunk = b"".join(rows[s0 : s0 + rps])
+        if packbits:
+            chunk = b"".join(
+                _packbits_encode(r) for r in rows[s0 : s0 + rps]
+            )
+        strips.append(chunk)
+
+    cmap = (
+        [(i * 257) & 0xFFFF for i in range(256)]
+        + [((255 - i) * 257) & 0xFFFF for i in range(256)]
+        + [((i // 2) * 257) & 0xFFFF for i in range(256)]
+        if mode == "pal"
+        else None
+    )
+
+    entries = []  # (tag, type, count, packed-or-deferred values)
+
+    def ent(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    ent(256, 4, [width])
+    ent(257, 4, [height])
+    ent(258, 3, [8] * spp)
+    ent(259, 3, [32773 if packbits else 1])
+    ent(262, 3, [phot])
+    ent(277, 3, [spp])
+    ent(278, 4, [rps])
+    ent(279, 4, [len(s) for s in strips])
+    ent(273, 4, [0] * len(strips))  # patched below
+    if cmap:
+        ent(320, 3, cmap)
+    entries.sort(key=lambda e: e[0])
+
+    _FMT = {3: "H", 4: "I"}
+    header = struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 8)
+    n = len(entries)
+    ifd_size = 2 + 12 * n + 4
+    heap_off = 8 + ifd_size
+    heap = bytearray()
+    fixed = []
+    for tag, typ, vals in entries:
+        sz = {3: 2, 4: 4}[typ] * len(vals)
+        if sz <= 4:
+            packed = b"".join(struct.pack(bo + _FMT[typ], v) for v in vals)
+            fixed.append((tag, typ, len(vals), packed.ljust(4, b"\x00"), None))
+        else:
+            fixed.append((tag, typ, len(vals), heap_off + len(heap), vals))
+            heap += b"".join(struct.pack(bo + _FMT[typ], v) for v in vals)
+    data_off = heap_off + len(heap)
+    strip_offsets = []
+    p = data_off
+    for s in strips:
+        strip_offsets.append(p)
+        p += len(s)
+    out = bytearray(header)
+    out += struct.pack(bo + "H", n)
+    for tag, typ, cnt, val, deferred in fixed:
+        out += struct.pack(bo + "HHI", tag, typ, cnt)
+        if deferred is None:
+            out += val
+        else:
+            out += struct.pack(bo + "I", val)
+    out += struct.pack(bo + "I", 0)  # next IFD
+    for tag, typ, cnt, val, deferred in fixed:
+        if deferred is not None:
+            vals = strip_offsets if tag == 273 else deferred
+            out += b"".join(struct.pack(bo + _FMT[typ], v) for v in vals)
+    # patch inline StripOffsets (single-strip case keeps it in the entry)
+    if len(strips) == 1:
+        for i, (tag, typ, cnt, val, deferred) in enumerate(fixed):
+            if tag == 273 and deferred is None:
+                at = 8 + 2 + 12 * i + 8
+                out[at : at + 4] = struct.pack(bo + "I", strip_offsets[0])
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def _wav_features(parsed: dict, dim: int = 8) -> list[float]:
     """Mean |amplitude| over ``dim`` equal time segments, [0, 1]."""
     import numpy as np
@@ -1018,9 +1323,14 @@ def _decode_real(payload: bytes, kind: str) -> list[float]:
         return _ppm_features(parse_bmp(payload))
     if kind == "image" and payload is not None and payload[:4] == b"qoif":
         return _ppm_features(parse_qoi(payload))
+    if kind == "image" and payload is not None and payload[:4] in (
+        b"II*\x00",
+        b"MM\x00*",
+    ):
+        return _ppm_features(parse_tiff(payload))
     raise DecodeNotAvailable(
-        f"no codec for kind={kind!r} beyond WAV/PPM/GIF/PNG/JPEG/BMP/QOI in "
-        "this environment; install pillow/torchaudio/pyav and extend _decode_real"
+        f"no codec for kind={kind!r} beyond WAV/PPM/GIF/PNG/JPEG/BMP/QOI/TIFF "
+        "in this environment; install pillow/torchaudio/pyav and extend _decode_real"
     )
 
 
@@ -1136,6 +1446,11 @@ def decode_with_quarantine(media: DataFrame) -> DataFrame:
                             parsed = parse_bmp(payload)
                         elif payload is not None and payload[:4] == b"qoif":
                             parsed = parse_qoi(payload)
+                        elif payload is not None and payload[:4] in (
+                            b"II*\x00",
+                            b"MM\x00*",
+                        ):
+                            parsed = parse_tiff(payload)
                         else:
                             parsed = parse_ppm(payload)
                         row.update(
@@ -1901,6 +2216,101 @@ def multimodal_qoi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the TIFF decode path: per document, synthesize a
+    baseline TIFF whose geometry, photometric mode (rgb / gray /
+    WhiteIsZero gray / palette, rotating by doc_id % 4), compression
+    (PackBits on odd ids), byte order (big-endian on doc_id % 3 == 0)
+    and strip height all derive from doc_id, decode it with the REAL
+    ``parse_tiff``, and emit integer channel sums. The oracle recomputes
+    every pixel arithmetically in SQL, so the hash certifies strips,
+    PackBits, both byte orders, the WhiteIsZero inversion (the file
+    stores inverted samples — skipping the inversion flips the sums) and
+    the ×257 ColorMap scaling."""
+    from ..sources.testdata import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                w, h = 4 + doc_id % 9, 3 + doc_id % 7
+                base, cb = doc_id % 200, doc_id % 251
+                mode = ("rgb", "gray", "gray0", "pal")[doc_id % 4]
+                payload = synthesize_tiff(
+                    w, h, base, cb,
+                    mode=mode,
+                    packbits=doc_id % 2 == 1,
+                    big_endian=doc_id % 3 == 0,
+                    rows_per_strip=1 + doc_id % 4,
+                )
+                parsed = parse_tiff(payload)
+                px = np.frombuffer(parsed["pixels"], dtype=np.uint8).reshape(
+                    parsed["height"], parsed["width"], 3
+                )
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "width": parsed["width"],
+                        "height": parsed["height"],
+                        "mode": mode,
+                        "sum_r": int(sums[0]),
+                        "sum_g": int(sums[1]),
+                        "sum_b": int(sums[2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        batches,
+        "media_id long, width int, height int, mode string, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+
+
+TIFF_STATS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 9 AS w,
+         3 + doc_id % 7 AS h,
+         doc_id % 200 AS b,
+         doc_id % 251 AS cb,
+         CASE doc_id % 4 WHEN 0 THEN 'rgb' WHEN 1 THEN 'gray'
+                         WHEN 2 THEN 'gray0' ELSE 'pal' END AS mode
+  FROM documents
+),
+gx AS (SELECT p.*, unnest(range(0, w)) AS x FROM p),
+xy AS (SELECT gx.*, unnest(range(0, h)) AS y FROM gx),
+px AS (
+  SELECT doc_id, w, h, mode,
+         CASE WHEN mode = 'rgb' THEN b + x ELSE b + x + y END AS r,
+         CASE WHEN mode = 'rgb' THEN 7 * y
+              WHEN mode = 'pal' THEN 255 - (b + x + y)
+              ELSE b + x + y END AS g,
+         CASE WHEN mode = 'rgb' THEN cb
+              WHEN mode = 'pal' THEN (b + x + y) // 2
+              ELSE b + x + y END AS bl
+  FROM xy
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       mode,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(bl) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, w, h, mode
+"""
+
+
 QOI_STATS_SQL = """
 WITH p AS (
   SELECT doc_id,
@@ -2084,6 +2494,7 @@ registry.register("multimodal_jpeg_stats", multimodal_jpeg_stats, JPEG_STATS_SQL
 registry.register("multimodal_png_stats", multimodal_png_stats, PNG_STATS_SQL)
 registry.register("multimodal_bmp_stats", multimodal_bmp_stats, BMP_STATS_SQL)
 registry.register("multimodal_qoi_stats", multimodal_qoi_stats, QOI_STATS_SQL)
+registry.register("multimodal_tiff_stats", multimodal_tiff_stats, TIFF_STATS_SQL)
 registry.register("multimodal_audio_quality", multimodal_audio_quality, AUDIO_QUALITY_SQL)
 registry.register("multimodal_gif_motion", multimodal_gif_motion, GIF_MOTION_SQL)
 registry.register("multimodal_frame_index", multimodal_frame_index, FRAME_INDEX_SQL)

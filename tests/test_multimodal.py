@@ -1277,3 +1277,135 @@ def test_qoi_routes_through_quarantine(spark):
     assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"]) == (3, 6)
     assert rows[1]["format"] == "qoi"
     assert not rows[2]["ok"] and "MalformedMedia" in rows[2]["error"]
+
+
+def test_tiff_roundtrip_all_modes_strips_endianness():
+    """Every baseline mode x PackBits x byte order decodes to the exact
+    synthetic pixel pattern, across strip heights including mid-image
+    strip boundaries. WhiteIsZero stores INVERTED samples, so a decoder
+    that skips the inversion fails here."""
+    import numpy as np
+
+    w, h, base, cb = 7, 5, 20, 99
+    for mode in ("rgb", "gray", "gray0", "pal"):
+        for pb in (False, True):
+            for be in (False, True):
+                t = mm.synthesize_tiff(
+                    w, h, base, cb, mode=mode, packbits=pb,
+                    big_endian=be, rows_per_strip=2,
+                )
+                p = mm.parse_tiff(t)
+                assert (p["width"], p["height"], p["format"]) == (w, h, "tiff")
+                px = np.frombuffer(p["pixels"], np.uint8).reshape(h, w, 3)
+                for y in range(h):
+                    for x in range(w):
+                        if mode == "rgb":
+                            want = (base + x, 7 * y, cb)
+                        elif mode == "pal":
+                            i = base + x + y
+                            want = (i, 255 - i, i // 2)
+                        else:
+                            v = base + x + y
+                            want = (v, v, v)
+                        assert tuple(px[y, x]) == want, (mode, pb, be, x, y)
+    # single-strip files keep StripOffsets inline in the IFD entry
+    one = mm.parse_tiff(mm.synthesize_tiff(4, 3, 5, 9, rows_per_strip=10))
+    assert (one["width"], one["height"]) == (4, 3)
+
+
+def test_tiff_gates_and_malformed():
+    """Valid-but-unsupported TIFF shapes quarantine as DecodeNotAvailable
+    (LZW compression, 16-bit samples, planar, tiles); structural damage
+    is MalformedMedia."""
+    import struct
+
+    import pytest
+
+    valid = bytearray(mm.synthesize_tiff(5, 4, 10, 20, mode="rgb"))
+
+    def with_tag_value(buf, tag, value):
+        # walk the IFD and overwrite the tag's inline value
+        out = bytearray(buf)
+        n = struct.unpack("<H", out[8:10])[0]
+        for i in range(n):
+            e = 10 + 12 * i
+            if struct.unpack("<H", out[e : e + 2])[0] == tag:
+                out[e + 8 : e + 12] = struct.pack("<I", value)
+                return bytes(out)
+        raise AssertionError(f"tag {tag} not found")
+
+    for tag, value in [(259, 5), (262, 6)]:  # LZW, YCbCr
+        with pytest.raises(mm.DecodeNotAvailable):
+            mm.parse_tiff(with_tag_value(valid, tag, value))
+    # planar configuration 2: rename RowsPerStrip (278) to tag 284 with
+    # value 2 (RowsPerStrip then defaults to the full image height)
+    planar = bytearray(with_tag_value(valid, 278, 2))
+    n = struct.unpack("<H", planar[8:10])[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack("<H", planar[e : e + 2])[0] == 278:
+            planar[e : e + 2] = struct.pack("<H", 284)
+    with pytest.raises(mm.DecodeNotAvailable):
+        mm.parse_tiff(bytes(planar))
+    # tiled layout: inject a TileWidth tag by renaming RowsPerStrip
+    tiled = bytearray(valid)
+    n = struct.unpack("<H", tiled[8:10])[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack("<H", tiled[e : e + 2])[0] == 278:
+            tiled[e : e + 2] = struct.pack("<H", 322)
+    with pytest.raises(mm.DecodeNotAvailable):
+        mm.parse_tiff(bytes(tiled))
+    for mutate in [
+        lambda b: b"XX" + bytes(b[2:]),                      # byte order
+        lambda b: bytes(b[:4]) + struct.pack("<I", 1 << 30) + bytes(b[8:]),  # IFD oob
+        lambda b: bytes(with_tag_value(b, 256, 0)),          # width 0
+        lambda b: bytes(with_tag_value(b, 273, 1 << 30)),    # strip oob
+        lambda b: bytes(b[:-10]),                            # truncated strip
+    ]:
+        with pytest.raises(mm.MalformedMedia):
+            mm.parse_tiff(mutate(valid))
+
+
+def test_tiff_packbits_codec_edges():
+    """PackBits: 128 is a no-op, long runs split, overflow is caught."""
+    import pytest
+
+    assert mm._packbits_decode(bytes([0x80, 0x00, 65]), 1) == b"A"
+    assert mm._packbits_decode(bytes([257 - 128, 7]), 128) == bytes([7] * 128)
+    enc = mm._packbits_encode(bytes([9] * 300))
+    assert mm._packbits_decode(enc, 300) == bytes([9] * 300)
+    with pytest.raises(mm.MalformedMedia):
+        mm._packbits_decode(bytes([257 - 100, 1]), 50)  # run overflows
+    with pytest.raises(mm.MalformedMedia):
+        mm._packbits_decode(b"", 4)
+
+
+def test_tiff_never_crashes_on_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = mm.synthesize_tiff(5, 4, 30, 60, mode="pal", packbits=True)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.integers(0, len(valid) - 1), st.integers(0, 255))
+    def run(mi, mb):
+        try:
+            mm.parse_tiff(valid[:mi] + bytes([mb]) + valid[mi + 1:])
+        except (mm.MalformedMedia, mm.DecodeNotAvailable):
+            pass
+
+    run()
+
+
+def test_tiff_routes_through_quarantine(spark):
+    good = mm.synthesize_tiff(6, 3, 10, 20, mode="gray0", big_endian=True)
+    bad = good[:8] + bytes([0xEE]) + good[9:]  # corrupt IFD entry count
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(good), None), (2, "image", bytearray(bad), None)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in mm.decode_with_quarantine(df).collect()}
+    assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"]) == (6, 3)
+    assert rows[1]["format"] == "tiff"
+    assert not rows[2]["ok"]
