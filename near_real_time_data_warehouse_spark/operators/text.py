@@ -2349,3 +2349,82 @@ FROM sc GROUP BY doc_id
 """
 
 registry.register("docs_dsir_incremental", dsir_incremental, DSIR_INCR_SQL)
+
+
+def dsir_fx(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) hashed feature instances of a
+    (doc_id, lang, text) frame — the shared DSIR front end used by the
+    batch entries above and the streaming fold
+    (streaming/dsir_stream.py)."""
+    toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
+    bis = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", "lang", toks.alias("toks"))
+        .select("doc_id", "lang", F.concat(F.col("toks"), bis).alias("feats"))
+        .select("doc_id", "lang", F.explode("feats").alias("ft"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("ft"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+
+
+def dsir_score_with_stats(
+    fx_batch: DataFrame, stats: DataFrame, lang_totals: DataFrame
+) -> DataFrame:
+    """Score a batch's feature instances against PERSISTED standing
+    statistics — the kernel the streaming fold runs per micro-batch.
+    ``stats`` is the (bucket, lang, c) feature-instance count table,
+    ``lang_totals`` the (lang, n) standing document counts that pick the
+    target language (n DESC, lang ASC). Arithmetic is identical to
+    docs_dsir_incremental: floor-log2 likelihood ratios with add-one
+    smoothing and total normalization, unseen buckets falling back to
+    the pure smoothing weight."""
+    tgt = (
+        lang_totals.orderBy(F.desc("n"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("tgt_lang"))
+    )
+    st = stats.crossJoin(F.broadcast(tgt))
+    tgt_c = F.when(F.col("lang") == F.col("tgt_lang"), F.col("c")).otherwise(
+        F.lit(0)
+    )
+    bs = st.groupBy("bucket").agg(
+        F.sum("c").alias("raw_c"), F.sum(tgt_c).alias("tgt_c")
+    )
+    tot = st.agg(F.sum("c").alias("t_raw"), F.sum(tgt_c).alias("t_tgt"))
+    scored = fx_batch.join(bs, "bucket", "left").crossJoin(F.broadcast(tot))
+    w_bits = (
+        _bits(F.coalesce(F.col("tgt_c"), F.lit(0)) + 1)
+        - _bits(F.coalesce(F.col("raw_c"), F.lit(0)) + 1)
+        + _bits(F.col("t_raw"))
+        - _bits(F.col("t_tgt"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(w_bits).alias("score_bits"),
+            F.count(F.lit(1)).alias("n_features"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_features").cast("long").alias("n_features"),
+            F.col("score_bits").cast("long").alias("score_bits"),
+        )
+    )
