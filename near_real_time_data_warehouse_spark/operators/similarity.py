@@ -529,6 +529,42 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_topk(spark, emb, cmat, assigned)
 
 
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — ANN under a metadata predicate, the
+    retrieval shape every RAG / vector-database workload runs (match the
+    query AND label = X). Strategy is PRE-FILTER: the label predicate
+    restricts the IVF assignment table before the probe join, so each
+    probe scans only in-label members of its lists — at 100 TB, with the
+    corpus stored partitioned by (centroid, label), this is pure
+    partition pruning; a post-filter over unfiltered top-k would instead
+    return fewer than k hits whenever the label is selective (the
+    classic filtered-ANN failure). Target label is deterministic: the
+    corpus's most frequent (COUNT DESC, label ASC). Same memoized
+    centroid training, probing, and exact-cosine ranking as
+    ann_ivf_topk; the oracle replays the whole lifecycle plus the
+    filter, so the hash certifies the filter placement too."""
+    return _memoized(
+        "ivf_filtered", spark, sf_dir, lambda: _ann_ivf_filtered(spark, sf_dir)
+    )
+
+
+def _ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cmat = _memoized_centroids("ivf_filtered_cmat", spark, sf_dir, emb)
+    tgt_label = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "label")
+        .limit(1)
+        .collect()[0]["label"]
+    )  # bounded collect: one row
+    assigned = _assign_lists(spark, emb, cmat)
+    keep = emb.filter(F.col("label") == tgt_label).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    return _probe_topk(spark, emb, cmat, assigned.join(keep, "neighbor_id", "left_semi"))
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold) within
     the capped range — exact integer dot products, one double division.
@@ -1461,7 +1497,7 @@ FROM q
 """
 
 
-def _ivf_topk_sql() -> str:
+def _ivf_topk_sql(label_filtered: bool = False) -> str:
     """Complete DuckDB twin of ``ann_ivf_topk`` — the ENTIRE index
     lifecycle replayed in SQL so the driver hash certifies training,
     assignment, probing, and ranking together (upgrading the entry from
@@ -1487,7 +1523,12 @@ def _ivf_topk_sql() -> str:
 
     Every cosine is CAST(int64 dot AS DOUBLE) / (sqrt(a)*sqrt(b)) — the
     identical IEEE op sequence the Arrow kernels run, so assignments,
-    probes, and ranks agree bit-for-bit (dots bounded ≪ 2^53)."""
+    probes, and ranks agree bit-for-bit (dots bounded ≪ 2^53).
+
+    ``label_filtered`` adds the metadata predicate of
+    ``ann_ivf_filtered``: candidates restrict to corpus vectors whose
+    label is the most frequent label (COUNT DESC, label ASC) — the same
+    pre-filter the Spark side applies to the assignment table."""
     cos_vs = (
         "CAST(list_sum(list_transform(list_zip(v.q, s.m), p -> p[1] * p[2])) AS DOUBLE)"
         " / (sqrt(CAST(v.norm_sq AS DOUBLE)) * sqrt(CAST(s.msq AS DOUBLE)))"
@@ -1564,13 +1605,25 @@ def _ivf_topk_sql() -> str:
   ) WHERE rn <= {N_PROBE}
 )"""
     )
+    label_join = ""
+    if label_filtered:
+        parts.append(
+            """tgt AS (
+  SELECT label FROM embeddings GROUP BY label
+  ORDER BY COUNT(*) DESC, label LIMIT 1
+)"""
+        )
+        label_join = (
+            "\n  JOIN embeddings fe ON fe.vec_id = l.neighbor_id"
+            "\n   AND fe.label = (SELECT label FROM tgt)"
+        )
     parts.append(
         f"""scored AS (
   SELECT p.query_id, l.neighbor_id,
          CAST(list_sum(list_transform(list_zip(nb.q, qv.q), z -> z[1] * z[2])) AS DOUBLE)
            / (sqrt(CAST(nb.norm_sq AS DOUBLE)) * sqrt(CAST(qv.norm_sq AS DOUBLE))) AS cosine
   FROM lists l
-  JOIN probes p USING (c)
+  JOIN probes p USING (c){label_join}
   JOIN normed nb ON nb.vec_id = l.neighbor_id
   JOIN normed qv ON qv.vec_id = p.query_id
   WHERE p.query_id <> l.neighbor_id
@@ -1821,6 +1874,7 @@ registry.register("emb_covariance_stats", covariance_stats, COVARIANCE_SQL)
 registry.register("sim_ann_lsh_topk", ann_lsh_topk, _lsh_topk_sql())
 registry.register("sim_ann_lsh_multiprobe", ann_lsh_multiprobe, _lsh_multiprobe_sql())
 registry.register("sim_ann_ivf_topk", ann_ivf_topk, _ivf_topk_sql())
+registry.register("sim_ann_ivf_filtered", ann_ivf_filtered, _ivf_topk_sql(label_filtered=True))
 registry.register("sim_ann_ivf_recall", ann_ivf_recall, IVF_RECALL_SQL)
 registry.register(
     "sim_ann_ivf_recall_uncapped", ann_ivf_recall_uncapped, IVF_RECALL_UNCAPPED_SQL

@@ -430,3 +430,35 @@ def test_covariance_stats_match_numpy_and_partition_invariant(spark):
     for k in rows:
         a, b = rows[k], rows2[k]
         assert (a["cov_num"], a["covariance"]) == (b["cov_num"], b["covariance"])
+
+
+def test_ivf_filtered_prefilter_semantics(spark):
+    """sim_ann_ivf_filtered: every neighbor carries the target label,
+    every query still gets a full top-k (the pre-filter guarantee), and
+    post-filtering the UNFILTERED top-k would have starved some query —
+    the failure mode the pre-filter exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    emb = S._emb(spark, sf)
+    tgt = (
+        emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "label").limit(1).collect()[0]["label"]
+    )
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    filt = S.ann_ivf_filtered(spark, sf).collect()
+    assert all(labels[r.neighbor_id] == tgt for r in filt)
+    per_q = {}
+    for r in filt:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, S.TOP_K + 1)) for v in per_q.values())
+    # post-filter starvation: the unfiltered top-k, filtered to the
+    # label afterwards, leaves at least one query with < TOP_K hits
+    unf = S.ann_ivf_topk(spark, sf).collect()
+    kept = {}
+    for r in unf:
+        if labels[r.neighbor_id] == tgt:
+            kept[r.query_id] = kept.get(r.query_id, 0) + 1
+    assert any(kept.get(q, 0) < S.TOP_K for q in per_q)
