@@ -965,8 +965,103 @@ def star_basket_onepass(star: Star) -> DataFrame:
     )
 
 
+def star_basket_rules(star: Star) -> DataFrame:
+    """Association rules over the market baskets — the analytical
+    completion of the q16 family: for the top-20 co-purchased product
+    pairs (distinct-per-order this time — rule semantics count ORDERS,
+    not line multiplicity), emit support, confidence and lift from
+    exact integer order counts (pair_orders, per-item orders_a/b,
+    n_orders), each ratio ONE IEEE division so the doubles hash-match.
+
+    Scale shape: the pair generation is the join-free onepass kernel
+    (per-order sorted item arrays, i<j expansion — nothing to
+    sort-merge); item counts are a map-side-combinable aggregate; the
+    20-row top set then joins the counts and the 1-row total — bounded
+    constants. The oracle uses the faithful self-join form, so the hash
+    also certifies the kernel ≡ join equivalence at distinct grain."""
+    f = star["salefact"].select("order_id", "product_id").distinct()
+    tot = f.agg(F.count_distinct("order_id").alias("n_orders"))
+    ic = f.groupBy("product_id").agg(F.count(F.lit(1)).alias("c"))
+    baskets = f.groupBy("order_id").agg(
+        F.array_sort(F.collect_list("product_id")).alias("items")
+    )
+    items = F.col("items")
+    pairs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(
+                    x.alias("product_01"), y.alias("product_02")
+                ),
+            ),
+        )
+    )
+    top = (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.product_01").alias("product_01"),
+            F.col("p.product_02").alias("product_02"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .orderBy(F.desc("pair_orders"), "product_01", "product_02")
+        .limit(20)
+    )
+    ia = ic.select(F.col("product_id").alias("product_01"), F.col("c").alias("orders_a"))
+    ib = ic.select(F.col("product_id").alias("product_02"), F.col("c").alias("orders_b"))
+    out = top.join(ia, "product_01").join(ib, "product_02").crossJoin(
+        F.broadcast(tot)
+    )
+    return out.select(
+        "product_01",
+        "product_02",
+        F.col("pair_orders").cast("long").alias("pair_orders"),
+        F.col("orders_a").cast("long").alias("orders_a"),
+        F.col("orders_b").cast("long").alias("orders_b"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.col("pair_orders").cast("double") / F.col("n_orders")).alias("support"),
+        (F.col("pair_orders").cast("double") / F.col("orders_a")).alias("confidence"),
+        (
+            (F.col("pair_orders") * F.col("n_orders")).cast("double")
+            / (F.col("orders_a") * F.col("orders_b"))
+        ).alias("lift"),
+    )
+
+
+STAR_BASKET_RULES_SQL = """
+WITH b AS (SELECT DISTINCT order_id, product_id FROM salefact),
+n AS (SELECT COUNT(DISTINCT order_id) AS n_orders FROM b),
+ic AS (SELECT product_id, COUNT(*) AS c FROM b GROUP BY product_id),
+pc AS (
+  SELECT a.product_id AS product_01, b2.product_id AS product_02,
+         COUNT(*) AS pair_orders
+  FROM b a JOIN b b2
+    ON a.order_id = b2.order_id AND a.product_id < b2.product_id
+  GROUP BY a.product_id, b2.product_id
+),
+top AS (
+  SELECT * FROM pc ORDER BY pair_orders DESC, product_01, product_02 LIMIT 20
+)
+SELECT t.product_01, t.product_02,
+       CAST(t.pair_orders AS BIGINT) AS pair_orders,
+       CAST(ia.c AS BIGINT) AS orders_a,
+       CAST(ib.c AS BIGINT) AS orders_b,
+       CAST(n.n_orders AS BIGINT) AS n_orders,
+       CAST(t.pair_orders AS DOUBLE) / n.n_orders AS support,
+       CAST(t.pair_orders AS DOUBLE) / ia.c AS confidence,
+       CAST(t.pair_orders * n.n_orders AS DOUBLE) / (ia.c * ib.c) AS lift
+FROM top t
+JOIN ic ia ON ia.product_id = t.product_01
+JOIN ic ib ON ib.product_id = t.product_02
+CROSS JOIN n
+"""
+
+
 QUERIES.update(
     {
+        "star_basket_rules": AnalysisQuery(
+            "star_basket_rules", star_basket_rules.__doc__,
+            star_basket_rules, STAR_BASKET_RULES_SQL),
         "star_grouping_sets_store_season": AnalysisQuery(
             "star_grouping_sets_store_season", star_grouping_sets.__doc__,
             star_grouping_sets, GROUPING_SETS_SQL),
