@@ -1869,8 +1869,179 @@ JOIN ds si ON si.i = p.i
 JOIN ds sj ON sj.i = p.j
 """
 
+# --- PCA: top principal component by exact-integer power iteration ------
+#
+# The missing half of the covariance story: emb_covariance_stats reduces
+# the corpus to a 64×64 integer covariance (the distributed part); this
+# entry eigen-solves it and projects every vector onto the top principal
+# component (the whitening / decorrelation / dim-reduction primitive a
+# training pipeline runs before PQ or MRL truncation).
+#
+# Float determinism is the design problem: numpy's eigensolver (LAPACK)
+# and any SQL replay would disagree in the last ulp, so the whole
+# iteration is EXACT INTEGER arithmetic on the covariance NUMERATORS
+# (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ — scaling a matrix doesn't move its eigenvectors):
+#
+#   v⁰ = (PCA_SCALE, …, PCA_SCALE)
+#   wʳ = C·vʳ⁻¹                       (exact integer mat-vec)
+#   vʳ = sign(wʳ)·(|wʳ|·PCA_SCALE // max|wʳ|)   (∞-norm renormalization;
+#        nonnegative // nonnegative is identical in Python and DuckDB)
+#
+# for a FIXED PCA_ROUNDS iterations — the result is a deterministic
+# fixed point of the recurrence whether or not it has converged, so the
+# oracle (the same recurrence unrolled as HUGEINT CTEs) matches
+# bit-for-bit.  Sign is canonicalized by the largest-|component| rule
+# (smallest dim index on ties).  The driver-side solve touches 2080
+# integers (32 KB — the bounded-collect discipline); the corpus-scale
+# work is the covariance reduction (2080 rows per Arrow batch) and the
+# projection, a zero-shuffle array fold per vector.
+#
+# Convergence honesty: direction error decays as (λ₂/λ₁)^K, so on data
+# with a planted dominant component (the pytest) K=24 recovers numpy's
+# eigenvector to cos > 1−1e-9; on THIS synthetic corpus the spectrum is
+# near-isotropic (λ₂/λ₁ ≈ 0.99 — random-matrix bulk, no real dominant
+# direction) so after K rounds the vector is a deterministic point in
+# the top-eigenspace whose Rayleigh quotient is within (λ₂/λ₁)^(2K) of
+# λ₁ — the statistically meaningful convergence there, asserted by the
+# pytest; the hash pins the exact deterministic output either way.
+PCA_ROUNDS = 48
+PCA_SCALE = 1_000_000
+
+
+def _pca_eigvec_ints(rows) -> tuple[list[int], list[int], int]:
+    """(eigenvector ints, per-dim sums, n) from collected covariance rows.
+
+    Pure-Python ints: the mat-vec products overflow int64 (|C|·|v| ≈
+    2⁴⁷·2²⁰) so arbitrary precision here, HUGEINT in the oracle."""
+    dims = EMB_DIM
+    c = [[0] * dims for _ in range(dims)]
+    sums = [0] * dims
+    n = 0
+    for r in rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        c[i][j] = c[j][i] = r["cov_num"]
+        sums[i], sums[j] = r["sum_i"], r["sum_j"]
+        n = r["n"]
+    v = [PCA_SCALE] * dims
+    for _ in range(PCA_ROUNDS):
+        w = [sum(c[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:  # degenerate zero matrix; oracle's NULLIF mirrors this
+            break
+        v = [(1 if x >= 0 else -1) * (abs(x) * PCA_SCALE // mx) for x in w]
+    lead = max(range(dims), key=lambda i: (abs(v[i]), -i))
+    if v[lead] < 0:
+        v = [-x for x in v]
+    return v, sums, n
+
+
+def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the corpus's top principal component.
+
+    Mean-centering stays integer: the projection numerator is
+    vᵀ(n·q − Σq) = n·(v·q) − Σⱼvⱼ·sumⱼ, exact int64 (≤ 2⁵⁰ at driver
+    SFs); ``proj`` is ONE IEEE division by n·QUANT·PCA_SCALE, so Spark
+    and DuckDB produce bit-identical doubles.  The per-vector dot
+    product is an array fold on the scan — no shuffle beyond the
+    covariance reduction itself.  At 100 TB the covariance numerators
+    want the two-pass centered form (or DECIMAL(38)) once n·Σxᵢxⱼ
+    approaches 2⁶³; the projection pass is shape-unchanged."""
+    rows = covariance_stats(spark, sf_dir).collect()  # 2080 rows, bounded
+    v, sums, n = _pca_eigvec_ints(rows)
+    const = sum(v[j] * sums[j] for j in range(EMB_DIM))
+    den = float(n * QUANT * PCA_SCALE)
+    vlit = F.array([F.lit(x).cast("long") for x in v])
+    q = _quantized(_emb(spark, sf_dir))
+    proj_num = (F.lit(n).cast("long") * _dot("q", "v")).cast("long") - F.lit(
+        const
+    ).cast("long")
+    return (
+        q.withColumn("v", vlit)
+        .select(
+            "vec_id",
+            "label",
+            proj_num.alias("proj_num"),
+            (proj_num.cast("double") / F.lit(den)).alias("proj"),
+        )
+    )
+
+
+def _pca_sql() -> str:
+    """The full PCA lifecycle as chained CTEs: quantize → integer
+    covariance → PCA_ROUNDS unrolled power-iteration rounds (HUGEINT) →
+    sign canonicalization → per-vector projection."""
+    rounds = []
+    for r in range(1, PCA_ROUNDS + 1):
+        rounds.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT cf.i, SUM(cf.c * v.val) AS w
+  FROM covfull cf JOIN v{r - 1} v ON v.i = cf.j
+  GROUP BY cf.i
+),
+v{r} AS MATERIALIZED (
+  SELECT i,
+         CASE WHEN w >= 0 THEN ABS(w) * {PCA_SCALE} // m.mx
+              ELSE -(ABS(w) * {PCA_SCALE} // m.mx) END AS val
+  FROM w{r}, (SELECT MAX(ABS(w)) AS mx FROM w{r}) m
+)"""
+        )
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH quant AS MATERIALIZED ({_QUANT_SQL}),
+el AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(q, 1) AS i, unnest(q) AS x FROM quant
+),
+nv AS (SELECT COUNT(*) AS n FROM quant),
+ds AS MATERIALIZED (SELECT i, CAST(SUM(x) AS BIGINT) AS s FROM el GROUP BY i),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sum_prod
+  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+),
+cov AS MATERIALIZED (
+  SELECT p.i, p.j,
+         CAST(nv.n * p.sum_prod - si.s * sj.s AS HUGEINT) AS c
+  FROM pairs p CROSS JOIN nv
+  JOIN ds si ON si.i = p.i
+  JOIN ds sj ON sj.i = p.j
+),
+covfull AS MATERIALIZED (
+  SELECT i, j, c FROM cov
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM cov WHERE i <> j
+),
+v0 AS (SELECT i, CAST({PCA_SCALE} AS HUGEINT) AS val
+       FROM range(1, {EMB_DIM + 1}) t(i)),
+{rounds_sql},
+sgn AS (
+  SELECT CASE WHEN (SELECT val FROM v{PCA_ROUNDS}
+                    ORDER BY ABS(val) DESC, i ASC LIMIT 1) < 0
+              THEN -1 ELSE 1 END AS s
+),
+vfin AS MATERIALIZED (
+  SELECT i, val * sgn.s AS val FROM v{PCA_ROUNDS}, sgn
+),
+vconst AS (
+  SELECT SUM(vf.val * ds.s) AS const FROM vfin vf JOIN ds ON ds.i = vf.i
+),
+dotp AS (
+  SELECT el.vec_id, SUM(CAST(el.x AS HUGEINT) * vf.val) AS d
+  FROM el JOIN vfin vf ON vf.i = el.i
+  GROUP BY el.vec_id
+)
+SELECT q.vec_id, q.label,
+       CAST(nv.n * dp.d - vc.const AS BIGINT) AS proj_num,
+       CAST(nv.n * dp.d - vc.const AS DOUBLE)
+         / CAST(nv.n * {QUANT} * {PCA_SCALE} AS DOUBLE) AS proj
+FROM quant q
+JOIN dotp dp ON dp.vec_id = q.vec_id
+CROSS JOIN nv CROSS JOIN vconst vc
+"""
+
+
 registry.register("emb_quantize_int8", quantize_int8, QUANTIZE_INT8_SQL)
 registry.register("emb_covariance_stats", covariance_stats, COVARIANCE_SQL)
+registry.register("emb_pca_project", pca_project, _pca_sql())
 registry.register("sim_ann_lsh_topk", ann_lsh_topk, _lsh_topk_sql())
 registry.register("sim_ann_lsh_multiprobe", ann_lsh_multiprobe, _lsh_multiprobe_sql())
 registry.register("sim_ann_ivf_topk", ann_ivf_topk, _ivf_topk_sql())

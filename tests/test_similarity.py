@@ -462,3 +462,122 @@ def test_ivf_filtered_prefilter_semantics(spark):
         if labels[r.neighbor_id] == tgt:
             kept[r.query_id] = kept.get(r.query_id, 0) + 1
     assert any(kept.get(q, 0) < S.TOP_K for q in per_q)
+
+
+def test_pca_planted_component_matches_numpy(spark):
+    """On data with a PLANTED dominant direction (a real eigengap —
+    λ2/λ1 ≈ 0.1, unlike the near-isotropic synthetic corpus) the
+    exact-integer power iteration must recover numpy's top eigenvector
+    to |cosine| > 1 − 1e-6 in the fixed PCA_ROUNDS budget."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=sim.EMB_DIM)
+    u /= np.linalg.norm(u)
+    t = rng.normal(size=400)
+    x = np.outer(t, u) * 0.3 + rng.normal(size=(400, sim.EMB_DIM)) * 0.01
+    pdf_rows = [
+        (int(i), [float(v) for v in x[i]], int(i % 3)) for i in range(len(x))
+    ]
+    df = spark.createDataFrame(pdf_rows, "vec_id long, embedding array<float>, label int")
+
+    e_orig = sim._emb
+    try:
+        sim._emb = lambda _s, _d: df
+        rows = sim.covariance_stats(spark, "ignored").collect()
+        v, sums, n = sim._pca_eigvec_ints(rows)
+    finally:
+        sim._emb = e_orig
+
+    # numpy truth on the same QUANTIZED matrix the engine sees
+    q = sim._round_half_away(np.vstack(df.toPandas()["embedding"].values).astype(np.float64) * sim.QUANT).astype(np.float64)
+    c = np.cov(q, rowvar=False, bias=True)
+    eigvals, eigvecs = np.linalg.eigh(c)
+    assert eigvals[-2] / eigvals[-1] < 0.2  # planted gap is real
+    top = eigvecs[:, -1]
+    va = np.array(v, dtype=np.float64)
+    cos = abs(va @ top) / (np.linalg.norm(va) * np.linalg.norm(top))
+    assert cos > 1 - 1e-6, f"integer iteration diverged from numpy: cos={cos}"
+
+
+def test_pca_projection_formula_and_partition_invariance(spark):
+    """On the real corpus: the per-vector projections must match a numpy
+    replay of the same integer formula, the iterate's Rayleigh quotient
+    must sit at the top of the spectrum (the meaningful convergence
+    criterion when the eigengap is tiny), and the whole entry must be
+    bit-identical under a different input partitioning."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    rows = sim.covariance_stats(spark, sf).collect()
+    v, sums, n = sim._pca_eigvec_ints(rows)
+
+    pdf = sim._emb(spark, sf).toPandas()
+    q = sim._quant_np(pdf["embedding"]).astype(np.float64)
+    c = np.cov(q, rowvar=False, bias=True)
+    eigvals = np.linalg.eigvalsh(c)
+    va = np.array(v, dtype=np.float64)
+    rayleigh = va @ c @ va / (va @ va)
+    # (λ2/λ1)^(2K) bulk contamination at K=48 leaves ≲1% quotient deficit
+    assert rayleigh >= 0.985 * eigvals[-1], (rayleigh, eigvals[-1])
+
+    got = {r["vec_id"]: r for r in sim.pca_project(spark, sf).collect()}
+    qi = sim._quant_np(pdf["embedding"])  # int64
+    ids = pdf["vec_id"].to_numpy()
+    const = sum(v[j] * sums[j] for j in range(sim.EMB_DIM))
+    for k in range(len(ids)):
+        expect = n * int(np.array(v, dtype=object) @ qi[k].astype(object)) - const
+        assert got[int(ids[k])]["proj_num"] == expect
+        assert got[int(ids[k])]["proj"] == expect / float(
+            n * sim.QUANT * sim.PCA_SCALE
+        )
+
+    df2 = sim._emb(spark, sf).repartition(7)
+    e_orig = sim._emb
+    try:
+        sim._emb = lambda _s, _d: df2
+        got2 = {r["vec_id"]: r for r in sim.pca_project(spark, sf).collect()}
+    finally:
+        sim._emb = e_orig
+    for k, r in got.items():
+        assert (r["proj_num"], r["proj"]) == (got2[k]["proj_num"], got2[k]["proj"])
+
+
+def test_pca_sign_canonicalization_is_deterministic():
+    """Flipping the sign of the covariance input's seed direction must not
+    change the reported eigenvector: the largest-|component| rule pins
+    the sign regardless of the iteration's incidental orientation."""
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+
+    dims = sim.EMB_DIM
+
+    class Row(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    def rows_for(diag):
+        out = []
+        for i in range(dims):
+            for j in range(i, dims):
+                out.append(
+                    Row(
+                        i=i + 1,
+                        j=j + 1,
+                        cov_num=diag[i] if i == j else 0,
+                        sum_i=0,
+                        sum_j=0,
+                        n=10,
+                    )
+                )
+        return out
+
+    diag = [100 + i for i in range(dims)]
+    v, _, _ = sim._pca_eigvec_ints(rows_for(diag))
+    # diagonal matrix: top component is the last axis, sign positive
+    lead = max(range(dims), key=lambda i: (abs(v[i]), -i))
+    assert lead == dims - 1
+    assert v[lead] == sim.PCA_SCALE
