@@ -113,17 +113,55 @@ def parse_wav(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise MalformedMedia("missing fmt or data chunk")
-    if fmt["audio_format"] != 1 or fmt["bits"] != 16:
-        raise MalformedMedia("only uncompressed PCM16 is supported")
     if fmt["n_channels"] < 1 or fmt["sample_rate"] < 1 or fmt["byte_rate"] < 1:
         raise MalformedMedia("nonsensical fmt fields")
+    if fmt["audio_format"] == 7:  # G.711 μ-law (8-bit companded)
+        if fmt["bits"] != 8:
+            raise MalformedMedia("mu-law WAV must be 8 bits per sample")
+        data = _ulaw_decode_bytes(data)
+    elif fmt["audio_format"] != 1 or fmt["bits"] != 16:
+        raise MalformedMedia("only uncompressed PCM16 or mu-law is supported")
     return {
         "sample_rate": fmt["sample_rate"],
         "n_channels": fmt["n_channels"],
-        "duration_ms": int(round(len(data) / fmt["byte_rate"] * 1000)),
+        "duration_ms": int(round(len(data) / fmt["byte_rate"] * 1000))
+        if fmt["audio_format"] == 1
+        else int(round(len(data) // 2 / fmt["byte_rate"] * 1000)),
         "format": "wav",
         "pcm": data,
     }
+
+
+def ulaw_decode_value(b: int) -> int:
+    """G.711 μ-law expansion of one transmitted code byte to 16-bit
+    linear PCM — the classic 4-line closed form (ITU-T G.711 / the
+    public-domain Sun g711.c ulaw2linear): complement, then
+    sign/segment/mantissa fields reconstruct ((m·8+132) << e) − 132.
+    Range ±32124; both zero codes (0x7F, 0xFF) decode to 0.  This is a
+    tiny ALGORITHM, not a transcribed constant table, so — unlike the
+    arithmetic-JPEG/MP3 gates (COVERAGE.md) — it is verifiable from
+    first principles: the pytest pins segment spacing (8 << e), code↔
+    value monotonicity, and encode-by-nearest-search roundtrip."""
+    u = ~b & 0xFF
+    mag = ((u & 0x0F) * 8 + 0x84) << ((u >> 4) & 0x07)
+    val = mag - 0x84
+    return -val if u & 0x80 else val
+
+
+_ULAW_TABLE = None
+
+
+def _ulaw_decode_bytes(data: bytes) -> bytes:
+    """Vectorized μ-law → little-endian PCM16 via the 256-entry lookup
+    DERIVED from ulaw_decode_value (computed, not transcribed)."""
+    import numpy as np
+
+    global _ULAW_TABLE
+    if _ULAW_TABLE is None:
+        _ULAW_TABLE = np.array(
+            [ulaw_decode_value(b) for b in range(256)], dtype="<i2"
+        )
+    return _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)].tobytes()
 
 
 def parse_ppm(payload: bytes) -> dict:
@@ -1990,6 +2028,96 @@ FROM p
 """
 
 
+def synthesize_wav_mulaw(
+    n_silent_frames: int,
+    n_loud_frames: int,
+    code: int,
+    sample_rate: int = 8000,
+    frame_ms: int = AUDIO_FRAME_MS,
+) -> bytes:
+    """RIFF writer for G.711 μ-law WAV (audio_format 7, 8-bit mono):
+    ``n_silent_frames`` of the zero code 0xFF followed by
+    ``n_loud_frames`` of the constant transmitted ``code``.  Because the
+    loud frames decode to one constant 16-bit value A, every frame RMS
+    is |A|/32768 EXACTLY in IEEE doubles (A/2¹⁵ is exact, A² < 2³⁰ is
+    exact, the constant-frame mean and sqrt are exact) — the same
+    closed-form-oracle discipline as synthesize_wav's 1024-grid."""
+    import struct
+
+    frame_len = sample_rate * frame_ms // 1000
+    data = b"\xff" * (n_silent_frames * frame_len) + bytes([code]) * (
+        n_loud_frames * frame_len
+    )
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(out) - 4) + out
+
+
+def multimodal_mulaw_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for the COMPANDED audio leg: per document, synthesize
+    a G.711 μ-law WAV whose geometry derives from doc_id (doc_id % 3
+    leading silent frames of the zero code, 3 + doc_id % 4 total frames,
+    loud code from sign s = doc_id % 2, exponent e = 2 + doc_id % 6,
+    mantissa m = doc_id % 16 → transmitted byte 255 − (s·128 + e·16 + m)),
+    run the REAL ``parse_wav`` μ-law expansion + ``wav_loudness_stats``
+    through ``audio_quality``'s quarantine pipeline, and emit the
+    profile.  Restricting e ≥ 2 keeps |A| = ((m·8+132)<<e) − 132 ≥ 396 >
+    SILENCE_RMS·32768, so loud frames are never misclassified silent and
+    the oracle states the whole profile in closed form — the decoded
+    amplitude itself is recomputed arithmetically in SQL, certifying the
+    expansion formula against an independent engine."""
+    from ..sources.testdata import load_table_parallel
+
+    d = load_table_parallel(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                ns = doc_id % 3
+                total = 3 + doc_id % 4
+                u = (doc_id % 2) * 128 + (2 + doc_id % 6) * 16 + doc_id % 16
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "kind": "audio",
+                        "payload": synthesize_wav_mulaw(ns, total - ns, 255 - u),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = d.mapInPandas(synth, "media_id long, kind string, payload binary")
+    return audio_quality(media)
+
+
+MULAW_QUALITY_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 3 AS ns,
+         3 + doc_id % 4 AS total,
+         ((doc_id % 16) * 8 + 132) * (1 << (2 + doc_id % 6)) - 132 AS amp
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       true AS ok,
+       CAST(NULL AS VARCHAR) AS error,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(total * 100 AS INT) AS duration_ms,
+       CAST(total AS INT) AS n_frames,
+       (CAST((total - ns) * amp AS DOUBLE) / 32768) / total AS rms_mean,
+       CAST(amp AS DOUBLE) / 32768 AS rms_max,
+       CAST(ns AS DOUBLE) / total AS silent_frac,
+       CAST(ns * 100 AS INT) AS longest_silence_ms,
+       CAST(0.0 AS DOUBLE) AS clip_frac
+FROM p
+"""
+
+
 def synthesize_png(width: int, height: int, base_r: int, const_b: int) -> bytes:
     """Dependency-free PNG writer for in-query image synthesis (the
     gif/wav discipline): truecolor 8-bit, every scanline Sub-filtered,
@@ -2496,6 +2624,7 @@ registry.register("multimodal_bmp_stats", multimodal_bmp_stats, BMP_STATS_SQL)
 registry.register("multimodal_qoi_stats", multimodal_qoi_stats, QOI_STATS_SQL)
 registry.register("multimodal_tiff_stats", multimodal_tiff_stats, TIFF_STATS_SQL)
 registry.register("multimodal_audio_quality", multimodal_audio_quality, AUDIO_QUALITY_SQL)
+registry.register("multimodal_mulaw_quality", multimodal_mulaw_quality, MULAW_QUALITY_SQL)
 registry.register("multimodal_gif_motion", multimodal_gif_motion, GIF_MOTION_SQL)
 registry.register("multimodal_frame_index", multimodal_frame_index, FRAME_INDEX_SQL)
 registry.register("multimodal_phash_neardup", multimodal_phash_neardup, PHASH_NEARDUP_SQL)

@@ -1409,3 +1409,73 @@ def test_tiff_routes_through_quarantine(spark):
     assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"]) == (6, 3)
     assert rows[1]["format"] == "tiff"
     assert not rows[2]["ok"]
+
+
+def test_ulaw_decode_first_principles():
+    """The μ-law expansion is pinned by structural properties derivable
+    from the companding definition, not by a self-consistent table:
+    both zero codes decode to 0, the extremes hit ±32124, values within
+    a segment are spaced exactly 8·2^e apart, decode is strictly
+    monotone in the complemented code's magnitude field, and the code
+    space is odd-symmetric (flipping the sign bit negates the value)."""
+    dec = mm.ulaw_decode_value
+    assert dec(0xFF) == 0 and dec(0x7F) == 0
+    assert dec(0x80) == 32124 and dec(0x00) == -32124
+    for e in range(8):
+        seg = [dec(255 - (e * 16 + m)) for m in range(16)]
+        diffs = {b - a for a, b in zip(seg, seg[1:])}
+        assert diffs == {8 << e}, (e, diffs)
+    pos = [dec(255 - u) for u in range(128)]
+    assert all(b > a for a, b in zip(pos, pos[1:]))
+    for u in range(128):
+        assert dec(255 - (u + 128)) == -dec(255 - u)
+
+
+def test_ulaw_encode_by_search_roundtrips():
+    """Nearest-value encode (built here by exhaustive search, independent
+    of the decoder's field layout) must invert the decoder on every
+    decodable value — the classic G.711 code↔value bijection modulo the
+    ±0 pair."""
+    dec = mm.ulaw_decode_value
+    for b in range(256):
+        v = dec(b)
+        best = min(range(256), key=lambda c: (abs(dec(c) - v), c))
+        assert dec(best) == v
+
+
+def test_parse_wav_mulaw_equals_pcm16_twin():
+    """A μ-law file and a PCM16 file carrying the SAME decoded samples
+    must produce identical loudness profiles through the real pipeline."""
+    import struct
+
+    code = 255 - (3 * 16 + 7)  # e=3, m=7 → A = 1372
+    amp = mm.ulaw_decode_value(code)
+    ul = mm.parse_wav(mm.synthesize_wav_mulaw(2, 3, code))
+    # hand-build the PCM16 twin: same sample_rate, same sample stream
+    frame_len = 8000 * mm.AUDIO_FRAME_MS // 1000
+    data = b"\x00\x00" * (2 * frame_len) + struct.pack("<h", amp) * (3 * frame_len)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    out = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    pcm = mm.parse_wav(b"RIFF" + struct.pack("<I", 4 + len(out) - 4) + out)
+    assert ul["duration_ms"] == pcm["duration_ms"] == 500
+    assert ul["pcm"] == pcm["pcm"]
+    assert mm.wav_loudness_stats(ul) == mm.wav_loudness_stats(pcm)
+
+
+def test_parse_wav_mulaw_malformed_gates():
+    import pytest as _pytest
+    import struct
+
+    good = mm.synthesize_wav_mulaw(1, 1, 200)
+    # μ-law must be 8-bit: flip the bits field to 16
+    bad = bytearray(good)
+    fmt_off = good.index(b"fmt ") + 8
+    bad[fmt_off + 14 : fmt_off + 16] = struct.pack("<H", 16)
+    with _pytest.raises(mm.MalformedMedia):
+        mm.parse_wav(bytes(bad))
+    # unknown compression code still rejected
+    bad2 = bytearray(good)
+    bad2[fmt_off : fmt_off + 2] = struct.pack("<H", 3)
+    with _pytest.raises(mm.MalformedMedia):
+        mm.parse_wav(bytes(bad2))
