@@ -958,53 +958,47 @@ def semantic_text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + distinct would execute twice. Stats-clean like every other
     # corpus-proportional memo (see _local_checkpoint_stats_clean).
     cand = _local_checkpoint_stats_clean(cand, eager=False)
-    q = _quantized(e)
-    qa = q.select(F.col("vec_id").alias("doc_a"), F.col("q").alias("qa"), F.col("norm_sq").alias("na"))
-    qb = q.select(F.col("vec_id").alias("doc_b"), F.col("q").alias("qb"), F.col("norm_sq").alias("nb"))
-    scored = (
-        cand.join(qa, "doc_a")
-        .join(qb, "doc_b")
-        .select("doc_a", "doc_b", _cosine(_dot("qa", "qb"), F.col("na"), F.col("nb")).alias("cosine"))
-    )
-    # Lexical verify via per-doc shingle ARRAYS + array_intersect
-    # (shingles are array_distinct per doc, so the count is the exact
-    # intersection): the previous shape exploded cand × shingles(doc_a)
-    # and re-shuffled on (doc_b, shingle) — |cand|·|shingles| rows whose
-    # sort was the engine's biggest 50× spiller. This joins |cand| rows
-    # against the corpus-sized array table twice and intersects
-    # JVM-side: measured 24.5 s vs 89.4 s at 50× (bit-identical rows).
-    # The arrays come straight from the documents scan as a projection
-    # (_shingle_arrays) — the earlier explode → groupBy(collect_list)
-    # REBUILD of that array sorted the whole shingle table, the last
-    # 50× spill site. shuffle_hash keeps the big array side unsorted.
-    # Array rows are ∝ document length — at extreme doc sizes shard the
+    # Per-doc PROFILE: quantized vector + shingle array, pre-combined in
+    # ONE corpus-sized co-keyed join (vec_id ≡ doc_id), so the PAIR
+    # stream — the side that is 64×-corpus-sized by the occupancy knee —
+    # is shuffled twice (once per endpoint) instead of four times.  The
+    # 100× probe caught the four-join shape spilling 12 GB (each pair
+    # join SMJ-sorted 12.8M rows carrying 64-long arrays); two
+    # hash-hinted joins put the sort on nothing and the shuffle back
+    # ∝ candidates.  The shingle arrays still come straight from the
+    # documents scan as a projection (_shingle_arrays — the r9 fix for
+    # the explode → collect_list rebuild), LEFT-combined so a vector
+    # with no document keeps the coalesce(0) verify semantics.  Array
+    # rows are ∝ document length — at extreme doc sizes shard the
     # verify by shingle-hash range; synthetic and web-scale docs fit.
     from .dedup import _docs
 
-    arrs = _shingle_arrays(_docs(spark, sf_dir)).hint("shuffle_hash")
+    q = _quantized(e)
+    arrs = _shingle_arrays(_docs(spark, sf_dir))
+    profile = q.join(
+        arrs.select(F.col("doc_id").alias("vec_id"), "arr", "n"), "vec_id", "left"
+    ).hint("shuffle_hash")
+    pa = profile.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("q").alias("qa"),
+        F.col("norm_sq").alias("na_sq"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("n_a"),
+    )
+    pb = profile.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("q").alias("qb"),
+        F.col("norm_sq").alias("nb_sq"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("n_b"),
+    )
     j = (
-        scored.join(
-            arrs.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("arr").alias("arr_a"),
-                F.col("n").alias("n_a"),
-            ),
-            "doc_a",
-            "left",
-        )
-        .join(
-            arrs.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("arr").alias("arr_b"),
-                F.col("n").alias("n_b"),
-            ),
-            "doc_b",
-            "left",
-        )
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            "cosine",
+            _cosine(_dot("qa", "qb"), F.col("na_sq"), F.col("nb_sq")).alias("cosine"),
             F.coalesce(F.size(F.array_intersect("arr_a", "arr_b")), F.lit(0)).alias("nc"),
             F.coalesce("n_a", F.lit(0)).alias("na"),
             F.coalesce("n_b", F.lit(0)).alias("nb"),
@@ -1869,6 +1863,99 @@ JOIN ds si ON si.i = p.i
 JOIN ds sj ON sj.i = p.j
 """
 
+# --- Semantic split contamination (benchmark-leakage screen) -------------
+#
+# The embedding-space decontamination pass (the semantic companion of
+# docs_benchmark_contamination's 3-gram screen): does any EVAL vector
+# have a near-twin in the TRAIN split?  N-gram screens miss paraphrases;
+# this is the check a pipeline runs before trusting its benchmark.
+#
+# Split: md5(vec_id) % 10 == 0 → eval (the same deterministic idiom as
+# text_shard_split, replayed exactly in the oracle).  Shape: the eval
+# block broadcasts as a numpy int matrix — benchmark sets are SMALL BY
+# NATURE (they are benchmarks), so eval-side broadcast is the honest
+# 100 TB plan, not a cap: the train corpus streams through one exact
+# int64 matmul per Arrow batch, emitting |eval| partial rows per batch
+# (count ≥ τ, batch max cosine); the only shuffle is the |eval|-sized
+# final combine.  Cosines are exact-integer dot/norms with one double
+# division, so Spark and DuckDB agree bit-for-bit on every comparison
+# and on max_cosine.
+CONTAM_COSINE = 0.38
+
+
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(_emb(spark, sf_dir))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 10
+    )
+    tagged = e.withColumn("b", bucket)
+    ev = tagged.filter(F.col("b") == 0)
+    tr = tagged.filter(F.col("b") != 0)
+    pdf = ev.select("vec_id", "label", "q").toPandas()
+    eids = pdf["vec_id"].to_numpy(np.int64)
+    elabels = pdf["label"].to_numpy(np.int64)
+    emat = np.vstack(pdf["q"].values).astype(np.int64)
+    enorm = np.sqrt((emat * emat).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((eids, elabels, emat, enorm))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        eids_, elabels_, emat_, enorm_ = bc.value
+        for pdf_ in it:
+            if pdf_.empty:
+                continue
+            q = np.vstack(pdf_["q"].values).astype(np.int64)
+            s = q @ emat_.T  # exact int64: train rows × eval cols
+            nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+            cos = s / (nrm[:, None] * enorm_[None, :])
+            yield pd.DataFrame(
+                {
+                    "vec_id": eids_,
+                    "label": elabels_,
+                    "cnt": (cos >= CONTAM_COSINE).sum(axis=0).astype(np.int64),
+                    "mx": cos.max(axis=0),
+                }
+            )
+
+    partials = tr.select("q").mapInPandas(
+        batches, "vec_id long, label long, cnt long, mx double"
+    )
+    agg = partials.groupBy("vec_id", "label").agg(
+        F.sum("cnt").alias("n_leaky_train"), F.max("mx").alias("max_cosine")
+    )
+    return agg.select(
+        "vec_id",
+        "label",
+        "n_leaky_train",
+        "max_cosine",
+        (F.col("n_leaky_train") > 0).alias("leaked"),
+    )
+
+
+SPLIT_CONTAM_SQL = f"""
+WITH quant AS ({_QUANT_SQL}),
+normed AS MATERIALIZED ({_NORM_SQL}),
+tagged AS (
+  SELECT *, CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS b
+  FROM normed
+),
+pairs AS (
+  SELECT ev.vec_id, ev.label,
+         CAST(list_sum(list_transform(list_zip(ev.q, tr.q), p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(ev.norm_sq AS DOUBLE)) * sqrt(CAST(tr.norm_sq AS DOUBLE))) AS cosine
+  FROM tagged ev JOIN tagged tr ON ev.b = 0 AND tr.b <> 0
+)
+SELECT vec_id,
+       CAST(label AS BIGINT) AS label,
+       CAST(SUM(CASE WHEN cosine >= {CONTAM_COSINE} THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_train,
+       MAX(cosine) AS max_cosine,
+       SUM(CASE WHEN cosine >= {CONTAM_COSINE} THEN 1 ELSE 0 END) > 0 AS leaked
+FROM pairs
+GROUP BY vec_id, label
+"""
+
+
 # --- PCA: top principal component by exact-integer power iteration ------
 #
 # The missing half of the covariance story: emb_covariance_stats reduces
@@ -2042,6 +2129,7 @@ CROSS JOIN nv CROSS JOIN vconst vc
 registry.register("emb_quantize_int8", quantize_int8, QUANTIZE_INT8_SQL)
 registry.register("emb_covariance_stats", covariance_stats, COVARIANCE_SQL)
 registry.register("emb_pca_project", pca_project, _pca_sql())
+registry.register("emb_split_contamination", split_contamination, SPLIT_CONTAM_SQL)
 registry.register("sim_ann_lsh_topk", ann_lsh_topk, _lsh_topk_sql())
 registry.register("sim_ann_lsh_multiprobe", ann_lsh_multiprobe, _lsh_multiprobe_sql())
 registry.register("sim_ann_ivf_topk", ann_ivf_topk, _ivf_topk_sql())

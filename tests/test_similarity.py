@@ -581,3 +581,52 @@ def test_pca_sign_canonicalization_is_deterministic():
     lead = max(range(dims), key=lambda i: (abs(v[i]), -i))
     assert lead == dims - 1
     assert v[lead] == sim.PCA_SCALE
+
+
+def test_split_contamination_matches_numpy_bruteforce(spark):
+    """The broadcast-matmul screen must agree with a from-scratch numpy
+    brute force on the same md5 split: identical leak counts and
+    bit-identical max cosines per eval vector, and every eval vector
+    must appear exactly once regardless of input partitioning."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["vec_id"]: r for r in sim.split_contamination(spark, sf).collect()}
+
+    pdf = sim._emb(spark, sf).toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    q = sim._quant_np(pdf["embedding"])
+    import hashlib
+
+    def bucket(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % 10
+
+    b = np.array([bucket(v) for v in ids])
+    ev, tr = q[b == 0], q[b != 0]
+    eids = ids[b == 0]
+    assert len(eids) > 0 and len(eids) == len(got)
+    s = tr.astype(np.int64) @ ev.astype(np.int64).T
+    nt = np.sqrt((tr * tr).sum(axis=1).astype(np.float64))
+    ne = np.sqrt((ev * ev).sum(axis=1).astype(np.float64))
+    cos = s / (nt[:, None] * ne[None, :])
+    for k, vid in enumerate(eids):
+        r = got[int(vid)]
+        assert r["n_leaky_train"] == int((cos[:, k] >= sim.CONTAM_COSINE).sum())
+        assert r["max_cosine"] == cos[:, k].max()
+        assert r["leaked"] == bool(r["n_leaky_train"] > 0)
+
+    df2 = sim._emb(spark, sf).repartition(7)
+    e_orig = sim._emb
+    try:
+        sim._emb = lambda _s, _d: df2
+        got2 = {r["vec_id"]: r for r in sim.split_contamination(spark, sf).collect()}
+    finally:
+        sim._emb = e_orig
+    assert got.keys() == got2.keys()
+    for k in got:
+        assert (got[k]["n_leaky_train"], got[k]["max_cosine"]) == (
+            got2[k]["n_leaky_train"],
+            got2[k]["max_cosine"],
+        )
