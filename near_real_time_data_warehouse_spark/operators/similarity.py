@@ -1782,22 +1782,13 @@ GROUP BY m.query_id
 
 registry.register("sim_bruteforce_topk", brute_force_topk, BRUTE_SQL)
 registry.register("sim_mrl_truncate_rerank", mrl_truncate_rerank, MRL_SQL)
-def covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact integer Gram/covariance statistics over the quantized
-    embeddings — the input every PCA / whitening / decorrelation pass
-    needs, computed the way a 100 TB job must: each Arrow batch emits
-    ONE numpy int64 partial Gram matrix QᵀQ (matmul on integers is
-    exact) plus per-dim partial sums, flattened to the 2080 upper-
-    triangle rows; the shuffle is 2080 rows per batch REGARDLESS of
-    corpus size (the k-means partial-sum discipline), and the final
-    groupBy is map-side combinable. Output per dim pair (i ≤ j): counts,
-    dim sums, exact ΣxᵢxⱼB, the integer covariance numerator
-    n·Σxᵢxⱼ − Σxᵢ·Σxⱼ, and the covariance as ONE IEEE division by n² —
-    every column hash-portable. Eigen-solving the 64×64 result is
-    driver-side numpy territory (it is 32 KB); the corpus-sized
-    reduction here is the part that has to scale."""
-    e = _emb(spark, sf_dir)
-    dims = 64
+def _gram_agg(e: DataFrame) -> DataFrame:
+    """Exact integer Gram + dim-sum reduction over a vector frame: each
+    Arrow batch emits one numpy int64 QᵀQ partial flattened to 2080
+    upper-triangle rows; the groupBy is map-side combinable.  The
+    partials are ADDITIVE — the property emb_pca_incremental leans on:
+    standing-corpus sums + batch sums == full-corpus sums exactly."""
+    dims = EMB_DIM
     iu = np.triu_indices(dims)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1821,12 +1812,29 @@ def covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = e.mapInPandas(
         batches, "i int, j int, sp long, si long, sj long, nb long"
     )
-    agg = partials.groupBy("i", "j").agg(
+    return partials.groupBy("i", "j").agg(
         F.sum("nb").alias("n"),
         F.sum("si").alias("sum_i"),
         F.sum("sj").alias("sum_j"),
         F.sum("sp").alias("sum_prod"),
     )
+
+
+def covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram/covariance statistics over the quantized
+    embeddings — the input every PCA / whitening / decorrelation pass
+    needs, computed the way a 100 TB job must: each Arrow batch emits
+    ONE numpy int64 partial Gram matrix QᵀQ (matmul on integers is
+    exact) plus per-dim partial sums, flattened to the 2080 upper-
+    triangle rows; the shuffle is 2080 rows per batch REGARDLESS of
+    corpus size (the k-means partial-sum discipline), and the final
+    groupBy is map-side combinable. Output per dim pair (i ≤ j): counts,
+    dim sums, exact ΣxᵢxⱼB, the integer covariance numerator
+    n·Σxᵢxⱼ − Σxᵢ·Σxⱼ, and the covariance as ONE IEEE division by n² —
+    every column hash-portable. Eigen-solving the 64×64 result is
+    driver-side numpy territory (it is 32 KB); the corpus-sized
+    reduction here is the part that has to scale."""
+    agg = _gram_agg(_emb(spark, sf_dir))
     cov_num = F.col("n") * F.col("sum_prod") - F.col("sum_i") * F.col("sum_j")
     return agg.select(
         "i",
@@ -2053,10 +2061,66 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_sql() -> str:
+# Incremental PCA maintenance: the standing corpus's integer Gram/sum
+# state (vec_id < PCA_INCR_SPLIT — the ivf_incremental split convention)
+# is built once and memoized (the persisted statistics table a real
+# pipeline stores next to the corpus); each batch pass reduces ONLY the
+# batch vectors (cost ∝ batch), merges the integer sums driver-side —
+# Gram partials are ADDITIVE, so the merged state is EXACTLY the
+# full-corpus statistics, not an approximation — re-solves the 64×64
+# eigenproblem, and projects the BATCH rows onto the refreshed
+# component. The oracle is the full-lifecycle PCA replay restricted to
+# batch rows, certifying incremental ≡ full-rebuild bit-for-bit.
+PCA_INCR_SPLIT = IVF_INCR_SPLIT
+
+
+def pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    standing = _memoized(
+        "pca_standing",
+        spark,
+        sf_dir,
+        lambda: _gram_agg(e.filter(F.col("vec_id") < PCA_INCR_SPLIT)),
+    ).collect()  # 2080 rows, bounded
+    batch = e.filter(F.col("vec_id") >= PCA_INCR_SPLIT)
+    merged: dict[tuple[int, int], tuple[int, int, int, int]] = {}
+    for rows in (standing, _gram_agg(batch).collect()):
+        for r in rows:
+            k = (r["i"], r["j"])
+            n, si, sj, sp = merged.get(k, (0, 0, 0, 0))
+            merged[k] = (
+                n + r["n"],
+                si + r["sum_i"],
+                sj + r["sum_j"],
+                sp + r["sum_prod"],
+            )
+    rows = [
+        {"i": i, "j": j, "n": n, "sum_i": si, "sum_j": sj, "cov_num": n * sp - si * sj}
+        for (i, j), (n, si, sj, sp) in merged.items()
+    ]
+    v, sums, n = _pca_eigvec_ints(rows)
+    const = sum(v[j] * sums[j] for j in range(EMB_DIM))
+    den = float(n * QUANT * PCA_SCALE)
+    vlit = F.array([F.lit(x).cast("long") for x in v])
+    q = _quantized(batch)
+    proj_num = (F.lit(n).cast("long") * _dot("q", "v")).cast("long") - F.lit(
+        const
+    ).cast("long")
+    return q.withColumn("v", vlit).select(
+        "vec_id",
+        "label",
+        proj_num.alias("proj_num"),
+        (proj_num.cast("double") / F.lit(den)).alias("proj"),
+    )
+
+
+def _pca_sql(batch_only: bool = False) -> str:
     """The full PCA lifecycle as chained CTEs: quantize → integer
     covariance → PCA_ROUNDS unrolled power-iteration rounds (HUGEINT) →
-    sign canonicalization → per-vector projection."""
+    sign canonicalization → per-vector projection.  With ``batch_only``
+    the final projection is restricted to the incremental entry's batch
+    rows — the STATISTICS still come from the whole corpus, which is
+    exactly what Gram additivity guarantees for the merged state."""
     rounds = []
     for r in range(1, PCA_ROUNDS + 1):
         rounds.append(
@@ -2123,12 +2187,14 @@ SELECT q.vec_id, q.label,
 FROM quant q
 JOIN dotp dp ON dp.vec_id = q.vec_id
 CROSS JOIN nv CROSS JOIN vconst vc
+{f"WHERE q.vec_id >= {PCA_INCR_SPLIT}" if batch_only else ""}
 """
 
 
 registry.register("emb_quantize_int8", quantize_int8, QUANTIZE_INT8_SQL)
 registry.register("emb_covariance_stats", covariance_stats, COVARIANCE_SQL)
 registry.register("emb_pca_project", pca_project, _pca_sql())
+registry.register("emb_pca_incremental", pca_incremental, _pca_sql(batch_only=True))
 registry.register("emb_split_contamination", split_contamination, SPLIT_CONTAM_SQL)
 registry.register("sim_ann_lsh_topk", ann_lsh_topk, _lsh_topk_sql())
 registry.register("sim_ann_lsh_multiprobe", ann_lsh_multiprobe, _lsh_multiprobe_sql())

@@ -630,3 +630,19 @@ def test_split_contamination_matches_numpy_bruteforce(spark):
             got2[k]["n_leaky_train"],
             got2[k]["max_cosine"],
         )
+
+
+def test_pca_incremental_equals_full_rebuild_on_batch_rows(spark):
+    """Gram additivity makes the incremental path EXACT: merged
+    standing+batch statistics equal the full-corpus statistics, so every
+    batch row's projection must be bit-identical to the full entry's,
+    and the entry must emit exactly the batch rows."""
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    full = {r["vec_id"]: r for r in sim.pca_project(spark, sf).collect()}
+    incr = {r["vec_id"]: r for r in sim.pca_incremental(spark, sf).collect()}
+    expected_ids = {k for k in full if k >= sim.PCA_INCR_SPLIT}
+    assert set(incr) == expected_ids and len(incr) > 0
+    for k, r in incr.items():
+        assert (r["proj_num"], r["proj"]) == (full[k]["proj_num"], full[k]["proj"])
