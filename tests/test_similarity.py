@@ -646,3 +646,39 @@ def test_pca_incremental_equals_full_rebuild_on_batch_rows(spark):
     assert set(incr) == expected_ids and len(incr) > 0
     for k, r in incr.items():
         assert (r["proj_num"], r["proj"]) == (full[k]["proj_num"], full[k]["proj"])
+
+
+def test_contamination_incremental_consistent_with_full_screen(spark):
+    """The ingestion screen must emit exactly the batch rows (non-eval,
+    vec_id ≥ split), and its verdicts must be consistent with the full
+    split screen: a batch vector's max cosine vs eval must equal the
+    transpose cell a numpy replay computes, and quarantine ⇔ hits > 0."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["vec_id"]: r for r in sim.contamination_incremental(spark, sf).collect()}
+
+    pdf = sim._emb(spark, sf).toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    q = sim._quant_np(pdf["embedding"])
+    import hashlib
+
+    b = np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % 10 for v in ids]
+    )
+    is_batch = (b != 0) & (ids >= sim.IVF_INCR_SPLIT)
+    assert set(got) == set(int(v) for v in ids[is_batch]) and got
+    ev = q[b == 0]
+    ba = q[is_batch]
+    bids = ids[is_batch]
+    s = ba.astype(np.int64) @ ev.astype(np.int64).T
+    nb = np.sqrt((ba * ba).sum(axis=1).astype(np.float64))
+    ne = np.sqrt((ev * ev).sum(axis=1).astype(np.float64))
+    cos = s / (nb[:, None] * ne[None, :])
+    for k, vid in enumerate(bids):
+        r = got[int(vid)]
+        assert r["n_eval_hits"] == int((cos[k] >= sim.CONTAM_COSINE).sum())
+        assert r["max_cosine"] == cos[k].max()
+        assert r["quarantine"] == (r["n_eval_hits"] > 0)
