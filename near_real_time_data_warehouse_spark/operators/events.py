@@ -1636,6 +1636,77 @@ FROM agg
 registry.register("events_hll_partial_merge", hll_partial_merge, HLL_PARTIAL_MERGE_SQL)
 registry.register("events_trend_slope", trend_slope, TREND_SLOPE_SQL)
 registry.register("events_sliding_hourly", sliding_hourly, SLIDING_SQL)
+# Truncated EWMA: window length 32 with dyadic weights 2^-(j+1) — the
+# classic exponential smoothing (α = 1/2) every monitoring dashboard
+# runs, made EXACT: the numerator Σ n_{k-j}·2^(31-j) is pure int64
+# (≤ 2^53 while hourly counts stay < 2^21 — documented bound) and the
+# smoothed value is ONE division by 2^32, a power of two, so the double
+# is an exact dyadic rational in both engines.  Truncation (not the
+# infinite recurrence) is what makes it relational: 32 explicit lags
+# over the dense spine, a time-bounded window — at any corpus size the
+# state is |types|·32 scalars, the streaming-fold shape.
+EWMA_WINDOW = 32
+
+
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    hours = e.agg(
+        F.min(F.expr(f"us div {_HOUR_US}")).alias("h_min"),
+        F.max(F.expr(f"us div {_HOUR_US}")).alias("h_max"),
+    )
+    spine = hours.select(
+        F.explode(F.sequence("h_min", "h_max")).alias("h")
+    ).crossJoin(e.select("event_type").distinct())
+    agg = e.groupBy(F.expr(f"us div {_HOUR_US}").alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dense = spine.join(agg, ["h", "event_type"], "left").select(
+        "h", "event_type", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    num = F.lit(0).cast("long")
+    for j in range(EWMA_WINDOW):
+        num = num + F.coalesce(F.lag("n", j).over(w), F.lit(0)).cast("long") * F.lit(
+            1 << (EWMA_WINDOW - 1 - j)
+        )
+    return dense.select(
+        (F.col("h") * 3600).alias("hour_epoch_s"),
+        "event_type",
+        F.col("n").alias("n_events"),
+        num.alias("ewma_num"),
+        (num.cast("double") / F.lit(float(1 << EWMA_WINDOW))).alias("ewma"),
+    )
+
+
+def _ewma_sql() -> str:
+    terms = " + ".join(
+        f"COALESCE(lag(n, {j}, 0) OVER (PARTITION BY event_type ORDER BY h), 0)"
+        f" * {1 << (EWMA_WINDOW - 1 - j)}"
+        for j in range(EWMA_WINDOW)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // {_HOUR_US} AS h FROM events
+),
+bounds AS (SELECT MIN(h) AS h_min, MAX(h) AS h_max FROM e),
+spine AS (SELECT unnest(generate_series(h_min, h_max)) AS h FROM bounds),
+types AS (SELECT DISTINCT event_type FROM e),
+agg AS (SELECT h, event_type, COUNT(*) AS n FROM e GROUP BY h, event_type),
+dense AS (
+  SELECT spine.h, types.event_type, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n
+  FROM spine CROSS JOIN types
+  LEFT JOIN agg ON agg.h = spine.h AND agg.event_type = types.event_type
+)
+SELECT h * 3600 AS hour_epoch_s,
+       event_type,
+       n AS n_events,
+       CAST({terms} AS BIGINT) AS ewma_num,
+       CAST({terms} AS DOUBLE) / {float(1 << EWMA_WINDOW)} AS ewma
+FROM dense
+"""
+
+
+registry.register("events_ewma_smooth", ewma_smooth, _ewma_sql())
 registry.register("events_hourly_dense", hourly_dense, HOURLY_DENSE_SQL)
 registry.register("events_gap_fill_interpolate", gap_fill_interpolate, GAP_FILL_SQL)
 registry.register("events_cusum_changepoint", cusum_changepoint, CUSUM_SQL)

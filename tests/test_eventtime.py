@@ -268,3 +268,35 @@ def test_cusum_closed_form_matches_sequential_recurrence(spark):
         assert r["peak_hour_pos"] == hp * 3600 and r["peak_hour_neg"] == hn * 3600
         assert r["drift_pos"] == (2 * mp > absd)
         assert r["drift_neg"] == (2 * mn > absd)
+
+
+def test_ewma_smooth_replays_textbook_recurrence(spark):
+    """The relational 32-lag EWMA must equal the textbook truncated
+    recurrence replayed in Python over the same dense spine, the doubles
+    must be exact dyadic rationals (num / 2^32 bit-for-bit), and the
+    first WINDOW-1 rows must use zero-padding semantics (missing lags
+    contribute 0)."""
+    from near_real_time_data_warehouse_spark.operators import events as ev
+
+    sf = "/root/testdata/sf0.001"
+    rows = ev.ewma_smooth(spark, sf).collect()
+    by_type: dict[str, dict[int, tuple[int, int, float]]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["hour_epoch_s"] // 3600] = (
+            r["n_events"],
+            r["ewma_num"],
+            r["ewma"],
+        )
+    assert by_type
+    for t, series in by_type.items():
+        hours = sorted(series)
+        # dense spine: consecutive hours
+        assert hours == list(range(hours[0], hours[-1] + 1))
+        for idx, h in enumerate(hours):
+            num = 0
+            for j in range(ev.EWMA_WINDOW):
+                if idx - j >= 0:
+                    num += series[hours[idx - j]][0] << (ev.EWMA_WINDOW - 1 - j)
+            n, got_num, got_ewma = series[h]
+            assert got_num == num
+            assert got_ewma == num / float(1 << ev.EWMA_WINDOW)
