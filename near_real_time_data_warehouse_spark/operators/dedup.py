@@ -2599,6 +2599,131 @@ registry.register(
 registry.register("dedup_simhash", simhash, SIMHASH_SQL)
 registry.register("dedup_simhash_pairs", simhash_pairs, SIMHASH_PAIRS_SQL)
 registry.register("dedup_simhash_banded", simhash_banded, SIMHASH_BANDED_SQL)
+# --- Bloom ingestion screen -----------------------------------------------
+#
+# The "probably seen already" pre-filter a crawl pipeline runs BEFORE
+# paying for exact dedup: the standing corpus folds its content
+# fingerprints into an m = 2¹⁶-bit Bloom bitmap (k = 4 md5-derived
+# positions — four disjoint 16-bit hex slices, so no modulo bias), each
+# incoming batch doc tests its 4 bits, and only bloom hits proceed to
+# the exact check.  Everything is integer and md5-derived, so the oracle
+# replays the bitmap bit-for-bit — INCLUDING the false positives: the
+# entry emits per batch doc the bloom verdict, the exact ground truth,
+# and the is_false_positive flag, certifying the screen's one-sided
+# error law (no false negative is possible — the oracle's
+# exact_seen ⇒ bloom_hit is structural, and the pytest asserts it).
+#
+# Scale shape: the bitmap build is explode(4 positions) → groupBy(word)
+# with a map-side-combinable bit_or — 2048 32-bit words REGARDLESS of
+# corpus size (the sketch-partial discipline; 32-bit words because
+# DuckDB raises on BIGINT 1<<63 where Spark silently wraps — sub-sign
+# masks are the portable subset); the batch side joins its 4 rows/doc
+# against the 2048-row bitmap (broadcast), cost ∝ batch.
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bloom_screen_on(_docs(spark, sf_dir))
+
+
+def _bloom_screen_on(d: DataFrame, hex_digits: int = 4) -> DataFrame:
+    """hex_digits controls the per-position width (4 → the production
+    2¹⁶-bit filter). The pytest shrinks it to saturate a mini-bloom and
+    drive the false-positive branch, which the production filter's
+    occupancy makes astronomically rare at driver SFs."""
+    in_batch = F.col("doc_id") % _BATCH_MOD == 0
+    fps = d.select("doc_id", F.md5(_norm_col()).alias("fingerprint"))
+    pos = F.explode(
+        F.array(
+            *[
+                F.conv(
+                    F.substring("fingerprint", 1 + hex_digits * i, hex_digits), 16, 10
+                ).cast("int")
+                for i in range(BLOOM_K)
+            ]
+        )
+    ).alias("pos")
+    bits = (
+        fps.filter(~in_batch)
+        .select(pos)
+        .select(
+            (F.col("pos") / 32).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    probes = fps.filter(in_batch).select("doc_id", "fingerprint", pos).select(
+        "doc_id",
+        "fingerprint",
+        (F.col("pos") / 32).cast("int").alias("word"),
+        (F.col("pos") % 32).cast("int").alias("bit"),
+    )
+    tested = probes.join(F.broadcast(bits), "word", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.coalesce(
+            F.expr("shiftright(mask, bit) & CAST(1 AS BIGINT)"), F.lit(0)
+        ).alias("hit"),
+    )
+    per_doc = tested.groupBy("doc_id", "fingerprint").agg(
+        (F.sum("hit") == BLOOM_K).alias("bloom_hit")
+    )
+    corpus_fp = fps.filter(~in_batch).select("fingerprint").distinct()
+    out = per_doc.join(
+        corpus_fp.withColumn("_seen", F.lit(1)), "fingerprint", "left"
+    ).select(
+        "doc_id",
+        "bloom_hit",
+        F.col("_seen").isNotNull().alias("exact_seen"),
+        (F.col("bloom_hit") & F.col("_seen").isNull()).alias("is_false_positive"),
+    )
+    return out
+
+
+def _bloom_sql() -> str:
+    slices = ", ".join(
+        f"CAST(('0x' || substr(fingerprint, {1 + 4 * i}, 4)) AS BIGINT)"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH fps AS MATERIALIZED (
+  SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+),
+corpus_pos AS (
+  SELECT unnest([{slices}]) AS pos FROM fps WHERE doc_id % {_BATCH_MOD} <> 0
+),
+bits AS MATERIALIZED (
+  SELECT CAST(pos // 32 AS INT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS mask
+  FROM corpus_pos GROUP BY 1
+),
+probes AS (
+  SELECT doc_id, fingerprint, unnest([{slices}]) AS pos
+  FROM fps WHERE doc_id % {_BATCH_MOD} = 0
+),
+tested AS (
+  SELECT p.doc_id, p.fingerprint,
+         COALESCE((b.mask >> CAST(p.pos % 32 AS INT)) & 1, 0) AS hit
+  FROM probes p LEFT JOIN bits b ON b.word = CAST(p.pos // 32 AS INT)
+),
+per_doc AS (
+  SELECT doc_id, fingerprint, SUM(hit) = {BLOOM_K} AS bloom_hit
+  FROM tested GROUP BY doc_id, fingerprint
+),
+corpus_fp AS (
+  SELECT DISTINCT fingerprint FROM fps WHERE doc_id % {_BATCH_MOD} <> 0
+)
+SELECT p.doc_id,
+       p.bloom_hit,
+       c.fingerprint IS NOT NULL AS exact_seen,
+       p.bloom_hit AND c.fingerprint IS NULL AS is_false_positive
+FROM per_doc p LEFT JOIN corpus_fp c USING (fingerprint)
+"""
+
+
+registry.register("dedup_bloom_screen", bloom_screen, _bloom_sql())
 registry.register("dedup_incremental", incremental_dedup, _incremental_sql())
 registry.register("dedup_graph_incremental", dedup_graph_incremental, COMPONENTS_MINHASH_SQL)
 registry.register(

@@ -559,3 +559,31 @@ def test_spans_profile_interval_union_property(spark):
             assert r["longest_span"] == max(e - s for s, e in merged)
 
     run()
+
+
+def test_bloom_screen_one_sided_error_law(spark):
+    """Bloom screens have a one-sided error law: exact_seen ⇒ bloom_hit
+    (no false negatives, structurally), and is_false_positive ⇔
+    (bloom_hit ∧ ¬exact_seen). Verified on the production filter, plus a
+    deliberately saturated 2-hex-digit mini-bloom where false positives
+    MUST occur — driving the branch the production occupancy makes
+    astronomically rare."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    rows = dd.bloom_screen(spark, sf).collect()
+    assert rows
+    for r in rows:
+        if r["exact_seen"]:
+            assert r["bloom_hit"], "false negative — structurally impossible"
+        assert r["is_false_positive"] == (r["bloom_hit"] and not r["exact_seen"])
+
+    mini = dd._bloom_screen_on(dd._docs(spark, sf), hex_digits=2).collect()
+    assert any(r["is_false_positive"] for r in mini), (
+        "256-bit bloom over hundreds of docs must saturate into FPs"
+    )
+    for r in mini:
+        if r["exact_seen"]:
+            assert r["bloom_hit"]
