@@ -602,6 +602,27 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_surprisal_df(_docs(spark, sf_dir))
 
 
+def _adjacent_bigrams(tcol: F.Column) -> F.Column:
+    """array<string> of adjacent "a b" bigrams — zip_with over two
+    slices, NOT element_at over an index sequence.  Each slice
+    references the token ARRAY a constant number of times per row; a
+    per-element element_at lambda re-evaluates the array's defining
+    expression at every access once Catalyst collapses the projection —
+    the projection form of the NEXT.md r9 #15 filter trap.  Measured at
+    the 100× probe: 212.5 → 15.5 s (13.7×) for the DSIR feature
+    explode, bit-identical output.  Empty when size < 2 (slice with a
+    negative length errors, so the guard stays)."""
+    n1 = F.size(tcol) - 1
+    return F.when(
+        F.size(tcol) >= 2,
+        F.zip_with(
+            F.slice(tcol, 1, n1),
+            F.slice(tcol, 2, n1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def bigram_surprisal_df(d: DataFrame) -> DataFrame:
     """Kernel of text_bigram_surprisal over any (doc_id, text) DataFrame.
 
@@ -1596,16 +1617,7 @@ def hash_classifier_df(d: DataFrame) -> DataFrame:
     """Kernel of text_hash_classifier over any (doc_id, text) DataFrame."""
     toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
     base = d.select("doc_id", toks.alias("toks"))
-    # sequence(1, size-1) DESCENDS when size < 2 — guard before building
-    bis = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bis = _adjacent_bigrams(F.col("toks"))
 
     def _bucket(f: F.Column) -> F.Column:
         return (
@@ -1981,15 +1993,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lang").alias("tgt_lang"))
     )
     toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
-    bis = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bis = _adjacent_bigrams(F.col("toks"))
     feats = d.select("doc_id", "lang", toks.alias("toks")).select(
         "doc_id", "lang", F.concat(F.col("toks"), bis).alias("feats")
     )
@@ -2009,12 +2013,22 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("bucket"),
     ).crossJoin(F.broadcast(tgt))
+    # Materialized ONCE: fx feeds the bucket stats AND the scoring join —
+    # without the cut the tokenize+md5 explode chain executed per
+    # consumer (the 100× probe measured 347 s; one evaluation is the
+    # whole point of "one explode pass"). Stats-clean like every other
+    # corpus-proportional memo.
+    from .dedup import _local_checkpoint_stats_clean
+
+    fx = _local_checkpoint_stats_clean(fx, eager=False)
     is_tgt = F.when(F.col("lang") == F.col("tgt_lang"), 1).otherwise(0)
     bs = fx.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_c"), F.sum(is_tgt).alias("tgt_c")
     )
-    tot = fx.agg(
-        F.count(F.lit(1)).alias("t_raw"), F.sum(is_tgt).alias("t_tgt")
+    # Global totals are the bucket stats summed — a 1024-row aggregate,
+    # not a second corpus pass (identical integers by construction).
+    tot = bs.agg(
+        F.sum("raw_c").alias("t_raw"), F.sum("tgt_c").alias("t_tgt")
     )
     w = bs.crossJoin(F.broadcast(tot)).select(
         "bucket",
@@ -2229,15 +2243,7 @@ def dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     in_batch = F.col("doc_id") % DSIR_BATCH_MOD == 0
     toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
-    bis = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bis = _adjacent_bigrams(F.col("toks"))
     fx = (
         d.select("doc_id", "lang", in_batch.alias("in_batch"), toks.alias("toks"))
         .select("doc_id", "lang", "in_batch", F.concat(F.col("toks"), bis).alias("feats"))
@@ -2256,6 +2262,12 @@ def dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
+    # Materialized ONCE — fx feeds the standing stats AND the batch
+    # scoring; the un-cut chain tokenized the corpus per consumer
+    # (219 s at the 100× probe).
+    from .dedup import _local_checkpoint_stats_clean
+
+    fx = _local_checkpoint_stats_clean(fx, eager=False)
     standing = fx.filter(~F.col("in_batch"))
     tgt = (
         d.filter(~in_batch)
@@ -2270,8 +2282,9 @@ def dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bs = st.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_c"), F.sum(is_tgt).alias("tgt_c")
     )
-    tot = st.agg(
-        F.count(F.lit(1)).alias("t_raw"), F.sum(is_tgt).alias("t_tgt")
+    # Totals from the 1024-row stats, not a second standing pass.
+    tot = bs.agg(
+        F.sum("raw_c").alias("t_raw"), F.sum("tgt_c").alias("t_tgt")
     )
     batch = fx.filter("in_batch").join(bs, "bucket", "left").crossJoin(
         F.broadcast(tot)
@@ -2357,15 +2370,7 @@ def dsir_fx(d: DataFrame) -> DataFrame:
     batch entries above and the streaming fold
     (streaming/dsir_stream.py)."""
     toks = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
-    bis = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("toks", i), F.element_at("toks", i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bis = _adjacent_bigrams(F.col("toks"))
     return (
         d.select("doc_id", "lang", toks.alias("toks"))
         .select("doc_id", "lang", F.concat(F.col("toks"), bis).alias("feats"))
