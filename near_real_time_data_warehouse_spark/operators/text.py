@@ -1577,6 +1577,69 @@ registry.register("text_lang_id", lang_id, LANG_ID_SQL)
 registry.register("text_stopword_ratios", stopword_ratios, STOPWORD_RATIOS_SQL)
 registry.register("text_repetition_stats", repetition_stats, REPETITION_SQL)
 registry.register("text_pii_redact", pii_redact, PII_REDACT_SQL)
+def zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned rank-frequency profile of the corpus vocabulary — the
+    Zipf diagnostic a corpus audit runs (a healthy natural-language
+    corpus shows total occurrences roughly CONSTANT per log-rank bin;
+    boilerplate floods the head, OCR noise fattens the tail).  Bin =
+    bit_length(rank) over the (count DESC, token ASC) total order, so
+    bin k holds ranks [2^(k-1), 2^k): per bin, type count, total/max/min
+    occurrences — all exact integers.
+
+    Scale shape: token counts are a map-side-combinable aggregate; the
+    total order comes from ranking.global_row_number (range partition +
+    local sort + offsets — never a single-partition window); the profile
+    is a ~log2(|vocab|)-row aggregate.  The oracle replays the ranking
+    as a SQL window (tie-broken identically) and the bin via DuckDB's
+    printf('%b') bit length."""
+    from .ranking import global_row_number
+
+    d = _docs(spark, sf_dir).select("doc_id", F.split(_norm_col(), " ").alias("toks"))
+    tf = (
+        d.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = global_row_number(
+        tf, [F.desc("c"), F.asc("token")], rank_col="r"
+    )
+    return (
+        ranked.groupBy(_bits(F.col("r")).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("c").alias("total_occurrences"),
+            F.max("c").alias("max_count"),
+            F.min("c").alias("min_count"),
+        )
+        .select(
+            "bin",
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("total_occurrences").cast("long").alias("total_occurrences"),
+            F.col("max_count").cast("long").alias("max_count"),
+            F.col("min_count").cast("long").alias("min_count"),
+        )
+    )
+
+
+ZIPF_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+),
+tf AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS r FROM tf
+)
+SELECT CAST(len(printf('%b', r)) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS total_occurrences,
+       CAST(MAX(c) AS BIGINT) AS max_count,
+       CAST(MIN(c) AS BIGINT) AS min_count
+FROM ranked
+GROUP BY 1
+"""
+
+
+registry.register("text_zipf_profile", zipf_profile, ZIPF_SQL)
 registry.register("text_vocabulary", vocabulary, VOCABULARY_SQL)
 registry.register("text_fingerprint", fingerprint, FINGERPRINT_SQL)
 

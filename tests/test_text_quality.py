@@ -304,3 +304,28 @@ def test_nb_confusion_covers_every_holdout_doc_once(spark):
     again = {(r["actual"], r["predicted"]): r["n_docs"]
              for r in nb_lang_confusion(spark, sf).collect()}
     assert again == rows
+
+
+def test_zipf_profile_bins_partition_ranks(spark):
+    """Bin k must hold exactly the ranks [2^(k-1), 2^k): type counts per
+    bin sum to the vocabulary size, bin populations match the dyadic
+    widths (full bins hold 2^(k-1) types), and counts are non-increasing
+    across bins (max of bin k+1 ≤ min of bin k — rank order)."""
+    from near_real_time_data_warehouse_spark.operators import text as T
+
+    rows = sorted(
+        T.zipf_profile(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows and rows[0]["bin"] == 1
+    vocab = sum(r["n_types"] for r in rows)
+    for i, r in enumerate(rows):
+        width = 1 << (r["bin"] - 1)
+        if i < len(rows) - 1:
+            assert r["n_types"] == width  # full dyadic bin
+        else:
+            assert 1 <= r["n_types"] <= width  # tail bin may be partial
+        if i:
+            assert r["max_count"] <= rows[i - 1]["min_count"]
+    total = sum(r["total_occurrences"] for r in rows)
+    assert total > 0 and vocab >= len(rows)
