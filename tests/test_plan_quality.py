@@ -688,3 +688,68 @@ def test_covariance_partials_shuffle_is_tiny(spark):
     plan = plan_of(QUERIES["emb_covariance_stats"](spark, SF_SMALL))
     assert "HashAggregate" in plan
     assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_pca_projection_is_scan_side(spark):
+    """emb_pca_project: after the driver-side eigen-solve, the projection
+    pass must be a pure scan-project over the vectors — no join, no
+    key shuffle (the covariance reduction is billed inside the same
+    entry but the projection lineage itself adds none)."""
+    plan = plan_of(QUERIES["emb_pca_project"](spark, SF_SMALL))
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_split_contamination_single_combine_shuffle(spark):
+    """emb_split_contamination: the train corpus streams through the
+    Arrow matmul; the ONLY key shuffle is the |eval|-sized final
+    combine — and no join anywhere (the eval block is a broadcast
+    variable, not a join side)."""
+    plan = plan_of(QUERIES["emb_split_contamination"](spark, SF_SMALL))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning") == 1  # the final groupBy only
+
+
+def test_contamination_incremental_zero_shuffle(spark):
+    """The ingestion screen emits per-batch-row verdicts directly from
+    the matmul — no key shuffle, no join at all."""
+    plan = plan_of(QUERIES["emb_contamination_incremental"](spark, SF_SMALL))
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_bloom_screen_probe_join_is_broadcast(spark):
+    """dedup_bloom_screen: the 2048-word bitmap must reach the probes by
+    broadcast — a shuffled join would repartition the batch for a
+    kilobyte-scale table. No sort-merge join anywhere."""
+    plan = plan_of(QUERIES["dedup_bloom_screen"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ewma_window_is_type_partitioned(spark):
+    """events_ewma_smooth: the 32-lag window must be PARTITIONED BY
+    event_type — an unpartitioned window would single-thread the spine —
+    and stay pure JVM."""
+    plan = plan_of(QUERIES["events_ewma_smooth"](spark, SF_SMALL))
+    assert "Window" in plan and "event_type" in plan
+    assert "PythonRunner" not in plan and "MapInPandas" not in plan
+
+
+def test_zipf_ranking_is_range_partitioned(spark):
+    """text_zipf_profile: the vocabulary total order must come from the
+    distributed rank (ranking._ranked's checkpointed range-partitioned
+    sort, visible as the ExistingRDD scan with the __pid/__local
+    columns), never a single-partition row_number window."""
+    plan = plan_of(QUERIES["text_zipf_profile"](spark, SF_SMALL))
+    assert "Scan ExistingRDD" in plan and "__pid" in plan
+    assert "Window" not in plan
+
+
+def test_dsir_feature_stream_single_pass(spark):
+    """docs_dsir_importance: the checkpointed feature stream must feed
+    the stats and the scoring join from ONE materialization — the plan
+    shows the LogicalRDD scan, not two tokenize chains (the 100× probe's
+    347 s pathology)."""
+    plan = plan_of(QUERIES["docs_dsir_importance"](spark, SF_SMALL))
+    assert "Scan ExistingRDD" in plan
