@@ -1150,6 +1150,65 @@ FROM sc JOIN th ON sc.lang = th.lang
 """
 
 
+# --- Weighted Bernoulli sampling (Horvitz–Thompson) -----------------------
+#
+# Length-weighted subsampling with unbiased reweighting — the
+# budget-limited pipeline pass ("keep ~K documents, longer documents
+# proportionally more likely, reweight so any corpus statistic stays
+# unbiased").  Inclusion is a pure integer comparison on a 28-bit
+# md5-derived uniform (U·Σw < K·w·2²⁸ — never a float RNG, so Spark and
+# DuckDB select the IDENTICAL sample), and the Horvitz–Thompson weight
+# 1/p is ONE IEEE division (1.0 where p ≥ 1).  The 28-bit grid bounds
+# U·Σw ≤ 2²⁸·Σw in int64 while total chars < ~3·10¹⁰; past that the
+# comparison widens to DECIMAL(38) unchanged in shape.  Scale: one
+# 1-row total broadcast + a stateless per-row test — zero shuffle.
+WSAMP_K = 100
+WSAMP_BITS = 28
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    tot = d.agg(F.sum("n_chars").alias("tot"))
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    j = d.crossJoin(F.broadcast(tot))
+    sel = u * F.col("tot") < F.lit(WSAMP_K) * F.col("n_chars") * F.lit(1 << WSAMP_BITS)
+    ht = F.when(
+        F.lit(WSAMP_K) * F.col("n_chars") >= F.col("tot"), F.lit(1.0)
+    ).otherwise(
+        F.col("tot").cast("double") / (F.lit(WSAMP_K) * F.col("n_chars")).cast("double")
+    )
+    return (
+        j.filter(sel)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            ht.alias("ht_weight"),
+        )
+    )
+
+
+WSAMP_SQL = f"""
+WITH tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot FROM documents),
+u AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS u
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CASE WHEN {WSAMP_K} * n_chars >= tot.tot THEN 1.0
+            ELSE CAST(tot.tot AS DOUBLE) / CAST({WSAMP_K} * n_chars AS DOUBLE)
+       END AS ht_weight
+FROM u CROSS JOIN tot
+WHERE u.u * tot.tot < {WSAMP_K} * n_chars * {1 << WSAMP_BITS}
+"""
+
+
+registry.register("docs_weighted_sample", weighted_sample, WSAMP_SQL)
 registry.register("docs_cdc_chunks", cdc_chunks, CDC_CHUNKS_SQL)
 registry.register("docs_mixture_unimax", mixture_unimax, MIXTURE_UNIMAX_SQL)
 registry.register(

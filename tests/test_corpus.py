@@ -340,3 +340,36 @@ def test_mixture_temperature_upweights_tails(spark):
         for c2, r2 in kept:
             if c2 >= 4 * c1 and r1 < 1000:
                 assert r1 > r2
+
+
+def test_weighted_sample_selection_law_and_ht_estimator(spark):
+    """The sample must be EXACTLY the docs whose 28-bit md5 uniform
+    clears the length-proportional threshold (replayed in Python), the
+    HT weight must be the exact reciprocal inclusion probability, and
+    the HT estimator of total chars (Σ w·n_chars over the sample) must
+    land near the true total — the unbiasedness this sampling exists
+    for (tolerance covers one corpus draw's variance)."""
+    import hashlib
+
+    from near_real_time_data_warehouse_spark.operators import corpus as C
+    from near_real_time_data_warehouse_spark.operators.text import _docs
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["doc_id"]: r for r in C.weighted_sample(spark, sf).collect()}
+    docs = _docs(spark, sf).select("doc_id", "n_chars").collect()
+    tot = sum(r["n_chars"] for r in docs)
+    expected = {}
+    for r in docs:
+        u = int(hashlib.md5(f"wsamp:{r['doc_id']}".encode()).hexdigest()[:7], 16)
+        if u * tot < C.WSAMP_K * r["n_chars"] * (1 << C.WSAMP_BITS):
+            expected[r["doc_id"]] = r["n_chars"]
+    assert set(rows) == set(expected)
+    est = 0.0
+    for did, r in rows.items():
+        w = r["ht_weight"]
+        if C.WSAMP_K * r["n_chars"] >= tot:
+            assert w == 1.0
+        else:
+            assert w == tot / (C.WSAMP_K * r["n_chars"])
+        est += w * r["n_chars"]
+    assert abs(est - tot) / tot < 0.35, (est, tot)
