@@ -502,16 +502,30 @@ def _local_scan_bytes(df: DataFrame) -> int:
     return total
 
 
+def _pair_partitions(star: Star) -> int:
+    """Partition count for the market-basket pair re-aggregation. The
+    distinct-pair hash state grows ∝ corpus (~90M pairs at the 100×
+    probe) while the session's shuffle partitions stay fixed, so at 32
+    partitions each reduce task's aggregation map outgrows its memory
+    share and spill-merges. One partition per ~8 MB of scanned fact
+    keeps every task's map a few MB at any SF — the same data-adaptive
+    knee discipline as the IVF nlist / LSH plane depth. Floor 32
+    preserves the driver-SF plans byte-for-byte; the 4096 cap is the
+    single-host bound (a cluster sets shuffle partitions itself)."""
+    return max(32, min(4096, _local_scan_bytes(star["salefact"]) // (8 << 20)))
+
+
 def q16(star: Star) -> DataFrame:
     """Top 5 product pairs purchased together (Analysis_Queries.sql:128-137):
     self-join on order_id with a ``<`` theta residual — equi on the order
     key plus a range filter, exactly how Catalyst plans it.
 
     Above Q16_ONEPASS_BYTES of scanned input this delegates to
-    :func:`star_basket_onepass` — the join-free per-order array expansion
-    whose result (and oracle) are identical, but which has no sort-merge
-    intermediate to spill (the faithful plan sort-spills 9.4 GB at the
-    50× probe; the onepass shape spills nothing but the final top-k)."""
+    :func:`star_basket_onepass` — the counts-grain kernel whose result
+    (and oracle) are identical, but which joins the reduced per-(order,
+    product) multiplicities instead of raw rows and knee-partitions the
+    pair re-aggregation (the faithful raw-row plan sort-spills 9.4 GB at
+    the 50× probe; the kernel's sorts are megabytes per task)."""
     import os
 
     env = os.environ.get("Q16_ONEPASS_BYTES")
@@ -927,39 +941,49 @@ def star_basket_onepass(star: Star) -> DataFrame:
     in ONE row's array (AQE-splittable by order_id, never a hub
     partition).
 
-    Measured at the 50× probe (~30M lineitem): spill 3.46 GB → 0.84 GB,
-    shuffle 1.19 GB → 0.86 GB, peak execution memory 10.2 GB → 5.9 GB vs
-    q16; single-host wall is ~25% slower (local spill is nearly free
-    here) — on a real cluster, where spill and shuffle are the costs
-    that matter, this is the shape to run. Faster than q16 at sf0.1."""
+    The naive shape's remaining spill (~3.3 GB disk at the 100× probe —
+    partial collect_list buffers hitting ObjectHashAggregate's 128-key
+    sort-based fallback, which re-sorts the whole input) is removed
+    structurally, in two moves. (1) No object aggregation at all: the
+    fact reduces to fixed-width per-(order, product) multiplicities — a
+    codegen HashAggregate — and the i<j pairs come from a sort-merge
+    SELF-join of that counts grain on order_id with the strict-< product
+    residual; both legs are the same subtree over the same explicit
+    Exchange, so ReuseExchange shuffles the fact ONCE. Pair multiplicity
+    is exact: a product appearing c_a times pairs c_a·c_b ways, so the
+    result — and the oracle — stay identical to q16's row-pair counting.
+    Per-order expansion is bounded by the max distinct basket size
+    squared, a data constant. (2) BOTH shuffles — the order_id exchange
+    feeding agg+sort+join, and the pair re-aggregation whose hash state
+    is ∝ corpus (~90M distinct pairs at 100×) — are partitioned by a
+    scan-size knee instead of the session's fixed count, so every task's
+    aggregation map and sort run stay a few MB at ANY SF and never
+    spill-merge — the brief's "size shuffle partitions so state fits"
+    rule applied per-operator, exactly like the IVF nlist / LSH plane
+    knees. (At driver SFs the knee floors to the session count, so the
+    exchange it introduces is the one EnsureRequirements would have
+    inserted anyway.)"""
+    n_parts = _pair_partitions(star)
     f = star["salefact"].select("order_id", "product_id")
-    baskets = f.groupBy("order_id").agg(
-        F.array_sort(F.collect_list("product_id")).alias("items")
+    counts = (
+        f.repartition(n_parts, "order_id")
+        .groupBy("order_id", "product_id")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    items = F.col("items")
-    # Sorted row list; pairs are (x, every LATER element strictly greater),
-    # so duplicate-product row pairs drop exactly as the join's strict <.
-    pairs = F.flatten(
-        F.transform(
-            items,
-            lambda x, i: F.transform(
-                F.filter(
-                    F.slice(items, i + F.lit(2), F.size(items)),
-                    lambda y: y > x,
-                ),
-                lambda y: F.struct(
-                    x.alias("product_01"), y.alias("product_02")
-                ),
-            ),
-        )
+    a, b = counts.alias("a"), counts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.order_id") == F.col("b.order_id"))
+        & (F.col("a.product_id") < F.col("b.product_id")),
+    ).select(
+        F.col("a.product_id").alias("product_01"),
+        F.col("b.product_id").alias("product_02"),
+        (F.col("a.c") * F.col("b.c")).alias("w"),
     )
     return (
-        baskets.select(F.explode(pairs).alias("p"))
-        .groupBy(
-            F.col("p.product_01").alias("product_01"),
-            F.col("p.product_02").alias("product_02"),
-        )
-        .agg(F.count(F.lit(1)).alias("pair_count"))
+        pairs.repartition(n_parts, "product_01", "product_02")
+        .groupBy("product_01", "product_02")
+        .agg(F.sum("w").alias("pair_count"))
         .orderBy(F.desc("pair_count"), "product_01", "product_02")
         .limit(5)
     )
@@ -973,36 +997,39 @@ def star_basket_rules(star: Star) -> DataFrame:
     exact integer order counts (pair_orders, per-item orders_a/b,
     n_orders), each ratio ONE IEEE division so the doubles hash-match.
 
-    Scale shape: the pair generation is the join-free onepass kernel
-    (per-order sorted item arrays, i<j expansion — nothing to
-    sort-merge); item counts are a map-side-combinable aggregate; the
-    20-row top set then joins the counts and the 1-row total — bounded
-    constants. The oracle uses the faithful self-join form, so the hash
-    also certifies the kernel ≡ join equivalence at distinct grain."""
-    f = star["salefact"].select("order_id", "product_id").distinct()
+    Scale shape: identical to :func:`star_basket_onepass` — the DISTINCT
+    reduces to the per-(order, product) grain (fixed-width codegen
+    aggregate; at scale the ETL's own orders⋈lineitem shuffle leaves the
+    cached fact already clustered by order_id, so it plans with zero
+    exchanges), the i<j pairs come from a sort-merge self-join of that
+    grain on order_id (megabytes of sort per task, no object
+    aggregation anywhere), and the pair re-aggregation is partitioned by
+    the scan-size knee so its ∝-corpus hash state never spill-merges.
+    The 20-row top set then joins the item counts and the 1-row total —
+    bounded constants. The oracle uses the faithful self-join form, so
+    the hash also certifies kernel ≡ join equivalence at distinct
+    grain."""
+    n_parts = _pair_partitions(star)
+    f = (
+        star["salefact"]
+        .select("order_id", "product_id")
+        .repartition(n_parts, "order_id")
+        .distinct()
+    )
     tot = f.agg(F.count_distinct("order_id").alias("n_orders"))
     ic = f.groupBy("product_id").agg(F.count(F.lit(1)).alias("c"))
-    baskets = f.groupBy("order_id").agg(
-        F.array_sort(F.collect_list("product_id")).alias("items")
-    )
-    items = F.col("items")
-    pairs = F.flatten(
-        F.transform(
-            items,
-            lambda x, i: F.transform(
-                F.slice(items, i + F.lit(2), F.size(items)),
-                lambda y: F.struct(
-                    x.alias("product_01"), y.alias("product_02")
-                ),
-            ),
-        )
+    a, b = f.alias("a"), f.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.order_id") == F.col("b.order_id"))
+        & (F.col("a.product_id") < F.col("b.product_id")),
+    ).select(
+        F.col("a.product_id").alias("product_01"),
+        F.col("b.product_id").alias("product_02"),
     )
     top = (
-        baskets.select(F.explode(pairs).alias("p"))
-        .groupBy(
-            F.col("p.product_01").alias("product_01"),
-            F.col("p.product_02").alias("product_02"),
-        )
+        pairs.repartition(n_parts, "product_01", "product_02")
+        .groupBy("product_01", "product_02")
         .agg(F.count(F.lit(1)).alias("pair_orders"))
         .orderBy(F.desc("pair_orders"), "product_01", "product_02")
         .limit(20)

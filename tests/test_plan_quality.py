@@ -64,9 +64,11 @@ def test_no_cartesian_products(star):
 
 def test_q16_delegates_to_onepass_above_threshold(star, monkeypatch):
     """Above Q16_ONEPASS_BYTES of scanned input q16 must route through
-    the join-free onepass basket kernel (VERDICT r9 #3): identical rows,
-    but no self-join in the plan — nothing to sort-merge-spill at scale.
-    At driver SFs (below threshold) the faithful self-join plan stands."""
+    the counts-grain basket kernel (VERDICT r9 #3, reshaped r11):
+    identical rows, but the self-join runs over the reduced per-(order,
+    product) multiplicities — an aggregate below each join leg — and the
+    pair re-aggregation is knee-partitioned. At driver SFs (below
+    threshold) the faithful raw-row self-join plan stands."""
     faithful = analysis.QUERIES["q16_market_basket_pairs"].spark(star)
     assert "Join" in plan_of(faithful)  # sf0.001 is far below threshold
     monkeypatch.setenv("Q16_ONEPASS_BYTES", "1")
@@ -81,7 +83,11 @@ def test_q16_delegates_to_onepass_above_threshold(star, monkeypatch):
         )
 
     assert norm(delegated) == norm(onepass)
-    assert "SortMergeJoin" not in plan_of(delegated)
+    dplan = plan_of(delegated)
+    assert "ObjectHashAggregate" not in dplan
+    assert "REPARTITION_BY_NUM" in dplan
+    # counts grain: an aggregate sits below the self-join
+    assert "HashAggregate" in dplan.split("SortMergeJoin", 1)[1]
     assert delegated.collect() == faithful.collect()
 
 
@@ -571,10 +577,16 @@ def test_perplexity_buckets_thresholds_broadcast_no_corpus_window(spark):
     assert "ntile" not in plan.lower()
 
 
-def test_basket_onepass_plan_has_no_join(spark, star):
-    """star_basket_pairs_onepass exists to remove the theta self-join:
-    the physical plan must contain NO join operator of any kind — the
-    wide stages are the per-order aggregate and the pair re-aggregate."""
+def test_basket_onepass_plan_shape(spark, star):
+    """star_basket_pairs_onepass exists to remove q16's spill sources:
+    (1) NO object aggregation anywhere — the r10 shape's collect_list
+    hit ObjectHashAggregate's 128-key sort-based fallback and re-sorted
+    the whole fact (~3.3 GB disk at the 100× probe); the pair expansion
+    must instead be a sort-merge self-join of the fixed-width
+    per-(order, product) counts grain; (2) the pair re-aggregation's
+    exchange must be the scan-size-knee repartition (REPARTITION_BY_NUM),
+    not the session's fixed shuffle count, so its ∝-corpus hash state
+    never spill-merges."""
     from near_real_time_data_warehouse_spark.plans.analysis import (
         star_basket_onepass,
     )
@@ -584,9 +596,14 @@ def test_basket_onepass_plan_has_no_join(spark, star):
     star2 = dict(star)
     star2["salefact"] = star["salefact"].localCheckpoint(eager=True)
     plan = plan_of(star_basket_onepass(star2))
-    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-               "BroadcastNestedLoopJoin", "CartesianProduct"):
-        assert op not in plan, (op, plan)
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "collect_list" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # the join runs at the counts grain: both legs aggregate before the
+    # join, so a count aggregate appears below the SortMergeJoin
+    before_join = plan.split("SortMergeJoin", 1)[1]
+    assert "HashAggregate" in before_join, plan
 
 
 def test_expectations_row_predicates_share_one_scan(spark):

@@ -502,6 +502,77 @@ def test_pca_planted_component_matches_numpy(spark):
     assert cos > 1 - 1e-6, f"integer iteration diverged from numpy: cos={cos}"
 
 
+def test_multi_benchmark_contamination_consistent_with_single(spark):
+    """The one-pass multi-benchmark screen must agree with the single
+    screen it generalizes: per-benchmark leak counts and pair totals
+    roll up from emb_split_contamination's per-vector rows partitioned
+    by the same bench_id rule, and max cosines match bit-for-bit."""
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    single = sim.split_contamination(spark, sf).collect()
+    multi = {r["bench_id"]: r for r in
+             sim.multi_benchmark_contamination(spark, sf).collect()}
+    by_bench: dict[int, list] = {}
+    for r in single:
+        by_bench.setdefault(r["vec_id"] % sim.N_BENCHMARKS, []).append(r)
+    assert set(multi) == set(by_bench)
+    for b, rows in by_bench.items():
+        m = multi[b]
+        assert m["n_eval"] == len(rows)
+        assert m["n_leaked_eval"] == sum(1 for r in rows if r["leaked"])
+        assert m["total_leaky_pairs"] == sum(r["n_leaky_train"] for r in rows)
+        assert m["max_cosine"] == max(r["max_cosine"] for r in rows)
+
+
+def test_pca_topk_deflation_matches_numpy(spark):
+    """On data with THREE planted directions (decreasing variance, real
+    eigengaps) the exact-integer deflation must recover numpy's top-3
+    eigenvectors each to |cosine| > 1 − 1e-4, the integer components
+    must be mutually near-orthogonal, and component 1 must equal the
+    single-component entry's vector exactly (emb_pca_project parity)."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    basis = np.linalg.qr(rng.normal(size=(sim.EMB_DIM, 3)))[0].T  # 3 orthonormal
+    t = rng.normal(size=(500, 3)) * np.array([0.5, 0.25, 0.12])
+    x = t @ basis + rng.normal(size=(500, sim.EMB_DIM)) * 0.005
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]], int(i % 3)) for i in range(len(x))],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+    e_orig = sim._emb
+    try:
+        sim._emb = lambda _s, _d: df
+        rows = sim.covariance_stats(spark, "ignored").collect()
+    finally:
+        sim._emb = e_orig
+    vecs, sums, n = sim._pca_topk_ints(rows, 3)
+    v1, _, _ = sim._pca_eigvec_ints(rows)
+    assert vecs[0] == v1  # PC1 parity with emb_pca_project
+
+    q = sim._round_half_away(
+        np.vstack(df.toPandas()["embedding"].values).astype(np.float64) * sim.QUANT
+    ).astype(np.float64)
+    c = np.cov(q, rowvar=False, bias=True)
+    eigvals, eigvecs = np.linalg.eigh(c)
+    assert eigvals[-2] / eigvals[-1] < 0.5 and eigvals[-3] / eigvals[-2] < 0.5
+    for k in range(3):
+        va = np.array(vecs[k], dtype=np.float64)
+        truth = eigvecs[:, -(k + 1)]
+        cos = abs(va @ truth) / (np.linalg.norm(va) * np.linalg.norm(truth))
+        assert cos > 1 - 1e-4, f"component {k + 1}: cos={cos}"
+    for a in range(3):
+        for b in range(a + 1, 3):
+            ua = np.array(vecs[a], dtype=np.float64)
+            ub = np.array(vecs[b], dtype=np.float64)
+            ortho = abs(ua @ ub) / (np.linalg.norm(ua) * np.linalg.norm(ub))
+            assert ortho < 1e-3, (a, b, ortho)
+
+
 def test_pca_projection_formula_and_partition_invariance(spark):
     """On the real corpus: the per-vector projections must match a numpy
     replay of the same integer formula, the iterate's Rayleigh quotient
