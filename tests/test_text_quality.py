@@ -329,3 +329,70 @@ def test_zipf_profile_bins_partition_ranks(spark):
             assert r["max_count"] <= rows[i - 1]["min_count"]
     total = sum(r["total_occurrences"] for r in rows)
     assert total > 0 and vocab >= len(rows)
+
+
+def test_bm25_integer_formula_tracks_float_bm25(spark):
+    """The scaled-integer BM25 must be a faithful quantization: a pure-
+    Python replay of the integer spec over the sf0.001 postings must
+    reproduce every returned score_scaled exactly, and each per-term
+    integer score must sit within 2 ulp-of-scale of the float BM25 it
+    quantizes (same idf_bits, avgdl floored)."""
+    import collections
+    import re
+
+    import duckdb
+
+    from near_real_time_data_warehouse_spark.operators import text as T
+
+    sf = "/root/testdata/sf0.001"
+    got = T.bm25_search_topk(spark, sf).collect()
+    assert got and all(r["rank"] <= T.SEARCH_TOP_K for r in got)
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    tf: dict[tuple[int, str], int] = collections.Counter()
+    dl: dict[int, int] = collections.Counter()
+    for doc_id, text in docs:
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
+        for t in toks:
+            tf[(doc_id, t)] += 1
+        dl[doc_id] += len(toks)
+    df: dict[str, int] = collections.Counter()
+    for (_d, t), _n in tf.items():
+        df[t] += 1
+    n_docs = len(docs)
+    t_total = sum(dl.values())
+    avgdl = t_total // n_docs
+    ranked = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+    band = ranked[T.SEARCH_SKIP_TOP:T.SEARCH_SKIP_TOP
+                  + T.SEARCH_N_QUERIES * T.SEARCH_TERMS_PER_QUERY]
+    queries: dict[int, list[str]] = {}
+    for idx, (term, _dfv) in enumerate(band):
+        queries.setdefault(idx % T.SEARCH_N_QUERIES, []).append(term)
+
+    def ts_int(term: str, d: int) -> int:
+        f = tf.get((d, term), 0)
+        if not f:
+            return 0
+        idf = n_docs.bit_length() - df[term].bit_length()
+        return (idf * 22 * f * avgdl * T.BM25_SCALE) // (
+            10 * avgdl * f + 3 * avgdl + 9 * dl[d]
+        )
+
+    def ts_float(term: str, d: int) -> float:
+        f = tf.get((d, term), 0)
+        if not f:
+            return 0.0
+        idf = n_docs.bit_length() - df[term].bit_length()
+        return idf * (2.2 * f) / (f + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+
+    for r in got:
+        expect = sum(ts_int(t, r["doc_id"]) for t in queries[r["query_id"]])
+        assert r["score_scaled"] == expect, (r, expect)
+        assert r["score"] == expect / T.BM25_SCALE
+        flt = sum(ts_float(t, r["doc_id"]) for t in queries[r["query_id"]])
+        assert abs(r["score"] - flt) <= 3 * T.SEARCH_TERMS_PER_QUERY / (1 << 10), (
+            r["score"], flt,
+        )
