@@ -1632,14 +1632,35 @@ RARE_DF_MIN = 2      # df=1 shingles cannot produce a pair
 RARE_DF_MAX = 5
 
 
+def _containment_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Scan-size knee for the containment kernel's exchanges: the
+    candidate-generation self-join and the verification joins sort
+    shingle-table slices whose per-task runs grow ∝ corpus at a fixed
+    partition count (2.7 GB disk spill at the 100× probe, VERDICT r10
+    #8). The knee divides the scanned documents-parquet bytes by 256 KB:
+    compressed text explodes ~50× into the shingle table (measured at
+    the 100× probe: 60 MB of parquet → 3.1 GB of verification shuffle),
+    so ~256 KB of parquet ≈ ~13 MB of per-task sort run — bounded at any
+    SF. The floor preserves driver/bench-SF plans; the cap is the
+    single-host bound."""
+    from ..plans.analysis import _local_scan_bytes
+
+    return max(32, min(4096, _local_scan_bytes(_docs(spark, sf_dir)) // (256 << 10)))
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs over the full corpus: candidates
     from the rare-shingle inverted index, verified with exact shingle
     counts; emits both direction ratios and a direction verdict."""
-    return containment_pairs(_shingles_materialized(spark, sf_dir))
+    return containment_pairs(
+        _shingles_materialized(spark, sf_dir),
+        n_parts=_containment_partitions(spark, sf_dir),
+    )
 
 
-def verified_containment(sh: DataFrame, cand: DataFrame) -> DataFrame:
+def verified_containment(
+    sh: DataFrame, cand: DataFrame, n_parts: int | None = None
+) -> DataFrame:
     """Exact containment verification of candidate pairs over a shingle
     table, threshold-filtered — the shared stage of the batch kernel and
     the streaming fold (one definition so a semantics change cannot
@@ -1647,7 +1668,11 @@ def verified_containment(sh: DataFrame, cand: DataFrame) -> DataFrame:
     _jaccard_pairs: the shingle table is semi-filtered to
     candidate-touched docs FIRST, so the joins and the sizes groupBy
     shuffle a candidate-sized slice, not the corpus (per-doc shingle
-    counts are invariant under a doc_id filter — result identical)."""
+    counts are invariant under a doc_id filter — result identical).
+    With ``n_parts`` the verification joins' exchanges are widened to
+    the scan-size knee so their sort runs stay a few MB per task at any
+    SF (the projection aliases preserve the explicit partitioning, so
+    each join is co-partitioned with no extra exchange)."""
     touched = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -1655,9 +1680,22 @@ def verified_containment(sh: DataFrame, cand: DataFrame) -> DataFrame:
     )
     sh = sh.join(touched, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh
+    sb = sh
+    if n_parts:
+        cand = cand.repartition(n_parts, "doc_a")
+        sa = sh.repartition(n_parts, "doc_id")
+        sb = sh.repartition(n_parts, "doc_id", "shingle")
+    common = cand.join(
+        sa.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+    )
+    if n_parts:
+        common = common.repartition(n_parts, "doc_b", "shingle")
     common = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        common.join(
+            sb.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -1672,13 +1710,19 @@ def verified_containment(sh: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
-def containment_pairs(sh: DataFrame) -> DataFrame:
-    """The containment kernel over any (doc_id, shingle) table."""
+def containment_pairs(sh: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """The containment kernel over any (doc_id, shingle) table. With
+    ``n_parts`` the posting self-join and the pair DISTINCT run on
+    knee-widened explicit exchanges (both join legs are the same subtree
+    over the same exchange, so ReuseExchange shuffles the posting list
+    once)."""
     df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = df_.filter(
         (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
     ).select("shingle")
     posting = sh.join(rare, "shingle", "left_semi")
+    if n_parts:
+        posting = posting.repartition(n_parts, "shingle")
     cand = (
         posting.alias("a")
         .join(
@@ -1687,9 +1731,11 @@ def containment_pairs(sh: DataFrame) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
-    j = verified_containment(sh, cand)
+    if n_parts:
+        cand = cand.repartition(n_parts, "doc_a", "doc_b")
+    cand = cand.distinct()
+    j = verified_containment(sh, cand, n_parts=n_parts)
     direction = (
         F.when(
             (F.col("containment_a") >= CONTAINMENT_THRESHOLD)

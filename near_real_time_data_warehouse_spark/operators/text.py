@@ -2176,6 +2176,254 @@ FROM rk WHERE rank <= {SEARCH_TOP_K}
 registry.register("text_bm25_search_topk", bm25_search_topk, BM25_SEARCH_SQL)
 
 
+BM25_BATCH_MOD = 5  # doc_id % 5 == 0 plays the incoming crawl batch
+                    # (the same split as DSIR_BATCH_MOD below)
+
+
+def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 as an INGESTION-TIME router — the production mode: incoming
+    batch documents (doc_id % BM25_BATCH_MOD == 0, the engine's batch
+    convention) are scored against the STANDING index's statistics (df,
+    N, avgdl — the persisted state a search pipeline keeps next to its
+    index) and the standing corpus's query workload, without rescoring
+    or even re-reading standing text at query time. Same exact-integer
+    BM25 spec as text_bm25_search_topk; idf and avgdl come from standing
+    stats only, dl from the incoming document itself. Top-k incoming
+    docs per standing query = the routing/tagging decision an ingestion
+    pipeline makes per batch.
+
+    Scale shape: the token stream is materialized once (stats-clean
+    checkpoint — it feeds the standing stats AND the batch side); the
+    standing df build is the index-maintenance pass (∝ standing, run
+    once and persisted in production); batch scoring is broadcast-join
+    ∝ batch hits, batch dl a bounded per-doc window, ranking the salted
+    two-phase top-k."""
+    from pyspark.sql import Window
+
+    from .dedup import _local_checkpoint_stats_clean
+    from .ranking import scalable_topk_per_group
+
+    d = _docs(spark, sf_dir)
+    in_batch = F.col("doc_id") % BM25_BATCH_MOD == 0
+    toks = (
+        d.select(
+            "doc_id",
+            in_batch.alias("in_batch"),
+            F.explode(F.split(_norm_col(), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .repartition("doc_id")
+    )
+    toks = _local_checkpoint_stats_clean(toks, eager=False)
+    st = toks.filter(~F.col("in_batch"))
+    df_st = (
+        st.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    stats = (
+        d.filter(~in_batch)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(st.agg(F.count(F.lit(1)).alias("t_tokens")))
+        .select("n_docs", F.expr("t_tokens DIV n_docs").alias("avgdl"))
+    )
+    n_terms = SEARCH_N_QUERIES * SEARCH_TERMS_PER_QUERY
+    head = df_st.orderBy(F.desc("df"), "term").limit(SEARCH_SKIP_TOP + n_terms)
+    ranked = head.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("df"), "term"))
+    )
+    qt = ranked.filter(F.col("r") > SEARCH_SKIP_TOP).select(
+        ((F.col("r") - SEARCH_SKIP_TOP - 1) % SEARCH_N_QUERIES)
+        .cast("long")
+        .alias("query_id"),
+        "term",
+        "df",
+    )
+    tfb = (
+        toks.filter("in_batch")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tfdl = tfb.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    idf = _bits(F.col("n_docs")) - _bits(F.col("df"))
+    num = idf * F.lit(22) * F.col("tf") * F.col("avgdl") * F.lit(BM25_SCALE)
+    den = (
+        F.lit(10) * F.col("avgdl") * F.col("tf")
+        + F.lit(3) * F.col("avgdl")
+        + F.lit(9) * F.col("dl")
+    )
+    scored = (
+        tfdl.join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bm25_num", num)
+        .withColumn("bm25_den", den)
+        .withColumn("tscore", F.expr("bm25_num DIV bm25_den"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("tscore").cast("long").alias("score_scaled"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+    )
+    top = scalable_topk_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("score_scaled"), F.asc("doc_id")],
+        SEARCH_TOP_K,
+        salt_on="doc_id",
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.col("score_scaled").cast("long").alias("score_scaled"),
+        (F.col("score_scaled").cast("double") / F.lit(float(BM25_SCALE))).alias(
+            "score"
+        ),
+        F.col("n_hit_terms").cast("long").alias("n_hit_terms"),
+    )
+
+
+BM25_INCR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {BM25_BATCH_MOD} = 0 AS in_batch,
+         unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+),
+t AS (SELECT doc_id, in_batch, term FROM toks WHERE term <> ''),
+st AS (SELECT doc_id, term FROM t WHERE NOT in_batch),
+df AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM st) GROUP BY term
+),
+stx AS (
+  SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % {BM25_BATCH_MOD} <> 0) AS n_docs,
+         (SELECT COUNT(*) FROM st)
+           // (SELECT COUNT(*) FROM documents WHERE doc_id % {BM25_BATCH_MOD} <> 0) AS avgdl
+),
+ranked AS (
+  SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS r FROM df
+),
+qt AS (
+  SELECT (r - {SEARCH_SKIP_TOP} - 1) % {SEARCH_N_QUERIES} AS query_id, term, df
+  FROM ranked
+  WHERE r > {SEARCH_SKIP_TOP}
+    AND r <= {SEARCH_SKIP_TOP + SEARCH_N_QUERIES * SEARCH_TERMS_PER_QUERY}
+),
+tfb AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE in_batch GROUP BY doc_id, term
+),
+tfdl AS (SELECT *, SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM tfb),
+sc AS (
+  SELECT qt.query_id, tfdl.doc_id,
+         SUM(((len(printf('%b', stx.n_docs)) - len(printf('%b', qt.df)))
+              * 22 * tfdl.tf * stx.avgdl * {BM25_SCALE})
+             // (10 * stx.avgdl * tfdl.tf + 3 * stx.avgdl + 9 * tfdl.dl))
+           AS score_scaled,
+         COUNT(*) AS n_hit_terms
+  FROM tfdl JOIN qt USING (term) CROSS JOIN stx
+  GROUP BY qt.query_id, tfdl.doc_id
+),
+rk AS (
+  SELECT query_id, doc_id, score_scaled, n_hit_terms,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_scaled DESC, doc_id) AS rank
+  FROM sc
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       doc_id,
+       CAST(score_scaled AS BIGINT) AS score_scaled,
+       CAST(score_scaled AS DOUBLE) / {float(BM25_SCALE)} AS score,
+       CAST(n_hit_terms AS BIGINT) AS n_hit_terms
+FROM rk WHERE rank <= {SEARCH_TOP_K}
+"""
+
+registry.register("text_bm25_incremental", bm25_incremental, BM25_INCR_SQL)
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion ------------------------------
+#
+# Real retrieval stacks fuse rankers (lexical + semantic, or two lexical
+# scorers with different length biases) with RRF (Cormack et al. 2009):
+#   rrf(d, q) = Σ_r 1 / (K + rank_r(d, q)),  K = 60,
+# summed over the rankers that returned d in their top-k (a missing doc
+# contributes nothing). Hash-portable by construction: each contribution
+# is ONE IEEE division of integers and the sum is two doubles added in a
+# fixed expression order, identical in Spark and DuckDB.
+RRF_K = 60
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of the BM25 and tf·idf keyword rankers over the same
+    corpus-derived 8-query workload — the hybrid-retrieval shape.
+
+    Scale shape: the two rankers do the corpus-sized work (each already
+    plan-disciplined); the fusion itself is a FULL OUTER join of two
+    (8 queries × top-10) result sets — ≤160 rows — and a bounded
+    per-query window. Nothing corpus-sized is added."""
+    from pyspark.sql import Window
+
+    b = bm25_search_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    k = keyword_search_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("kw_rank")
+    )
+    fused = b.join(k, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "bm25_rank",
+        "kw_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("kw_rank")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SEARCH_TOP_K)
+        .select("query_id", "rank", "doc_id", "rrf_score", "bm25_rank", "kw_rank")
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH b AS ({BM25_SEARCH_SQL}),
+k AS ({KEYWORD_SEARCH_SQL}),
+fused AS (
+  SELECT COALESCE(b.query_id, k.query_id) AS query_id,
+         COALESCE(b.doc_id, k.doc_id) AS doc_id,
+         b.rank AS bm25_rank, k.rank AS kw_rank,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + b.rank), CAST(0.0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + k.rank), CAST(0.0 AS DOUBLE))
+           AS rrf_score
+  FROM b FULL OUTER JOIN k
+    ON b.query_id = k.query_id AND b.doc_id = k.doc_id
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       doc_id,
+       CAST(rrf_score AS DOUBLE) AS rrf_score,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(kw_rank AS BIGINT) AS kw_rank
+FROM rk WHERE rank <= {SEARCH_TOP_K}
+"""
+
+registry.register("text_hybrid_rrf_topk", hybrid_rrf_topk, HYBRID_RRF_SQL)
+
+
 # --- DSIR importance resampling --------------------------------------------
 
 DSIR_BUCKETS = 1024

@@ -560,6 +560,16 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
 """
 
 
+def _order_key_partitions(df: DataFrame) -> int:
+    """Scan-size knee for order-key exchanges (one partition per ~8 MB of
+    scanned input, floored at the session default, capped for the single
+    host) — keeps sort-merge runs and aggregation maps a few MB per task
+    at any SF instead of growing ∝ corpus at a fixed partition count."""
+    from .analysis import _local_scan_bytes
+
+    return max(32, min(4096, _local_scan_bytes(df) // (8 << 20)))
+
+
 def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape — suppliers who were the SOLE late supplier on a
     multi-supplier order ("late" = shipped >365 days after the order
@@ -571,16 +581,32 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     LATE supplier — three hash joins co-partitioned on the order key,
     no correlated subquery re-execution per row."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
-    late = (
+    # The semi/anti sort-merge legs all key on the order key; at a fixed
+    # 32 partitions their per-task sort runs grow ∝ corpus and spilled
+    # 2.3 GB to disk at the 100× probe. One knee-sized explicit exchange
+    # per input bounds every sort at a few MB per task at any SF (the
+    # star_basket_onepass discipline); the identical lineitem subtree is
+    # shuffled ONCE (ReuseExchange) and feeds both the late derivation
+    # and the "other supplier" semi leg. At driver SFs the knee floors
+    # to the session count, so these are the exchanges EnsureRequirements
+    # would have inserted anyway.
+    n_parts = _order_key_partitions(t["lineitem"])
+    li = (
         t["lineitem"]
-        .join(
-            t["orders"].select("o_orderkey", "o_orderdate"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition(n_parts, "l_orderkey")
+    )
+    od = (
+        t["orders"]
+        .select("o_orderkey", "o_orderdate")
+        .repartition(n_parts, "o_orderkey")
+    )
+    late = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    others = t["lineitem"].select(
+    others = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
     )
     other_late = late.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))

@@ -396,3 +396,94 @@ def test_bm25_integer_formula_tracks_float_bm25(spark):
         assert abs(r["score"] - flt) <= 3 * T.SEARCH_TERMS_PER_QUERY / (1 << 10), (
             r["score"], flt,
         )
+
+
+def test_bm25_incremental_scores_only_batch_docs_with_standing_stats(spark):
+    """The ingestion router must (a) return only batch docs
+    (doc_id % BM25_BATCH_MOD == 0), (b) use STANDING statistics — its
+    query workload equals the rank-11..34 band of the standing df
+    ranking, disjoint from any batch-only vocabulary effects, and (c)
+    reproduce the integer formula on a Python replay restricted to the
+    standing split."""
+    import collections
+    import re
+
+    import duckdb
+
+    from near_real_time_data_warehouse_spark.operators import text as T
+
+    sf = "/root/testdata/sf0.001"
+    got = T.bm25_incremental(spark, sf).collect()
+    assert got
+    assert all(r["doc_id"] % T.BM25_BATCH_MOD == 0 for r in got)
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    tf = collections.Counter()
+    dl = collections.Counter()
+    st_df = collections.Counter()
+    st_docs = st_tokens = 0
+    for doc_id, text in docs:
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
+        if doc_id % T.BM25_BATCH_MOD == 0:
+            for t in toks:
+                tf[(doc_id, t)] += 1
+            dl[doc_id] += len(toks)
+        else:
+            st_docs += 1
+            st_tokens += len(toks)
+            for t in set(toks):
+                st_df[t] += 1
+    avgdl = st_tokens // st_docs
+    band = sorted(st_df.items(), key=lambda kv: (-kv[1], kv[0]))[
+        T.SEARCH_SKIP_TOP:T.SEARCH_SKIP_TOP
+        + T.SEARCH_N_QUERIES * T.SEARCH_TERMS_PER_QUERY
+    ]
+    queries: dict[int, list[str]] = {}
+    for idx, (term, _d) in enumerate(band):
+        queries.setdefault(idx % T.SEARCH_N_QUERIES, []).append(term)
+    for r in got:
+        expect = 0
+        for t in queries[r["query_id"]]:
+            f = tf.get((r["doc_id"], t), 0)
+            if not f:
+                continue
+            idf = st_docs.bit_length() - st_df[t].bit_length()
+            expect += (idf * 22 * f * avgdl * T.BM25_SCALE) // (
+                10 * avgdl * f + 3 * avgdl + 9 * dl[r["doc_id"]]
+            )
+        assert r["score_scaled"] == expect, (r, expect)
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark):
+    """RRF must equal the closed-form fusion of the two rankers' top-k
+    lists: every output score is 1/(K+bm25_rank) + 1/(K+kw_rank) with a
+    missing rank contributing zero, ranks come from the actual ranker
+    outputs, and a doc in both lists outranks its single-list score."""
+    from near_real_time_data_warehouse_spark.operators import text as T
+
+    sf = "/root/testdata/sf0.001"
+    b = {(r["query_id"], r["doc_id"]): r["rank"]
+         for r in T.bm25_search_topk(spark, sf).collect()}
+    k = {(r["query_id"], r["doc_id"]): r["rank"]
+         for r in T.keyword_search_topk(spark, sf).collect()}
+    got = T.hybrid_rrf_topk(spark, sf).collect()
+    assert got
+    for r in got:
+        key = (r["query_id"], r["doc_id"])
+        eb, ek = b.get(key), k.get(key)
+        assert r["bm25_rank"] == eb and r["kw_rank"] == ek
+        expect = (1.0 / (T.RRF_K + eb) if eb else 0.0) + (
+            1.0 / (T.RRF_K + ek) if ek else 0.0
+        )
+        assert r["rrf_score"] == expect
+    # per query the ranking is by rrf_score desc, doc_id asc
+    per_q: dict[int, list] = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        keys = [(-r["rrf_score"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
