@@ -2201,7 +2201,6 @@ def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from .dedup import _local_checkpoint_stats_clean
-    from .ranking import scalable_topk_per_group
 
     d = _docs(spark, sf_dir)
     in_batch = F.col("doc_id") % BM25_BATCH_MOD == 0
@@ -2228,6 +2227,43 @@ def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(st.agg(F.count(F.lit(1)).alias("t_tokens")))
         .select("n_docs", F.expr("t_tokens DIV n_docs").alias("avgdl"))
     )
+    tfb = (
+        toks.filter("in_batch")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tfdl = tfb.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    return bm25_score_with_stats(tfdl, df_st, stats)
+
+
+def bm25_batch_tfdl(batch: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, dl) for one document batch — the per-batch half
+    of the BM25 ingestion screen, shared with the streaming fold."""
+    from pyspark.sql import Window
+
+    toks = (
+        batch.select(
+            "doc_id", F.explode(F.split(_norm_col(), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .repartition("doc_id")
+    )
+    tfb = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return tfb.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+
+
+def bm25_score_with_stats(
+    tfdl: DataFrame, df_st: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """Score a batch's (doc_id, term, tf, dl) postings against STANDING
+    index statistics — df table + one (n_docs, avgdl) row — with the
+    exact-integer BM25 spec; the standing df ranking also derives the
+    query workload. Shared by text_bm25_incremental and the streaming
+    fold so the semantics cannot silently diverge."""
+    from pyspark.sql import Window
+
+    from .ranking import scalable_topk_per_group
+
     n_terms = SEARCH_N_QUERIES * SEARCH_TERMS_PER_QUERY
     head = df_st.orderBy(F.desc("df"), "term").limit(SEARCH_SKIP_TOP + n_terms)
     ranked = head.withColumn(
@@ -2240,12 +2276,6 @@ def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         "df",
     )
-    tfb = (
-        toks.filter("in_batch")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    tfdl = tfb.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
     idf = _bits(F.col("n_docs")) - _bits(F.col("df"))
     num = idf * F.lit(22) * F.col("tf") * F.col("avgdl") * F.lit(BM25_SCALE)
     den = (
