@@ -2487,12 +2487,12 @@ m{comp + 1} AS MATERIALIZED (
 )"""
 
 
-def _pca_topk_sql() -> str:
-    """The top-k PCA lifecycle as chained CTEs: quantize → integer
-    covariance → [power iteration → deflation]×k → k per-vector
-    projections, replaying every truncating division of _pca_topk_ints
-    bit-for-bit."""
-    k = PCA_TOPK_K
+def _pca_chain_cte(k: int) -> str:
+    """The shared CTE body of the top-k PCA lifecycle: quantize -> integer
+    covariance -> [power iteration -> polish -> deflation] x k, ending
+    with per-vector integer dot products dotp{1..k} and constants
+    vconst{1..k}. Used by the projection oracle and the PCA-rerank ANN
+    oracle (one definition so the recurrences cannot diverge)."""
     blocks = []
     for comp in range(1, k + 1):
         mat = "covfull" if comp == 1 else f"m{comp}"
@@ -2510,19 +2510,8 @@ dotp{comp} AS MATERIALIZED (
   GROUP BY el.vec_id
 )"""
         )
-    proj_cols = ",\n".join(
-        f"""       CAST(nv.n * d{c}.d - vc{c}.const AS BIGINT) AS proj{c}_num,
-       CAST(nv.n * d{c}.d - vc{c}.const AS DOUBLE)
-         / CAST(nv.n * {QUANT} * {PCA_SCALE} AS DOUBLE) AS proj{c}"""
-        for c in range(1, k + 1)
-    )
-    joins = "\n".join(
-        f"JOIN dotp{c} d{c} ON d{c}.vec_id = q.vec_id CROSS JOIN vconst{c} vc{c}"
-        for c in range(1, k + 1)
-    )
     blocks_sql = ",\n".join(blocks)
-    return f"""
-WITH quant AS MATERIALIZED ({_QUANT_SQL}),
+    return f"""quant AS MATERIALIZED ({_QUANT_SQL}),
 el AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(q, 1) AS i, unnest(q) AS x FROM quant
 ),
@@ -2545,12 +2534,183 @@ covfull AS MATERIALIZED (
   UNION ALL
   SELECT j AS i, i AS j, c FROM cov WHERE i <> j
 ),
-{blocks_sql}
+{blocks_sql}"""
+
+
+def _pca_topk_sql() -> str:
+    """The top-k PCA lifecycle as chained CTEs: quantize -> integer
+    covariance -> [power iteration -> deflation] x k -> k per-vector
+    projections, replaying every truncating division of _pca_topk_ints
+    bit-for-bit."""
+    k = PCA_TOPK_K
+    proj_cols = ",\n".join(
+        f"""       CAST(nv.n * d{c}.d - vc{c}.const AS BIGINT) AS proj{c}_num,
+       CAST(nv.n * d{c}.d - vc{c}.const AS DOUBLE)
+         / CAST(nv.n * {QUANT} * {PCA_SCALE} AS DOUBLE) AS proj{c}"""
+        for c in range(1, k + 1)
+    )
+    joins = "\n".join(
+        f"JOIN dotp{c} d{c} ON d{c}.vec_id = q.vec_id CROSS JOIN vconst{c} vc{c}"
+        for c in range(1, k + 1)
+    )
+    return f"""
+WITH {_pca_chain_cte(k)}
 SELECT q.vec_id, q.label,
 {proj_cols}
 FROM quant q
 CROSS JOIN nv
 {joins}
+"""
+
+
+# --- PCA-rerank ANN: dimensionality-reduced coarse filter + exact rerank --
+#
+# The retrieval shape PCA exists for: the coarse pass scans THREE int64
+# coordinates per vector (the top-3 PC dot products — 24 bytes, vs the
+# 64-float embedding's 256: a real column-pruning win at 100 TB) and
+# keeps the RERANK_COARSE_C most-similar per query by PC-space COSINE
+# (the same metric the rerank uses — an L2 coarse filter misses
+# high-cosine neighbors at different radii; measured recall 0.72 → the
+# cosine form clears 0.9 on planted low-rank data); only those
+# candidates are scored with the exact 64-dim cosine. Deterministic
+# end-to-end: coordinates are exact int64 (q·v); the coarse cosine is
+# ONE fixed-order float64 expression (both engines convert int64→double
+# round-to-nearest and apply the same IEEE ops, sqrt is correctly
+# rounded), zero-norm coordinates pin to -2.0, ties break by
+# neighbor_id, and the oracle replays the whole lifecycle — covariance →
+# deflated components → coordinates → coarse top-C → exact rerank — as
+# one CTE chain.
+RERANK_COARSE_C = 64
+
+
+def ann_pca_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via PCA coarse filter + exact cosine rerank.
+
+    Scale shape: the eigen-solve is the bounded 2080-row driver reduction
+    (shared with emb_pca_topk); the coarse pass is ONE Arrow-batched scan
+    emitting ≤ |queries|·C rows per batch (per-batch exact top-C — the
+    global top-C is contained in the union of per-batch top-Cs); the
+    global top-C uses the salted two-phase kernel (no corpus-sized
+    single-query window); the rerank touches only |queries|·C vectors."""
+    from .ranking import scalable_topk_per_group
+
+    rows = covariance_stats(spark, sf_dir).collect()  # 2080 rows, bounded
+    vecs, _sums, _n = _pca_topk_ints(rows, PCA_TOPK_K)
+    vmat = np.array(vecs, dtype=np.int64)  # k×64
+    e = _quantized(_emb(spark, sf_dir))
+    qpdf = e.filter(F.col("vec_id") < QUERY_CAP).select("vec_id", "q").toPandas()
+    qids = qpdf["vec_id"].to_numpy(np.int64)
+    qcoords = np.vstack(qpdf["q"].values).astype(np.int64) @ vmat.T
+    bc = spark.sparkContext.broadcast((qids, qcoords, vmat))
+    c_top = RERANK_COARSE_C
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qc_, vmat_ = bc.value
+        qf = qc_.astype(np.float64)
+        qn = qf[:, 0] ** 2 + qf[:, 1] ** 2 + qf[:, 2] ** 2
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            cf = (np.vstack(pdf["q"].values).astype(np.int64) @ vmat_.T).astype(
+                np.float64
+            )
+            cn = cf[:, 0] ** 2 + cf[:, 1] ** 2 + cf[:, 2] ** 2
+            # fixed-order expressions — the oracle replays them verbatim
+            dot = (
+                cf[:, None, 0] * qf[None, :, 0]
+                + cf[:, None, 1] * qf[None, :, 1]
+                + cf[:, None, 2] * qf[None, :, 2]
+            )
+            den = np.sqrt(cn[:, None] * qn[None, :])
+            cs = np.where(den == 0.0, -2.0, dot / np.where(den == 0.0, 1.0, den))
+            cs = np.where(ids[:, None] == qids_[None, :], -np.inf, cs)
+            out_q, out_n, out_d = [], [], []
+            for j in range(len(qids_)):
+                order = np.lexsort((ids, -cs[:, j]))[:c_top]
+                keep = order[np.isfinite(cs[order, j])]
+                out_q.append(np.full(len(keep), qids_[j], dtype=np.int64))
+                out_n.append(ids[keep])
+                out_d.append(cs[keep, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "csim": np.concatenate(out_d),
+                }
+            )
+
+    partials = e.select("vec_id", "q").mapInPandas(
+        batches, "query_id long, neighbor_id long, csim double"
+    )
+    topc = scalable_topk_per_group(
+        partials,
+        ["query_id"],
+        [F.desc("csim"), F.asc("neighbor_id")],
+        c_top,
+        salt_on="neighbor_id",
+    )
+    return _topk_over_candidates(
+        spark, _emb(spark, sf_dir), topc.select("query_id", "neighbor_id")
+    )
+
+
+def _pca_rerank_sql() -> str:
+    """The PCA-rerank lifecycle oracle: the shared PCA chain (covariance →
+    deflated components → per-vector integer dot products) feeds the
+    coarse distance / top-C / exact-cosine-rerank replay."""
+    k = PCA_TOPK_K
+    coord_cols = ", ".join(
+        f"CAST(d{c}.d AS BIGINT) AS p{c}" for c in range(1, k + 1)
+    )
+    coord_joins = "\n".join(
+        f"JOIN dotp{c} d{c} ON d{c}.vec_id = q.vec_id" for c in range(1, k + 1)
+    )
+    dot = " + ".join(
+        f"CAST(co.p{c} AS DOUBLE) * CAST(qc.p{c} AS DOUBLE)"
+        for c in range(1, k + 1)
+    )
+    nexpr = lambda t: " + ".join(  # noqa: E731
+        f"CAST({t}.p{c} AS DOUBLE) * CAST({t}.p{c} AS DOUBLE)"
+        for c in range(1, k + 1)
+    )
+    return f"""
+WITH {_pca_chain_cte(k)},
+normed AS ({_NORM_SQL}),
+coords AS MATERIALIZED (
+  SELECT q.vec_id, {coord_cols}
+  FROM quant q
+{coord_joins}
+),
+coarse AS (
+  SELECT qc.vec_id AS query_id, co.vec_id AS neighbor_id,
+         CASE WHEN sqrt(({nexpr('co')}) * ({nexpr('qc')})) = 0.0 THEN -2.0
+              ELSE ({dot}) / sqrt(({nexpr('co')}) * ({nexpr('qc')}))
+         END AS csim
+  FROM coords qc JOIN coords co
+    ON qc.vec_id < {QUERY_CAP} AND co.vec_id <> qc.vec_id
+),
+topc AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY csim DESC, neighbor_id) AS cr
+        FROM coarse)
+  WHERE cr <= {RERANK_COARSE_C}
+),
+rerank AS (
+  SELECT t.query_id, t.neighbor_id,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(b.norm_sq AS DOUBLE)) * sqrt(CAST(a.norm_sq AS DOUBLE))) AS cosine
+  FROM topc t
+  JOIN normed a ON a.vec_id = t.query_id
+  JOIN normed b ON b.vec_id = t.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank,
+       cosine
+FROM rerank
+QUALIFY rank <= {TOP_K}
 """
 
 
@@ -2689,6 +2849,7 @@ registry.register("emb_covariance_stats", covariance_stats, COVARIANCE_SQL)
 registry.register("emb_pca_project", pca_project, _pca_sql())
 registry.register("emb_pca_incremental", pca_incremental, _pca_sql(batch_only=True))
 registry.register("emb_pca_topk", pca_topk, _pca_topk_sql())
+registry.register("sim_ann_pca_rerank", ann_pca_rerank, _pca_rerank_sql())
 registry.register("emb_split_contamination", split_contamination, SPLIT_CONTAM_SQL)
 registry.register(
     "emb_multi_benchmark_contamination",

@@ -502,6 +502,48 @@ def test_pca_planted_component_matches_numpy(spark):
     assert cos > 1 - 1e-6, f"integer iteration diverged from numpy: cos={cos}"
 
 
+def test_pca_rerank_recall_on_planted_structure(spark):
+    """On data whose variance genuinely lives in a low-dimensional
+    subspace (the case PCA pre-filtering exists for) the PCA-rerank path
+    must recover the exact brute-force top-k with high recall; on any
+    data the output must be deterministic under a different input
+    partitioning and rank-contiguous per query."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(23)
+    basis = np.linalg.qr(rng.normal(size=(sim.EMB_DIM, 3)))[0].T
+    t = rng.normal(size=(600, 3)) * np.array([0.6, 0.3, 0.15])
+    x = t @ basis + rng.normal(size=(600, sim.EMB_DIM)) * 0.01
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]], int(i % 3)) for i in range(len(x))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    e_orig = sim._emb
+    try:
+        sim._emb = lambda _s, _d: df
+        got = sim.ann_pca_rerank(spark, "planted").collect()
+        sim._memoized.__globals__  # no-op; keep linter quiet
+        brute = sim._brute_force_topk(spark, "planted").collect()
+        df2 = df.repartition(7)
+        sim._emb = lambda _s, _d: df2
+        got2 = sim.ann_pca_rerank(spark, "planted").collect()
+    finally:
+        sim._emb = e_orig
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, got2))  # partition-invariant
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    have = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(want & have) / len(want)
+    assert recall >= 0.9, recall
+    per_q: dict[int, list[int]] = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_multi_benchmark_contamination_consistent_with_single(spark):
     """The one-pass multi-benchmark screen must agree with the single
     screen it generalizes: per-benchmark leak counts and pair totals
