@@ -77,8 +77,26 @@ def _drain_listener_bus(sc) -> None:
         pass
 
 
+_PLANS_BASELINE = os.path.join(
+    os.path.dirname(__file__) or ".", "BENCH_PLANS.json"
+)
+
+
 def previous_plans() -> dict[str, str]:
-    """Plan hashes from the newest recorded round that has them."""
+    """Plan hashes to diff against. Primary source: BENCH_PLANS.json, the
+    committed full-plans snapshot of the last complete local run — the
+    recorded BENCH_r*.json files keep only a ~2 KB stdout tail, so the
+    plans dict never survives into them (r10 finding: plan_changes was
+    computed against an always-empty baseline and silently omitted).
+    The recorded rounds are kept as a fallback should one ever carry
+    plans."""
+    try:
+        with open(_PLANS_BASELINE) as f:
+            data = json.load(f)
+        if isinstance(data, dict) and data:
+            return data
+    except (OSError, json.JSONDecodeError):
+        pass
     best: dict[str, str] = {}
     best_n = -1
     for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
@@ -94,6 +112,19 @@ def previous_plans() -> dict[str, str]:
         if plans and int(m.group(1)) > best_n:
             best, best_n = plans, int(m.group(1))
     return best
+
+
+def save_plans_baseline(plans: dict[str, str], full_run: bool) -> None:
+    """Persist the plans snapshot after a FULL-registry run (subset runs
+    would shrink the baseline and mask changes in the untouched lines)."""
+    if not full_run:
+        return
+    try:
+        with open(_PLANS_BASELINE, "w") as f:
+            json.dump(dict(sorted(plans.items())), f, indent=0, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
 
 
 def main() -> None:
@@ -270,6 +301,7 @@ def main() -> None:
             disk_spilled[name] = sum(v[4] for v in new)
 
     prev = previous_plans()
+    save_plans_baseline(plans, full_run=only is None)
     # Key ORDER matters: the round driver stores only the last ~2 KB of
     # stdout (BENCH_r02.json kept just a tail of the line), so the big
     # per-query dicts go FIRST and the headline metrics + a compact

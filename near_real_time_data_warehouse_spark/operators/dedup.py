@@ -2639,107 +2639,6 @@ registry.register("dedup_keep_best", dedup_keep_best, KEEP_BEST_SQL)
 registry.register("dedup_components_minhash", dedup_components_minhash, COMPONENTS_MINHASH_SQL)
 registry.register("dedup_ngram_jaccard", ngram_jaccard_pairs, NGRAM_SQL)
 registry.register("dedup_minhash_lsh", minhash_lsh_pairs, MINHASH_SQL)
-
-
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counts + local clustering coefficient per document over
-    the verified near-dup graph — the cohesion diagnostic a curation
-    pass runs on its duplicate clusters (a clique-ish component is one
-    true duplicate family; a stringy one is chained borderline pairs
-    that keep-one-copy policies should not collapse blindly).
-
-    Scale shape: the standard degree-ordered orientation — each edge
-    points from its lower (degree, id) endpoint to the higher, so every
-    vertex's out-degree is O(√m) and the wedge self-join is Σ outdeg² ≤
-    O(m^1.5) REGARDLESS of hub vertices (a raw neighbor self-join would
-    be Σ deg² — quadratic in the largest near-dup cluster). Each
-    triangle has exactly ONE apex (its rank-lowest vertex) with
-    out-edges to both others, so wedges close against the canonical
-    edge list without double counting. Per-vertex counts and the
-    2T/(d(d−1)) coefficient are ONE IEEE division each."""
-    e = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    deg = (
-        e.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(e.select(F.col("doc_b").alias("doc_id")))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    ed = e.join(
-        deg.select(F.col("doc_id").alias("doc_a"), F.col("degree").alias("dga")),
-        "doc_a",
-    ).join(
-        deg.select(F.col("doc_id").alias("doc_b"), F.col("degree").alias("dgb")),
-        "doc_b",
-    )
-    fwd = (F.col("dga") < F.col("dgb")) | (
-        (F.col("dga") == F.col("dgb")) & (F.col("doc_a") < F.col("doc_b"))
-    )
-    o = ed.select(
-        F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
-        F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
-    )
-    wedges = (
-        o.select("src", F.col("dst").alias("v"))
-        .join(o.select("src", F.col("dst").alias("w")), "src")
-        .filter(F.col("v") < F.col("w"))
-    )
-    tri = wedges.join(
-        e.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("w")),
-        ["v", "w"],
-    ).select("src", "v", "w")
-    pv = (
-        tri.select(F.col("src").alias("doc_id"))
-        .unionByName(tri.select(F.col("v").alias("doc_id")))
-        .unionByName(tri.select(F.col("w").alias("doc_id")))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    t = F.coalesce(F.col("n_triangles"), F.lit(0))
-    return deg.join(pv, "doc_id", "left").select(
-        "doc_id",
-        F.col("degree").cast("long").alias("degree"),
-        t.cast("long").alias("n_triangles"),
-        F.when(
-            F.col("degree") >= 2,
-            (F.lit(2) * t).cast("double")
-            / (F.col("degree") * (F.col("degree") - 1)),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("clustering"),
-    )
-
-
-TRIANGLES_SQL = f"""
-WITH e AS ({MINHASH_SQL}),
-deg AS (
-  SELECT doc_id, COUNT(*) AS degree FROM (
-    SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b AS doc_id FROM e
-  ) GROUP BY doc_id
-),
-tri AS (
-  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
-  FROM e e1
-  JOIN e e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
-  JOIN e e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
-),
-pv AS (
-  SELECT doc_id, COUNT(*) AS n_triangles FROM (
-    SELECT a AS doc_id FROM tri
-    UNION ALL SELECT b AS doc_id FROM tri
-    UNION ALL SELECT c AS doc_id FROM tri
-  ) GROUP BY doc_id
-)
-SELECT d.doc_id,
-       CAST(d.degree AS BIGINT) AS degree,
-       CAST(COALESCE(pv.n_triangles, 0) AS BIGINT) AS n_triangles,
-       CASE WHEN d.degree >= 2
-            THEN CAST(2 * COALESCE(pv.n_triangles, 0) AS DOUBLE)
-                   / (d.degree * (d.degree - 1))
-            ELSE CAST(0.0 AS DOUBLE) END AS clustering
-FROM deg d LEFT JOIN pv ON pv.doc_id = d.doc_id
-"""
-
-registry.register("dedup_graph_triangles", graph_triangles, TRIANGLES_SQL)
 registry.register(
     "dedup_minhash_prefiltered", minhash_prefiltered_pairs, MINHASH_PREFILTERED_SQL
 )

@@ -587,36 +587,3 @@ def test_bloom_screen_one_sided_error_law(spark):
     for r in mini:
         if r["exact_seen"]:
             assert r["bloom_hit"]
-
-
-def test_graph_triangles_match_python_enumeration(spark):
-    """The degree-ordered distributed triangle count must equal a direct
-    Python enumeration over the same verified near-dup edge list, per
-    vertex; clustering coefficients are 2T/(d(d-1)) exactly."""
-    import itertools
-
-    from near_real_time_data_warehouse_spark.operators import dedup as D
-
-    sf = "/root/testdata/sf0.001"
-    edges = {(r.doc_a, r.doc_b) for r in
-             D.minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b").collect()}
-    assert edges, "near-dup graph is empty; test is vacuous"
-    adj: dict[int, set[int]] = {}
-    for a, b in edges:
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-    tri_count = dict.fromkeys(adj, 0)
-    for v, nbrs in adj.items():
-        for x, y in itertools.combinations(sorted(nbrs), 2):
-            if (x, y) in edges or (y, x) in edges:
-                tri_count[v] += 1
-    got = {r.doc_id: r for r in D.graph_triangles(spark, sf).collect()}
-    assert set(got) == set(adj)
-    for v, r in got.items():
-        assert r.degree == len(adj[v])
-        assert r.n_triangles == tri_count[v], (v, r.n_triangles, tri_count[v])
-        d = r.degree
-        want = 2 * tri_count[v] / (d * (d - 1)) if d >= 2 else 0.0
-        assert r.clustering == want
-    total = sum(r.n_triangles for r in got.values())
-    assert total % 3 == 0
