@@ -116,7 +116,12 @@ def previous_plans() -> dict[str, str]:
 
 def save_plans_baseline(plans: dict[str, str], full_run: bool) -> None:
     """Persist the plans snapshot after a FULL-registry run (subset runs
-    would shrink the baseline and mask changes in the untouched lines)."""
+    would shrink the baseline and mask changes in the untouched lines).
+    Baselines are only comparable between FULL runs: entries that read
+    memoized shared state (the star cache, the LSH pair table, brute
+    ground truth) plan an InMemoryTableScan when an earlier line already
+    materialized it and a FileScan otherwise, so a subset run diffs with
+    false positives on exactly those lines."""
     if not full_run:
         return
     try:
