@@ -2563,6 +2563,201 @@ CROSS JOIN nv
 """
 
 
+# --- MMR: diversity-aware rerank (maximal marginal relevance) -------------
+#
+# Carbonell & Goldstein (1998): after top-k retrieval, greedily pick the
+# item maximizing λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the
+# redundancy-penalized selection a retrieval pipeline (or a diverse
+# few-shot/example selector over training data) runs on its shortlist.
+# Exactly oracle-replayable because every pool is BOUNDED: relevance and
+# pairwise sims are the engine's exact integer-dot cosines, λ = 0.7 is
+# one double literal (identical parse in Python and DuckDB), each greedy
+# step is argmax by (score DESC, neighbor_id ASC), and the oracle
+# unrolls all TOP_K selection steps as chained CTEs (anti-join the
+# selected set, MAX-join the pairwise sims).
+MMR_POOL = 20
+MMR_LAMBDA = 0.7
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k: MMR over a per-query relevance pool.
+
+    Scale shape: the pool build is the capped-corpus exact scoring of
+    the sibling entries (broadcast query block, per-query bounded
+    window); the greedy runs per query over ≤ MMR_POOL members and
+    ≤ MMR_POOL² pairwise sims — an applyInPandas over query groups whose
+    size is a CONSTANT, never corpus-sized."""
+    e = _quantized(_emb(spark, sf_dir))
+    queries = e.filter(F.col("vec_id") < QUERY_CAP).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("norm_sq").alias("na"),
+    )
+    corpus = e.filter(F.col("vec_id") < CORPUS_CAP).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("norm_sq").alias("nb"),
+    )
+    pairs = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "qb",
+        "nb",
+        _cosine(_dot("qa", "qb"), F.col("na"), F.col("nb")).alias("relevance"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("relevance"), "neighbor_id")
+    pool = (
+        pairs.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= MMR_POOL)
+        .drop("pr")
+    )
+    pa = pool.select(
+        "query_id",
+        F.col("neighbor_id").alias("a"),
+        F.col("relevance").alias("rel_a"),
+        F.col("qb").alias("va"),
+        F.col("nb").alias("wa"),
+    )
+    pb = pool.select(
+        "query_id",
+        F.col("neighbor_id").alias("b"),
+        F.col("qb").alias("vb"),
+        F.col("nb").alias("wb"),
+    )
+    rows = (
+        pa.join(pb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "rel_a",
+            "b",
+            _cosine(_dot("va", "vb"), F.col("wa"), F.col("wb")).alias("sim"),
+        )
+        # a pool of one member has no pairs: keep the member via union
+        .unionByName(
+            pa.select(
+                "query_id",
+                "a",
+                "rel_a",
+                F.lit(None).cast("long").alias("b"),
+                F.lit(None).cast("double").alias("sim"),
+            )
+        )
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = {}
+        sims = {}
+        for r in pdf.itertuples(index=False):
+            rel[int(r.a)] = float(r.rel_a)
+            if r.b == r.b and r.b is not None:  # not NaN/None
+                sims[(int(r.a), int(r.b))] = float(r.sim)
+        qid = int(pdf["query_id"].iloc[0])
+        selected: list[int] = []
+        out = []
+        for rank in range(1, TOP_K + 1):
+            best = None
+            best_score = None
+            for d in sorted(rel):
+                if d in selected:
+                    continue
+                if not selected:
+                    score = rel[d]
+                else:
+                    ms = max(sims[(d, s)] for s in selected)
+                    score = MMR_LAMBDA * rel[d] - 0.3 * ms
+                if best is None or score > best_score:
+                    best, best_score = d, score
+            if best is None:
+                break
+            selected.append(best)
+            out.append((qid, rank, best, rel[best], best_score))
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "rank", "neighbor_id", "relevance", "mmr_score"],
+        )
+
+    return rows.groupBy("query_id").applyInPandas(
+        greedy,
+        "query_id long, rank long, neighbor_id long, relevance double, mmr_score double",
+    )
+
+
+def _mmr_sql() -> str:
+    steps = []
+    prev_sel = "SELECT query_id, neighbor_id FROM s1"
+    for t in range(2, TOP_K + 1):
+        steps.append(
+            f"""sel{t} AS ({prev_sel}),
+c{t} AS (
+  SELECT p.query_id, p.neighbor_id, p.relevance,
+         CAST(0.7 AS DOUBLE) * p.relevance
+           - CAST(0.3 AS DOUBLE) * MAX(ps.sim) AS mmr_score
+  FROM pool p
+  LEFT JOIN sel{t} x
+    ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+  JOIN psim ps ON ps.query_id = p.query_id AND ps.a = p.neighbor_id
+  JOIN sel{t} s ON s.query_id = ps.query_id AND s.neighbor_id = ps.b
+  WHERE x.neighbor_id IS NULL
+  GROUP BY p.query_id, p.neighbor_id, p.relevance
+),
+s{t} AS (
+  SELECT query_id, neighbor_id, relevance, mmr_score, {t} AS rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY mmr_score DESC, neighbor_id) AS rn
+        FROM c{t})
+  WHERE rn = 1
+)"""
+        )
+        prev_sel += f" UNION ALL SELECT query_id, neighbor_id FROM s{t}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, rank, neighbor_id, relevance, mmr_score FROM s{t}"
+        for t in range(1, TOP_K + 1)
+    )
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH quant AS ({_QUANT_SQL}),
+normed AS MATERIALIZED ({_NORM_SQL}),
+rel AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         b.q AS vq, b.norm_sq AS vn,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS relevance
+  FROM normed a JOIN normed b ON a.vec_id < {QUERY_CAP} AND b.vec_id < {CORPUS_CAP}
+   AND a.vec_id <> b.vec_id
+),
+pool AS MATERIALIZED (
+  SELECT query_id, neighbor_id, vq, vn, relevance
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY relevance DESC, neighbor_id) AS pr
+        FROM rel)
+  WHERE pr <= {MMR_POOL}
+),
+psim AS MATERIALIZED (
+  SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+         CAST(list_sum(list_transform(list_zip(p1.vq, p2.vq), p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(p1.vn AS DOUBLE)) * sqrt(CAST(p2.vn AS DOUBLE))) AS sim
+  FROM pool p1 JOIN pool p2
+    ON p1.query_id = p2.query_id AND p1.neighbor_id <> p2.neighbor_id
+),
+s1 AS (
+  SELECT query_id, neighbor_id, relevance, relevance AS mmr_score, 1 AS rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY relevance DESC, neighbor_id) AS rn
+        FROM pool)
+  WHERE rn = 1
+),
+{steps_sql}
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       neighbor_id, relevance, mmr_score
+FROM ({union})
+"""
+
+
 # --- PCA-rerank ANN: dimensionality-reduced coarse filter + exact rerank --
 #
 # The retrieval shape PCA exists for: the coarse pass scans THREE int64
@@ -2850,6 +3045,7 @@ registry.register("emb_pca_project", pca_project, _pca_sql())
 registry.register("emb_pca_incremental", pca_incremental, _pca_sql(batch_only=True))
 registry.register("emb_pca_topk", pca_topk, _pca_topk_sql())
 registry.register("sim_ann_pca_rerank", ann_pca_rerank, _pca_rerank_sql())
+registry.register("sim_mmr_rerank", mmr_rerank, _mmr_sql())
 registry.register("emb_split_contamination", split_contamination, SPLIT_CONTAM_SQL)
 registry.register(
     "emb_multi_benchmark_contamination",

@@ -795,3 +795,58 @@ def test_contamination_incremental_consistent_with_full_screen(spark):
         assert r["n_eval_hits"] == int((cos[k] >= sim.CONTAM_COSINE).sum())
         assert r["max_cosine"] == cos[k].max()
         assert r["quarantine"] == (r["n_eval_hits"] > 0)
+
+
+def test_mmr_rerank_matches_reference_greedy(spark):
+    """The distributed MMR must equal an independent numpy replay: pool =
+    top-MMR_POOL by exact cosine per query, then the greedy
+    0.7·rel − 0.3·maxsim selection with (score DESC, id ASC) ties —
+    recomputed here from the raw quantized vectors, not the operator's
+    own intermediates. (The exact step-by-step replay IS the semantics
+    check — a set-level "more diverse than plain top-k" invariant is not
+    a theorem of MMR, which greedily penalizes max-redundancy per step,
+    and near-isotropic data falsifies it.)"""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    e = sim._quantized(sim._emb(spark, sf)).select("vec_id", "q").toPandas()
+    ids = e["vec_id"].to_numpy(np.int64)
+    mat = np.vstack(e["q"].values).astype(np.int64)
+    norm = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    def cos(a: int, b: int) -> float:
+        return float(mat[pos[a]] @ mat[pos[b]]) / (norm[pos[a]] * norm[pos[b]])
+
+    got = sim.mmr_rerank(spark, sf).collect()
+    assert got
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    qids = [int(v) for v in ids if v < sim.QUERY_CAP]
+    cids = [int(v) for v in ids if v < sim.CORPUS_CAP]
+    assert set(by_q) == set(qids)
+    for q in qids:
+        rel = {d: cos(q, d) for d in cids if d != q}
+        pool = sorted(rel, key=lambda d: (-rel[d], d))[: sim.MMR_POOL]
+        selected: list[int] = []
+        for rank in range(1, sim.TOP_K + 1):
+            best, best_score = None, None
+            for d in sorted(pool):
+                if d in selected:
+                    continue
+                if not selected:
+                    score = rel[d]
+                else:
+                    score = 0.7 * rel[d] - 0.3 * max(cos(d, s) for s in selected)
+                if best is None or score > best_score:
+                    best, best_score = d, score
+            if best is None:
+                break
+            selected.append(best)
+            r = by_q[q][rank - 1]
+            assert (r["rank"], r["neighbor_id"]) == (rank, best), (q, rank)
+            assert r["relevance"] == rel[best]
+            assert r["mmr_score"] == best_score
