@@ -32,6 +32,16 @@ def plan_hash(df) -> str:
     s = re.sub(r"0x[0-9a-f]+", "0x", s)
     s = re.sub(r"(plan_id|id)=\d+", r"\1=", s)
     s = re.sub(r"file:[^\s,\]\)]+", "file:", s)
+    # Long numeric literal lists are DATA-derived (embedded offset maps,
+    # eigenvector/plane-weight literals) and some depend on session-seeded
+    # sampling (repartitionByRange boundaries → the ranking kernel's
+    # per-partition offset map differed between two same-code full runs).
+    # Collapse them: the hash tracks plan STRUCTURE, not literal tables.
+    s = re.sub(r"\[\s*-?\d[\d,\s.-]{24,}\]", "[...]", s)
+    # Lambda variable names carry a SESSION-GLOBAL counter (lambda x_2 in
+    # a fresh session, x_11 after earlier higher-order expressions ran) —
+    # strip the counter like the exprIds above.
+    s = re.sub(r"\b([a-z]+)_\d+#", r"\1_#", s)
     s = re.sub(r"\s+", " ", s)
     return hashlib.md5(s.encode()).hexdigest()[:10]
 

@@ -65,6 +65,14 @@ def get_spark(app_name: str = "nrtdw_spark", shuffle_partitions: int | None = No
         # set as the REAL partition count rather than a coalesce start).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Plan strings must not truncate: bench.py hashes executedPlan
+        # text as the plan-regression signal, and the default 100-char
+        # scan-metadata cut made the hash sensitive to the width of a
+        # SESSION-GLOBAL lambda-variable counter upstream of the cut
+        # (two same-code full runs diffed on 8 entries). Verbosity only —
+        # no execution behavior changes.
+        .config("spark.sql.maxMetadataStringLength", "100000")
+        .config("spark.sql.debug.maxToStringFields", "10000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # UI off by default (tests don't want the server); bench.py turns it
