@@ -316,7 +316,15 @@ def main() -> None:
             disk_spilled[name] = sum(v[4] for v in new)
 
     prev = previous_plans()
-    save_plans_baseline(plans, full_run=only is None)
+    # Only a full run AT THE DEFAULT SF refreshes the baseline: the knee
+    # repartitions make plans SF-dependent, so a scale-probe run (e.g.
+    # SPARK_GRAFT_SF_DIR=x10) must not poison the sf0.1 snapshot the
+    # driver's run diffs against.
+    save_plans_baseline(
+        plans,
+        full_run=only is None
+        and sf_dir == "/root/testdata/sf0.1",
+    )
     # Key ORDER matters: the round driver stores only the last ~2 KB of
     # stdout (BENCH_r02.json kept just a tail of the line), so the big
     # per-query dicts go FIRST and the headline metrics + a compact
