@@ -26,8 +26,37 @@ import time
 def plan_hash(df) -> str:
     """Stable fingerprint of the physical plan: strips per-run tokens
     (expression ids, JVM addresses, shuffle/plan ids, file paths) so the
-    hash only changes when the plan SHAPE changes."""
-    s = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    hash only changes when the plan SHAPE changes.
+
+    Hashes ``sparkPlan()`` — the physical plan BEFORE the
+    AdaptiveSparkPlanExec wrapper — not ``executedPlan()``: the adaptive
+    wrapper's toString mutates in place when the same DataFrame instance
+    is executed (isFinalPlan=false → true plus runtime-coalesced
+    exchanges), so an executedPlan hash depends on whether a memoized
+    DataFrame happened to run earlier in the session (r11 false positive:
+    text_nb_lang_confusion, judge root cause). AdaptiveSparkPlan nodes
+    NESTED inside cached InMemoryRelations finalize the same way once the
+    cache materializes, re-rendering as "== Final Plan ==" +
+    "== Initial Plan ==" sections — so only the initial-plan render is
+    kept, at every nesting depth, making the hash independent of whether
+    or when the plan executed."""
+    s = df._jdf.queryExecution().sparkPlan().toString()  # noqa: SLF001
+    kept: list[str] = []
+    depth = 0
+    for line in s.splitlines():
+        if "== Final Plan ==" in line:
+            depth += 1
+            continue
+        if "== Initial Plan ==" in line:
+            depth -= 1
+            continue
+        if depth == 0:
+            # Tree-connector prefixes (":  +- " etc.) shift when a
+            # finalized section is cut out; node content alone carries
+            # the plan shape (operator + args, in traversal order).
+            kept.append(line.lstrip(" :+-"))
+    s = "\n".join(kept)
+    s = re.sub(r"isFinalPlan=\w+", "isFinalPlan=", s)
     s = re.sub(r"#\d+", "#", s)
     s = re.sub(r"0x[0-9a-f]+", "0x", s)
     s = re.sub(r"(plan_id|id)=\d+", r"\1=", s)
@@ -42,6 +71,18 @@ def plan_hash(df) -> str:
     # a fresh session, x_11 after earlier higher-order expressions ran) —
     # strip the counter like the exprIds above.
     s = re.sub(r"\b([a-z]+)_\d+#", r"\1_#", s)
+    # RewriteDistinctAggregates assigns gid 1/2/... to the distinct
+    # branches in expr-id-keyed iteration order, which FLIPS between two
+    # plannings of the same query (observed: countDistinct(tok) +
+    # countDistinct(doc_id) swapping gids within one session). The
+    # Expand/HashAggregate lines it emits are a pure permutation — same
+    # character multiset — so canonicalize exactly those lines by
+    # sorting their characters; any real change to keys or functions
+    # changes the multiset and still flips the hash.
+    s = "\n".join(
+        "".join(sorted(line)) if "gid#" in line else line
+        for line in s.splitlines()
+    )
     s = re.sub(r"\s+", " ", s)
     return hashlib.md5(s.encode()).hexdigest()[:10]
 
@@ -315,16 +356,15 @@ def main() -> None:
             spilled[name] = sum(v[3] for v in new)
             disk_spilled[name] = sum(v[4] for v in new)
 
-    prev = previous_plans()
-    # Only a full run AT THE DEFAULT SF refreshes the baseline: the knee
-    # repartitions make plans SF-dependent, so a scale-probe run (e.g.
-    # SPARK_GRAFT_SF_DIR=x10) must not poison the sf0.1 snapshot the
-    # driver's run diffs against.
-    save_plans_baseline(
-        plans,
-        full_run=only is None
-        and sf_dir == "/root/testdata/sf0.1",
-    )
+    # Only a full run AT THE DEFAULT SF refreshes the baseline — and only
+    # such a run is COMPARABLE to it: the knee repartitions make plans
+    # SF-dependent, and subset runs plan InMemoryTableScan vs FileScan on
+    # memoized shared state depending on which lines ran first. So a
+    # scale-probe or subset run neither refreshes the baseline nor diffs
+    # against it (ADVICE r11: probe runs recorded spurious plan_changes).
+    comparable_run = only is None and sf_dir == "/root/testdata/sf0.1"
+    prev = previous_plans() if comparable_run else {}
+    save_plans_baseline(plans, full_run=comparable_run)
     # Key ORDER matters: the round driver stores only the last ~2 KB of
     # stdout (BENCH_r02.json kept just a tail of the line), so the big
     # per-query dicts go FIRST and the headline metrics + a compact
@@ -352,6 +392,23 @@ def main() -> None:
         out["total_shuffle_write_bytes"] = sum(shuffle_write.values())
         out["total_spilled_bytes"] = sum(spilled.values())
         out["total_disk_spilled_bytes"] = sum(disk_spilled.values())
+    # Fixed-work CPU calibration (VERDICT r11 #7): a constant, I/O-free,
+    # shuffle-free codegen loop whose cost depends only on host CPU
+    # availability. Three of the last four rounds' per-line "regressions"
+    # were co-tenant noise the judge had to re-bench to adjudicate —
+    # dividing per-line walls by (calibration_seconds / its historical
+    # value) states comparisons in calibrated units. Best-of-N like the
+    # query lines; landed in the recorded ~2 KB stdout tail.
+    cal_best = float("inf")
+    for _ in range(max(runs, 2)):
+        t0 = time.perf_counter()
+        spark.range(0, 1_600_000_000, 1, 32).select(
+            F.sum(
+                (F.col("id") * 2654435761 % 1000003) * (F.col("id") % 97)
+            ).alias("s")
+        ).write.format("noop").mode("overwrite").save()
+        cal_best = min(cal_best, time.perf_counter() - t0)
+    out["calibration_seconds"] = round(cal_best, 3)
     out["n_queries"] = len(timings)
     out["metric"] = "total_query_seconds"
     out["value"] = round(sum(timings.values()), 3)
