@@ -1975,6 +1975,15 @@ def multi_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = tagged.filter((F.col("b") == 0) & (F.col("vec_id") < CONTAM_EVAL_CAP))
     tr = tagged.filter((F.col("b") != 0) | (F.col("vec_id") >= CONTAM_EVAL_CAP))
     pdf = ev.select("vec_id", "q").toPandas()
+    if pdf.empty:
+        # No eval vectors in this corpus slice (possible at tiny SFs):
+        # the oracle's join yields zero rows, so mirror it instead of
+        # letting np.vstack crash on the empty column (ADVICE r11).
+        return spark.createDataFrame(
+            [],
+            "bench_id long, n_eval long, n_leaked_eval long, "
+            "total_leaky_pairs long, max_cosine double",
+        )
     eids = pdf["vec_id"].to_numpy(np.int64)
     ebench = eids % N_BENCHMARKS
     emat = np.vstack(pdf["q"].values).astype(np.float64)  # exact: |q| < 2^13
@@ -2206,7 +2215,13 @@ def _power_rounds(c: list[list[int]]) -> list[int]:
     for _ in range(PCA_ROUNDS):
         w = [sum(c[i][j] * v[j] for j in range(dims)) for i in range(dims)]
         mx = max(abs(x) for x in w)
-        if mx == 0:  # degenerate zero matrix; oracle's NULLIF mirrors this
+        if mx == 0:
+            # Degenerate all-zero covariance: Python breaks cleanly to a
+            # zero vector. The unrolled SQL oracles intentionally do NOT
+            # guard their `// mx` divisions — a zero matrix means a
+            # constant corpus, which no fixture produces; DuckDB would
+            # raise rather than silently diverge (ADVICE r11: comment
+            # previously claimed a NULLIF that was never there).
             break
         v = [(1 if x >= 0 else -1) * (abs(x) * PCA_SCALE // mx) for x in w]
     lead = max(range(dims), key=lambda i: (abs(v[i]), -i))
@@ -2577,6 +2592,11 @@ CROSS JOIN nv
 # selected set, MAX-join the pairwise sims).
 MMR_POOL = 20
 MMR_LAMBDA = 0.7
+# The redundancy weight is a DELIBERATE exact-double literal, not
+# computed as 1 - MMR_LAMBDA (0.30000000000000004 under IEEE754): both
+# the Python greedy and the SQL oracle interpolate THESE two constants,
+# so changing λ changes both sides together (ADVICE r11).
+MMR_ONE_MINUS_LAMBDA = 0.3
 
 
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2668,7 +2688,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     score = rel[d]
                 else:
                     ms = max(sims[(d, s)] for s in selected)
-                    score = MMR_LAMBDA * rel[d] - 0.3 * ms
+                    score = MMR_LAMBDA * rel[d] - MMR_ONE_MINUS_LAMBDA * ms
                 if best is None or score > best_score:
                     best, best_score = d, score
             if best is None:
@@ -2694,8 +2714,8 @@ def _mmr_sql() -> str:
             f"""sel{t} AS ({prev_sel}),
 c{t} AS (
   SELECT p.query_id, p.neighbor_id, p.relevance,
-         CAST(0.7 AS DOUBLE) * p.relevance
-           - CAST(0.3 AS DOUBLE) * MAX(ps.sim) AS mmr_score
+         CAST({MMR_LAMBDA} AS DOUBLE) * p.relevance
+           - CAST({MMR_ONE_MINUS_LAMBDA} AS DOUBLE) * MAX(ps.sim) AS mmr_score
   FROM pool p
   LEFT JOIN sel{t} x
     ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
