@@ -2454,6 +2454,210 @@ FROM rk WHERE rank <= {SEARCH_TOP_K}
 registry.register("text_hybrid_rrf_topk", hybrid_rrf_topk, HYBRID_RRF_SQL)
 
 
+# --- Cross-modal hybrid retrieval: BM25 + dense embedding leg -------------
+#
+# The retrieval shape a real RAG / training-data pipeline runs: a lexical
+# ranker and a dense (embedding) ranker fused by RRF (VERDICT r11 #3).
+# The corpus-derived BM25 query workload has no embedding of its own, so
+# the dense query is built by PSEUDO-RELEVANCE FEEDBACK (Rocchio, 1971):
+# each query's dense representation is the exact INTEGER sum of the
+# quantized embeddings of its BM25 top-k documents, joined on the
+# vec_id ≡ doc_id alignment convention (sim_semantic_text_neardup's).
+# Deterministic end-to-end: centroids are bounded exact-integer sums
+# (coords ≤ k·QUANT ≈ 2^17, centroid norm ≤ 2^40, corpus dot ≤ 2^36 —
+# int64 everywhere at any corpus size, since k is a workload constant);
+# the dense cosine is the engine's ONE fixed-order float64 expression
+# with the pca_rerank zero-denominator pin (-2.0); RRF contributions are
+# single IEEE divisions summed in fixed order.
+
+
+def hybrid_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + pseudo-relevance-feedback dense retrieval, RRF-fused.
+
+    Scale shape: the BM25 leg is the already-disciplined corpus pass;
+    the centroid build joins ≤ |queries|·k result rows against the
+    embeddings (broadcast the ≤80-row result side) and reduces to
+    |queries|×64 integer sums (bounded driver collect); the dense leg is
+    ONE Arrow-batched corpus scan against the broadcast centroid matrix
+    (int64 matmul), emitting ≤ |queries|·k rows per batch (per-batch
+    exact top-k — the global top-k is contained in the union of
+    per-batch top-ks), globally ranked by the salted two-phase kernel;
+    the fusion is a full-outer join of two ≤ |queries|·k result sets."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .ranking import scalable_topk_per_group
+    from .similarity import _emb, _quantized
+
+    from .dedup import _local_checkpoint_stats_clean
+
+    # Checkpointed: the ≤ |queries|·k BM25 result feeds BOTH the centroid
+    # build (executed via the bounded toPandas below) and the fusion —
+    # without it the whole BM25 corpus pass runs twice.
+    b = _local_checkpoint_stats_clean(
+        bm25_search_topk(spark, sf_dir).select(
+            "query_id", "doc_id", F.col("rank").alias("bm25_rank")
+        ),
+        eager=False,
+    )
+    e = _quantized(_emb(spark, sf_dir))
+    members = F.broadcast(b).join(
+        e.select(F.col("vec_id").alias("doc_id"), "q"), "doc_id"
+    )
+    cent = (
+        members.select("query_id", F.posexplode("q").alias("pos", "x"))
+        .groupBy("query_id", "pos")
+        .agg(F.sum("x").alias("s"))
+    )
+    cpdf = cent.toPandas()  # bounded: |queries| × 64 rows
+    if cpdf.empty:
+        return spark.createDataFrame(
+            [],
+            "query_id long, rank long, doc_id long, rrf_score double, "
+            "bm25_rank long, emb_rank long",
+        )
+    qids = np.sort(cpdf["query_id"].unique()).astype(np.int64)
+    dims = int(cpdf["pos"].max()) + 1
+    cm = np.zeros((len(qids), dims), dtype=np.int64)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    cm[
+        cpdf["query_id"].map(qpos).to_numpy(np.int64),
+        cpdf["pos"].to_numpy(np.int64),
+    ] = cpdf["s"].to_numpy(np.int64)
+    cnorm = (cm * cm).sum(axis=1)  # exact int64 (≤ 64·(k·QUANT)² ≈ 2^40)
+    bc = spark.sparkContext.broadcast((qids, cm, cnorm))
+    k = SEARCH_TOP_K
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, cm_, cn_ = bc.value
+        croot = np.sqrt(cn_.astype(np.float64))
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            qm = np.vstack(pdf["q"].values).astype(np.int64)
+            nb = pdf["norm_sq"].to_numpy(np.int64).astype(np.float64)
+            dot = (qm @ cm_.T).astype(np.float64)  # exact int64 → double
+            # fixed-order: sqrt(cn)·sqrt(norm_sq), then divide — the
+            # oracle replays this expression verbatim
+            den = np.sqrt(nb)[:, None] * croot[None, :]
+            cos = np.where(den == 0.0, -2.0, dot / np.where(den == 0.0, 1.0, den))
+            out_q, out_d, out_c = [], [], []
+            for j in range(len(qids_)):
+                order = np.lexsort((ids, -cos[:, j]))[:k]
+                out_q.append(np.full(len(order), qids_[j], dtype=np.int64))
+                out_d.append(ids[order])
+                out_c.append(cos[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "doc_id": np.concatenate(out_d),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    partials = e.select("vec_id", "q", "norm_sq").mapInPandas(
+        batches, "query_id long, doc_id long, cosine double"
+    )
+    dense = scalable_topk_per_group(
+        partials,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("doc_id")],
+        k,
+        salt_on="doc_id",
+        rank_col="emb_rank",
+    ).select("query_id", "doc_id", "emb_rank")
+    fused = b.join(dense, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "bm25_rank",
+        "emb_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("emb_rank")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf_score", "bm25_rank", "emb_rank")
+    )
+
+
+def _hybrid_dense_sql() -> str:
+    from .similarity import _NORM_SQL as _VEC_NORM_SQL
+    from .similarity import _QUANT_SQL as _VEC_QUANT_SQL
+
+    return f"""
+WITH b AS ({BM25_SEARCH_SQL}),
+quant AS ({_VEC_QUANT_SQL}),
+normed AS MATERIALIZED ({_VEC_NORM_SQL}),
+cent AS (
+  SELECT query_id, i, SUM(v) AS s
+  FROM (SELECT b.query_id, unnest(n.q) AS v,
+               unnest(range(1, len(n.q) + 1)) AS i
+        FROM b JOIN normed n ON n.vec_id = b.doc_id)
+  GROUP BY query_id, i
+),
+cvec AS (
+  SELECT query_id,
+         list(s ORDER BY i) AS cq,
+         list_sum(list_transform(list(s ORDER BY i), x -> x * x)) AS cn
+  FROM cent GROUP BY query_id
+),
+dsc AS (
+  SELECT c.query_id, n.vec_id AS doc_id,
+         CASE WHEN sqrt(CAST(n.norm_sq AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE)) = 0.0
+              THEN -2.0
+              ELSE CAST(list_sum(list_transform(list_zip(c.cq, n.q), p -> p[1] * p[2])) AS DOUBLE)
+                / (sqrt(CAST(n.norm_sq AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE)))
+         END AS cosine
+  FROM cvec c, normed n
+),
+d AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id) AS emb_rank
+  FROM dsc
+  QUALIFY emb_rank <= {SEARCH_TOP_K}
+),
+fused AS (
+  SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+         COALESCE(b.doc_id, d.doc_id) AS doc_id,
+         b.rank AS bm25_rank, d.emb_rank,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + b.rank), CAST(0.0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + d.emb_rank), CAST(0.0 AS DOUBLE))
+           AS rrf_score
+  FROM b FULL OUTER JOIN d
+    ON b.query_id = d.query_id AND b.doc_id = d.doc_id
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       doc_id,
+       CAST(rrf_score AS DOUBLE) AS rrf_score,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(emb_rank AS BIGINT) AS emb_rank
+FROM rk WHERE rank <= {SEARCH_TOP_K}
+"""
+
+
+registry.register("text_hybrid_dense_topk", hybrid_dense_topk, _hybrid_dense_sql())
+
+
 # --- DSIR importance resampling --------------------------------------------
 
 DSIR_BUCKETS = 1024

@@ -487,3 +487,53 @@ def test_hybrid_rrf_fuses_both_rankers(spark):
         rows.sort(key=lambda r: r["rank"])
         keys = [(-r["rrf_score"], r["doc_id"]) for r in rows]
         assert keys == sorted(keys)
+
+
+def test_hybrid_dense_replays_prf_centroid_ranking(spark):
+    """text_hybrid_dense_topk replayed independently from raw parquet:
+    the dense leg's per-query centroid is the exact integer sum of the
+    BM25 top-k docs' quantized embeddings, its ranking is cosine-to-
+    centroid (desc, doc_id asc) over the whole embeddings table, and the
+    fused score is the closed-form RRF of the two legs' ranks."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators import similarity as S
+    from near_real_time_data_warehouse_spark.operators import text as T
+
+    sf = "/root/testdata/sf0.001"
+    b = {(r["query_id"], r["doc_id"]): r["rank"]
+         for r in T.bm25_search_topk(spark, sf).collect()}
+    epdf = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).toPandas()
+    ids = epdf["vec_id"].to_numpy(np.int64)
+    q = S._quant_np(epdf["embedding"])
+    by_id = {int(i): q[n] for n, i in enumerate(ids)}
+    cents: dict[int, np.ndarray] = {}
+    for (qid, doc), _rank in b.items():
+        if doc in by_id:
+            cents[qid] = cents.get(qid, 0) + by_id[doc]
+    emb_rank: dict[tuple[int, int], int] = {}
+    nb = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+    for qid, c in sorted(cents.items()):
+        den = nb * np.sqrt(float((c * c).sum()))
+        cos = np.where(den == 0.0, -2.0,
+                       (q @ c).astype(np.float64) / np.where(den == 0.0, 1.0, den))
+        order = np.lexsort((ids, -cos))[:T.SEARCH_TOP_K]
+        for rnk, n in enumerate(order, start=1):
+            emb_rank[(qid, int(ids[n]))] = rnk
+    got = T.hybrid_dense_topk(spark, sf).collect()
+    assert got
+    seen_dense = set()
+    for r in got:
+        key = (r["query_id"], r["doc_id"])
+        eb, ed = b.get(key), emb_rank.get(key)
+        assert r["bm25_rank"] == eb and r["emb_rank"] == ed, (r, eb, ed)
+        if ed:
+            seen_dense.add(key)
+        expect = (1.0 / (T.RRF_K + eb) if eb else 0.0) + (
+            1.0 / (T.RRF_K + ed) if ed else 0.0
+        )
+        assert r["rrf_score"] == expect
+    # the dense leg must actually contribute members of its own
+    assert seen_dense
