@@ -2305,9 +2305,18 @@ def _orth_polish(v: list[int], prevs: list[list[int]]) -> list[int]:
     return v
 
 
-def _pca_topk_ints(rows, k: int) -> tuple[list[list[int]], list[int], int]:
+def _pca_topk_ints(
+    rows, k: int, stats_out: list | None = None
+) -> tuple[list[list[int]], list[int], int]:
     """Top-k eigenvector int lists (deflation between components), per-dim
-    sums, and n — pure-Python arbitrary-precision integers."""
+    sums, and n — pure-Python arbitrary-precision integers.
+
+    When ``stats_out`` is given, each deflation appends the exact-integer
+    triple (mx, s, md): the pre-deflation matrix ∞-norm, vrᵀvr, and the
+    post-deflation (pre-rescale) ∞-norm. Since d = c·s² − num·vr vrᵀ,
+    md/(mx·s²) is the residual spectral mass left after removing the
+    component — the adaptive-K stopping statistic, comparable as pure
+    integers (md·R ≥ mx·s²) in both Python and the SQL oracle."""
     dims = EMB_DIM
     c = [[0] * dims for _ in range(dims)]
     sums = [0] * dims
@@ -2335,6 +2344,9 @@ def _pca_topk_ints(rows, k: int) -> tuple[list[list[int]], list[int], int]:
             for i in range(dims)
         ]
         md = max(abs(x) for row in d for x in row)
+        if stats_out is not None:
+            mx = max(abs(x) for row in c for x in row)
+            stats_out.append((mx, s, md))
         if md == 0:  # rank-exhausted: remaining components are zero
             vecs.extend([[0] * dims for _ in range(k - 1 - comp)])
             break
@@ -2575,6 +2587,117 @@ SELECT q.vec_id, q.label,
 FROM quant q
 CROSS JOIN nv
 {joins}
+"""
+
+
+# --- Adaptive-K PCA: variance-explained stopping knee (VERDICT r11 #4) ----
+#
+# Fixed K is wrong in both directions: isotropic corpora waste compute
+# on noise components, strongly low-rank corpora truncate signal. The
+# stopping statistic is the deflation's own residual ratio: after
+# removing component r, d = c·s² − num·vr vrᵀ, so md/(mx·s²) — the
+# post-deflation ∞-norm over the pre-deflation scale — measures how much
+# spectral mass the component left behind (≈ λ_{r+1}/λ_r on planted
+# eigengap data; ≈ 1 on isotropic noise, which self-normalizes). Keep
+# adding components while md·PCA_VAR_RATIO ≥ mx·s² — a PURE INTEGER
+# comparison both Python and the HUGEINT oracle replay bit-for-bit —
+# capped at PCA_ADAPTIVE_KMAX. Output is LONG format (vec_id, component,
+# proj) so the schema is K-independent; the oracle unrolls all KMAX
+# chains and gates each component's SELECT on the replayed keep flags.
+# Measured on planted spectra (4 seeds, adjacent variance ratios ≥ 0.36,
+# noise 0.002): real components score 0.25–1.0, past-the-last components
+# 0.008–0.043 — PCA_VAR_RATIO = 8 (threshold 0.125) splits them with
+# ≥ 2× margin both ways. The vr truncation (DEFL_VSCALE = 2⁸) floors the
+# statistic near ~0.05, so adjacent eigenvalue ratios under ~0.1 are
+# inherently unresolvable by this deflation — documented regime, not a
+# tuning artifact. The isotropic driver fixtures sit at 0.9–1.0 and
+# correctly take the cap.
+PCA_ADAPTIVE_KMAX = 4
+PCA_VAR_RATIO = 8
+
+
+def _adaptive_k(stats: list[tuple[int, int, int]]) -> int:
+    """1 + the number of LEADING deflations whose residual passes the
+    integer knee test md·PCA_VAR_RATIO ≥ mx·s²."""
+    k = 1
+    for mx, s, md in stats:
+        if md * PCA_VAR_RATIO >= mx * s * s:
+            k += 1
+        else:
+            break
+    return k
+
+
+def pca_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projections onto the corpus's top-K principal
+    components with DATA-ADAPTIVE K (variance-explained knee).
+
+    Scale shape: identical to emb_pca_topk — the eigen-solve (and the
+    stopping decision) happens on the bounded 2080-row covariance
+    reduction driver-side; the K projections are ONE scan-side pass
+    (K array folds per row, no extra shuffle); the long-format explode
+    multiplies output rows by K ≤ PCA_ADAPTIVE_KMAX, a constant."""
+    rows = covariance_stats(spark, sf_dir).collect()  # 2080 rows, bounded
+    stats: list[tuple[int, int, int]] = []
+    vecs, sums, n = _pca_topk_ints(rows, PCA_ADAPTIVE_KMAX, stats_out=stats)
+    k_eff = _adaptive_k(stats)
+    den = float(n * QUANT * PCA_SCALE)
+    q = _quantized(_emb(spark, sf_dir))
+    structs = []
+    for c in range(1, k_eff + 1):
+        v = vecs[c - 1]
+        const = sum(v[j] * sums[j] for j in range(EMB_DIM))
+        q = q.withColumn(f"v{c}", F.array([F.lit(x).cast("long") for x in v]))
+        pn = (F.lit(n).cast("long") * _dot("q", f"v{c}")).cast("long") - F.lit(
+            const
+        ).cast("long")
+        structs.append(
+            F.struct(
+                F.lit(c).cast("long").alias("component"),
+                pn.alias("proj_num"),
+                (pn.cast("double") / F.lit(den)).alias("proj"),
+            )
+        )
+    return q.select(
+        "vec_id", "label", F.explode(F.array(*structs)).alias("p")
+    ).select("vec_id", "label", "p.component", "p.proj_num", "p.proj")
+
+
+def _pca_adaptive_sql() -> str:
+    """Adaptive-K oracle: the KMAX-component chain plus keep{r} flags
+    replaying the integer knee test; each component's projection SELECT
+    is gated on all earlier keeps."""
+    kmax = PCA_ADAPTIVE_KMAX
+    keeps = []
+    for r in range(1, kmax):
+        mat = "covfull" if r == 1 else f"m{r}"
+        keeps.append(
+            f"""keep{r} AS (
+  SELECT CASE WHEN (SELECT MAX(ABS(c)) FROM draw{r}) * {PCA_VAR_RATIO}
+              >= (SELECT MAX(ABS(c)) FROM {mat}) * s.s * s.s
+         THEN 1 ELSE 0 END AS k
+  FROM s{r} s
+)"""
+        )
+    selects = []
+    for c in range(1, kmax + 1):
+        gate = " AND ".join(f"(SELECT k FROM keep{r}) = 1" for r in range(1, c))
+        where = f"WHERE {gate}" if gate else ""
+        selects.append(
+            f"""SELECT q.vec_id, q.label, CAST({c} AS BIGINT) AS component,
+       CAST(nv.n * d{c}.d - vc{c}.const AS BIGINT) AS proj_num,
+       CAST(nv.n * d{c}.d - vc{c}.const AS DOUBLE)
+         / CAST(nv.n * {QUANT} * {PCA_SCALE} AS DOUBLE) AS proj
+FROM quant q
+CROSS JOIN nv
+JOIN dotp{c} d{c} ON d{c}.vec_id = q.vec_id CROSS JOIN vconst{c} vc{c}
+{where}"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {_pca_chain_cte(kmax)},
+{",".join(keeps)}
+{union}
 """
 
 
@@ -3064,6 +3187,7 @@ registry.register("emb_covariance_stats", covariance_stats, COVARIANCE_SQL)
 registry.register("emb_pca_project", pca_project, _pca_sql())
 registry.register("emb_pca_incremental", pca_incremental, _pca_sql(batch_only=True))
 registry.register("emb_pca_topk", pca_topk, _pca_topk_sql())
+registry.register("emb_pca_adaptive_topk", pca_adaptive_topk, _pca_adaptive_sql())
 registry.register("sim_ann_pca_rerank", ann_pca_rerank, _pca_rerank_sql())
 registry.register("sim_mmr_rerank", mmr_rerank, _mmr_sql())
 registry.register("emb_split_contamination", split_contamination, SPLIT_CONTAM_SQL)

@@ -850,3 +850,80 @@ def test_mmr_rerank_matches_reference_greedy(spark):
             assert (r["rank"], r["neighbor_id"]) == (rank, best), (q, rank)
             assert r["relevance"] == rel[best]
             assert r["mmr_score"] == best_score
+
+
+def test_pca_adaptive_k_tracks_planted_spectrum(spark):
+    """The variance-explained knee must pick K = the number of PLANTED
+    strong directions (1, 2, 3) and cap at PCA_ADAPTIVE_KMAX on
+    near-isotropic data; the emitted long-format projections must match
+    the fixed-K kernel's vectors for the chosen components exactly."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+
+    def rows_for(strengths, n=500, noise=0.002):
+        kk = len(strengths)
+        basis = np.linalg.qr(rng.normal(size=(sim.EMB_DIM, kk)))[0].T
+        t = rng.normal(size=(n, kk)) * np.array(strengths)
+        x = t @ basis + rng.normal(size=(n, sim.EMB_DIM)) * noise
+        df = spark.createDataFrame(
+            [(int(i), [float(v) for v in x[i]], int(i % 3)) for i in range(n)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        e = sim._emb
+        try:
+            sim._emb = lambda _s, _d: df
+            return df, sim.covariance_stats(spark, "ignored").collect()
+        finally:
+            sim._emb = e
+
+    # Variance ratios ≥ 0.36 sit well above the knee's 0.125 threshold;
+    # the deflation's 2^-8 vr truncation floors the statistic at ~0.05,
+    # so adjacent-eigenvalue ratios below ~0.1 variance are inherently
+    # unresolvable — the planted gaps here are the supported regime.
+    for strengths, want_k in (
+        ([0.5], 1),
+        ([0.5, 0.3], 2),
+        ([0.5, 0.4, 0.3], 3),
+    ):
+        _df, rows = rows_for(strengths)
+        stats: list = []
+        sim._pca_topk_ints(rows, sim.PCA_ADAPTIVE_KMAX, stats_out=stats)
+        assert sim._adaptive_k(stats) == want_k, (strengths, stats)
+
+    # near-isotropic: every ratio ~1 → the cap
+    iso = rng.normal(size=(400, sim.EMB_DIM)) * 0.1
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in iso[i]], 0) for i in range(len(iso))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    e = sim._emb
+    try:
+        sim._emb = lambda _s, _d: df
+        rows = sim.covariance_stats(spark, "ignored").collect()
+        stats = []
+        vecs, sums, n = sim._pca_topk_ints(
+            rows, sim.PCA_ADAPTIVE_KMAX, stats_out=stats
+        )
+        assert sim._adaptive_k(stats) == sim.PCA_ADAPTIVE_KMAX
+        got = sim.pca_adaptive_topk(spark, "ignored").collect()
+        stored = np.vstack(df.toPandas()["embedding"].values)  # float32 round-trip
+    finally:
+        sim._emb = e
+    # long format: KMAX rows per vector, projections replay the integer
+    # formula n·(v·q) − Σ v_j·sum_j for the SAME deflation vectors
+    assert len(got) == len(iso) * sim.PCA_ADAPTIVE_KMAX
+    q = sim._round_half_away(stored.astype(np.float64) * sim.QUANT)
+    by_vec = {}
+    for r in got:
+        by_vec.setdefault(r["vec_id"], {})[r["component"]] = r
+    for vid, comps in list(by_vec.items())[:50]:
+        assert sorted(comps) == list(range(1, sim.PCA_ADAPTIVE_KMAX + 1))
+        for c, r in comps.items():
+            v = np.array(vecs[c - 1], dtype=object)
+            expect = int(n) * int((q[vid].astype(object) * v).sum()) - sum(
+                int(v[j]) * int(sums[j]) for j in range(sim.EMB_DIM)
+            )
+            assert r["proj_num"] == expect
