@@ -39,7 +39,7 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import clustering, corpus, curation, dedup, layout, linkage, multimodal, quality, scd, similarity, text, events  # noqa: F401  (self-registering)
+    from . import clustering, corpus, curation, dedup, layout, linkage, multimodal, quality, scd, similarity, streaming_folds, text, events  # noqa: F401  (self-registering)
     from ..plans import classics  # noqa: F401
 
     _LOADED = True

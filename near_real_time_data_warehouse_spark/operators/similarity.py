@@ -3105,11 +3105,12 @@ def pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_sql(batch_only: bool = False) -> str:
+def _pca_sql(batch_only: bool = False, batch_where: str | None = None) -> str:
     """The full PCA lifecycle as chained CTEs: quantize → integer
     covariance → PCA_ROUNDS unrolled power-iteration rounds (HUGEINT) →
     sign canonicalization → per-vector projection.  With ``batch_only``
-    the final projection is restricted to the incremental entry's batch
+    (or an explicit ``batch_where`` predicate — the streaming fold's
+    even/odd split) the final projection is restricted to the batch
     rows — the STATISTICS still come from the whole corpus, which is
     exactly what Gram additivity guarantees for the merged state."""
     rounds = []
@@ -3178,7 +3179,7 @@ SELECT q.vec_id, q.label,
 FROM quant q
 JOIN dotp dp ON dp.vec_id = q.vec_id
 CROSS JOIN nv CROSS JOIN vconst vc
-{f"WHERE q.vec_id >= {PCA_INCR_SPLIT}" if batch_only else ""}
+{f"WHERE {batch_where}" if batch_where else (f"WHERE q.vec_id >= {PCA_INCR_SPLIT}" if batch_only else "")}
 """
 
 

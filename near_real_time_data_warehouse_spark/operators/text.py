@@ -2314,9 +2314,14 @@ def bm25_score_with_stats(
     )
 
 
-BM25_INCR_SQL = f"""
+def _bm25_split_sql(batch_cond: str) -> str:
+    """The standing-statistics BM25 screen over an arbitrary batch/
+    standing split of ``documents`` — shared by text_bm25_incremental
+    (doc_id % BM25_BATCH_MOD = 0) and the streaming-fold registry entry
+    (the even/odd epoch split), so the two oracles cannot diverge."""
+    return f"""
 WITH toks AS (
-  SELECT doc_id, doc_id % {BM25_BATCH_MOD} = 0 AS in_batch,
+  SELECT doc_id, {batch_cond} AS in_batch,
          unnest(string_split({_NORM_SQL}, ' ')) AS term
   FROM documents
 ),
@@ -2327,9 +2332,9 @@ df AS (
   FROM (SELECT DISTINCT doc_id, term FROM st) GROUP BY term
 ),
 stx AS (
-  SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % {BM25_BATCH_MOD} <> 0) AS n_docs,
+  SELECT (SELECT COUNT(*) FROM documents WHERE NOT ({batch_cond})) AS n_docs,
          (SELECT COUNT(*) FROM st)
-           // (SELECT COUNT(*) FROM documents WHERE doc_id % {BM25_BATCH_MOD} <> 0) AS avgdl
+           // (SELECT COUNT(*) FROM documents WHERE NOT ({batch_cond})) AS avgdl
 ),
 ranked AS (
   SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS r FROM df
@@ -2368,6 +2373,9 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(n_hit_terms AS BIGINT) AS n_hit_terms
 FROM rk WHERE rank <= {SEARCH_TOP_K}
 """
+
+
+BM25_INCR_SQL = _bm25_split_sql(f"doc_id % {BM25_BATCH_MOD} = 0")
 
 registry.register("text_bm25_incremental", bm25_incremental, BM25_INCR_SQL)
 
