@@ -1641,11 +1641,14 @@ def _containment_partitions(spark: SparkSession, sf_dir: str) -> int:
     compressed text explodes ~50× into the shingle table (measured at
     the 100× probe: 60 MB of parquet → 3.1 GB of verification shuffle),
     so ~256 KB of parquet ≈ ~13 MB of per-task sort run — bounded at any
-    SF. The floor preserves driver/bench-SF plans; the cap is the
-    single-host bound."""
+    SF. Rates/floor/cap come from the deployment profile (the
+    compressed-text rate), defaults reproducing today's plans."""
     from ..plans.analysis import _local_scan_bytes
+    from ..profile import knee_profile
 
-    return max(32, min(4096, _local_scan_bytes(_docs(spark, sf_dir)) // (256 << 10)))
+    return knee_profile().partitions(
+        _local_scan_bytes(_docs(spark, sf_dir)), text=True
+    )
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -509,10 +509,12 @@ def _pair_partitions(star: Star) -> int:
     partitions each reduce task's aggregation map outgrows its memory
     share and spill-merges. One partition per ~8 MB of scanned fact
     keeps every task's map a few MB at any SF — the same data-adaptive
-    knee discipline as the IVF nlist / LSH plane depth. Floor 32
-    preserves the driver-SF plans byte-for-byte; the 4096 cap is the
-    single-host bound (a cluster sets shuffle partitions itself)."""
-    return max(32, min(4096, _local_scan_bytes(star["salefact"]) // (8 << 20)))
+    knee discipline as the IVF nlist / LSH plane depth. Rates, floor,
+    and cap come from the deployment profile (profile.knee_profile);
+    the defaults reproduce the tuned single-host plans byte-for-byte."""
+    from ..profile import knee_profile
+
+    return knee_profile().partitions(_local_scan_bytes(star["salefact"]))
 
 
 def q16(star: Star) -> DataFrame:

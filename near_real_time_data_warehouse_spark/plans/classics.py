@@ -564,10 +564,12 @@ def _order_key_partitions(df: DataFrame) -> int:
     """Scan-size knee for order-key exchanges (one partition per ~8 MB of
     scanned input, floored at the session default, capped for the single
     host) — keeps sort-merge runs and aggregation maps a few MB per task
-    at any SF instead of growing ∝ corpus at a fixed partition count."""
+    at any SF instead of growing ∝ corpus at a fixed partition count.
+    Rates/floor/cap come from the deployment profile."""
+    from ..profile import knee_profile
     from .analysis import _local_scan_bytes
 
-    return max(32, min(4096, _local_scan_bytes(df) // (8 << 20)))
+    return knee_profile().partitions(_local_scan_bytes(df))
 
 
 def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
