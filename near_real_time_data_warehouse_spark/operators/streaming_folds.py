@@ -17,6 +17,9 @@ output; the oracle is the BATCH kernel over the same split:
   statistics and the oracle is the full-lifecycle PCA replay restricted
   to epoch-1 rows — certifying streaming-fold ≡ full-rebuild
   bit-for-bit, through the driver gate rather than only pytest.
+- DSIR screen: epoch-1 docs scored against epoch-0's standing bucket /
+  language statistics — the standing-statistics screen SQL with the
+  even/odd split (shared builder with docs_dsir_incremental).
 
 State dirs are fresh per call (tempfile.mkdtemp) so an entry is
 deterministic in any session and leaves no standing state behind.
@@ -33,7 +36,7 @@ from pyspark.sql import functions as F
 
 from . import registry
 from .similarity import _emb, _pca_sql
-from .text import _bm25_split_sql, _docs
+from .text import _bm25_split_sql, _docs, _dsir_split_sql
 
 _BM25_SCORE_SCHEMA = (
     "query_id long, rank long, doc_id long, score_scaled long, "
@@ -91,6 +94,33 @@ def stream_pca_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def stream_dsir_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch playback of the streaming DSIR maintenance fold
+    (streaming/dsir_stream.py): even docs bootstrap the bucket/language
+    statistics, odd docs arrive as the next batch and are screened
+    against the standing distribution. Returns the batch epoch's scores.
+
+    Scale shape: the fold's state is the bounded DSIR_BUCKETS stat
+    table + one row per language per epoch; batch scoring joins the
+    batch's hashed features against the broadcast bucket stats,
+    cost ∝ batch."""
+    from ..streaming.dsir_stream import merge_dsir_batch
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    state = tempfile.mkdtemp(prefix="nrtdw_stream_dsir_")
+    merge_dsir_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), state, epoch_id=0
+    )
+    out = merge_dsir_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), state, epoch_id=1
+    )
+    if out is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_features long, score_bits long"
+        )
+    return out
+
+
 STREAM_BM25_SQL = _bm25_split_sql("doc_id % 2 = 1")
 # label cast mirrors the fold's long-typed score schema
 STREAM_PCA_SQL = f"""
@@ -98,5 +128,8 @@ SELECT vec_id, CAST(label AS BIGINT) AS label, proj_num, proj
 FROM ({_pca_sql(batch_where="q.vec_id % 2 = 1")})
 """
 
+STREAM_DSIR_SQL = _dsir_split_sql("doc_id % 2 = 1")
+
 registry.register("stream_bm25_router", stream_bm25_router, STREAM_BM25_SQL)
 registry.register("stream_pca_fold", stream_pca_fold, STREAM_PCA_SQL)
+registry.register("stream_dsir_screen", stream_dsir_screen, STREAM_DSIR_SQL)

@@ -3020,9 +3020,14 @@ def dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DSIR_INCR_SQL = f"""
+def _dsir_split_sql(batch_cond: str) -> str:
+    """The standing-statistics DSIR screen over an arbitrary batch/
+    standing split of ``documents`` — shared by docs_dsir_incremental
+    (doc_id % DSIR_BATCH_MOD = 0) and the streaming-fold registry entry
+    (the even/odd epoch split), so the two oracles cannot diverge."""
+    return f"""
 WITH dd AS (
-  SELECT doc_id, lang, doc_id % {DSIR_BATCH_MOD} = 0 AS in_batch,
+  SELECT doc_id, lang, {batch_cond} AS in_batch,
          list_filter(string_split({_NORM_SQL}, ' '), t -> t <> '') AS toks
   FROM documents
 ),
@@ -3044,7 +3049,7 @@ fx AS (
 tl AS (
   SELECT lang AS tgt_lang
   FROM (SELECT lang, COUNT(*) AS n FROM documents
-        WHERE doc_id % {DSIR_BATCH_MOD} <> 0 GROUP BY lang
+        WHERE NOT ({batch_cond}) GROUP BY lang
         ORDER BY n DESC, lang LIMIT 1)
 ),
 bs AS (
@@ -3071,6 +3076,9 @@ SELECT doc_id,
        CAST(SUM(w_bits) AS BIGINT) AS score_bits
 FROM sc GROUP BY doc_id
 """
+
+
+DSIR_INCR_SQL = _dsir_split_sql(f"doc_id % {DSIR_BATCH_MOD} = 0")
 
 registry.register("docs_dsir_incremental", dsir_incremental, DSIR_INCR_SQL)
 
