@@ -186,6 +186,83 @@ def _brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    query vector, the top-k most-similar CORPUS vectors whose label
+    differs — the negatives that actually move a contrastive loss
+    (random negatives are trivially separable; the hard ones live next
+    to the decision boundary). Same capped-exact conventions as
+    sim_bruteforce_topk (broadcast query block, exact integer-dot
+    cosine, per-query window with full tie-breaks), plus the label
+    inequality pushed into the join condition so mismatched pairs never
+    materialize.
+
+    Scale shape: identical to the brute baseline — at full corpus size
+    the mining runs over ANN shortlists instead (the sim_ann_ivf_topk /
+    sim_ann_pca_rerank kernels), with the label filter applied to the
+    shortlist; the capped-exact form here is the ground-truth path the
+    ANN variant would be recall-checked against."""
+    e = _quantized(_emb(spark, sf_dir))
+    queries = e.filter(F.col("vec_id") < QUERY_CAP).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("q").alias("qa"),
+        F.col("norm_sq").alias("na"),
+    )
+    corpus = e.filter(F.col("vec_id") < CORPUS_CAP).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("q").alias("qb"),
+        F.col("norm_sq").alias("nb"),
+    )
+    pairs = corpus.join(
+        F.broadcast(queries),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neighbor_label")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        _cosine(_dot("qa", "qb"), F.col("na"), F.col("nb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            "cosine",
+        )
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH quant AS ({_QUANT_SQL}),
+normed AS ({_NORM_SQL}),
+pairs AS (
+  SELECT a.vec_id AS query_id, a.label AS query_label,
+         b.vec_id AS neighbor_id, b.label AS neighbor_label,
+         CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
+  FROM normed a JOIN normed b ON a.vec_id < {QUERY_CAP} AND b.vec_id < {CORPUS_CAP}
+   AND a.vec_id <> b.vec_id AND a.label <> b.label
+),
+ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 BRUTE_SQL = f"""
 WITH quant AS ({_QUANT_SQL}),
 normed AS ({_NORM_SQL}),
@@ -1781,6 +1858,7 @@ GROUP BY m.query_id
 """
 
 registry.register("sim_bruteforce_topk", brute_force_topk, BRUTE_SQL)
+registry.register("sim_hard_negatives", hard_negatives, HARD_NEGATIVES_SQL)
 registry.register("sim_mrl_truncate_rerank", mrl_truncate_rerank, MRL_SQL)
 def _gram_agg(e: DataFrame) -> DataFrame:
     """Exact integer Gram + dim-sum reduction over a vector frame: each

@@ -927,3 +927,41 @@ def test_pca_adaptive_k_tracks_planted_spectrum(spark):
                 int(v[j]) * int(sums[j]) for j in range(sim.EMB_DIM)
             )
             assert r["proj_num"] == expect
+
+
+def test_hard_negatives_are_label_mismatched_top_neighbors(spark):
+    """sim_hard_negatives replayed from raw parquet: every emitted
+    neighbor has a different label from its query, and per query the
+    list is exactly the cosine-ordered head of the label-mismatched
+    capped corpus (desc cosine, neighbor_id tiebreak)."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    pdf = spark.read.parquet(f"{sf}/embeddings.parquet").toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    labels = {int(r.vec_id): r.label for r in pdf.itertuples()}
+    q = sim._quant_np(pdf["embedding"])
+    nrm = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+    by_id = {int(i): n for n, i in enumerate(ids)}
+    got = sim.hard_negatives(spark, sf).collect()
+    assert got
+    per_q: dict[int, list] = {}
+    for r in got:
+        assert r["query_label"] == labels[r["query_id"]]
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+        assert r["query_label"] != r["neighbor_label"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in per_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        qi = by_id[qid]
+        cand = []
+        for vid, n in by_id.items():
+            if vid == qid or vid >= sim.CORPUS_CAP or labels[vid] == labels[qid]:
+                continue
+            cos = float(q[qi] @ q[n]) / (nrm[qi] * nrm[n])
+            cand.append((-cos, vid))
+        cand.sort()
+        want = [vid for _c, vid in cand[: sim.TOP_K]]
+        assert [r["neighbor_id"] for r in rows] == want, qid
