@@ -770,3 +770,39 @@ def test_dsir_feature_stream_single_pass(spark):
     347 s pathology)."""
     plan = plan_of(QUERIES["docs_dsir_importance"](spark, SF_SMALL))
     assert "Scan ExistingRDD" in plan
+
+
+def test_hybrid_dense_leg_is_arrow_batched_with_no_corpus_window(spark):
+    """text_hybrid_dense_topk: the dense leg must be the Arrow-batched
+    matmul kernel (MapInPandas), the checkpointed BM25 result must feed
+    the fusion from its materialization (ExistingRDD — not a second
+    BM25 corpus pass), and no single-partition window may rank the
+    corpus (salted two-phase kernel only)."""
+    plan = plan_of(QUERIES["text_hybrid_dense_topk"](spark, SF_SMALL))
+    assert "MapInPandas" in plan
+    assert "Scan ExistingRDD" in plan
+    import re
+
+    # every Window must be partitioned (no global single-threaded rank)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "," in m.group(1), f"unpartitioned window: {m.group(0)[:80]}"
+
+
+def test_hard_negatives_query_block_is_broadcast(spark):
+    """sim_hard_negatives: the capped query block must reach the corpus
+    by broadcast-nested-loop (label-inequality join), never a shuffled
+    cartesian/sort-merge of the corpus."""
+    plan = plan_of(QUERIES["sim_hard_negatives"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adaptive_pca_projection_is_scan_side(spark):
+    """emb_pca_adaptive_topk: like the fixed-K twin, the K projections
+    must be scan-side array folds plus one explode — no join, no
+    aggregation, no Python in the projection pass."""
+    plan = plan_of(QUERIES["emb_pca_adaptive_topk"](spark, SF_SMALL))
+    assert "Generate explode" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "MapInPandas" not in plan and "PythonRunner" not in plan
