@@ -965,3 +965,34 @@ def test_hard_negatives_are_label_mismatched_top_neighbors(spark):
         cand.sort()
         want = [vid for _c, vid in cand[: sim.TOP_K]]
         assert [r["neighbor_id"] for r in rows] == want, qid
+
+
+def test_hard_negatives_ann_recall_tracked(spark):
+    """The ANN hard-negative driver entry only exposes the recall-floor
+    boolean; this pins the raw number against the exact miner and the
+    pre-filter invariant (no same-label neighbor ever survives)."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import similarity as S
+
+    emb = S._emb(spark, SF_SMALL)
+    cmat = S._train_centroids_on_sample(emb)
+    assigned = S._assign_lists(
+        spark, emb.filter(F.col("vec_id") < S.CORPUS_CAP), cmat
+    )
+    ann = S._probe_topk(spark, emb, cmat, assigned, exclude_same_label=True)
+    labels = {
+        int(r["vec_id"]): r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    rows = ann.collect()
+    assert rows
+    for r in rows:
+        assert labels[r["query_id"]] != labels[r["neighbor_id"]], r
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.hard_negatives(spark, SF_SMALL).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(truth & got) / len(truth)
+    assert recall >= S.HARD_NEG_RECALL_FLOOR, recall
