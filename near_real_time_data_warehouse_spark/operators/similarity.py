@@ -283,12 +283,17 @@ def hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-query work is N_PROBE probed lists, label lookup joins the
     candidate stream (∝ probed members, never the corpus — at cluster
     scale the assignment table carries the label and the join
-    disappears); the truth side is the capped-exact miner."""
+    disappears); the truth side is the capped-exact miner. The index is
+    trained AND assigned on the capped corpus so the gate is invariant
+    to total corpus size (training on the full corpus knee-scales the
+    list count and collapses capped-truth recall — caught by this
+    round's 100× oracle run); the uncapped production path is
+    _probe_topk(exclude_same_label) over the full assignment, whose
+    scale behavior the IVF uncapped gate already characterizes."""
     emb = _emb(spark, sf_dir)
-    cmat = _memoized_centroids("hardneg_cmat", spark, sf_dir, emb)
-    assigned = _assign_lists(
-        spark, emb.filter(F.col("vec_id") < CORPUS_CAP), cmat
-    )
+    capped = emb.filter(F.col("vec_id") < CORPUS_CAP)
+    cmat = _memoized_centroids("hardneg_cmat", spark, sf_dir, capped)
+    assigned = _assign_lists(spark, capped, cmat)
     ann = _probe_topk(
         spark, emb, cmat, assigned, exclude_same_label=True
     ).select("query_id", "neighbor_id")

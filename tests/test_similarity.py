@@ -976,10 +976,9 @@ def test_hard_negatives_ann_recall_tracked(spark):
     from near_real_time_data_warehouse_spark.operators import similarity as S
 
     emb = S._emb(spark, SF_SMALL)
-    cmat = S._train_centroids_on_sample(emb)
-    assigned = S._assign_lists(
-        spark, emb.filter(F.col("vec_id") < S.CORPUS_CAP), cmat
-    )
+    capped = emb.filter(F.col("vec_id") < S.CORPUS_CAP)
+    cmat = S._train_centroids_on_sample(capped)
+    assigned = S._assign_lists(spark, capped, cmat)
     ann = S._probe_topk(spark, emb, cmat, assigned, exclude_same_label=True)
     labels = {
         int(r["vec_id"]): r["label"]
