@@ -928,11 +928,23 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a boolean the Spark side computes genuinely: if a regression drops
     mean recall below the floor, recall_floor_met flips and the driver's
     value hash goes red. Mean recall itself is intentionally NOT a column
-    (it would make the oracle impossible); tests track the raw number."""
+    (it would make the oracle impossible); tests track the raw number.
+
+    The gate searches its OWN capped-corpus index (train + assign on
+    vec_id < CORPUS_CAP), making it invariant to total corpus size:
+    filtering the full-corpus ann_ivf_topk result to capped neighbors
+    collapsed at the 100× replica (the list-count knee scales with the
+    corpus while the truth stays capped — round-12 oracle catch, same
+    mechanism as sim_hard_negatives_ann). The production path's scale
+    behavior is what sim_ann_ivf_recall_uncapped certifies (green at
+    the 100× replica's 200k vectors)."""
     truth = brute_force_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("true_neighbor")
     )
-    ann = ann_ivf_topk(spark, sf_dir).filter(F.col("neighbor_id") < CORPUS_CAP).select(
+    emb = _emb(spark, sf_dir)
+    capped = emb.filter(F.col("vec_id") < CORPUS_CAP)
+    cmat = _memoized_centroids("ivf_recall_cmat", spark, sf_dir, capped)
+    ann = _probe_topk(spark, emb, cmat, _assign_lists(spark, capped, cmat)).select(
         "query_id", "neighbor_id"
     )
     hits = (
