@@ -1295,10 +1295,21 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. If centroid drift ever degrades retrieval below the floor,
     recall_floor_met flips and the driver value-hash goes red. Exact
     facts (corpus/batch sizes, k, floor) are pinned bit-exactly; mean
-    recall itself is tracked by pytest (tests/test_similarity.py)."""
+    recall itself is tracked by pytest (tests/test_similarity.py).
+
+    The gate evaluates the grown index over the capped benchmark slice
+    (standing = vec_id < IVF_INCR_SPLIT, batch = split..CORPUS_CAP) so
+    the standing:batch ratio — and with it the stale-centroid stress —
+    is FIXED at any corpus size. Post-filtering a full-corpus top-k to
+    capped neighbors collapsed at the 100× replica, where the id-shifted
+    replicas turned the split into 400 standing vs 199,600 batch —
+    99.8% of the corpus arriving as one batch is a retrain, not
+    incremental maintenance (round-12 oracle catch, the
+    sim_ann_ivf_recall mechanism)."""
     emb = _emb(spark, sf_dir)
-    old = emb.filter(F.col("vec_id") < IVF_INCR_SPLIT)
-    batch = emb.filter(F.col("vec_id") >= IVF_INCR_SPLIT)
+    capped = emb.filter(F.col("vec_id") < CORPUS_CAP)
+    old = capped.filter(F.col("vec_id") < IVF_INCR_SPLIT)
+    batch = capped.filter(F.col("vec_id") >= IVF_INCR_SPLIT)
     # The standing state (old-corpus centroids + old-corpus inverted
     # lists) is what a pipeline keeps materialized; memoize it so
     # repeated calls bill only the ∝-batch fold, not a state rebuild
@@ -1310,11 +1321,7 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     grown = old_lists.unionByName(
         _assign_lists(spark, batch, cmat)           # the ∝-batch maintenance pass
     )
-    ann = (
-        _probe_topk(spark, emb, cmat, grown)
-        .filter(F.col("neighbor_id") < CORPUS_CAP)
-        .select("query_id", "neighbor_id")
-    )
+    ann = _probe_topk(spark, emb, cmat, grown).select("query_id", "neighbor_id")
     truth = brute_force_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("true_neighbor")
     )
@@ -1328,7 +1335,7 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy()
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    totals = emb.groupBy().agg(
+    totals = capped.groupBy().agg(
         F.count(F.lit(1)).alias("n_corpus"),
         F.sum((F.col("vec_id") >= IVF_INCR_SPLIT).cast("long")).alias("n_batch"),
     )
@@ -1345,8 +1352,10 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_INCREMENTAL_SQL = f"""
-SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_corpus,
-       CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id >= {IVF_INCR_SPLIT}) AS BIGINT)
+SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < {CORPUS_CAP}) AS BIGINT)
+         AS n_corpus,
+       CAST((SELECT COUNT(*) FROM embeddings
+             WHERE vec_id >= {IVF_INCR_SPLIT} AND vec_id < {CORPUS_CAP}) AS BIGINT)
          AS n_batch,
        CAST({TOP_K} AS BIGINT) AS k,
        CAST({IVF_INCR_RECALL_FLOOR} AS DOUBLE) AS recall_floor,
