@@ -1639,6 +1639,87 @@ GROUP BY 1
 """
 
 
+# --- Curriculum ordering ---------------------------------------------------
+#
+# Curriculum learning orders training data easy→hard (Bengio et al.
+# 2009); for text the standard difficulty proxy is information density —
+# mean token surprisal under the corpus LM. Exact-integer discipline:
+# difficulty_milli = 1000·total_surprisal_bits DIV n_tokens (the
+# floor-log2 surprisal of text_unigram_surprisal, so both engines agree
+# bit-for-bit), the global order comes from the distributed ranking
+# kernel (never a single-partition window), and the rank round-robins
+# into CURRICULUM_SHARDS stratified shards — each shard is its own
+# easy→hard subsequence, so data-parallel workers all see the same
+# difficulty ramp.
+CURRICULUM_SHARDS = 8
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy→hard curriculum ordering of the corpus with stratified
+    shard interleave.
+
+    Scale shape: the difficulty score is the unigram-surprisal kernel
+    (one token scan + vocab join); the total order is
+    ranking.global_row_number (range partition + local sort + offsets);
+    the shard/position derivation is arithmetic on the rank — nothing
+    corpus-sized beyond the scoring pass itself."""
+    from .ranking import global_row_number
+
+    s = unigram_surprisal(spark, sf_dir).select(
+        "doc_id",
+        F.expr("(1000 * total_surprisal_bits) DIV n_tokens").alias(
+            "difficulty_milli"
+        ),
+    )
+    ranked = global_row_number(
+        s, [F.asc("difficulty_milli"), F.asc("doc_id")], rank_col="curriculum_rank"
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("difficulty_milli").cast("long").alias("difficulty_milli"),
+        F.col("curriculum_rank").cast("long").alias("curriculum_rank"),
+        ((F.col("curriculum_rank") - 1) % CURRICULUM_SHARDS)
+        .cast("long")
+        .alias("shard"),
+        (
+            F.expr(f"(curriculum_rank - 1) DIV {CURRICULUM_SHARDS}") + 1
+        )
+        .cast("long")
+        .alias("position_in_shard"),
+    )
+
+
+CURRICULUM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_total FROM t),
+s AS (
+  SELECT doc_id,
+         (1000 * CAST(SUM(len(printf('%b', n_total)) - len(printf('%b', c.c))) AS BIGINT))
+           // COUNT(*) AS difficulty_milli
+  FROM t JOIN c USING (tok), n
+  GROUP BY doc_id
+),
+r AS (
+  SELECT doc_id, difficulty_milli,
+         row_number() OVER (ORDER BY difficulty_milli, doc_id) AS curriculum_rank
+  FROM s
+)
+SELECT doc_id,
+       CAST(difficulty_milli AS BIGINT) AS difficulty_milli,
+       CAST(curriculum_rank AS BIGINT) AS curriculum_rank,
+       CAST((curriculum_rank - 1) % {CURRICULUM_SHARDS} AS BIGINT) AS shard,
+       CAST((curriculum_rank - 1) // {CURRICULUM_SHARDS} + 1 AS BIGINT)
+         AS position_in_shard
+FROM r
+"""
+
+registry.register("docs_curriculum_order", curriculum_order, CURRICULUM_SQL)
+
+
 registry.register("text_zipf_profile", zipf_profile, ZIPF_SQL)
 registry.register("text_vocabulary", vocabulary, VOCABULARY_SQL)
 registry.register("text_fingerprint", fingerprint, FINGERPRINT_SQL)

@@ -537,3 +537,29 @@ def test_hybrid_dense_replays_prf_centroid_ranking(spark):
         assert r["rrf_score"] == expect
     # the dense leg must actually contribute members of its own
     assert seen_dense
+
+
+def test_curriculum_order_invariants(spark):
+    """docs_curriculum_order: ranks are a permutation of 1..N, difficulty
+    is non-decreasing along the curriculum, the shard assignment
+    round-robins the rank, and every shard's own sequence is also
+    easy→hard (the stratification property data-parallel workers rely
+    on)."""
+    from near_real_time_data_warehouse_spark.operators import text as T
+
+    rows = T.curriculum_order(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    rows.sort(key=lambda r: r["curriculum_rank"])
+    assert [r["curriculum_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    diffs = [r["difficulty_milli"] for r in rows]
+    assert diffs == sorted(diffs)
+    for r in rows:
+        assert r["shard"] == (r["curriculum_rank"] - 1) % T.CURRICULUM_SHARDS
+        assert r["position_in_shard"] == (
+            (r["curriculum_rank"] - 1) // T.CURRICULUM_SHARDS + 1
+        )
+    per_shard: dict[int, list[int]] = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r["difficulty_milli"])
+    for sh, ds in per_shard.items():
+        assert ds == sorted(ds), sh
