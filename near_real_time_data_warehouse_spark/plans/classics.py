@@ -23,7 +23,16 @@ def _dec(col: str, scale: str = "decimal(18,2)") -> F.Column:
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: grouped wide aggregate over lineitem with exact
-    decimal money and sum/count averages. One scan, one shuffle."""
+    decimal money and sum/count averages. One scan, one shuffle.
+
+    Money sums are emitted as DECIMAL (never cast to double): at
+    ≥ ~10⁶-row group magnitudes the exact sum can straddle a double
+    midpoint, where Spark's correctly-rounded BigDecimal→double and
+    DuckDB's double-rounding int128→double casts split by 1 ULP.
+    Averages go through the exact BIGINT unscaled value (sum·10^scale
+    is integral, < 2⁶³ at any plausible scale, and int64→double is the
+    SAME correctly-rounded conversion in both engines), so every double
+    emitted here is the result of identical IEEE operations."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     filtered = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     disc_price = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
@@ -35,12 +44,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         filtered.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
             (F.sum(F.col("l_quantity").cast("long")) / n).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
-            (F.sum(_dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            (
+                (F.sum(_dec("l_extendedprice")) * 100).cast("long").cast("double")
+                / (n * 100)
+            ).alias("avg_price"),
+            (
+                (F.sum(_dec("l_discount")) * 100).cast("long").cast("double")
+                / (n * 100)
+            ).alias("avg_disc"),
             n.alias("count_order"),
         )
     )
@@ -49,18 +64,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4))) AS sum_disc_price,
+       SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                          AS DECIMAL(18,4))
-                     * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))
-                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                     AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))
+                AS DECIMAL(18,6))) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+         / (COUNT(*) * 100) AS avg_price,
+       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+         / (COUNT(*) * 100) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -92,7 +109,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_orderpriority",
         )
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.sum(revenue).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -102,9 +119,9 @@ SHIPPING_SQL = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4))) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -153,15 +170,15 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.sum(revenue).alias("revenue"))
     )
 
 
 LOCAL_SUPPLIER_SQL = """
 SELECT n_name,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4))) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -278,15 +295,15 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .filter(branch)
         .groupBy("p_brand")
-        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
 
 
 DISJUNCTIVE_SQL = """
 SELECT p_brand,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4))) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -325,14 +342,17 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(qty < F.col("qty_threshold"))
     )
     return small.groupBy("p_brand").agg(
-        (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+        (
+            (F.sum(_dec("l_extendedprice")) * 100).cast("long").cast("double") / 700.0
+        ).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 SMALL_QTY_SQL = """
 SELECT p_brand,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+         / 700.0 AS avg_yearly,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size < 10
@@ -378,15 +398,15 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
         )
         .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").cast("long").alias("l_year"))
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.sum(revenue).alias("revenue"))
     )
 
 
 VOLUME_SHIPPING_SQL = """
 SELECT supp_nation, cust_nation, l_year,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4))) AS revenue
 FROM (
   SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
          CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS l_year,
@@ -413,8 +433,11 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fixed-cardinality sides (nation, region, the two bounded lookup
     products) broadcast; scaling sides (customer, supplier, orders) are
-    left to AQE. Exactness: both sums are DECIMAL(18,4) accumulations
-    cast to DOUBLE before one final division — bit-equal in DuckDB."""
+    left to AQE. Exactness: both sums stay DECIMAL(18,4) accumulations
+    end-to-end (a decimal→double cast of a scaled sum diverges 1 ULP
+    between engines at ≥ ~10⁶-row magnitudes); the share ratio divides
+    the exact BIGINT unscaled values, whose int64→double conversions
+    are identical correctly-rounded operations in both engines."""
     t = load_tables(
         spark, sf_dir,
         ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"),
@@ -449,30 +472,32 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(F.when(F.col("supp_nation") == "NATION_1", revenue).otherwise(zero))
-            .cast("double")
             .alias("nation_revenue"),
-            F.sum(revenue).cast("double").alias("total_revenue"),
+            F.sum(revenue).alias("total_revenue"),
         )
     )
     return per_year.select(
         "o_year",
         "nation_revenue",
         "total_revenue",
-        (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+        (
+            (F.col("nation_revenue") * 10000).cast("long").cast("double")
+            / (F.col("total_revenue") * 10000).cast("long").cast("double")
+        ).alias("mkt_share"),
     )
 
 
 MARKET_SHARE_SQL = """
 WITH per_year AS (
   SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
-         CAST(SUM(CASE WHEN ns.n_name = 'NATION_1'
-                       THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                                 AS DECIMAL(18,4))
-                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_revenue,
-         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                       AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+         SUM(CASE WHEN ns.n_name = 'NATION_1'
+                  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                            AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS nation_revenue,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(18,4))) AS total_revenue
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   JOIN orders ON l_orderkey = o_orderkey
@@ -487,7 +512,8 @@ WITH per_year AS (
   GROUP BY o_year
 )
 SELECT o_year, nation_revenue, total_revenue,
-       nation_revenue / total_revenue AS mkt_share
+       CAST(CAST(nation_revenue * 10000 AS BIGINT) AS DOUBLE)
+         / CAST(CAST(total_revenue * 10000 AS BIGINT) AS DOUBLE) AS mkt_share
 FROM per_year
 """
 
@@ -706,8 +732,12 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     of GLOBAL revenue — the aggregate-filtered-by-global-scalar pattern.
     The scalar is a one-row aggregate cross-joined (broadcast, free) into
     the per-supplier aggregate: both aggregates shuffle once and share
-    the scan via Spark's plan; no correlated re-execution. Money stays
-    DECIMAL until the final comparison/emission (single double cast)."""
+    the scan via Spark's plan; no correlated re-execution. The threshold
+    test is EXACT decimal arithmetic (supp_rev·200 > total_rev, since
+    0.005 = 1/200): a double-cast of the global sum could flip boundary
+    memberships 1 ULP apart between engines at scaled magnitudes. The
+    per-supplier revenue emission stays a double cast — its magnitude is
+    bounded per group, where decimal→double is exact in both engines."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     revenue = (
         _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
@@ -716,10 +746,7 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = li.agg(F.sum(revenue).alias("total_rev"))
     return (
         per_supp.crossJoin(F.broadcast(total))
-        .filter(
-            F.col("supp_rev").cast("double")
-            > F.col("total_rev").cast("double") * F.lit(0.005)
-        )
+        .filter(F.col("supp_rev") * 200 > F.col("total_rev"))
         .select(
             F.col("l_suppkey").alias("supp"),
             F.col("supp_rev").cast("double").alias("revenue"),
@@ -740,7 +767,7 @@ WITH per_supp AS (
 total AS (SELECT SUM({_REV}) AS total_rev FROM lineitem)
 SELECT supp, CAST(supp_rev AS DOUBLE) AS revenue
 FROM per_supp, total
-WHERE CAST(supp_rev AS DOUBLE) > CAST(total_rev AS DOUBLE) * 0.005
+WHERE supp_rev * 200 > total_rev
 ORDER BY revenue DESC, supp
 """
 
@@ -759,10 +786,16 @@ def top_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t["customer"].select(
         "c_custkey", "c_nationkey", _dec("c_acctbal").alias("bal")
     )
+    # Threshold average via the exact BIGINT unscaled sum: the global
+    # decimal sum's double cast is the 1-ULP-divergent operation at
+    # scaled magnitudes; int64→double is identical in both engines.
     threshold = (
         cust.filter(F.col("bal") > 0)
         .agg(
-            (F.sum("bal").cast("double") / F.count(F.lit(1))).alias("avg_bal")
+            (
+                (F.sum("bal") * 100).cast("long").cast("double")
+                / (F.count(F.lit(1)) * 100)
+            ).alias("avg_bal")
         )
     )
     rich = cust.crossJoin(F.broadcast(threshold)).filter(
@@ -786,7 +819,7 @@ def top_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         inactive.groupBy(F.col("c_nationkey").cast("long").alias("nation_key"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum("bal").cast("double").alias("totacctbal"),
+            F.sum("bal").alias("totacctbal"),
         )
         .orderBy("nation_key")
     )
@@ -798,13 +831,14 @@ WITH cust AS (
   FROM customer
 ),
 threshold AS (
-  SELECT CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS avg_bal FROM cust WHERE bal > 0
+  SELECT CAST(CAST(SUM(bal) * 100 AS BIGINT) AS DOUBLE) / (COUNT(*) * 100) AS avg_bal
+  FROM cust WHERE bal > 0
 ),
 cutoff AS (SELECT MAX(o_orderdate) - INTERVAL 30 DAY AS cut FROM orders),
 recent AS (SELECT o_custkey FROM orders, cutoff WHERE o_orderdate > cut)
 SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
        CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+       SUM(bal) AS totacctbal
 FROM cust, threshold
 WHERE CAST(bal AS DOUBLE) > avg_bal
   AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
@@ -891,8 +925,8 @@ def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("h").cast("double").alias("header_total"),
-            F.sum("l").cast("double").alias("line_total"),
+            F.sum("h").alias("header_total"),
+            F.sum("l").alias("line_total"),
         )
     )
 
@@ -914,8 +948,8 @@ j AS (
 )
 SELECT status,
        COUNT(*) AS n_orders,
-       CAST(SUM(h) AS DOUBLE) AS header_total,
-       CAST(SUM(l) AS DOUBLE) AS line_total
+       SUM(h) AS header_total,
+       SUM(l) AS line_total
 FROM j
 GROUP BY status
 """
@@ -964,15 +998,15 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(uplift).cast("double").alias("forecast_revenue"),
+            F.sum(uplift).alias("forecast_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
 
 FORECAST_REVENUE_SQL = """
-SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)))
          AS forecast_revenue,
        COUNT(*) AS n_lines
 FROM lineitem
@@ -987,10 +1021,13 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape — conditional-ratio aggregate: per ship month of
     1996, the percentage of revenue from PROMO-type parts. Both sums stay
-    exact DECIMAL until the final double division, so the ratio is the
-    same IEEE operation on identical operands in both engines. part is
-    not broadcast-hinted: it scales with the corpus (AQE may still pick
-    broadcast while its measured size fits)."""
+    exact DECIMAL end-to-end (total_revenue is emitted as DECIMAL); the
+    share ratio divides the exact BIGINT unscaled sums, whose
+    int64→double conversions and division are identical IEEE operations
+    in both engines at any scale (a decimal→double cast would diverge
+    1 ULP at ≥ ~10⁶-row magnitudes). part is not broadcast-hinted: it
+    scales with the corpus (AQE may still pick broadcast while its
+    measured size fits)."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     disc_price = (
         _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
@@ -1007,29 +1044,30 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero)).cast(
-                    "double"
-                )
-                / F.sum(disc_price).cast("double")
+                * (
+                    F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero))
+                    * 10000
+                ).cast("long").cast("double")
+                / (F.sum(disc_price) * 10000).cast("long").cast("double")
             ).alias("promo_share"),
-            F.sum(disc_price).cast("double").alias("total_revenue"),
+            F.sum(disc_price).alias("total_revenue"),
         )
     )
 
 
 PROMO_SHARE_SQL = """
 SELECT CAST(month(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_month,
-       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+       100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                              THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
                                        AS DECIMAL(18,4))
-                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-             / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                             AS DECIMAL(18,4))) AS DOUBLE) AS promo_share,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                     AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+                             AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE) AS promo_share,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4))) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -1063,7 +1101,7 @@ def returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", F.col("n_name").alias("nation"),
             _dec("c_acctbal").cast("double").alias("acctbal"),
         )
-        .agg(F.sum(disc_price).cast("double").alias("lost_revenue"))
+        .agg(F.sum(disc_price).alias("lost_revenue"))
         .orderBy(F.desc("lost_revenue"), "c_custkey")
         .limit(20)
     )
@@ -1072,9 +1110,9 @@ def returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETURNED_CUSTOMERS_SQL = """
 SELECT c_custkey, c_name, n_name AS nation,
        CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                     AS DECIMAL(18,4))) AS DOUBLE) AS lost_revenue
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(18,4))) AS lost_revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1115,7 +1153,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+            F.col("total_rev_dec").alias("total_revenue"),
         )
     )
 
@@ -1131,7 +1169,7 @@ WITH srev AS (
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+SELECT s_suppkey, s_name, total_rev_dec AS total_revenue
 FROM srev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM srev)
 """
@@ -1289,7 +1327,10 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_retailprice per unit (no ps_supplycost column exists). Every
     arithmetic step is an explicit DECIMAL cast with exact scales (2dp ×
     0.6 → 3dp fits (18,4); ×integer qty fits (18,6)), so no rounding
-    occurs anywhere and the double appears only at the final SUM cast."""
+    occurs anywhere; the profit sum is emitted as DECIMAL — a (18,6)
+    sum's double cast diverges 1 ULP between engines once the unscaled
+    magnitude passes 2⁵³ (~9·10⁹ absolute), the exact failure the 100×
+    replica reproduced on classic_pricing_summary's sum_charge."""
     t = load_tables(spark, sf_dir, ("part", "supplier", "lineitem", "orders", "nation"))
     disc_price = (
         _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
@@ -1315,21 +1356,21 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.sum(profit).cast("double").alias("profit"))
+        .agg(F.sum(profit).alias("profit"))
     )
 
 
 NATION_PROFIT_SQL = """
 SELECT n_name AS nation,
        CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
-       CAST(SUM(
+       SUM(
          CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
                    AS DECIMAL(18,4)) AS DECIMAL(18,6))
          - CAST(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(18,2))
                      AS DECIMAL(18,4))
                 * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,6))
-       ) AS DOUBLE) AS profit
+       ) AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
