@@ -74,14 +74,28 @@ def plan_hash(df) -> str:
     # RewriteDistinctAggregates assigns gid 1/2/... to the distinct
     # branches in expr-id-keyed iteration order, which FLIPS between two
     # plannings of the same query (observed: countDistinct(tok) +
-    # countDistinct(doc_id) swapping gids within one session). The
-    # Expand/HashAggregate lines it emits are a pure permutation — same
-    # character multiset — so canonicalize exactly those lines by
-    # sorting their characters; any real change to keys or functions
-    # changes the multiset and still flips the hash.
+    # countDistinct(doc_id) swapping gids within one session). The flip
+    # is intra-line: the Expand line's branch lists carry the gid as
+    # their last element and the partial HashAggregate's FILTER clauses
+    # carry it as a literal. Canonicalize ONLY those: normalize the gid
+    # literals, then sort Expand's branch lists as whole groups. Unlike
+    # the previous per-line character sort, this preserves intra-line
+    # structure — e.g. swapping a column between the keys list and the
+    # functions list (same character multiset) still flips the hash
+    # (ADVICE r12 #4).
+    def _canon_gid(line: str) -> str:
+        line = re.sub(r"gid#\w* = \d+", "gid# = §", line)
+        line = re.sub(r", \d+\]", ", §]", line)
+        return re.sub(
+            r"\[(\[[^\[\]]*\](?:, \[[^\[\]]*\])*)\]",
+            lambda m: "["
+            + ", ".join(sorted(re.findall(r"\[[^\[\]]*\]", m.group(1))))
+            + "]",
+            line,
+        )
+
     s = "\n".join(
-        "".join(sorted(line)) if "gid#" in line else line
-        for line in s.splitlines()
+        _canon_gid(line) if "gid#" in line else line for line in s.splitlines()
     )
     s = re.sub(r"\s+", " ", s)
     return hashlib.md5(s.encode()).hexdigest()[:10]

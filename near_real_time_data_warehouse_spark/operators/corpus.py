@@ -1323,12 +1323,6 @@ registry.register("docs_token_packing", token_packing, TOKEN_PACKING_SQL)
 registry.register("docs_token_packing_bpe", token_packing_bpe, _token_packing_bpe_sql())
 registry.register("docs_chunk_bpe_budget", chunk_bpe_budget, _chunk_bpe_budget_sql())
 
-
-def shard_split_frame(spark: SparkSession, sf_dir: str):
-    """Test helper: the split assignment as pandas (tiny at test SFs)."""
-    from .text import shard_split
-
-    return shard_split(spark, sf_dir).toPandas()
 registry.register("docs_adaptive_quality_filter", adaptive_quality_filter, _adaptive_filter_sql())
 registry.register("docs_shard_manifest", shard_manifest, SHARD_MANIFEST_SQL)
 registry.register("docs_balanced_shards", balanced_shards, BALANCED_SHARDS_SQL)

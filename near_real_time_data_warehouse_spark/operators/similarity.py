@@ -318,9 +318,10 @@ def hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_queries").cast("long").alias("n_queries"),
         F.lit(TOP_K).cast("long").alias("k"),
         F.lit(HARD_NEG_RECALL_FLOOR).alias("recall_floor"),
-        ((F.col("n_hits") / F.col("n_truth")) >= HARD_NEG_RECALL_FLOOR).alias(
-            "recall_floor_met"
-        ),
+        (
+            (F.col("n_truth") == 0)
+            | ((F.col("n_hits") / F.col("n_truth")) >= HARD_NEG_RECALL_FLOOR)
+        ).alias("recall_floor_met"),
     )
 
 
@@ -965,7 +966,10 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_queries").cast("long").alias("n_queries"),
         F.lit(TOP_K).cast("long").alias("k"),
         F.lit(IVF_RECALL_FLOOR).alias("recall_floor"),
-        ((F.col("n_hits") / F.col("n_truth")) >= IVF_RECALL_FLOOR).alias("recall_floor_met"),
+        (
+            (F.col("n_truth") == 0)
+            | ((F.col("n_hits") / F.col("n_truth")) >= IVF_RECALL_FLOOR)
+        ).alias("recall_floor_met"),
     )
 
 
@@ -1039,7 +1043,8 @@ def ann_ivf_recall_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(TOP_K).cast("long").alias("k"),
         F.lit(IVF_UNCAPPED_RECALL_FLOOR).alias("recall_floor"),
         (
-            (F.col("n_hits") / F.col("n_truth")) >= IVF_UNCAPPED_RECALL_FLOOR
+            (F.col("n_truth") == 0)
+            | ((F.col("n_hits") / F.col("n_truth")) >= IVF_UNCAPPED_RECALL_FLOOR)
         ).alias("recall_floor_met"),
     )
 
@@ -1345,9 +1350,10 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_batch").cast("long").alias("n_batch"),
         F.lit(TOP_K).cast("long").alias("k"),
         F.lit(IVF_INCR_RECALL_FLOOR).alias("recall_floor"),
-        ((F.col("n_hits") / F.col("n_truth")) >= IVF_INCR_RECALL_FLOOR).alias(
-            "recall_floor_met"
-        ),
+        (
+            (F.col("n_truth") == 0)
+            | ((F.col("n_hits") / F.col("n_truth")) >= IVF_INCR_RECALL_FLOOR)
+        ).alias("recall_floor_met"),
     )
 
 
@@ -1522,9 +1528,10 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(PQ_SHORTLIST).cast("long").alias("shortlist"),
         F.lit(PQ_M * 4 // 8).cast("long").alias("code_bytes"),
         F.lit(PQ_RECALL_FLOOR).alias("recall_floor"),
-        ((F.col("n_hits") / F.col("n_truth")) >= PQ_RECALL_FLOOR).alias(
-            "recall_floor_met"
-        ),
+        (
+            (F.col("n_truth") == 0)
+            | ((F.col("n_hits") / F.col("n_truth")) >= PQ_RECALL_FLOOR)
+        ).alias("recall_floor_met"),
     )
 
 
@@ -3418,5 +3425,6 @@ registry.register(
 registry.register("sim_ann_ivf_incremental", ann_ivf_incremental, IVF_INCREMENTAL_SQL)
 registry.register("sim_ann_pq_recall", ann_pq_recall, PQ_RECALL_SQL)
 registry.register("sim_embedding_near_dup", embedding_near_dup, NEAR_DUP_SQL)
-registry.register("sim_semantic_text_neardup", semantic_text_neardup, _semantic_text_sql())
+# lazy: _semantic_text_sql imports dedup (cycle-breaking, see registry)
+registry.register("sim_semantic_text_neardup", semantic_text_neardup, _semantic_text_sql)
 registry.register("emb_label_centroids", label_centroids, LABEL_CENTROIDS_SQL)

@@ -2602,11 +2602,12 @@ def hybrid_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cpdf = cent.toPandas()  # bounded: |queries| × 64 rows
     if cpdf.empty:
-        return spark.createDataFrame(
-            [],
-            "query_id long, rank long, doc_id long, rrf_score double, "
-            "bm25_rank long, emb_rank long",
-        )
+        # No BM25 top-k doc has an embedding (or the BM25 leg itself is
+        # empty): skip the dense leg and fuse the BM25 ranking alone with
+        # emb_rank null — the oracle's full-outer-join semantics, which
+        # still emit the BM25-only fused result (ADVICE r12 #1).
+        dense = spark.createDataFrame([], "query_id long, doc_id long, emb_rank long")
+        return _hybrid_fuse(b, dense)
     qids = np.sort(cpdf["query_id"].unique()).astype(np.int64)
     dims = int(cpdf["pos"].max()) + 1
     cm = np.zeros((len(qids), dims), dtype=np.int64)
@@ -2658,6 +2659,12 @@ def hybrid_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_on="doc_id",
         rank_col="emb_rank",
     ).select("query_id", "doc_id", "emb_rank")
+    return _hybrid_fuse(b, dense)
+
+
+def _hybrid_fuse(b: DataFrame, dense: DataFrame) -> DataFrame:
+    """RRF fusion of the BM25 and dense result sets (each ≤ |queries|·k
+    rows — the per-query window below is bounded, never corpus-sized)."""
     fused = b.join(dense, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",
@@ -2677,7 +2684,7 @@ def hybrid_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return (
         fused.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= SEARCH_TOP_K)
         .select("query_id", "rank", "doc_id", "rrf_score", "bm25_rank", "emb_rank")
     )
 
@@ -2744,7 +2751,8 @@ FROM rk WHERE rank <= {SEARCH_TOP_K}
 """
 
 
-registry.register("text_hybrid_dense_topk", hybrid_dense_topk, _hybrid_dense_sql())
+# lazy: _hybrid_dense_sql imports similarity (cycle-breaking, see registry)
+registry.register("text_hybrid_dense_topk", hybrid_dense_topk, _hybrid_dense_sql)
 
 
 # --- DSIR importance resampling --------------------------------------------

@@ -6,6 +6,7 @@ from __future__ import annotations
 from near_real_time_data_warehouse_spark.operators import corpus
 
 from .conftest import SF_SMALL
+from .fixtures import shard_split_frame
 
 
 def test_contamination_bounds_and_split(spark):
@@ -14,7 +15,7 @@ def test_contamination_bounds_and_split(spark):
     assert ((df.contamination >= 0) & (df.contamination <= 1)).all()
     assert (df.n_contaminated <= df.n_shingles).all()
     # only TRAIN docs appear (test-split docs are the reference side)
-    splits = corpus.shard_split_frame(spark, SF_SMALL)
+    splits = shard_split_frame(spark, SF_SMALL)
     train_ids = set(splits[splits.split == "train"].doc_id)
     assert set(df.doc_id) <= train_ids
 
