@@ -337,17 +337,31 @@ def kmeans_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cte_sql() -> str:
+def _kmeans_cte_sql(
+    train_where: str | None = None, assign_all: bool = False
+) -> str:
     """The shared DuckDB replay: init by md5 order, then KMEANS_ROUNDS
     chained (assign, state) CTE blocks — each state pinned AS MATERIALIZED
     because the next round references it twice (distance + update), same
-    rationale as the BPE merge chain (text.py)."""
+    rationale as the BPE merge chain (text.py).
+
+    ``train_where`` restricts the TRAINING corpus (the streaming folds
+    train on the first epoch only); ``assign_all`` makes the
+    ``final_assign`` CTE cover the FULL corpus regardless (via the
+    ``aquant`` CTE) — the streaming twins assign every arriving batch
+    against the first-epoch-trained state."""
     dist = (
         "list_sum(list_transform(list_zip(v.q, s.m), "
         "p -> (p[1] - p[2]) * (p[1] - p[2])))"
     )
+    quant_cte = (
+        f"quant AS MATERIALIZED (SELECT * FROM ({_QUANT_SQL}) WHERE {train_where})"
+        if train_where
+        else f"quant AS MATERIALIZED ({_QUANT_SQL})"
+    )
+    assign_src = "aquant" if assign_all else "quant"
     parts = [
-        f"quant AS MATERIALIZED ({_QUANT_SQL})",
+        quant_cte,
         f"""kparams AS (
   SELECT {_knee_sql("n", K_CLUSTERS, KMEANS_TARGET_N)} AS k
   FROM (SELECT COUNT(*) AS n FROM quant)
@@ -384,6 +398,8 @@ def _kmeans_cte_sql() -> str:
   ) GROUP BY cluster_id
 )"""
         )
+    if assign_all:
+        parts.append(f"aquant AS MATERIALIZED ({_QUANT_SQL})")
     parts.append(
         f"""final_assign AS MATERIALIZED (
   SELECT vec_id, label, cluster_id, dist_sq FROM (
@@ -391,7 +407,7 @@ def _kmeans_cte_sql() -> str:
            {dist} AS dist_sq,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY {dist}, s.cluster_id) AS rn
-    FROM quant v CROSS JOIN state{KMEANS_ROUNDS} s
+    FROM {assign_src} v CROSS JOIN state{KMEANS_ROUNDS} s
   ) WHERE rn = 1
 )"""
     )
@@ -678,14 +694,18 @@ def semdedup_pairs_on(e: DataFrame, ids: np.ndarray, m: np.ndarray) -> DataFrame
     )
 
 
-def _semdedup_sql() -> str:
+def _semdedup_sql(train_where: str | None = None) -> str:
+    """Within-cluster near-dup pairs. ``train_where`` restricts the
+    Lloyd training corpus while pairs still cover ALL vectors — the
+    streaming twin's shape (first epoch trains, every epoch pairs)."""
     cos = (
         "CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2])) AS DOUBLE)"
         " / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE)))"
     )
-    return f"""{_kmeans_cte_sql()},
+    src = "aquant" if train_where else "quant"
+    return f"""{_kmeans_cte_sql(train_where, assign_all=train_where is not None)},
 sd_normed AS (
-  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS norm_sq FROM quant
+  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS norm_sq FROM {src}
 )
 SELECT fa.vec_id AS vec_a, fb.vec_id AS vec_b,
        fa.cluster_id AS cluster_id, {cos} AS cosine

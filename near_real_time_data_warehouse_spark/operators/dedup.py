@@ -411,7 +411,18 @@ def _minhash_bands_sql() -> str:
     return " UNION ALL ".join(band_rows)
 
 
-MINHASH_SQL = f"""
+def _minhash_pairs_sql(cand_extra: str = "", with_jaccard: bool = True) -> str:
+    """The MinHash-LSH verified-pairs replay. ``cand_extra`` appends a
+    predicate to the candidate join (the streaming fold's "≥ 1 batch
+    endpoint" restriction); ``with_jaccard`` matches the entry's output
+    shape (the fold emits bare pairs)."""
+    extra = f" AND ({cand_extra})" if cand_extra else ""
+    select = (
+        "doc_a, doc_b,\n       n_common / (sa.n + sb.n - n_common) AS jaccard"
+        if with_jaccard
+        else "doc_a, doc_b"
+    )
+    return f"""
 WITH sh AS ({_SHINGLES_SQL.format(where="")}),
 base AS (
   SELECT doc_id,
@@ -423,7 +434,7 @@ bands AS ({_minhash_bands_sql()}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id{extra}
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
@@ -433,13 +444,15 @@ common AS (
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b,
-       n_common / (sa.n + sb.n - n_common) AS jaccard
+SELECT {select}
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
 """
+
+
+MINHASH_SQL = _minhash_pairs_sql()
 
 
 # --- Signature-prefiltered MinHash verify ---------------------------------

@@ -21,20 +21,31 @@ output; the oracle is the BATCH kernel over the same split:
   language statistics — the standing-statistics screen SQL with the
   even/odd split (shared builder with docs_dsir_incremental).
 
-State dirs are fresh per call (tempfile.mkdtemp) so an entry is
-deterministic in any session and leaves no standing state behind.
-Playback order is the fold-call sequence, not file mtimes — the
-availableNow drain machinery is exercised by the pytest twins.
+State dirs live under ONE session-scoped temp root removed at process
+exit; each invocation wipes and recreates its entry's dir, so a call
+always starts from fresh state, repeated bench/driver invocations never
+accumulate dirs in /tmp (ADVICE r12 #3), and the returned DataFrame's
+lazy reads of the state parquet stay valid until the entry's NEXT
+invocation (bench and the driver both materialize each entry before
+re-invoking it). Playback order is the fold-call sequence, not file
+mtimes — the availableNow drain machinery is exercised by the pytest
+twins.
 """
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import registry
+from .clustering import _kmeans_cte_sql, _semdedup_sql
+from .dedup import _minhash_pairs_sql
+from .quality import EXPECTATIONS_SQL
 from .similarity import _emb, _pca_sql
 from .text import _bm25_split_sql, _docs, _dsir_split_sql
 
@@ -43,6 +54,18 @@ _BM25_SCORE_SCHEMA = (
     "score double, n_hit_terms long"
 )
 _PCA_SCORE_SCHEMA = "vec_id long, label long, proj_num long, proj double"
+
+_STATE_ROOT = tempfile.mkdtemp(prefix="nrtdw_stream_folds_")
+atexit.register(shutil.rmtree, _STATE_ROOT, ignore_errors=True)
+
+
+def _fresh_state(name: str) -> str:
+    """Per-entry state dir under the session root: wiped on every call
+    (fresh-state determinism), removed with the root at process exit."""
+    path = os.path.join(_STATE_ROOT, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
 
 
 def stream_bm25_router(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +80,7 @@ def stream_bm25_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.bm25_stream import merge_bm25_batch
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    state = tempfile.mkdtemp(prefix="nrtdw_stream_bm25_")
+    state = _fresh_state("bm25")
     merge_bm25_batch(
         spark, docs.filter(F.col("doc_id") % 2 == 0), state, epoch_id=0
     )
@@ -84,7 +107,7 @@ def stream_pca_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pca_stream import merge_pca_batch
 
     e = _emb(spark, sf_dir).select("vec_id", "embedding", "label")
-    state = tempfile.mkdtemp(prefix="nrtdw_stream_pca_")
+    state = _fresh_state("pca")
     merge_pca_batch(spark, e.filter(F.col("vec_id") % 2 == 0), state, epoch_id=0)
     out = merge_pca_batch(
         spark, e.filter(F.col("vec_id") % 2 == 1), state, epoch_id=1
@@ -107,7 +130,7 @@ def stream_dsir_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.dsir_stream import merge_dsir_batch
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    state = tempfile.mkdtemp(prefix="nrtdw_stream_dsir_")
+    state = _fresh_state("dsir")
     merge_dsir_batch(
         spark, docs.filter(F.col("doc_id") % 2 == 0), state, epoch_id=0
     )
@@ -121,6 +144,102 @@ def stream_dsir_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def stream_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch playback of the streaming k-means domain fold
+    (streaming/kmeans_stream.py): even vectors train the centroid state
+    (full exact Lloyd on the first batch — the standing corpus) and are
+    assigned against it; odd vectors arrive as the next batch and are
+    assigned against the SAME stored state (never a retrain). Returns
+    the maintained membership over both epochs; the oracle replays the
+    Lloyd chain with the training corpus restricted to the even split
+    and the final assignment over ALL vectors.
+
+    Scale shape: training is the bounded Lloyd reduction on the first
+    epoch only; every later batch is one Arrow-batched assignment pass
+    against the broadcast K×64 centroid state, cost ∝ batch."""
+    from ..streaming.kmeans_stream import merge_kmeans_batch, read_kmeans_state
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    state = _fresh_state("kmeans")
+    merge_kmeans_batch(spark, e.filter(F.col("vec_id") % 2 == 0), state, epoch_id=0)
+    merge_kmeans_batch(spark, e.filter(F.col("vec_id") % 2 == 1), state, epoch_id=1)
+    return read_kmeans_state(spark, state)
+
+
+def stream_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch playback of the streaming SemDedup fold
+    (streaming/semdedup_stream.py): even vectors train the centroids and
+    pair among themselves; odd vectors are assigned against the stored
+    state and paired against their clusters' standing members plus
+    themselves. The union over epochs is exactly the within-cluster
+    canonical (a<b) pair set under the even-trained centroids — the
+    batch SemDedup SQL with the training corpus split.
+
+    Scale shape: per batch, pairing cost ∝ batch members × touched
+    clusters' standing members (the skew-capped block split of the
+    batch kernel), never |cluster|² per epoch."""
+    from ..streaming.semdedup_stream import merge_semdedup_batch, read_semdedup_pairs
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    state = _fresh_state("semdedup")
+    merge_semdedup_batch(spark, e.filter(F.col("vec_id") % 2 == 0), state, epoch_id=0)
+    merge_semdedup_batch(spark, e.filter(F.col("vec_id") % 2 == 1), state, epoch_id=1)
+    return read_semdedup_pairs(spark, state)
+
+
+def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch playback of the streaming near-dup graph fold
+    (streaming/dedup_stream.py): even docs build the standing LSH state,
+    odd docs arrive as the next batch; returns the batch epoch's
+    verified NEW pairs — band collisions with ≥ 1 odd endpoint, true-
+    Jaccard-verified against the full shingle store. The oracle is the
+    MinHash-LSH pairs replay with that endpoint restriction pushed into
+    the candidate join.
+
+    Scale shape: candidates are batch-bands × all-bands (∝ batch
+    collisions, never corpus×corpus); verification is semi-filtered to
+    candidate-touched docs."""
+    from ..streaming.dedup_stream import merge_dedup_batch
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    state = _fresh_state("dedup")
+    merge_dedup_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), state, epoch_id=0)
+    out = merge_dedup_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), state, epoch_id=1
+    )
+    if out is None:
+        return spark.createDataFrame([], "doc_a long, doc_b long")
+    return out
+
+
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch playback of the streaming data-quality gate
+    (streaming/quality_stream.py): lineitem split by order-key parity,
+    folded as two batches against the static orders parent. The drained
+    state is bit-equal to the batch expectation suite over the full
+    table (rule counts are associative sums, samples are MIN over
+    epochs, PK uniqueness groups the per-epoch key counts), so the
+    oracle is the batch gate's SQL UNCHANGED — the strongest form of
+    the stream ≡ batch contract.
+
+    Scale shape: per batch, one conditional-aggregate scan + one
+    stream-static anti join; standing state ∝ distinct PK keys (the
+    irreducible uniqueness state)."""
+    from ..sources.testdata import load_table
+    from ..streaming.quality_stream import merge_quality_batch, read_quality_state
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    state = _fresh_state("quality")
+    merge_quality_batch(
+        spark, li.filter(F.col("l_orderkey") % 2 == 0), orders, state, epoch_id=0
+    )
+    merge_quality_batch(
+        spark, li.filter(F.col("l_orderkey") % 2 == 1), orders, state, epoch_id=1
+    )
+    return read_quality_state(spark, state, orders)
+
+
 STREAM_BM25_SQL = _bm25_split_sql("doc_id % 2 = 1")
 # label cast mirrors the fold's long-typed score schema
 STREAM_PCA_SQL = f"""
@@ -130,6 +249,21 @@ FROM ({_pca_sql(batch_where="q.vec_id % 2 = 1")})
 
 STREAM_DSIR_SQL = _dsir_split_sql("doc_id % 2 = 1")
 
+STREAM_KMEANS_SQL = f"""{_kmeans_cte_sql("vec_id % 2 = 0", assign_all=True)}
+SELECT vec_id, cluster_id, CAST(dist_sq AS BIGINT) AS dist_sq
+FROM final_assign
+"""
+
+STREAM_SEMDEDUP_SQL = _semdedup_sql("vec_id % 2 = 0")
+
+STREAM_DEDUP_SQL = _minhash_pairs_sql(
+    "a.doc_id % 2 = 1 OR b.doc_id % 2 = 1", with_jaccard=False
+)
+
 registry.register("stream_bm25_router", stream_bm25_router, STREAM_BM25_SQL)
 registry.register("stream_pca_fold", stream_pca_fold, STREAM_PCA_SQL)
 registry.register("stream_dsir_screen", stream_dsir_screen, STREAM_DSIR_SQL)
+registry.register("stream_kmeans_assign", stream_kmeans_assign, STREAM_KMEANS_SQL)
+registry.register("stream_semdedup_pairs", stream_semdedup_pairs, STREAM_SEMDEDUP_SQL)
+registry.register("stream_dedup_pairs", stream_dedup_pairs, STREAM_DEDUP_SQL)
+registry.register("stream_quality_gate", stream_quality_gate, EXPECTATIONS_SQL)
