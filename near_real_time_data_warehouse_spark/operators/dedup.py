@@ -1767,6 +1767,59 @@ def containment_pairs(sh: DataFrame, n_parts: int | None = None) -> DataFrame:
     )
 
 
+def _containment_links_split_sql() -> str:
+    """Replay of the streaming containment fold's two-epoch discovery
+    log (streaming/containment_stream.py, even/odd playback): epoch 0
+    pairs even docs on shingles rare in the EVEN-ONLY document
+    frequency; epoch 1 pairs the odd batch against the full corpus on
+    shingles rare in the FULL df — the same per-epoch df snapshots the
+    fold sees. Verification counts are doc-local (invariant under the
+    corpus split), so one shared verify tail serves both epochs."""
+    return f"""
+WITH sh AS ({_SHINGLES_SQL.format(where="")}),
+sh0 AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+df0 AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+rare0 AS (SELECT shingle FROM df0 WHERE df BETWEEN {RARE_DF_MIN} AND {RARE_DF_MAX}),
+posting0 AS (SELECT s.doc_id, s.shingle FROM sh0 s JOIN rare0 r ON r.shingle = s.shingle),
+cand0 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM posting0 a JOIN posting0 b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+df1 AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+rare1 AS (SELECT shingle FROM df1 WHERE df BETWEEN {RARE_DF_MIN} AND {RARE_DF_MAX}),
+posting1 AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare1 r ON r.shingle = s.shingle),
+cand1 AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+         GREATEST(a.doc_id, b.doc_id) AS doc_b
+  FROM posting1 a JOIN posting1 b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  WHERE a.doc_id % 2 = 1
+),
+cand AS (SELECT doc_a, doc_b FROM cand0 UNION SELECT doc_a, doc_b FROM cand1),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+         CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+         n_common / za.n AS containment_a,
+         n_common / zb.n AS containment_b
+  FROM common
+  JOIN sizes za ON za.doc_id = doc_a
+  JOIN sizes zb ON zb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, n_common, n_a, n_b
+FROM j
+WHERE GREATEST(containment_a, containment_b) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 CONTAINMENT_SQL = f"""
 WITH sh AS ({{shingles}}),
 df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),

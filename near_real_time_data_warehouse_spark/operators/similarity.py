@@ -1693,56 +1693,31 @@ FROM q
 """
 
 
-def _ivf_topk_sql(label_filtered: bool = False) -> str:
-    """Complete DuckDB twin of ``ann_ivf_topk`` — the ENTIRE index
-    lifecycle replayed in SQL so the driver hash certifies training,
-    assignment, probing, and ranking together (upgrading the entry from
-    recall-gated to bit-exact, the same promotion the LSH path got):
+_IVF_COS_VS = (
+    "CAST(list_sum(list_transform(list_zip(v.q, s.m), p -> p[1] * p[2])) AS DOUBLE)"
+    " / (sqrt(CAST(v.norm_sq AS DOUBLE)) * sqrt(CAST(s.msq AS DOUBLE)))"
+)
 
-    - corpus-size knee arithmetic (``_ivf_centroids`` /
-      ``_train_sample_target``) as scalar CTEs — the SQL computes
-      n_centroids and the sample modulus from COUNT(*) exactly as the
-      Python does, so the oracle stays valid on either side of the knee;
-    - the deterministic training sample (``vec_id % smod = 0``), seeds =
-      its first n_centroids vec_ids;
-    - KMEANS_ITERATIONS exact Lloyd rounds as chained MATERIALIZED CTE
-      pairs (assign by cosine argmax with ties to the lower list id,
-      update by FLOOR integer division of exact int64 sums — DuckDB's
-      ``//`` truncates toward zero, so negative sums take the
-      -((-s + cnt - 1) // cnt) form to match numpy's floor);
-      empty lists carry the previous centroid (LEFT JOIN + COALESCE);
-    - one corpus-wide assignment pass, the N_PROBE nearest lists per
-      query (row_number over cos DESC, c ASC — the numpy side sorts
-      with kind='stable' for the same tie order), and the exact-cosine
-      top-k over probed candidates with the standard
-      (cosine DESC, neighbor_id) presentation tie-break.
 
-    Every cosine is CAST(int64 dot AS DOUBLE) / (sqrt(a)*sqrt(b)) — the
-    identical IEEE op sequence the Arrow kernels run, so assignments,
-    probes, and ranks agree bit-for-bit (dots bounded ≪ 2^53).
-
-    ``label_filtered`` adds the metadata predicate of
-    ``ann_ivf_filtered``: candidates restrict to corpus vectors whose
-    label is the most frequent label (COUNT DESC, label ASC) — the same
-    pre-filter the Spark side applies to the assignment table."""
-    cos_vs = (
-        "CAST(list_sum(list_transform(list_zip(v.q, s.m), p -> p[1] * p[2])) AS DOUBLE)"
-        " / (sqrt(CAST(v.norm_sq AS DOUBLE)) * sqrt(CAST(s.msq AS DOUBLE)))"
-    )
+def _ivf_train_ctes(train_src: str = "normed") -> tuple[list[str], str]:
+    """The IVF centroid-training CTE chain (knee params → deterministic
+    sample → KMEANS_ITERATIONS exact Lloyd rounds) over ``train_src`` —
+    shared by the full-lifecycle replay and the streaming twin, whose
+    training corpus is the first epoch only. Returns (parts,
+    final_state_cte_name)."""
+    cos_vs = _IVF_COS_VS
     parts = [
-        f"quant AS MATERIALIZED ({_QUANT_SQL})",
-        f"normed AS MATERIALIZED ({_NORM_SQL})",
         f"""params AS (
   SELECT n, {_knee_sql("n", N_CENTROIDS, IVF_TARGET_N)} AS nc
-  FROM (SELECT COUNT(*) AS n FROM normed)
+  FROM (SELECT COUNT(*) AS n FROM {train_src})
 )""",
         f"""params2 AS (
   SELECT n, nc,
          GREATEST(1, n // GREATEST({TRAIN_SAMPLE_TARGET}, 128 * nc)) AS smod
   FROM params
 )""",
-        """sample AS MATERIALIZED (
-  SELECT vec_id, q, norm_sq FROM normed
+        f"""sample AS MATERIALIZED (
+  SELECT vec_id, q, norm_sq FROM {train_src}
   WHERE vec_id % (SELECT smod FROM params2) = 0
 )""",
         """state0 AS MATERIALIZED (
@@ -1779,7 +1754,79 @@ def _ivf_topk_sql(label_filtered: bool = False) -> str:
   ) u USING (c)
 )"""
         )
-    final = f"state{KMEANS_ITERATIONS}"
+    return parts, f"state{KMEANS_ITERATIONS}"
+
+
+def _ivf_lists_sql(train_where: str) -> str:
+    """Replay of the streaming IVF fold's drained list state: centroids
+    trained on the ``train_where`` slice (the first epoch), every vector
+    assigned against that state — the stream twin of the full-lifecycle
+    ``_ivf_topk_sql`` training chain, sharing its CTEs verbatim."""
+    parts = [
+        f"quant AS MATERIALIZED ({_QUANT_SQL})",
+        f"normed AS MATERIALIZED ({_NORM_SQL})",
+        f"tnormed AS MATERIALIZED (SELECT * FROM normed WHERE {train_where})",
+    ]
+    tparts, final = _ivf_train_ctes("tnormed")
+    parts += tparts
+    parts.append(
+        f"""lists AS (
+  SELECT vec_id AS neighbor_id, c FROM (
+    SELECT v.vec_id, s.c,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_IVF_COS_VS} DESC, s.c) AS rn
+    FROM normed v CROSS JOIN {final} s
+  ) WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT neighbor_id, CAST(c AS INTEGER) AS centroid FROM lists
+"""
+    )
+
+
+def _ivf_topk_sql(label_filtered: bool = False) -> str:
+    """Complete DuckDB twin of ``ann_ivf_topk`` — the ENTIRE index
+    lifecycle replayed in SQL so the driver hash certifies training,
+    assignment, probing, and ranking together (upgrading the entry from
+    recall-gated to bit-exact, the same promotion the LSH path got):
+
+    - corpus-size knee arithmetic (``_ivf_centroids`` /
+      ``_train_sample_target``) as scalar CTEs — the SQL computes
+      n_centroids and the sample modulus from COUNT(*) exactly as the
+      Python does, so the oracle stays valid on either side of the knee;
+    - the deterministic training sample (``vec_id % smod = 0``), seeds =
+      its first n_centroids vec_ids;
+    - KMEANS_ITERATIONS exact Lloyd rounds as chained MATERIALIZED CTE
+      pairs (assign by cosine argmax with ties to the lower list id,
+      update by FLOOR integer division of exact int64 sums — DuckDB's
+      ``//`` truncates toward zero, so negative sums take the
+      -((-s + cnt - 1) // cnt) form to match numpy's floor);
+      empty lists carry the previous centroid (LEFT JOIN + COALESCE);
+    - one corpus-wide assignment pass, the N_PROBE nearest lists per
+      query (row_number over cos DESC, c ASC — the numpy side sorts
+      with kind='stable' for the same tie order), and the exact-cosine
+      top-k over probed candidates with the standard
+      (cosine DESC, neighbor_id) presentation tie-break.
+
+    Every cosine is CAST(int64 dot AS DOUBLE) / (sqrt(a)*sqrt(b)) — the
+    identical IEEE op sequence the Arrow kernels run, so assignments,
+    probes, and ranks agree bit-for-bit (dots bounded ≪ 2^53).
+
+    ``label_filtered`` adds the metadata predicate of
+    ``ann_ivf_filtered``: candidates restrict to corpus vectors whose
+    label is the most frequent label (COUNT DESC, label ASC) — the same
+    pre-filter the Spark side applies to the assignment table."""
+    parts = [
+        f"quant AS MATERIALIZED ({_QUANT_SQL})",
+        f"normed AS MATERIALIZED ({_NORM_SQL})",
+    ]
+    tparts, final = _ivf_train_ctes()
+    parts += tparts
+    cos_vs = _IVF_COS_VS
     parts.append(
         f"""lists AS MATERIALIZED (
   SELECT vec_id AS neighbor_id, c FROM (

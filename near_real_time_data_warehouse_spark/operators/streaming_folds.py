@@ -44,9 +44,10 @@ from pyspark.sql import functions as F
 
 from . import registry
 from .clustering import _kmeans_cte_sql, _semdedup_sql
-from .dedup import _minhash_pairs_sql
+from .dedup import _containment_links_split_sql, _minhash_pairs_sql
+from .linkage import MAX_EDIT_DIST
 from .quality import EXPECTATIONS_SQL
-from .similarity import _emb, _pca_sql
+from .similarity import _emb, _ivf_lists_sql, _pca_sql
 from .text import _bm25_split_sql, _docs, _dsir_split_sql
 
 _BM25_SCORE_SCHEMA = (
@@ -240,6 +241,85 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_quality_state(spark, state, orders)
 
 
+def stream_containment_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch playback of the streaming containment fold
+    (streaming/containment_stream.py): even docs build the rare-shingle
+    posting state and pair among themselves under the even-only df;
+    odd docs arrive as the next batch and pair against the full corpus
+    under the full df. Returns the monotone discovery log — for this
+    deterministic two-epoch split the log is EXACTLY the union of the
+    two per-epoch pair sets, which the oracle replays with the same two
+    df snapshots.
+
+    Scale shape: per batch, candidates = batch postings × standing
+    postings on currently-rare shingles (df-capped posting lists, never
+    all-pairs); verification is semi-filtered to candidate-touched
+    docs."""
+    from ..streaming.containment_stream import (
+        merge_containment_batch,
+        read_containment_links,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    state = _fresh_state("containment")
+    merge_containment_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), state, epoch_id=0
+    )
+    merge_containment_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), state, epoch_id=1
+    )
+    return read_containment_links(spark, state)
+
+
+def stream_ivf_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch playback of the streaming IVF index fold
+    (streaming/ivf_stream.py): even vectors train the centroid matrix
+    (bounded deterministic sample + integer Lloyd) and enter the
+    inverted lists; odd vectors are assigned against the SAME stored
+    centroids. Returns the maintained list membership; the oracle
+    replays the training chain restricted to the even split and the
+    assignment over all vectors (shared CTEs with the full-lifecycle
+    _ivf_topk_sql).
+
+    Scale shape: training state is the bounded sample (∝ √corpus);
+    every batch is one Arrow-batched assignment pass, cost ∝ batch."""
+    from ..streaming.ivf_stream import merge_ivf_batch, read_ivf_state
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    state = _fresh_state("ivf")
+    merge_ivf_batch(spark, e.filter(F.col("vec_id") % 2 == 0), state, epoch_id=0)
+    merge_ivf_batch(spark, e.filter(F.col("vec_id") % 2 == 1), state, epoch_id=1)
+    return read_ivf_state(spark, state)
+
+
+def stream_linkage_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch playback of the streaming record-linkage fold
+    (streaming/linkage_stream.py): even parts' names self-link, odd
+    parts' names link against the standing ∪ batch name set. Pairing is
+    at distinct-NAME level, so the union over epochs is exactly the
+    full-catalog blocked-Levenshtein pair set (a name appearing only in
+    even rows is in the standing state when any odd partner arrives) —
+    the batch kernel's SQL over distinct names, multiplicities dropped
+    as the fold's link log drops them.
+
+    Scale shape: per batch, candidates = batch names × same-block
+    standing names (value-cardinality bounded, never row-level);
+    state×state pairs are never recomputed."""
+    from ..sources.testdata import load_table
+    from ..streaming.linkage_stream import merge_linkage_batch, read_linkage_state
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    state = _fresh_state("linkage")
+    merge_linkage_batch(
+        spark, p.filter(F.col("p_partkey") % 2 == 0), state, epoch_id=0
+    )
+    merge_linkage_batch(
+        spark, p.filter(F.col("p_partkey") % 2 == 1), state, epoch_id=1
+    )
+    _names, links = read_linkage_state(spark, state)
+    return links
+
+
 STREAM_BM25_SQL = _bm25_split_sql("doc_id % 2 = 1")
 # label cast mirrors the fold's long-typed score schema
 STREAM_PCA_SQL = f"""
@@ -263,7 +343,34 @@ STREAM_DEDUP_SQL = _minhash_pairs_sql(
 registry.register("stream_bm25_router", stream_bm25_router, STREAM_BM25_SQL)
 registry.register("stream_pca_fold", stream_pca_fold, STREAM_PCA_SQL)
 registry.register("stream_dsir_screen", stream_dsir_screen, STREAM_DSIR_SQL)
+STREAM_CONTAINMENT_SQL = _containment_links_split_sql()
+
+STREAM_IVF_SQL = _ivf_lists_sql("vec_id % 2 = 0")
+
+STREAM_LINKAGE_SQL = f"""
+WITH names AS (
+  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS block
+  FROM part
+),
+pairs AS (
+  SELECT a.block, LEAST(a.p_name, b.p_name) AS name_a,
+         GREATEST(a.p_name, b.p_name) AS name_b
+  FROM names a JOIN names b
+    ON a.block = b.block AND a.p_name < b.p_name
+   AND abs(length(a.p_name) - length(b.p_name)) <= {MAX_EDIT_DIST}
+)
+SELECT DISTINCT block, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+FROM pairs
+WHERE levenshtein(name_a, name_b) <= {MAX_EDIT_DIST}
+"""
+
 registry.register("stream_kmeans_assign", stream_kmeans_assign, STREAM_KMEANS_SQL)
 registry.register("stream_semdedup_pairs", stream_semdedup_pairs, STREAM_SEMDEDUP_SQL)
 registry.register("stream_dedup_pairs", stream_dedup_pairs, STREAM_DEDUP_SQL)
 registry.register("stream_quality_gate", stream_quality_gate, EXPECTATIONS_SQL)
+registry.register(
+    "stream_containment_links", stream_containment_links, STREAM_CONTAINMENT_SQL
+)
+registry.register("stream_ivf_lists", stream_ivf_lists, STREAM_IVF_SQL)
+registry.register("stream_linkage_links", stream_linkage_links, STREAM_LINKAGE_SQL)
