@@ -51,7 +51,10 @@ def _ensure_nanos_as_long(spark: SparkSession) -> None:
 def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window per event type: count, exact decimal value
     sum, sum/count mean. The streaming twin is ``window(ts, '1 hour')`` +
-    watermark; aggregation is map-side-combinable either way."""
+    watermark; aggregation is map-side-combinable either way. The sum is
+    emitted as DECIMAL and the mean goes through the exact BIGINT
+    microunits (the classics money rule: a decimal→double cast of a
+    scaled sum diverges 1 ULP between engines past 2⁵³ unscaled)."""
     e = _events(spark, sf_dir)
     return (
         e.groupBy(
@@ -60,9 +63,12 @@ def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
             (
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+                (F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000)
+                .cast("long")
+                .cast("double")
+                / (F.count(F.lit(1)) * 1_000_000)
             ).alias("mean_value"),
         )
     )
@@ -72,8 +78,9 @@ TUMBLING_SQL = f"""
 SELECT epoch_us(ts) // {_HOUR_US} * 3600 AS hour_epoch_s,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value
+       SUM(CAST(value AS DECIMAL(18,6))) AS total_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE)
+         / (COUNT(*) * 1000000) AS mean_value
 FROM events
 GROUP BY hour_epoch_s, event_type
 """
@@ -109,10 +116,12 @@ def sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.groupBy((F.col("start_h") * 3600).alias("window_start_s"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
             (
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1))
+                (F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000)
+                .cast("long")
+                .cast("double")
+                / (F.count(F.lit(1)) * 1_000_000)
             ).alias("mean_value"),
         )
         .withColumn("window_end_s", F.col("window_start_s") + SLIDE_LEN_H * 3600)
@@ -134,8 +143,9 @@ SELECT start_h * 3600 AS window_start_s,
        start_h * 3600 + {SLIDE_LEN_H * 3600} AS window_end_s,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value
+       SUM(CAST(value AS DECIMAL(18,6))) AS total_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS DOUBLE)
+         / (COUNT(*) * 1000000) AS mean_value
 FROM x
 GROUP BY start_h, event_type
 """
@@ -172,9 +182,7 @@ def hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") * 3600).alias("hour_epoch_s"),
         "event_type",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
-        F.coalesce(F.col("v"), F.lit(0).cast("decimal(18,6)"))
-        .cast("double")
-        .alias("total_value"),
+        F.coalesce(F.col("v"), F.lit(0).cast("decimal(18,6)")).alias("total_value"),
         (F.col("n").isNull()).alias("is_gap"),
     )
 
@@ -196,7 +204,7 @@ agg AS (
 SELECT spine.h * 3600 AS hour_epoch_s,
        types.event_type,
        CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_events,
-       CAST(COALESCE(agg.v, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       COALESCE(agg.v, CAST(0 AS DECIMAL(18,6))) AS total_value,
        agg.n IS NULL AS is_gap
 FROM spine CROSS JOIN types
 LEFT JOIN agg ON agg.h = spine.h AND agg.event_type = types.event_type
@@ -563,7 +571,7 @@ def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
         )
         .orderBy(F.desc("total_value"), "user_id")
         .limit(20)
@@ -572,7 +580,7 @@ def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_USERS_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       SUM(CAST(value AS DECIMAL(18,6))) AS total_value
 FROM events
 GROUP BY user_id
 ORDER BY total_value DESC, user_id
@@ -657,13 +665,13 @@ def value_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
-        F.col("total_value").cast("double").alias("total_value"),
+        F.col("total_value").alias("total_value"),
     )
 
 
 VALUE_BY_TYPE_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       SUM(CAST(value AS DECIMAL(18,6))) AS total_value
 FROM events
 GROUP BY event_type
 """
