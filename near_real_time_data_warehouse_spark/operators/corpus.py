@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import registry
-from .dedup import _SHINGLES_SQL, _shingles_materialized
+from .dedup import (
+    _SHINGLES_SQL,
+    _bands_materialized,
+    _shingles_materialized,
+    _verify_jaccard,
+)
 from .text import _NORM_SQL, _docs, _norm_col
 
 # Contamination flag threshold: fraction of a train doc's 3-gram
@@ -98,6 +103,106 @@ SELECT tr.doc_id,
          AS is_contaminated
 FROM tr LEFT JOIN ev ON tr.th = ev.h
 GROUP BY tr.doc_id
+"""
+
+
+def fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-LSH) cross-split decontamination: which TRAIN
+    documents are NEAR-DUPLICATES of a held-out (test) document?
+
+    docs_benchmark_contamination measures partial EXACT 3-gram overlap;
+    this entry catches the leakage that screen understates — a train doc
+    that is a paraphrase-level near-copy of an eval doc (the fuzzy
+    decontamination step production pipelines run against benchmark
+    suites, cf. the MinHash decontamination in public Dolma/RedPajama
+    pipelines). Exact duplicates can never straddle splits (the split is
+    content-keyed, text.shard_split), so every hit here is a genuine
+    near-dup, invisible to exact dedup by construction.
+
+    Plan shape: the shared checkpointed band table (8 band signatures
+    per doc, built once per session by the dedup family) is split-joined
+    and the train side equi-joins the eval side on (band, band_sig) —
+    never an all-pairs stage, exactly the banded-LSH discipline of
+    dedup_minhash_lsh, then candidates are verified with true shingle
+    Jaccard and rolled up per train doc. At 100 TB the eval side is a
+    bounded benchmark suite (≪ train), so AQE picks a broadcast for the
+    band join when it fits — not hinted, for the same reason
+    benchmark_contamination doesn't hint: at the test SFs the held-out
+    split is a fixed 1/10 of the corpus, which scales with it."""
+    from .text import shard_split
+
+    sh = _shingles_materialized(spark, sf_dir)
+    split = shard_split(spark, sf_dir).select("doc_id", "split")
+    bands = _bands_materialized(spark, sf_dir).join(split, "doc_id")
+    ev = bands.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("doc_b"), "band", "band_sig"
+    )
+    tr = bands.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("doc_a"), "band", "band_sig"
+    )
+    cand = tr.join(ev, ["band", "band_sig"]).select("doc_a", "doc_b").distinct()
+    pairs = _verify_jaccard(sh, cand)
+    # argmax via struct-max: ties on jaccard break toward the larger
+    # eval doc_id — mirrored in the oracle's MAX(doc_b | jaccard = max).
+    mx = F.max(F.struct(F.col("jaccard"), F.col("doc_b")))
+    return (
+        pairs.groupBy("doc_a")
+        .agg(F.count(F.lit(1)).alias("n_eval_neardups"), mx.alias("mx"))
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            "n_eval_neardups",
+            F.col("mx.jaccard").alias("max_jaccard"),
+            F.col("mx.doc_b").alias("worst_eval_doc"),
+        )
+    )
+
+
+def _fuzzy_contamination_sql() -> str:
+    """DuckDB replay of the full chain: shingles → minhash signatures →
+    band table (the shared dedup constants) → split-restricted candidate
+    join → exact-Jaccard verify → per-train-doc rollup."""
+    from .dedup import JACCARD_THRESHOLD, MERSENNE_P, _minhash_bands_sql
+
+    return f"""
+WITH sh AS ({_SHINGLES_SQL.format(where="")}),
+base AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % {MERSENNE_P} AS h31
+  FROM sh
+),
+hs AS (SELECT doc_id, list(h31) AS hs FROM base GROUP BY doc_id),
+bands AS ({_minhash_bands_sql()}),
+b AS (SELECT doc_id, {_SPLIT_BUCKET_SQL} AS bucket FROM documents),
+cand AS (
+  SELECT DISTINCT t.doc_id AS doc_a, e.doc_id AS doc_b
+  FROM bands t
+  JOIN bands e ON t.band = e.band AND t.band_sig = e.band_sig
+  JOIN b bt ON bt.doc_id = t.doc_id AND bt.bucket <= 7
+  JOIN b be ON be.doc_id = e.doc_id AND be.bucket = 9
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b, n_common / (sa.n + sb.n - n_common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}
+),
+roll AS (
+  SELECT doc_a, COUNT(*) AS n_eval_neardups, MAX(jaccard) AS max_jaccard
+  FROM pairs GROUP BY doc_a
+)
+SELECT r.doc_a AS doc_id, r.n_eval_neardups, r.max_jaccard,
+       MAX(p.doc_b) AS worst_eval_doc
+FROM roll r JOIN pairs p ON p.doc_a = r.doc_a AND p.jaccard = r.max_jaccard
+GROUP BY 1, 2, 3
 """
 
 
@@ -786,6 +891,7 @@ FROM a GROUP BY doc_id, chunk_id
 
 
 registry.register("docs_benchmark_contamination", benchmark_contamination, CONTAMINATION_SQL)
+registry.register("docs_fuzzy_contamination", fuzzy_contamination, _fuzzy_contamination_sql)
 _PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 

@@ -374,3 +374,101 @@ def test_weighted_sample_selection_law_and_ht_estimator(spark):
             assert w == tot / (C.WSAMP_K * r["n_chars"])
         est += w * r["n_chars"]
     assert abs(est - tot) / tot < 0.35, (est, tot)
+
+
+def _fuzzy_norm(text):
+    import re
+
+    return re.sub(r"\s+", " ", text.lower()).strip()
+
+
+def _fuzzy_bucket(text):
+    import hashlib
+
+    return int(hashlib.md5(_fuzzy_norm(text).encode()).hexdigest()[:15], 16) % 10
+
+
+def _fuzzy_shingles(text):
+    t = _fuzzy_norm(text).split(" ")
+    return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)} if len(t) >= 3 else set()
+
+
+def _fuzzy_bands(text):
+    """Python replay of the dedup minhash/band kernel (same constants)."""
+    import hashlib
+
+    from near_real_time_data_warehouse_spark.operators.dedup import (
+        MERSENNE_P,
+        N_BANDS,
+        ROWS_PER_BAND,
+        _perm_constants,
+    )
+
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MERSENNE_P
+        for s in _fuzzy_shingles(text)
+    ]
+    sig = [min((h * a + b) % MERSENNE_P for h in hs) for a, b in _perm_constants()]
+    return {
+        (
+            t,
+            hashlib.md5(
+                ",".join(str(sig[t * ROWS_PER_BAND + j]) for j in range(ROWS_PER_BAND)).encode()
+            ).hexdigest(),
+        )
+        for t in range(N_BANDS)
+    }
+
+
+def _mine_text(base_words, want_bucket, collide_with=None, salt=""):
+    """Deterministically mine a suffix word landing the text in the wanted
+    split bucket (and, if given, band-colliding with another text)."""
+    for i in range(10_000):
+        text = " ".join(base_words + [f"{salt}suffix{i}"])
+        if _fuzzy_bucket(text) not in want_bucket:
+            continue
+        if collide_with is not None and not (_fuzzy_bands(text) & _fuzzy_bands(collide_with)):
+            continue
+        return text
+    raise AssertionError("mining failed")
+
+
+def test_fuzzy_contamination_planted_cross_split_neardup(spark, tmp_path_factory):
+    """Planted corpus: a train doc mined to be a near-duplicate (and an
+    actual LSH band collision) of a test-split doc must be flagged with
+    the exactly-computable Jaccard; a same-split (train/train) near-dup
+    pair and an unrelated doc must not appear. The entry's DuckDB oracle
+    must agree on the same planted corpus."""
+    import duckdb
+
+    from near_real_time_data_warehouse_spark.operators import corpus as C
+
+    base = [f"w{i}" for i in range(40)]
+    other = [f"z{i}" for i in range(40)]
+    eval_doc = _mine_text(base, {9})
+    train_hit = _mine_text(base, set(range(8)), collide_with=eval_doc)
+    train_a = _mine_text(other, set(range(8)), salt="a")
+    train_b = _mine_text(other, set(range(8)), collide_with=train_a, salt="b")
+    lonely = _mine_text([f"q{i}" for i in range(40)], set(range(8)), salt="c")
+    rows = [(1, train_hit), (2, train_a), (3, train_b), (4, lonely), (9, eval_doc)]
+
+    sf_dir = str(tmp_path_factory.mktemp("fuzzy_contam"))
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+
+    got = {r["doc_id"]: r for r in C.fuzzy_contamination(spark, sf_dir).collect()}
+    sa, sb = _fuzzy_shingles(train_hit), _fuzzy_shingles(eval_doc)
+    want_j = len(sa & sb) / len(sa | sb)
+    assert want_j >= 0.2
+    assert set(got) == {1}
+    assert got[1]["n_eval_neardups"] == 1
+    assert got[1]["worst_eval_doc"] == 9
+    assert got[1]["max_jaccard"] == want_j
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = con.execute(C._fuzzy_contamination_sql()).fetchall()
+    assert [(r[0], r[1], r[2], r[3]) for r in oracle] == [(1, 1, want_j, 9)]

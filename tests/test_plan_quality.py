@@ -239,6 +239,16 @@ def test_contamination_join_shape(spark):
     assert "HashJoin" in plan
 
 
+def test_fuzzy_contamination_join_shape(spark):
+    """The fuzzy decontamination candidate stage must stay a banded
+    equi hash join on (band, band_sig) — never a cross-split all-pairs
+    scan (the LSH bands exist to avoid exactly that)."""
+    plan = plan_of(QUERIES["docs_fuzzy_contamination"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_sig" in plan and "HashJoin" in plan
+
+
 def test_token_packing_window_is_sharded(spark):
     """The packer's running sum must partition by shard — an unpartitioned
     ORDER BY window is the single-reducer cliff."""
