@@ -1058,6 +1058,132 @@ FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {QUERY_CAP})
 """
 
 
+# nprobe sweep: the (nprobe → recall) tuning curve an IVF deployment
+# reads before fixing its probe budget. Floors are per-nprobe, set from
+# measured values with the same margin discipline as IVF_RECALL_FLOOR:
+# measured 0.31-0.34 / 0.44-0.49 / 0.63-0.65 / 0.75-0.80 at
+# sf0.001/0.01/0.1 AND the 100× replica (identical at sf0.1 and 100× —
+# the capped slice is literally the same 2000 vectors, the
+# size-invariance the cap exists to buy). The N_PROBE floor equals
+# IVF_RECALL_FLOOR — this sweep's last row IS that gate's contract.
+PROBE_SWEEP = (1, 2, 4, N_PROBE)
+PROBE_SWEEP_FLOORS = {1: 0.2, 2: 0.3, 4: 0.45, N_PROBE: IVF_RECALL_FLOOR}
+
+
+def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k at every nprobe in PROBE_SWEEP from ONE candidate pass —
+    the tuning curve that decides an IVF deployment's probe budget.
+
+    No per-nprobe re-search: each capped-corpus vector lives in exactly
+    one list, so a candidate (query, neighbor) pair carries exactly one
+    ``probe_rank`` — the rank of the neighbor's list in the query's
+    centroid ranking — and the candidate set at nprobe=p is exactly
+    ``probe_rank <= p``. Recall needs no scoring stage either: a true
+    neighbor t (global top-k by exact cosine, ties broken on neighbor
+    id) that appears among the candidates has at most k-1 candidates
+    ranked above it under the SAME (cosine DESC, id ASC) order the
+    search uses, so t always survives to the ANN top-k — therefore
+    hits(p) = |truth ∩ candidates(p)| is the exact full-chain recall
+    and is monotone in p because the candidate sets nest (pytest
+    replays both facts independently in numpy).
+
+    Oracle contract: per-nprobe rows pin (nprobe, n_queries, k, floor)
+    bit-exactly and assert recall_floor_met / hits_monotone — a recall
+    regression at ANY probed depth flips the driver hash red, not just
+    at the deployed N_PROBE. Same capped-index discipline as
+    sim_ann_ivf_recall (train + assign under CORPUS_CAP), so the gate
+    is invariant to total corpus size; cost ∝ capped lists × queries."""
+    truth = brute_force_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+    emb = _emb(spark, sf_dir)
+    capped = emb.filter(F.col("vec_id") < CORPUS_CAP)
+    cmat = _memoized_centroids("ivf_recall_cmat", spark, sf_dir, capped)
+    assigned = _assign_lists(spark, capped, cmat)
+    qids, qmat = _collect_quantized(emb.filter(F.col("vec_id") < QUERY_CAP))
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+    qcos = (qmat @ cmat.T) / (qnorm[:, None] * cnorm[None, :])
+    probe_idx = np.argsort(-qcos, axis=1, kind="stable")[:, :N_PROBE]
+    probe_df = spark.createDataFrame(
+        [
+            (int(qids[i]), int(c), r + 1)
+            for i in range(len(qids))
+            for r, c in enumerate(probe_idx[i])
+        ],
+        "query_id long, centroid int, probe_rank int",
+    )
+    cand = assigned.join(F.broadcast(probe_df), "centroid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    hit_ranks = truth.alias("t").join(
+        cand.alias("c"),
+        (F.col("t.query_id") == F.col("c.query_id"))
+        & (F.col("t.true_neighbor") == F.col("c.neighbor_id")),
+    ).select(F.col("c.probe_rank").alias("probe_rank"))
+    hits = hit_ranks.groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("probe_rank") <= p, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"h{p}")
+            for p in PROBE_SWEEP
+        ]
+    )
+    totals = truth.groupBy().agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth"),
+    )
+    mono = F.lit(True)
+    for lo, hi in zip(PROBE_SWEEP, PROBE_SWEEP[1:]):
+        mono = mono & (F.col(f"h{lo}") <= F.col(f"h{hi}"))
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).cast("long").alias("nprobe"),
+                    F.col(f"h{p}").alias("hits"),
+                    F.lit(PROBE_SWEEP_FLOORS[p]).alias("recall_floor"),
+                )
+                for p in PROBE_SWEEP
+            ]
+        )
+    )
+    return (
+        totals.crossJoin(hits)
+        .select("n_queries", "n_truth", mono.alias("hits_monotone"), rows.alias("s"))
+        .select(
+            F.col("s.nprobe").alias("nprobe"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.col("s.recall_floor").alias("recall_floor"),
+            (
+                (F.col("n_truth") == 0)
+                | ((F.col("s.hits") / F.col("n_truth")) >= F.col("s.recall_floor"))
+            ).alias("recall_floor_met"),
+            "hits_monotone",
+        )
+    )
+
+
+def _ivf_probe_sweep_sql() -> str:
+    values = ", ".join(
+        f"(CAST({p} AS BIGINT), CAST({PROBE_SWEEP_FLOORS[p]} AS DOUBLE))"
+        for p in PROBE_SWEEP
+    )
+    return f"""
+SELECT p.nprobe,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {QUERY_CAP})) AS n_queries,
+       CAST({TOP_K} AS BIGINT) AS k,
+       p.recall_floor,
+       true AS recall_floor_met,
+       true AS hits_monotone
+FROM (VALUES {values}) AS p(nprobe, recall_floor)
+"""
+
+
 
 # Cross-modal candidate generation: 4 tables × 8-bit buckets. The topk
 # path's 16×4-bit setting collides ~25% of ALL pairs on this corpus (461k
@@ -3466,6 +3592,7 @@ registry.register("sim_ann_lsh_multiprobe", ann_lsh_multiprobe, _lsh_multiprobe_
 registry.register("sim_ann_ivf_topk", ann_ivf_topk, _ivf_topk_sql())
 registry.register("sim_ann_ivf_filtered", ann_ivf_filtered, _ivf_topk_sql(label_filtered=True))
 registry.register("sim_ann_ivf_recall", ann_ivf_recall, IVF_RECALL_SQL)
+registry.register("sim_ann_ivf_probe_sweep", ann_ivf_probe_sweep, _ivf_probe_sweep_sql)
 registry.register(
     "sim_ann_ivf_recall_uncapped", ann_ivf_recall_uncapped, IVF_RECALL_UNCAPPED_SQL
 )

@@ -995,3 +995,73 @@ def test_hard_negatives_ann_recall_tracked(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in rows}
     recall = len(truth & got) / len(truth)
     assert recall >= S.HARD_NEG_RECALL_FLOOR, recall
+
+
+def test_ivf_probe_sweep_numpy_replay_and_displacement(spark):
+    """Independent numpy replay of the probe sweep: recompute per-nprobe
+    hits from raw parquet (assignment, probe ranks, truth membership)
+    and demand (a) every published floor genuinely holds, (b) hits are
+    monotone in nprobe, and (c) the displacement theorem the entry's
+    docstring relies on — every true neighbor among the candidates
+    survives to the scored ANN top-k — holds instance-by-instance."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    rows = {r["nprobe"]: r for r in sim.ann_ivf_probe_sweep(spark, SF_SMALL).collect()}
+    assert set(rows) == set(sim.PROBE_SWEEP)
+    assert all(r["recall_floor_met"] for r in rows.values())
+    assert all(r["hits_monotone"] for r in rows.values())
+    assert [rows[p]["recall_floor"] for p in sim.PROBE_SWEEP] == [
+        sim.PROBE_SWEEP_FLOORS[p] for p in sim.PROBE_SWEEP
+    ]
+
+    emb = sim._emb(spark, SF_SMALL)
+    capped = emb.filter(F.col("vec_id") < sim.CORPUS_CAP)
+    cids, cmatv = sim._collect_quantized(capped)
+    cmat = sim._memoized_centroids("ivf_recall_cmat", spark, SF_SMALL, capped)
+
+    def cos(a, b):
+        an = np.sqrt((a * a).sum(axis=1).astype(np.float64))
+        bn = np.sqrt((b * b).sum(axis=1).astype(np.float64))
+        return (a @ b.T) / (an[:, None] * bn[None, :])
+
+    assign = {int(v): int(c) for v, c in zip(cids, cos(cmatv, cmat).argmax(axis=1))}
+    qids, qmat = sim._collect_quantized(emb.filter(F.col("vec_id") < sim.QUERY_CAP))
+    ranks = np.argsort(-cos(qmat, cmat), axis=1, kind="stable")
+    # rank of each centroid in each query's probe order (1-based)
+    list_rank = {
+        int(q): {int(c): r + 1 for r, c in enumerate(ranks[i])}
+        for i, q in enumerate(qids)
+    }
+    truth = brute_force_topk(spark, SF_SMALL).collect()
+    n_truth = len(truth)
+    vec = {int(v): row for v, row in zip(cids, cmatv)}
+    for p in sim.PROBE_SWEEP:
+        hits = sum(
+            1
+            for r in truth
+            if list_rank[r.query_id][assign[r.neighbor_id]] <= p
+        )
+        assert hits / n_truth >= sim.PROBE_SWEEP_FLOORS[p], (p, hits / n_truth)
+    # (c) displacement: at each nprobe, every true neighbor among the
+    # candidates is inside the exact-cosine top-k of that candidate set
+    qvec = {int(q): qmat[i] for i, q in enumerate(qids)}
+    by_q: dict[int, set[int]] = {}
+    for r in truth:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for p in sim.PROBE_SWEEP:
+        for q, tset in by_q.items():
+            cand = [
+                v
+                for v in vec
+                if v != q and list_rank[q][assign[v]] <= p
+            ]
+            if not cand:
+                continue
+            cm = np.stack([vec[v] for v in cand])
+            cs = cos(qvec[q][None, :], cm)[0]
+            order = sorted(zip(-cs, cand))[: sim.TOP_K]
+            topk = {v for _, v in order}
+            assert (tset & set(cand)) <= topk, (p, q)
