@@ -71,7 +71,7 @@ def hourly_by_type(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("event_time", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("hour_epoch_s"),
@@ -93,7 +93,7 @@ def sliding_by_type(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("event_time", "4 hours", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
