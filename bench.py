@@ -55,7 +55,12 @@ def plan_hash(df) -> str:
             # finalized section is cut out; node content alone carries
             # the plan shape (operator + args, in traversal order).
             kept.append(line.lstrip(" :+-"))
-    s = "\n".join(kept)
+    return hashlib.md5(_canon_plan_text("\n".join(kept)).encode()).hexdigest()[:10]
+
+
+def _canon_plan_text(s: str) -> str:
+    """The string-canonicalization half of :func:`plan_hash`, split out so
+    the gid invariances (below) are unit-testable on captured line forms."""
     s = re.sub(r"isFinalPlan=\w+", "isFinalPlan=", s)
     s = re.sub(r"#\d+", "#", s)
     s = re.sub(r"0x[0-9a-f]+", "0x", s)
@@ -83,9 +88,43 @@ def plan_hash(df) -> str:
     # structure — e.g. swapping a column between the keys list and the
     # functions list (same character multiset) still flips the hash
     # (ADVICE r12 #4).
+    def _split_depth0(body: str) -> list[str]:
+        """Split a bracket body on ', ' at paren depth 0 (elements like
+        'count(x#) FILTER (WHERE (gid# = §))' contain commas in parens)."""
+        parts, depth, start = [], 0, 0
+        i = 0
+        while i < len(body):
+            c = body[i]
+            if c in "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0 and body[i : i + 2] == ", ":
+                parts.append(body[start:i])
+                start = i + 2
+                i += 1
+            i += 1
+        parts.append(body[start:])
+        return parts
+
     def _canon_gid(line: str) -> str:
         line = re.sub(r"gid#\w* = \d+", "gid# = §", line)
         line = re.sub(r", \d+\]", ", §]", line)
+        # The gid permutation ALSO permutes the ATTRIBUTE ORDER inside
+        # every list on these lines (Expand emits its projections and
+        # output in distinct-branch iteration order: keys=[doc_id#, tok#,
+        # gid#] vs keys=[tok#, doc_id#, gid#], and the null slots in the
+        # branch lists move with it — observed flipping between two full
+        # bench runs after the group-sort-only fix). Sort the elements of
+        # every innermost bracket list too: order inside a grouping-key /
+        # projection list carries no plan shape, and a keys↔functions
+        # swap still flips the hash because the element moves between
+        # differently-labelled lists.
+        line = re.sub(
+            r"\[([^\[\]]*)\]",
+            lambda m: "[" + ", ".join(sorted(_split_depth0(m.group(1)))) + "]",
+            line,
+        )
         return re.sub(
             r"\[(\[[^\[\]]*\](?:, \[[^\[\]]*\])*)\]",
             lambda m: "["
@@ -97,8 +136,7 @@ def plan_hash(df) -> str:
     s = "\n".join(
         _canon_gid(line) if "gid#" in line else line for line in s.splitlines()
     )
-    s = re.sub(r"\s+", " ", s)
-    return hashlib.md5(s.encode()).hexdigest()[:10]
+    return re.sub(r"\s+", " ", s)
 
 
 def _stage_snapshot(sc) -> dict[tuple[int, int], tuple[int, int, int, int]]:
