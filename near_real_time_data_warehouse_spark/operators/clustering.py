@@ -81,16 +81,17 @@ def _k_clusters(n: int) -> int:
 _KMEANS_STATE_MEMO: dict[tuple[str, str], tuple[np.ndarray, np.ndarray]] = {}
 
 
-def _init_state_on(e: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+def _init_state_on(e: DataFrame, n: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """K seed centroids: the quantized vectors of the K vec_ids that sort
     first by md5(vec_id) — deterministic and content-independent (id order
     could correlate with generation order; the hash order cannot).
     ``e`` is any (vec_id, embedding) frame — the corpus for the batch
-    entries, the first micro-batch for the streaming twin."""
+    entries, the first micro-batch for the streaming twin. ``n`` is the
+    frame's row count when the caller already paid for it."""
     q = F.transform(
         F.col("embedding"), lambda x: F.round(x.cast("double") * QUANT, 0).cast("long")
     )
-    k = _k_clusters(e.count())
+    k = _k_clusters(e.count() if n is None else n)
     rows = (
         e.select("vec_id", q.alias("q"))
         .withColumn("h", F.md5(F.col("vec_id").cast("string")))
@@ -140,24 +141,65 @@ def _partial_sums(e: DataFrame, ids: np.ndarray, m: np.ndarray) -> DataFrame:
 
 def _train_state_on(e: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Run the full training loop (init + KMEANS_ROUNDS exact Lloyd
-    updates) over any (vec_id, embedding) frame."""
+    updates) over any (vec_id, embedding) frame.
+
+    Training parallelism is scale-adaptive (opt guide §2): partial sums
+    are additive and the per-row argmin is row-local, so the result is
+    bit-identical at ANY partitioning — but every Lloyd round pays one
+    Python-worker round-trip PER PARTITION. The input arrives at the
+    session's parallelism (32 tasks for a 1000-row micro-batch at test
+    SFs), so the round loop ran 32 near-empty Arrow kernels per round.
+    Coalesce to ~bytes_per_task-sized tasks first (a narrow op, no
+    shuffle): test-SF batches collapse to one task per round while a
+    100 TB corpus still fans out to thousands."""
+    from ..profile import knee_profile
+
     e = e.select("vec_id", "embedding")
-    ids, m = _init_state_on(e)
+    n = e.count()
+    # ~8 B per int64 dim + id, doubled for Arrow/pandas copies.
+    rows_per_task = max(1, knee_profile().bytes_per_task // (16 * (EMB_DIM + 1)))
+    n_tasks = max(1, -(-n // rows_per_task))
+    e = e.coalesce(n_tasks)
+    ids, m = _init_state_on(e, n)
     for _ in range(KMEANS_ROUNDS):
-        agg = (
-            _partial_sums(e, ids, m)
-            .groupBy("cluster_id")
-            .agg(
-                F.sum("n").alias("n"),
-                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(EMB_DIM)],
+        partials = _partial_sums(e, ids, m)
+        # Adaptive reduction level (opt guide §2.4 — remove the exchange
+        # outright when it buys nothing): the kernel emits ≤ K partial
+        # rows per Arrow batch, so with few tasks the whole partial set
+        # is a bounded driver merge — one stage per round instead of
+        # map + exchange + AQE replan + reduce. Past the cap (real
+        # corpora) the distributed groupBy does the reduction exactly as
+        # before. Integer sums are associative, so both levels produce
+        # bit-identical state.
+        if len(ids) * n_tasks * 2 <= 4096:
+            merged: dict[int, tuple] = {}
+            for r in partials.collect():
+                cid = r["cluster_id"]
+                prev = merged.get(cid)
+                row = (r["n"], *[r[f"s{i}"] for i in range(EMB_DIM)])
+                merged[cid] = (
+                    row
+                    if prev is None
+                    else tuple(a + b for a, b in zip(prev, row))
+                )
+            agg = [
+                {"cluster_id": cid, "n": v[0], **{f"s{i}": v[i + 1] for i in range(EMB_DIM)}}
+                for cid, v in merged.items()
+            ]
+        else:
+            agg = (
+                partials.groupBy("cluster_id")
+                .agg(
+                    F.sum("n").alias("n"),
+                    *[F.sum(f"s{i}").alias(f"s{i}") for i in range(EMB_DIM)],
+                )
+                .collect()
             )
-            .collect()
-        )
         agg.sort(key=lambda r: r["cluster_id"])
         ids = np.array([r["cluster_id"] for r in agg], dtype=np.int64)
-        n = np.array([r["n"] for r in agg], dtype=np.float64)
+        cnt = np.array([r["n"] for r in agg], dtype=np.float64)
         s = np.array([[r[f"s{i}"] for i in range(EMB_DIM)] for r in agg], dtype=np.float64)
-        m = _round_half_away(s / n[:, None])
+        m = _round_half_away(s / cnt[:, None])
     return ids, m
 
 

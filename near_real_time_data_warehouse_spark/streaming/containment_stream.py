@@ -97,10 +97,14 @@ def merge_containment_batch(
         )
         .distinct()
     )
-    links = _verified_pairs(all_sh, cand).localCheckpoint(eager=True)
+    # links' lineage reads only the LOCALLY-CHECKPOINTED all_sh/batch_sh,
+    # never sh_dir — so it needs no checkpoint of its own before the state
+    # overwrite; writing it directly saves one full verification
+    # materialization per batch (opt guide §1.2: don't compute twice).
+    links = _verified_pairs(all_sh, cand)
 
-    _overwrite_epoch(spark, batch_sh, sh_dir, epoch_id)
     _overwrite_epoch(spark, links, links_dir, epoch_id)
+    _overwrite_epoch(spark, batch_sh, sh_dir, epoch_id)
 
 
 _LINKS_SCHEMA = "doc_a long, doc_b long, n_common long, n_a long, n_b long"

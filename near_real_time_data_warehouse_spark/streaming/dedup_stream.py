@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    _band_signatures,
+    _band_signatures_from_docs,
     _jaccard_pairs,
     _shingles,
     connected_components,
@@ -64,7 +64,11 @@ def merge_dedup_batch(
 
     batch = batch.select("doc_id", "text").localCheckpoint(eager=True)
     batch_sh = _shingles(batch).localCheckpoint(eager=True)
-    batch_bands = _band_signatures(batch_sh).localCheckpoint(eager=True)
+    # Zero-shuffle band build straight from the batch docs — bit-identical
+    # signatures to the exploded path (min over the same hash set) without
+    # its groupBy(collect_list) exchange; the batch kernel switched in r9,
+    # the fold inherits it here (opt guide §2.4).
+    batch_bands = _band_signatures_from_docs(batch).localCheckpoint(eager=True)
 
     if not path_exists(spark, labels_dir):
         # first batch: the state IS the batch
