@@ -197,6 +197,53 @@ def _greedy_bpe_reference(word, merges):
     return syms
 
 
+def test_unseen_pieces_one_pass_matches_window_ladder(spark):
+    """r13 opt: _unseen_pieces replays merge ranks in ONE Arrow pass; pin
+    it against BOTH the window-op ladder it replaced and the sequential
+    greedy reference, on words that exercise overlap runs (left == right),
+    chained rules (later rules consuming earlier fusions), palindromes,
+    and single-char words."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import text as T
+
+    merges = [("a", "a"), ("aa", "aa"), ("b", "c"), ("aaaa", "bc"), ("d", "d")]
+    words = [
+        "aaaa", "aaaaa", "aaaaaaaa", "abc", "aabc", "aaaabc", "bcbc",
+        "dddd", "ddddd", "x", "ab", "ba", "abcabc", "aaaabcaaaa",
+    ]
+    unseen = spark.createDataFrame([(w,) for w in words], "tok string")
+
+    got = {
+        r["tok"]: r["n_pieces"]
+        for r in T._unseen_pieces(unseen, merges).collect()
+    }
+
+    # window-op ladder (the replaced formulation), verbatim
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)),
+    )
+    usym = (
+        unseen.select(
+            "tok",
+            F.lit(1).cast("long").alias("freq"),
+            F.posexplode(chars).alias("pos0", "sym"),
+        )
+        .select("tok", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+    )
+    for left, right in merges:
+        usym = T._bpe_apply_merge(usym, left, right)
+    ladder = {
+        r["tok"]: r["n_pieces"]
+        for r in usym.groupBy("tok").agg(F.count(F.lit(1)).alias("n_pieces")).collect()
+    }
+
+    for w in words:
+        assert got[w] == len(_greedy_bpe_reference(w, merges)), w
+        assert got[w] == ladder[w], w
+
+
 def _write_holdout_corpus(spark, tmp_path_factory):
     """A corpus whose content-keyed holdout split REALLY contains words
     the train split never saw: common words shared everywhere + one
