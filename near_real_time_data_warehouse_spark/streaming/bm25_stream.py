@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import bm25_batch_tfdl, bm25_score_with_stats
-from .dedup_stream import _overwrite_epoch
+from .dedup_stream import _overwrite_epoch, _read_epoch
 
 _SCORE_SCHEMA = (
     "query_id long, rank long, doc_id long, score_scaled long, "
@@ -64,10 +64,16 @@ def merge_bm25_batch(
         stats = st_tot.agg(
             F.sum("n_docs").alias("n_docs"), F.sum("t_tokens").alias("t_tokens")
         ).select("n_docs", F.expr("t_tokens DIV n_docs").alias("avgdl"))
-        scores = bm25_score_with_stats(tfdl, df_st, stats).localCheckpoint(
-            eager=True
+        # scores' lineage reads only the LOCALLY-CHECKPOINTED tfdl and
+        # OTHER epochs' standing partitions, and this write lands before
+        # the df/totals folds below — so no checkpoint is needed; the
+        # returned frame is a scan of the just-written epoch partition
+        # (one materialization instead of checkpoint + write + recompute,
+        # opt guide §1.2).
+        _overwrite_epoch(
+            spark, bm25_score_with_stats(tfdl, df_st, stats), scores_dir, epoch_id
         )
-        _overwrite_epoch(spark, scores, scores_dir, epoch_id)
+        scores = _read_epoch(spark, scores_dir, epoch_id, _SCORE_SCHEMA)
     # fold the batch's own statistics in (df is additive across epochs —
     # document sets are disjoint; totals are plain sums)
     _overwrite_epoch(

@@ -46,6 +46,25 @@ def _overwrite_epoch(spark: SparkSession, df: DataFrame, out_dir: str, epoch_id:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def _read_epoch(
+    spark: SparkSession, out_dir: str, epoch_id: int, schema: str
+) -> DataFrame:
+    """The just-written epoch's rows back from a state dir — the cheap
+    return frame for folds whose output IS their state write. An
+    all-empty partitioned write leaves only _SUCCESS (no schema), which
+    reads as an empty frame of the declared schema."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return (
+            spark.read.parquet(out_dir)
+            .filter(F.col("_epoch") == epoch_id)
+            .drop("_epoch")
+        )
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
 def merge_dedup_batch(
     spark: SparkSession, batch: DataFrame, state_dir: str, epoch_id: int = 0
 ) -> DataFrame | None:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import dsir_fx, dsir_score_with_stats
-from .dedup_stream import _overwrite_epoch
+from .dedup_stream import _overwrite_epoch, _read_epoch
 
 _SCORE_SCHEMA = "doc_id long, n_features long, score_bits long"
 
@@ -77,8 +77,12 @@ def merge_dsir_batch(
                 F.coalesce("score_bits", F.lit(0)).cast("long").alias("score_bits"),
             )
         )
-    scores = scores.localCheckpoint(eager=True)
+    # scores' lineage reads only locally-checkpointed inputs (batch, fx)
+    # and OTHER epochs' standing partitions, and this write lands before
+    # the stats/langs folds below — write directly and return a scan of
+    # the just-written epoch partition (opt guide §1.2).
     _overwrite_epoch(spark, scores, scores_dir, epoch_id)
+    scores = _read_epoch(spark, scores_dir, epoch_id, _SCORE_SCHEMA)
     _overwrite_epoch(
         spark,
         fx.groupBy("bucket", "lang").agg(F.count(F.lit(1)).alias("c")),

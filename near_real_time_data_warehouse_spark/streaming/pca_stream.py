@@ -35,7 +35,7 @@ from ..operators.similarity import (
     _pca_eigvec_ints,
     _quantized,
 )
-from .dedup_stream import _overwrite_epoch
+from .dedup_stream import _overwrite_epoch, _read_epoch
 
 _SCORE_SCHEMA = "vec_id long, label long, proj_num long, proj double"
 
@@ -102,17 +102,21 @@ def merge_pca_batch(
     proj_num = (F.lit(n).cast("long") * _dot("q", "v")).cast("long") - F.lit(
         const
     ).cast("long")
-    scores = (
-        q.withColumn("v", F.array([F.lit(x).cast("long") for x in v]))
-        .select(
+    # scores' lineage reads only the locally-checkpointed batch; write
+    # directly and return a scan of the just-written epoch partition
+    # (one materialization instead of checkpoint + write, opt guide §1.2).
+    _overwrite_epoch(
+        spark,
+        q.withColumn("v", F.array([F.lit(x).cast("long") for x in v])).select(
             "vec_id",
             F.col("label").cast("long").alias("label"),
             proj_num.alias("proj_num"),
             (proj_num.cast("double") / F.lit(den)).alias("proj"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        scores_dir,
+        epoch_id,
     )
-    _overwrite_epoch(spark, scores, scores_dir, epoch_id)
+    scores = _read_epoch(spark, scores_dir, epoch_id, _SCORE_SCHEMA)
     gram_batch = spark.createDataFrame(
         [
             (r["i"], r["j"], r["n"], r["sum_i"], r["sum_j"], r["sum_prod"])
