@@ -768,65 +768,80 @@ CDC_MOD = 8
 
 
 def cdc_chunks_df(d: DataFrame) -> DataFrame:
-    """Kernel of docs_cdc_chunks over any (doc_id, text) DataFrame."""
+    """Kernel of docs_cdc_chunks over any (doc_id, text) DataFrame.
+
+    Fully scan-local (r13 opt): boundary positions, chunk spans, and
+    chunk fingerprints are all array expressions over the per-doc token
+    array, and ONE posexplode emits chunk rows directly — replacing the
+    token-level explode → doc repartition → running-sum window →
+    groupBy(collect_list) chain (two exchanges + a corpus-token sort)
+    with zero shuffles (opt guide §2.4). Chunk identity is unchanged:
+    with 1-based cut positions C = {i : i ≥ CDC_K, i < n,
+    hash(tok[i−2..i]) % CDC_MOD = 0} (a cut after the last token starts
+    no chunk), chunk k spans (C_k, C_{k+1}] — the closed form of the
+    window's cumulative-boundary-count assignment, pinned equal by
+    tests/test_corpus.py and the unchanged DuckDB oracle.
+
+    Each stage keeps its expensive array (toks, cuts) as a column
+    referenced ≥2 times downstream so CollapseProject cannot inline the
+    md5 chain into every reference (the _shingles docstring pathology);
+    the posexplode Generate is a further barrier before the fingerprint
+    projection."""
     toks_arr = F.filter(F.split(_norm_col(), " "), lambda t: t != "")
-    base = (
-        d.select("doc_id", toks_arr.alias("toks"))
-        .filter(F.size("toks") > 0)
-        .repartition("doc_id")
-    )
-    # Boundary flags computed ARRAY-SIDE (the bigram-surprisal pattern):
-    # one struct per token with its 0-based pos and cut-after flag.
-    gram_hash = lambda i: F.pmod(  # noqa: E731
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.element_at("toks", i - 2),
-                        F.element_at("toks", i - 1),
-                        F.element_at("toks", i),
-                    )
+    base = d.select("doc_id", toks_arr.alias("toks")).filter(F.size("toks") > 0)
+    toks = F.col("toks")
+    n = F.size(toks)
+
+    def gram_hash(i):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(toks, i - 2),
+                            F.element_at(toks, i - 1),
+                            F.element_at(toks, i),
+                        )
+                    ),
+                    1,
+                    15,
                 ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(CDC_MOD),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(CDC_MOD),
+        )
+
+    cuts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            (i >= CDC_K) & (i < n), gram_hash(i) == 0
+        ).otherwise(F.lit(False)),
     )
-    flags = F.transform(
-        F.sequence(F.lit(1), F.size("toks")),
-        lambda i: F.struct(
-            (i - 1).cast("long").alias("pos"),
-            F.element_at("toks", i).alias("tok"),
-            F.when(i >= CDC_K, (gram_hash(i) == 0).cast("long"))
-            .otherwise(F.lit(0))
-            .alias("bnd"),
+    with_cuts = base.select("doc_id", "toks", cuts.alias("cuts"))
+    kmax = F.size("cuts") + 1
+    spans = F.transform(
+        F.sequence(F.lit(1), kmax),
+        lambda k: F.struct(
+            F.when(k == 1, F.lit(1))
+            .otherwise(F.element_at("cuts", k - 1) + 1)
+            .alias("s"),
+            F.when(k == kmax, n).otherwise(F.element_at("cuts", k)).alias("e"),
         ),
     )
-    x = base.select("doc_id", F.explode(flags).alias("g")).select(
-        "doc_id", "g.pos", "g.tok", "g.bnd"
+    exploded = with_cuts.select(
+        "doc_id", "toks", F.posexplode(spans).alias("k", "span")
     )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    assigned = x.withColumn(
-        "chunk_id", F.coalesce(F.sum("bnd").over(w), F.lit(0)).cast("long")
-    )
-    return assigned.groupBy("doc_id", "chunk_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.min("pos").alias("start_pos"),
-        F.max("pos").alias("end_pos"),
+    return exploded.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        (F.col("span.e") - F.col("span.s") + 1).cast("long").alias("n_tokens"),
+        (F.col("span.s") - 1).cast("long").alias("start_pos"),
+        (F.col("span.e") - 1).cast("long").alias("end_pos"),
         F.md5(
             F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
+                F.slice(toks, F.col("span.s"), F.col("span.e") - F.col("span.s") + 1),
                 " ",
             )
         ).alias("chunk_fingerprint"),
