@@ -27,7 +27,16 @@ def _ranked(
     df: DataFrame, order_by: list[Column], rank_col: str, num_partitions: int | None
 ) -> tuple[DataFrame, int]:
     """Rank + total row count in two jobs over one persisted sort pass."""
+    from .dedup import _local_checkpoint_stats_clean
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Checkpoint the INPUT first (r13 opt): the range partitioner's
+    # sampling pass is a separate job over the child plan, so an
+    # unmaterialized input executes its whole upstream pipeline TWICE
+    # (sample + shuffle map). Ranked inputs here are narrow (keys + a few
+    # measures), so caching one copy is far cheaper than re-running a
+    # scoring/aggregation pipeline (opt guide §1.2: don't compute twice).
+    df = _local_checkpoint_stats_clean(df, eager=False)
     # Materialize the arranged data: the range partitioner SAMPLES, so the
     # counts pass and the output must see the same partition boundaries —
     # a recompute could re-sample and mis-rank. localCheckpoint (not
