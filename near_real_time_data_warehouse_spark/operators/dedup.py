@@ -243,7 +243,12 @@ def _signature_table_from_docs(d: DataFrame) -> DataFrame:
     groupBy(collect_list), no corpus sort. Signatures are bit-identical
     to the exploded path (same hash set, min is order-insensitive);
     measured 2× faster at 50× and removes the one sort in the band
-    chain that could spill at larger corpora.
+    chain that could spill at larger corpora."""
+    return _signature_table_from_arrays(_shingle_arrays(d))
+
+
+def _signature_table_from_arrays(arrs: DataFrame) -> DataFrame:
+    """(doc_id, sig) from a (doc_id, arr, n) distinct-shingle-array frame.
 
     The hash-array projection is CHECKPOINTED before the shingle-bearing
     filter: pushing ``n > 0`` below the projection substitutes the array
@@ -251,7 +256,7 @@ def _signature_table_from_docs(d: DataFrame) -> DataFrame:
     lambdas — every element_at then re-runs the split chain (the
     _shingles docstring pathology; measured >60× at 50×). Filtering the
     MATERIALIZED column costs nothing."""
-    raw = _shingle_arrays(d).select(
+    raw = arrs.select(
         "doc_id",
         "n",
         F.transform(
@@ -280,6 +285,17 @@ def _band_signatures_from_docs(d: DataFrame) -> DataFrame:
     measured as a ~30× md5 recompute at 50×. The cut costs one
     materialization, no shuffle, no sort."""
     sig = _local_checkpoint_stats_clean(_signature_table_from_docs(d), eager=False)
+    return _bands_from_sig(sig)
+
+
+def _band_signatures_from_arrays(arrs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) from a (doc_id, arr, n) shingle-array
+    frame — for callers that already materialized the arrays and feed
+    them to several consumers (the streaming dedup fold derives both its
+    exploded shingle store and its band table from ONE tokenize pass)."""
+    sig = _local_checkpoint_stats_clean(
+        _signature_table_from_arrays(arrs), eager=False
+    )
     return _bands_from_sig(sig)
 
 

@@ -92,6 +92,20 @@ def get_spark(app_name: str = "nrtdw_spark", shuffle_partitions: int | None = No
         # no query mutates shared session state mid-run — operators only
         # re-assert it for foreign sessions (e.g. the driver's).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ContextCleaner frees localCheckpoint blocks, broadcasts, and
+        # shuffle files only when the driver JVM actually GCs the Python-
+        # dropped references; a 16 GB heap running hundreds of small
+        # queries can go the whole session without a collection, so
+        # cleaner-tracked state accumulates (measured: late-session
+        # entries 2× their isolated cost before the r13 broadcast memo).
+        # The periodic GC (default 30min — longer than a full bench) is
+        # the standard long-lived-driver hygiene knob; 2min keeps the
+        # session young at negligible CPU cost, on a cluster the same
+        # value applies.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

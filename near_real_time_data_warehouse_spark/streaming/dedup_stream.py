@@ -27,9 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    _band_signatures_from_docs,
+    _band_signatures_from_arrays,
     _jaccard_pairs,
-    _shingles,
+    _shingle_arrays,
     connected_components,
     merge_components_with_edges,
 )
@@ -81,13 +81,18 @@ def merge_dedup_batch(
     bands_dir = f"{state_dir}/bands"
     labels_dir = f"{state_dir}/labels"
 
-    batch = batch.select("doc_id", "text").localCheckpoint(eager=True)
-    batch_sh = _shingles(batch).localCheckpoint(eager=True)
-    # Zero-shuffle band build straight from the batch docs — bit-identical
-    # signatures to the exploded path (min over the same hash set) without
-    # its groupBy(collect_list) exchange; the batch kernel switched in r9,
-    # the fold inherits it here (opt guide §2.4).
-    batch_bands = _band_signatures_from_docs(batch).localCheckpoint(eager=True)
+    # ONE tokenize pass: the per-doc distinct shingle ARRAYS are the
+    # single materialized base; the exploded shingle store, the batch id
+    # list, and the band table are all cheap derivations of the cached
+    # arrays (previously the batch was tokenized twice and checkpointed
+    # three times — opt guide §1.2). Band signatures are bit-identical to
+    # the exploded path (min over the same hash set, zero-shuffle).
+    arrs = _shingle_arrays(batch.select("doc_id", "text")).localCheckpoint(
+        eager=True
+    )
+    batch_ids = arrs.select("doc_id").distinct()
+    batch_sh = arrs.select("doc_id", F.explode("arr").alias("shingle"))
+    batch_bands = _band_signatures_from_arrays(arrs).localCheckpoint(eager=True)
 
     if not path_exists(spark, labels_dir):
         # first batch: the state IS the batch
@@ -106,7 +111,7 @@ def merge_dedup_batch(
         edges = pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        labels = connected_components(batch.select("doc_id"), edges)
+        labels = connected_components(batch_ids, edges)
         _overwrite_epoch(spark, batch_sh, sh_dir, epoch_id)
         _overwrite_epoch(spark, batch_bands, bands_dir, epoch_id)
         labels.write.mode("overwrite").parquet(labels_dir)
@@ -119,11 +124,11 @@ def merge_dedup_batch(
     # epoch replay: this epoch's rows may already be in the state —
     # exclude them from the "corpus" side so the union below is exact
     all_bands = (
-        state_bands.join(batch_bands.select("doc_id").distinct(), "doc_id", "left_anti")
+        state_bands.join(batch_ids, "doc_id", "left_anti")
         .unionByName(batch_bands)
     )
     all_sh = (
-        state_sh.join(batch_sh.select("doc_id").distinct(), "doc_id", "left_anti")
+        state_sh.join(batch_ids, "doc_id", "left_anti")
         .unionByName(batch_sh)
     )
     cand = (
@@ -143,8 +148,8 @@ def merge_dedup_batch(
     new_pairs = _jaccard_pairs(all_sh, cand).localCheckpoint(eager=True)
     current = (
         stored.select("doc_id", F.col("component").alias("label"))
-        .join(batch.select("doc_id").distinct(), "doc_id", "left_anti")
-        .unionByName(batch.select("doc_id", F.col("doc_id").alias("label")))
+        .join(batch_ids, "doc_id", "left_anti")
+        .unionByName(batch_ids.select("doc_id", F.col("doc_id").alias("label")))
     )
     labels = merge_components_with_edges(current, new_pairs).localCheckpoint(eager=True)
     _overwrite_epoch(spark, batch_sh, sh_dir, epoch_id)
