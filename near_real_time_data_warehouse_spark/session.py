@@ -92,21 +92,33 @@ def get_spark(app_name: str = "nrtdw_spark", shuffle_partitions: int | None = No
         # no query mutates shared session state mid-run — operators only
         # re-assert it for foreign sessions (e.g. the driver's).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # ContextCleaner frees localCheckpoint blocks, broadcasts, and
-        # shuffle files only when the driver JVM actually GCs the Python-
-        # dropped references; a 16 GB heap running hundreds of small
-        # queries can go the whole session without a collection, so
-        # cleaner-tracked state accumulates (measured: late-session
-        # entries 2× their isolated cost before the r13 broadcast memo).
-        # The periodic GC (default 30min — longer than a full bench) is
-        # the standard long-lived-driver hygiene knob; 2min keeps the
-        # session young at negligible CPU cost, on a cluster the same
-        # value applies.
+        # ContextCleaner hygiene for long sessions relies on the JVM's
+        # periodic GC (spark.cleaner.periodicGC.interval, default 30min).
+        # A 2min override was A/B-tested in r13 and REJECTED: the forced
+        # full collection pauses the 16 GB driver 2-5 s, and whichever
+        # entries it lands on inflate past what best-of-2 can hide
+        # (stream_pca_fold 4.4 → 13.8 s min-of-2). The late-session
+        # broadcast accumulation that motivated it was fixed at the
+        # source instead (similarity._query_block: one broadcast per
+        # session). Override available for multi-hour deployments:
         .config(
             "spark.cleaner.periodicGC.interval",
-            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30min"),
         )
     )
+    # Shuffle/spill scratch on the fastest local storage available —
+    # the standard cluster practice (local NVMe), here the RAM-backed
+    # tmpfs: bench totals swung ±2-4 s run-to-run on exactly the
+    # state-I/O-heavy entries while the CPU calibration stayed flat,
+    # i.e. /tmp's backing disk is the noisy resource. Periodic GC (above)
+    # keeps the ContextCleaner deleting finished shuffle files, so
+    # occupancy stays a few hundred MB. Env-overridable; on hosts
+    # without /dev/shm Spark's default local dir applies.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
+        "/dev/shm/nrtdw_spark_local" if os.path.isdir("/dev/shm") else ""
+    )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
