@@ -74,9 +74,11 @@ def merge_containment_batch(
         state_sh = state_sh.join(
             batch_sh.select("doc_id").distinct(), "doc_id", "left_anti"
         )
+        all_sh = state_sh.unionByName(batch_sh).localCheckpoint(eager=True)
     else:
-        state_sh = batch_sh.limit(0)
-    all_sh = state_sh.unionByName(batch_sh).localCheckpoint(eager=True)
+        # cold start: the union IS the (already checkpointed) batch —
+        # a second checkpoint would just copy it (opt guide §1.2)
+        all_sh = batch_sh
 
     df_ = all_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = df_.filter(
