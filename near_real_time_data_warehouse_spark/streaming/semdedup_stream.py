@@ -91,9 +91,14 @@ def merge_semdedup_batch(
         _assign_carry_fn(ids, m), ASSIGN_CARRY_SCHEMA
     ).localCheckpoint(eager=True)
 
-    touched = [r["cluster_id"] for r in assigned.select("cluster_id").distinct().collect()]
     new_flagged = assigned.withColumn("is_new", F.lit(True))
     if path_exists(spark, mem_dir):
+        # the touched-cluster list is only needed to prune the standing
+        # member read — on cold start (no members yet) skip its collect
+        touched = [
+            r["cluster_id"]
+            for r in assigned.select("cluster_id").distinct().collect()
+        ]
         old = (
             spark.read.parquet(mem_dir)
             .filter(F.col("cluster_id").isin(touched) & (F.col("_epoch") != epoch_id))
