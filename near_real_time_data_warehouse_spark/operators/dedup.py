@@ -1417,6 +1417,83 @@ def _jaccard_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
+def _pair_overlap_counts(arrs: DataFrame, cand: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_a, n_b) for candidate pairs over a
+    per-doc distinct-shingle ARRAY frame (:func:`_shingle_arrays`' shape)
+    — the array twin of the exploded verification kernels
+    (:func:`_jaccard_pairs` / :func:`verified_containment`). Counts are
+    bit-identical: ``n`` is the per-doc distinct shingle count either
+    way, and ``size(array_intersect)`` over distinct arrays is exactly
+    the exploded path's per-pair match count. Cost discipline is the
+    same semi-filter-first contract (only candidate-touched docs'
+    arrays move), but the shingle-level explode → two shingle joins →
+    count groupBy → two size joins collapse to two doc-level joins plus
+    a map-side intersect — ~4 fewer exchanges per call, and the
+    shuffled rows carry one array per doc instead of one row per
+    (doc, shingle). Equivalence is pinned by
+    tests/test_dedup_guards.py::test_array_verification_kernels_match_exploded."""
+    touched = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    t = arrs.join(touched, "doc_id", "left_semi")
+    aa = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").cast("long").alias("n_a"),
+    )
+    bb = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").cast("long").alias("n_b"),
+    )
+    return (
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias("n_common"),
+            "n_a",
+            "n_b",
+        )
+    )
+
+
+def _jaccard_pairs_from_arrays(arrs: DataFrame, cand: DataFrame) -> DataFrame:
+    """True-Jaccard verification over a shingle-ARRAY frame — the array
+    twin of :func:`_jaccard_pairs`: the same threshold filter over the
+    same double division of the same integer counts, so the pair set is
+    bit-identical (a zero-intersection candidate, which the exploded
+    path drops at its inner join, scores jaccard 0 here and is dropped
+    by the same ≥-threshold filter)."""
+    c = _pair_overlap_counts(arrs, cand)
+    return (
+        c.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+
+def verified_containment_from_arrays(arrs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact containment verification over a shingle-ARRAY frame — the
+    array twin of :func:`verified_containment` (same ratio expressions
+    over the same integer counts → bit-identical link set; see
+    _pair_overlap_counts for the count-equivalence argument)."""
+    c = _pair_overlap_counts(arrs, cand)
+    return (
+        c.withColumn("containment_a", F.col("n_common") / F.col("n_a"))
+        .withColumn("containment_b", F.col("n_common") / F.col("n_b"))
+        .filter(
+            F.greatest("containment_a", "containment_b") >= CONTAINMENT_THRESHOLD
+        )
+    )
+
+
 def dedup_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of the near-dup graph STATE — the answer
     to "the nightly dedup_graph_build is the biggest bench line": instead

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import bm25_batch_tfdl, bm25_score_with_stats
-from .dedup_stream import _overwrite_epoch, _read_epoch
+from .dedup_stream import _overwrite_epoch, _read_epoch, _run_concurrent
 
 _SCORE_SCHEMA = (
     "query_id long, rank long, doc_id long, score_scaled long, "
@@ -75,20 +75,26 @@ def merge_bm25_batch(
         )
         scores = _read_epoch(spark, scores_dir, epoch_id, _SCORE_SCHEMA)
     # fold the batch's own statistics in (df is additive across epochs —
-    # document sets are disjoint; totals are plain sums)
-    _overwrite_epoch(
-        spark,
-        tfdl.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
-        df_dir,
-        epoch_id,
-    )
-    _overwrite_epoch(
-        spark,
-        batch.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-            tfdl.agg(F.sum("tf").alias("t_tokens"))
+    # document sets are disjoint; totals are plain sums). The two folds
+    # write DIFFERENT state dirs and read only the checkpointed tfdl —
+    # independent jobs, submitted concurrently (§2.6); the scores write
+    # above stays sequential because it READS these dirs' standing
+    # partitions.
+    _run_concurrent(
+        lambda: _overwrite_epoch(
+            spark,
+            tfdl.groupBy("term").agg(F.count(F.lit(1)).alias("df")),
+            df_dir,
+            epoch_id,
         ),
-        tot_dir,
-        epoch_id,
+        lambda: _overwrite_epoch(
+            spark,
+            batch.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+                tfdl.agg(F.sum("tf").alias("t_tokens"))
+            ),
+            tot_dir,
+            epoch_id,
+        ),
     )
     return scores
 

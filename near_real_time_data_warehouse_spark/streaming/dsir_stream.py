@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import dsir_fx, dsir_score_with_stats
-from .dedup_stream import _overwrite_epoch, _read_epoch
+from .dedup_stream import _overwrite_epoch, _read_epoch, _run_concurrent
 
 _SCORE_SCHEMA = "doc_id long, n_features long, score_bits long"
 
@@ -83,17 +83,23 @@ def merge_dsir_batch(
     # the just-written epoch partition (opt guide §1.2).
     _overwrite_epoch(spark, scores, scores_dir, epoch_id)
     scores = _read_epoch(spark, scores_dir, epoch_id, _SCORE_SCHEMA)
-    _overwrite_epoch(
-        spark,
-        fx.groupBy("bucket", "lang").agg(F.count(F.lit(1)).alias("c")),
-        stats_dir,
-        epoch_id,
-    )
-    _overwrite_epoch(
-        spark,
-        batch.groupBy("lang").agg(F.count(F.lit(1)).alias("n")),
-        langs_dir,
-        epoch_id,
+    # the two statistics folds write DIFFERENT state dirs and read only
+    # the checkpointed fx/batch — independent jobs, submitted
+    # concurrently (§2.6); the scores write above stays sequential
+    # because it READS these dirs' standing partitions.
+    _run_concurrent(
+        lambda: _overwrite_epoch(
+            spark,
+            fx.groupBy("bucket", "lang").agg(F.count(F.lit(1)).alias("c")),
+            stats_dir,
+            epoch_id,
+        ),
+        lambda: _overwrite_epoch(
+            spark,
+            batch.groupBy("lang").agg(F.count(F.lit(1)).alias("n")),
+            langs_dir,
+            epoch_id,
+        ),
     )
     return scores
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import _assign_lists, _train_centroids_on_sample
-from .dedup_stream import _overwrite_epoch
+from .dedup_stream import _overwrite_epoch, _run_concurrent
 
 
 def _save_centroids(spark: SparkSession, cmat: np.ndarray, path: str) -> None:
@@ -71,10 +71,16 @@ def merge_ivf_batch(
     batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
     if not path_exists(spark, cent_dir):
         cmat = _train_centroids_on_sample(batch)
-        _save_centroids(spark, cmat, cent_dir)
-    else:
-        cmat = _load_centroids(spark, cent_dir)
+        # the centroid write and the assignment write are independent
+        # jobs once cmat is on the driver — submit concurrently (§2.6)
+        assigned = _assign_lists(spark, batch, cmat)
+        _run_concurrent(
+            lambda: _save_centroids(spark, cmat, cent_dir),
+            lambda: _overwrite_epoch(spark, assigned, assign_dir, epoch_id),
+        )
+        return
 
+    cmat = _load_centroids(spark, cent_dir)
     assigned = _assign_lists(spark, batch, cmat)
     _overwrite_epoch(spark, assigned, assign_dir, epoch_id)
 

@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.clustering import _assign_frame, _train_state_on
-from .dedup_stream import _overwrite_epoch
+from .dedup_stream import _overwrite_epoch, _run_concurrent
 
 
 def _save_state(
@@ -74,10 +74,16 @@ def merge_kmeans_batch(
     batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
     if not path_exists(spark, cent_dir):
         ids, m = _train_state_on(batch)
-        _save_state(spark, ids, m, cent_dir)
-    else:
-        ids, m = _load_state(spark, cent_dir)
+        # the centroid-state write and the assignment write are
+        # independent jobs once (ids, m) is on the driver (§2.6)
+        assigned = _assign_frame(batch, ids, m)
+        _run_concurrent(
+            lambda: _save_state(spark, ids, m, cent_dir),
+            lambda: _overwrite_epoch(spark, assigned, assign_dir, epoch_id),
+        )
+        return
 
+    ids, m = _load_state(spark, cent_dir)
     assigned = _assign_frame(batch, ids, m)
     _overwrite_epoch(spark, assigned, assign_dir, epoch_id)
 

@@ -35,7 +35,7 @@ from ..operators.similarity import (
     _pca_eigvec_ints,
     _quantized,
 )
-from .dedup_stream import _overwrite_epoch, _read_epoch
+from .dedup_stream import _overwrite_epoch, _read_epoch, _run_concurrent
 
 _SCORE_SCHEMA = "vec_id long, label long, proj_num long, proj double"
 
@@ -105,18 +105,6 @@ def merge_pca_batch(
     # scores' lineage reads only the locally-checkpointed batch; write
     # directly and return a scan of the just-written epoch partition
     # (one materialization instead of checkpoint + write, opt guide §1.2).
-    _overwrite_epoch(
-        spark,
-        q.withColumn("v", F.array([F.lit(x).cast("long") for x in v])).select(
-            "vec_id",
-            F.col("label").cast("long").alias("label"),
-            proj_num.alias("proj_num"),
-            (proj_num.cast("double") / F.lit(den)).alias("proj"),
-        ),
-        scores_dir,
-        epoch_id,
-    )
-    scores = _read_epoch(spark, scores_dir, epoch_id, _SCORE_SCHEMA)
     gram_batch = spark.createDataFrame(
         [
             (r["i"], r["j"], r["n"], r["sum_i"], r["sum_j"], r["sum_prod"])
@@ -124,8 +112,24 @@ def merge_pca_batch(
         ],
         "i int, j int, n long, sum_i long, sum_j long, sum_prod long",
     )
-    _overwrite_epoch(spark, gram_batch, gram_dir, epoch_id)
-    return scores
+    # the projection write reads only the checkpointed batch + driver
+    # state, the Gram write only the driver-side partial rows — two
+    # independent jobs on different dirs, submitted concurrently (§2.6)
+    _run_concurrent(
+        lambda: _overwrite_epoch(
+            spark,
+            q.withColumn("v", F.array([F.lit(x).cast("long") for x in v])).select(
+                "vec_id",
+                F.col("label").cast("long").alias("label"),
+                proj_num.alias("proj_num"),
+                (proj_num.cast("double") / F.lit(den)).alias("proj"),
+            ),
+            scores_dir,
+            epoch_id,
+        ),
+        lambda: _overwrite_epoch(spark, gram_batch, gram_dir, epoch_id),
+    )
+    return _read_epoch(spark, scores_dir, epoch_id, _SCORE_SCHEMA)
 
 
 def read_pca_scores(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup_stream import _overwrite_epoch
+from .dedup_stream import _overwrite_epoch, _run_concurrent
 
 _PRED_RULES = (
     "l_quantity_between_1_50",
@@ -99,14 +99,24 @@ def merge_quality_batch(
     rows + per-epoch PK key counts, both landed with epoch overwrite."""
     if batch.isEmpty():
         return
-    batch = batch.localCheckpoint(eager=True)
-    _overwrite_epoch(
-        spark, _batch_rule_rows(batch, orders), f"{state_dir}/rules", epoch_id
-    )
+    # Project to the five rule-bearing columns BEFORE materializing (opt
+    # guide §2.3 — the checkpoint was carrying every lineitem column);
+    # the rule scan, the FK anti join, and the PK key counts read only
+    # these.
+    batch = batch.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_shipdate"
+    ).localCheckpoint(eager=True)
     keys = batch.groupBy("l_orderkey", "l_linenumber").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    _overwrite_epoch(spark, keys, f"{state_dir}/keys", epoch_id)
+    # both state writes read only the checkpointed batch (+ the static
+    # parent) — independent jobs, submitted concurrently (§2.6)
+    _run_concurrent(
+        lambda: _overwrite_epoch(
+            spark, _batch_rule_rows(batch, orders), f"{state_dir}/rules", epoch_id
+        ),
+        lambda: _overwrite_epoch(spark, keys, f"{state_dir}/keys", epoch_id),
+    )
 
 
 def read_quality_state(

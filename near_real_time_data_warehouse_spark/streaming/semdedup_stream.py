@@ -43,7 +43,7 @@ from ..operators.clustering import (
     _train_state_on,
 )
 from ..operators.similarity import _quant_np
-from .dedup_stream import _overwrite_epoch
+from .dedup_stream import _overwrite_epoch, _run_concurrent
 from .kmeans_stream import _load_state, _save_state
 
 _PAIR_SCHEMA = "vec_a long, vec_b long, cluster_id long, cosine double"
@@ -53,15 +53,15 @@ def _overwrite_cluster_epoch(
     spark: SparkSession, df: DataFrame, out_dir: str, epoch_id: int
 ) -> None:
     """Dynamic overwrite partitioned (cluster_id, _epoch): cluster-first
-    for pruning, epoch-second for exactly-once replay."""
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.withColumn("_epoch", F.lit(epoch_id)).write.mode("overwrite").partitionBy(
-            "cluster_id", "_epoch"
-        ).parquet(out_dir)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for pruning, epoch-second for exactly-once replay. Per-write option,
+    not a session-conf toggle — see dedup_stream._overwrite_epoch."""
+    (
+        df.withColumn("_epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster_id", "_epoch")
+        .parquet(out_dir)
+    )
 
 
 def merge_semdedup_batch(
@@ -81,9 +81,9 @@ def merge_semdedup_batch(
     pair_dir = f"{state_dir}/pairs"
 
     batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
-    if not path_exists(spark, cent_dir):
+    cold_start = not path_exists(spark, cent_dir)
+    if cold_start:
         ids, m = _train_state_on(batch)
-        _save_state(spark, ids, m, cent_dir)
     else:
         ids, m = _load_state(spark, cent_dir)
 
@@ -232,8 +232,22 @@ def merge_semdedup_batch(
         pairs = exploded.groupBy("cluster_id", "bi", "bj").applyInPandas(
             per_block, _PAIR_SCHEMA
         )
-    _overwrite_epoch(spark, pairs, pair_dir, epoch_id)
-    _overwrite_cluster_epoch(spark, assigned, mem_dir, epoch_id)
+    if cold_start:
+        # no standing members yet: the pair pass reads only the assigned
+        # checkpoint, so the centroid-state write, the pair write, and
+        # the member write are three independent jobs (§2.6)
+        _run_concurrent(
+            lambda: _save_state(spark, ids, m, cent_dir),
+            lambda: _overwrite_epoch(spark, pairs, pair_dir, epoch_id),
+            lambda: _overwrite_cluster_epoch(spark, assigned, mem_dir, epoch_id),
+        )
+    else:
+        # warm path stays sequential: the pair pass READS mem_dir (the
+        # standing members) while the member write REWRITES this epoch's
+        # partitions of the same store — overlapping them would race the
+        # reader's file listing against the writer's partition commit
+        _overwrite_epoch(spark, pairs, pair_dir, epoch_id)
+        _overwrite_cluster_epoch(spark, assigned, mem_dir, epoch_id)
 
 
 def read_semdedup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:

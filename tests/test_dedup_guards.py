@@ -587,3 +587,69 @@ def test_bloom_screen_one_sided_error_law(spark):
     for r in mini:
         if r["exact_seen"]:
             assert r["bloom_hit"]
+
+
+def test_array_verification_kernels_match_exploded(spark):
+    """The r14 fused array-verification kernels (the streaming folds'
+    verify tail) must produce bit-identical pair/link sets to the
+    exploded batch kernels they twin — over REAL fixture candidates
+    (band collisions and rare-shingle collisions at sf0.001), plus a
+    planted zero-overlap candidate, which the exploded path drops at its
+    inner join and the array path must drop at the threshold filter."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    docs = dd._docs(spark, sf).select("doc_id", "text")
+    arrs = dd._shingle_arrays(docs).localCheckpoint()
+    sh = arrs.select("doc_id", F.explode("arr").alias("shingle")).localCheckpoint()
+
+    # LSH band collisions — the dedup fold's candidate shape
+    bands = dd._band_signatures_from_arrays(arrs)
+    cand = dd._band_candidates(bands).localCheckpoint()
+    assert cand.count() > 0
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dd._jaccard_pairs_from_arrays(arrs, cand).collect()
+    }
+    want = {(r.doc_a, r.doc_b) for r in dd._jaccard_pairs(sh, cand).collect()}
+    assert got == want and want
+
+    # rare-shingle collisions — the containment fold's candidate shape,
+    # plus one planted pair with zero shingle overlap
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = df_.filter(
+        (F.col("df") >= dd.RARE_DF_MIN) & (F.col("df") <= dd.RARE_DF_MAX)
+    ).select("shingle")
+    posting = sh.join(rare, "shingle", "left_semi")
+    ccand = (
+        posting.alias("a")
+        .join(
+            posting.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ids = sorted(r.doc_id for r in arrs.filter(F.col("n") > 0).select("doc_id").collect())
+    no_overlap = next(
+        (a, b)
+        for a in ids[:5]
+        for b in ids[-5:]
+        if a < b
+    )
+    ccand = ccand.unionByName(
+        spark.createDataFrame([no_overlap], "doc_a long, doc_b long")
+    ).distinct().localCheckpoint()
+    cols = ("doc_a", "doc_b", "n_common", "n_a", "n_b", "containment_a", "containment_b")
+    got_l = {
+        tuple(r[c] for c in cols)
+        for r in dd.verified_containment_from_arrays(arrs, ccand).collect()
+    }
+    want_l = {
+        tuple(r[c] for c in cols)
+        for r in dd.verified_containment(sh, ccand).collect()
+    }
+    assert got_l == want_l and want_l
