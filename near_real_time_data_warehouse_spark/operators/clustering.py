@@ -124,19 +124,72 @@ def _partial_sums(e: DataFrame, ids: np.ndarray, m: np.ndarray) -> DataFrame:
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Pre-reduce across the task's WHOLE iterator, not per Arrow
+        # batch (ADVICE r13): integer partials are associative, so
+        # accumulating here is bit-identical — and it makes "one partial
+        # set per task" exact, which both caps the rows the adaptive
+        # driver merge collects (K × tasks, no Arrow-batch multiplier)
+        # and shrinks the distributed groupBy's shuffle at scale.
+        s = np.zeros((k, EMB_DIM), dtype=np.int64)
+        n = np.zeros(k, dtype=np.int64)
+        seen = False
         for pdf in it:
             if pdf.empty:
                 continue
+            seen = True
             x = _quant_np(pdf["embedding"])
             near = np.argmin(_dist_matrix(x, m), axis=1)  # ties -> lowest id
-            s = np.zeros((k, EMB_DIM), dtype=np.int64)
             np.add.at(s, near, x)
-            n = np.bincount(near, minlength=k).astype(np.int64)
+            n += np.bincount(near, minlength=k).astype(np.int64)
+        if seen:
             keep = n > 0
             out = np.column_stack([ids[keep], n[keep], s[keep]])
             yield pd.DataFrame(out, columns=cols)
 
     return e.mapInPandas(batches, schema)
+
+
+# Above this many rows the trainer runs its distributed Lloyd rounds;
+# at or below it, ONE bounded collect (≤ ~35 MB quantized) replaces
+# init + KMEANS_ROUNDS actions with the identical numpy arithmetic on
+# the driver — the CC_COLLECT_CAP pattern applied to training. Each
+# distributed round costs a full job round-trip (mapInPandas + reduce +
+# AQE replan) regardless of data size, which dominates micro-batch
+# training; a 100 TB corpus exceeds the cap and trains distributed.
+# Tests pin driver ≡ distributed by forcing the cap to 0.
+DRIVER_LLOYD_CAP = 65536
+
+
+def _train_state_driver(pdf: "pd.DataFrame") -> tuple[np.ndarray, np.ndarray]:
+    """The full training loop on a collected (vec_id, embedding) frame —
+    bit-identical to the distributed path: same _quant_np quantization
+    (the executor kernel's), seed selection replicating _init_state_on's
+    ORDER BY md5(cast(vec_id AS string)), vec_id LIMIT k (md5 hex sorts
+    the same lexicographically in Spark and Python), and per-round exact
+    int64 sums / _round_half_away means (order-insensitive integers, so
+    any partitioning — including "all on the driver" — lands on the same
+    state)."""
+    import hashlib
+
+    n = len(pdf)
+    vids = pdf["vec_id"].to_numpy(np.int64)
+    x = _quant_np(pdf["embedding"])
+    k = _k_clusters(n)
+    order = sorted(
+        range(n),
+        key=lambda i: (hashlib.md5(str(int(vids[i])).encode()).hexdigest(), int(vids[i])),
+    )
+    m: np.ndarray = x[order[:k]]
+    ids = np.arange(len(m), dtype=np.int64)
+    for _ in range(KMEANS_ROUNDS):
+        near = np.argmin(_dist_matrix(x, m), axis=1)  # ties -> lowest id
+        s = np.zeros((len(ids), EMB_DIM), dtype=np.int64)
+        np.add.at(s, near, x)
+        cnt = np.bincount(near, minlength=len(ids)).astype(np.int64)
+        keep = cnt > 0
+        ids = ids[keep]
+        m = _round_half_away(s[keep].astype(np.float64) / cnt[keep][:, None].astype(np.float64))
+    return ids, m
 
 
 def _train_state_on(e: DataFrame) -> tuple[np.ndarray, np.ndarray]:
@@ -151,10 +204,17 @@ def _train_state_on(e: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     SFs), so the round loop ran 32 near-empty Arrow kernels per round.
     Coalesce to ~bytes_per_task-sized tasks first (a narrow op, no
     shuffle): test-SF batches collapse to one task per round while a
-    100 TB corpus still fans out to thousands."""
+    100 TB corpus still fans out to thousands.
+
+    Small inputs (micro-batches, test SFs) take the bounded driver fast
+    path: one limit-probed collect instead of count + init + one action
+    per round — see DRIVER_LLOYD_CAP."""
     from ..profile import knee_profile
 
     e = e.select("vec_id", "embedding")
+    head = e.limit(DRIVER_LLOYD_CAP + 1).toPandas()
+    if len(head) <= DRIVER_LLOYD_CAP:
+        return _train_state_driver(head)
     n = e.count()
     # ~8 B per int64 dim + id, doubled for Arrow/pandas copies.
     rows_per_task = max(1, knee_profile().bytes_per_task // (16 * (EMB_DIM + 1)))
@@ -164,14 +224,15 @@ def _train_state_on(e: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     for _ in range(KMEANS_ROUNDS):
         partials = _partial_sums(e, ids, m)
         # Adaptive reduction level (opt guide §2.4 — remove the exchange
-        # outright when it buys nothing): the kernel emits ≤ K partial
-        # rows per Arrow batch, so with few tasks the whole partial set
-        # is a bounded driver merge — one stage per round instead of
-        # map + exchange + AQE replan + reduce. Past the cap (real
-        # corpora) the distributed groupBy does the reduction exactly as
-        # before. Integer sums are associative, so both levels produce
-        # bit-identical state.
-        if len(ids) * n_tasks * 2 <= 4096:
+        # outright when it buys nothing): the kernel pre-reduces its
+        # whole task iterator, so it emits ≤ K partial rows PER TASK
+        # (exact — ADVICE r13's Arrow-batch multiplier is gone), and
+        # with few tasks the whole partial set is a bounded driver
+        # merge — one stage per round instead of map + exchange + AQE
+        # replan + reduce. Past the cap (real corpora) the distributed
+        # groupBy does the reduction exactly as before. Integer sums are
+        # associative, so both levels produce bit-identical state.
+        if len(ids) * n_tasks <= 4096:
             merged: dict[int, tuple] = {}
             for r in partials.collect():
                 cid = r["cluster_id"]

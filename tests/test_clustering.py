@@ -303,3 +303,22 @@ def test_semdedup_sharded_path_equals_fast_path(spark, monkeypatch):
         for r in C.semdedup_pairs_on(e, ids, m).collect()
     }
     assert fast and sharded == fast
+
+
+def test_driver_lloyd_fast_path_matches_distributed(spark, monkeypatch):
+    """The r14 bounded driver trainer must land on the exact same
+    (ids, centroids) state as the distributed Lloyd rounds — forced by
+    pinning DRIVER_LLOYD_CAP to 0 (distributed) and re-running with the
+    default cap (driver) on the same fixture."""
+    import numpy as np
+
+    from near_real_time_data_warehouse_spark.operators import clustering as C
+    from near_real_time_data_warehouse_spark.operators.similarity import _emb
+
+    e = _emb(spark, "/root/testdata/sf0.001").select("vec_id", "embedding")
+    ids_d, m_d = C._train_state_on(e)  # driver path (fixture << cap)
+    monkeypatch.setattr(C, "DRIVER_LLOYD_CAP", 0)
+    ids_x, m_x = C._train_state_on(e)  # distributed path
+    assert np.array_equal(ids_d, ids_x)
+    assert np.array_equal(m_d, m_x)
+    assert m_d.dtype == m_x.dtype
