@@ -24,6 +24,7 @@ exactly.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2138,6 +2139,65 @@ def _pr_round(
     )
 
 
+# PageRank twin of CC_COLLECT_CAP: an edge list at or under the cap is
+# resolved by PR_ITERATIONS exact-integer numpy rounds on the driver —
+# one bounded take + one endpoint-sized membership collect instead of
+# (deg build + PR_ITERATIONS × (join + grouped sum + checkpoint)). The
+# near-dup pair graph is orders of magnitude smaller than the corpus
+# (the same operating assumption the CC driver path already makes);
+# past the cap the distributed loop below runs with identical
+# semantics. Tests pin driver ≡ distributed by forcing the cap to 0.
+PR_COLLECT_CAP = CC_COLLECT_CAP
+
+
+def _pagerank_driver(
+    spark: SparkSession, vertices: DataFrame, pair_rows: list
+) -> DataFrame:
+    """Exact-integer PageRank on a collected pair list — replicates the
+    distributed loop bit-for-bit: undirected degree counts EVERY edge
+    row (multiplicity preserved — pairs are fed as-is, exactly like the
+    distributed union), ranks exist only for vertices-∩-endpoints, each
+    round is floor(rank/deg) pushed both ways, summed at dst, damped
+    with the same integer expression. Passive (edge-free) vertices
+    rejoin lazily with the closed-form PR_BASE."""
+    src = np.fromiter((r[0] for r in pair_rows), dtype=np.int64, count=len(pair_rows))
+    dst = np.fromiter((r[1] for r in pair_rows), dtype=np.int64, count=len(pair_rows))
+    ids = np.unique(np.concatenate([src, dst]))
+    endpoints_df = spark.createDataFrame(
+        [(int(v),) for v in ids], "doc_id long"
+    )
+    active_rows = vertices.join(endpoints_df, "doc_id", "left_semi").collect()
+    active = np.fromiter(
+        (r["doc_id"] for r in active_rows), dtype=np.int64, count=len(active_rows)
+    )
+    pos = {int(v): i for i, v in enumerate(ids)}
+    si = np.fromiter((pos[int(v)] for v in src), dtype=np.int64, count=len(src))
+    di = np.fromiter((pos[int(v)] for v in dst), dtype=np.int64, count=len(dst))
+    # both directions, exactly like the distributed union
+    si, di = np.concatenate([si, di]), np.concatenate([di, si])
+    deg = np.bincount(si, minlength=len(ids)).astype(np.int64)
+    is_active = np.zeros(len(ids), dtype=bool)
+    is_active[[pos[int(v)] for v in active]] = True
+    rank = np.where(is_active, np.int64(PR_SCALE), np.int64(0))
+    for _ in range(PR_ITERATIONS):
+        contrib = np.where(is_active[si], rank[si] // deg[si], np.int64(0))
+        inc = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(inc, di, contrib)
+        rank = np.where(
+            is_active, PR_BASE + (PR_DAMP_NUM * inc) // 100, np.int64(0)
+        )
+    out = [
+        (int(v), int(deg[pos[int(v)]]), int(rank[pos[int(v)]])) for v in active
+    ]
+    resolved = spark.createDataFrame(out, "doc_id long, degree long, rank long")
+    passive = vertices.join(endpoints_df, "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit(0).cast("long").alias("degree"),
+        F.lit(PR_BASE).cast("long").alias("rank"),
+    )
+    return resolved.unionByName(passive)
+
+
 def pagerank_stats(vertices: DataFrame, pairs: DataFrame) -> DataFrame:
     """The PageRank kernel over any canonically-oriented (doc_a < doc_b)
     edge table plus a vertex universe: classic damped PageRank,
@@ -2151,7 +2211,13 @@ def pagerank_stats(vertices: DataFrame, pairs: DataFrame) -> DataFrame:
     constant base PR_BASE — the (at 100 TB, overwhelming) singleton
     majority of the corpus bypasses every propagation shuffle and
     rejoins at the end with that closed form. Per-round cost ∝ edges,
-    not ∝ corpus."""
+    not ∝ corpus. Edge lists under PR_COLLECT_CAP resolve on the driver
+    (see _pagerank_driver)."""
+    taken = pairs.select("doc_a", "doc_b").take(PR_COLLECT_CAP + 1)
+    if len(taken) <= PR_COLLECT_CAP:
+        return _pagerank_driver(
+            pairs.sparkSession, vertices, [(r["doc_a"], r["doc_b"]) for r in taken]
+        )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

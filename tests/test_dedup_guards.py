@@ -653,3 +653,28 @@ def test_array_verification_kernels_match_exploded(spark):
         for r in dd.verified_containment(sh, ccand).collect()
     }
     assert got_l == want_l and want_l
+
+
+def test_pagerank_driver_path_matches_distributed(spark, monkeypatch):
+    """The r14 driver-resolved PageRank must be bit-equal to the
+    distributed loop — including multiplicity in the degree (pairs fed
+    as-is), endpoints outside the vertex universe (rankless but mass-
+    absorbing), and the passive closed form."""
+    from near_real_time_data_warehouse_spark.operators import dedup
+
+    # vertices 0..9; edges among 0..5 plus one edge touching 99 (an
+    # endpoint OUTSIDE the vertex universe) and one duplicated pair
+    raw = [(0, 1), (1, 2), (0, 2), (3, 4), (3, 4), (5, 99)]
+    pairs = spark.createDataFrame(raw, "doc_a long, doc_b long")
+    vertices = spark.range(10).withColumnRenamed("id", "doc_id")
+    got = {
+        (r.doc_id, r.degree, r.rank)
+        for r in dedup.pagerank_stats(vertices, pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "PR_COLLECT_CAP", 0)
+    want = {
+        (r.doc_id, r.degree, r.rank)
+        for r in dedup.pagerank_stats(vertices, pairs).collect()
+    }
+    assert got == want
+    assert len(got) == 10
