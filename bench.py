@@ -185,23 +185,31 @@ _PLANS_BASELINE = os.path.join(
 )
 
 
-def previous_plans() -> dict[str, str]:
-    """Plan hashes to diff against. Primary source: BENCH_PLANS.json, the
-    committed full-plans snapshot of the last complete local run — the
-    recorded BENCH_r*.json files keep only a ~2 KB stdout tail, so the
-    plans dict never survives into them (r10 finding: plan_changes was
-    computed against an always-empty baseline and silently omitted).
-    The recorded rounds are kept as a fallback should one ever carry
-    plans."""
+def previous_plans() -> tuple[dict[str, str], int | None]:
+    """(plan hashes to diff against, the core count they were captured
+    at). Primary source: BENCH_PLANS.json, the committed full-plans
+    snapshot of the last complete local run — the recorded BENCH_r*.json
+    files keep only a ~2 KB stdout tail, so the plans dict never
+    survives into them (r10 finding: plan_changes was computed against
+    an always-empty baseline and silently omitted). The recorded rounds
+    are kept as a fallback should one ever carry plans.
+
+    The core count matters (r14 finding): plans are partition-count
+    dependent, so an 8-core scaling run diffing against — or refreshing —
+    a 32-core baseline reports ~half the registry as spurious
+    plan_changes. Legacy flat-dict baselines read as cpus-unknown."""
     try:
         with open(_PLANS_BASELINE) as f:
             data = json.load(f)
         if isinstance(data, dict) and data:
-            return data
+            if "plans" in data and isinstance(data["plans"], dict):
+                return data["plans"], data.get("cpus")
+            return data, None
     except (OSError, json.JSONDecodeError):
         pass
     best: dict[str, str] = {}
     best_n = -1
+    best_cpus: int | None = None
     for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
@@ -214,22 +222,29 @@ def previous_plans() -> dict[str, str]:
         plans = data.get("plans") or (data.get("parsed") or {}).get("plans")
         if plans and int(m.group(1)) > best_n:
             best, best_n = plans, int(m.group(1))
-    return best
+            best_cpus = data.get("cpus")
+    return best, best_cpus
 
 
-def save_plans_baseline(plans: dict[str, str], full_run: bool) -> None:
+def save_plans_baseline(plans: dict[str, str], full_run: bool, cpus: int) -> None:
     """Persist the plans snapshot after a FULL-registry run (subset runs
     would shrink the baseline and mask changes in the untouched lines).
     Baselines are only comparable between FULL runs: entries that read
     memoized shared state (the star cache, the LSH pair table, brute
     ground truth) plan an InMemoryTableScan when an earlier line already
     materialized it and a FileScan otherwise, so a subset run diffs with
-    false positives on exactly those lines."""
+    false positives on exactly those lines. The core count is stored
+    alongside; the caller refuses cross-core refreshes."""
     if not full_run:
         return
     try:
         with open(_PLANS_BASELINE, "w") as f:
-            json.dump(dict(sorted(plans.items())), f, indent=0, sort_keys=True)
+            json.dump(
+                {"cpus": cpus, "plans": dict(sorted(plans.items()))},
+                f,
+                indent=0,
+                sort_keys=True,
+            )
             f.write("\n")
     except OSError:
         pass
@@ -310,16 +325,21 @@ def main() -> None:
     def _reset_ann():
         from near_real_time_data_warehouse_spark.operators import similarity
 
-        similarity._RESULT_MEMO.clear()
-        similarity._CENTROID_MEMO.clear()
-        similarity._EMB_COUNT_MEMO.clear()
-        similarity._QUERY_BLOCK_MEMO.clear()
+        # destroys the query-block broadcast before dropping the memos
+        # (ADVICE r13: a bare clear() stranded one broadcast per reset)
+        similarity.clear_ann_memos()
 
     def _ann_build(s, d):
         from concurrent.futures import ThreadPoolExecutor
 
         from near_real_time_data_warehouse_spark.operators import similarity
 
+        # Warm the memos EVERY build thread reads (corpus count, query
+        # block) on the main thread first: the memo dicts are plain
+        # check-then-set, so concurrent cold misses would compute
+        # duplicate jobs and leak the losing broadcast (ADVICE r13).
+        similarity._emb_count(s, d)
+        similarity._query_block(s, d)
         # The standing ANN state the entries share: brute truth, IVF
         # result, LSH bucketed corpus (r13 opt: now memoized like the
         # others), and the query-block broadcast. The builds are
@@ -382,9 +402,41 @@ def main() -> None:
         # minhash chain's memoized state, so it runs after it.
         dedup.dedup_graph_incremental(s, d).write.format("noop").mode("overwrite").save()
 
+    def _reset_search():
+        from near_real_time_data_warehouse_spark.operators import text
+
+        text.clear_search_memos()
+
+    def _search_build(s, d):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from near_real_time_data_warehouse_spark.operators import text
+
+        # The standing retrieval state (r14, the ann_index_build pattern
+        # applied to the text searches): the memoized BM25 and keyword
+        # result tables — independent corpus passes, submitted
+        # concurrently — then the Rocchio query block, which reads the
+        # just-memoized BM25 result. Billed here cold (min-of-N with the
+        # memos cleared per attempt) so the search/hybrid entries'
+        # per-entry timings measure marginal cost.
+        builds = (
+            lambda: text.bm25_search_topk(s, d)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            lambda: text.keyword_search_topk(s, d)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        with ThreadPoolExecutor(len(builds)) as pool:
+            list(pool.map(lambda b: b(), builds))
+        text._rocchio_block(s, d)
+
     for build_name, reset, build in (
         ("ann_index_build", _reset_ann, _ann_build),
         ("dedup_graph_build", _reset_graph, _graph_build),
+        ("text_search_build", _reset_search, _search_build),
     ):
         if only is None or build_name in only:
             best = float("inf")
@@ -472,8 +524,15 @@ def main() -> None:
     # scale-probe or subset run neither refreshes the baseline nor diffs
     # against it (ADVICE r11: probe runs recorded spurious plan_changes).
     comparable_run = only is None and sf_dir == "/root/testdata/sf0.1"
-    prev = previous_plans() if comparable_run else {}
-    save_plans_baseline(plans, full_run=comparable_run)
+    cur_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    prev, prev_cpus = previous_plans() if comparable_run else ({}, None)
+    # Cross-core runs neither diff nor refresh (r14: the driver's 8-core
+    # scaling run had overwritten the 32-core baseline, and the next
+    # 32-core run reported ~half the registry as spurious plan_changes).
+    same_cores = prev_cpus is None or prev_cpus == cur_cpus
+    if not same_cores:
+        prev = {}
+    save_plans_baseline(plans, full_run=comparable_run and same_cores, cpus=cur_cpus)
     # Key ORDER matters: the round driver stores only the last ~2 KB of
     # stdout (BENCH_r02.json kept just a tail of the line), so the big
     # per-query dicts go FIRST and the headline metrics + a compact

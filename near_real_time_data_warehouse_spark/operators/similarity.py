@@ -181,6 +181,20 @@ def _emb_count(spark: SparkSession, sf_dir: str) -> int:
 _QUERY_BLOCK_MEMO: dict[tuple[str, str], tuple] = {}
 
 
+def _assert_query_block_bounded(qids: np.ndarray) -> None:
+    """Fail loudly if the collected query block exceeds the QUERY_CAP
+    contract (VERDICT r13 #5): the driver-side (Q × C) argsort and the
+    query broadcast are sized on Q ≤ QUERY_CAP, which the vec_id filter
+    guarantees only while ids are unique non-negative integers — a
+    duplicated-id corpus would silently collect more."""
+    if len(qids) > QUERY_CAP:
+        raise RuntimeError(
+            f"query block has {len(qids)} rows > QUERY_CAP={QUERY_CAP}; "
+            "the driver-side ANN probe math assumes a bounded block "
+            "(duplicate vec_ids in the embeddings table?)"
+        )
+
+
 def _query_block(spark: SparkSession, sf_dir: str) -> tuple:
     """(qids, qmat, qnorm, qpos, bc) for the canonical query block; bc
     holds (qpos, qmat, qnorm) — the payload _topk_over_candidates ships."""
@@ -190,12 +204,30 @@ def _query_block(spark: SparkSession, sf_dir: str) -> tuple:
         qids, qmat = _collect_quantized(
             _emb(spark, sf_dir).filter(F.col("vec_id") < QUERY_CAP)
         )
+        _assert_query_block_bounded(qids)
         qpos = {int(v): i for i, v in enumerate(qids)}
         qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
         bc = spark.sparkContext.broadcast((qpos, qmat, qnorm))
         got = (qids, qmat, qnorm, qpos, bc)
         _QUERY_BLOCK_MEMO[key] = got
     return got
+
+
+def clear_ann_memos() -> None:
+    """Destroy the memoized query-block broadcasts, then drop every ANN
+    memo — the bench's cold resets and session.clear_query_memos both
+    route here so a reset cannot strand broadcast relations on the
+    executors (ADVICE r13: clearing the dict alone re-created the exact
+    slow accumulation _query_block was introduced to fix)."""
+    for got in _QUERY_BLOCK_MEMO.values():
+        try:
+            got[4].destroy()
+        except Exception:  # noqa: BLE001 — a dead context must not block the reset
+            pass
+    _QUERY_BLOCK_MEMO.clear()
+    _RESULT_MEMO.clear()
+    _CENTROID_MEMO.clear()
+    _EMB_COUNT_MEMO.clear()
 
 
 def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,6 +762,7 @@ def _probe_topk(
         qids, qmat, qnorm, _, _ = _query_block(spark, sf_dir)
     else:
         qids, qmat = _collect_quantized(emb.filter(F.col("vec_id") < QUERY_CAP))
+        _assert_query_block_bounded(qids)
         qnorm = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
     cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
     qcos = (qmat @ cmat.T) / (qnorm[:, None] * cnorm[None, :])

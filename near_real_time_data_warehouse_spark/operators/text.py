@@ -2020,7 +2020,54 @@ SEARCH_TERMS_PER_QUERY = 3
 SEARCH_TOP_K = 10
 
 
+# Memoized retrieval results (the standing search state): the BM25 and
+# keyword result tables feed their own entries, BOTH hybrid fusions, and
+# the Rocchio pseudo-relevance centroid — one checkpointed build per
+# (session, sf_dir), exactly the similarity._RESULT_MEMO pattern. The
+# bench bills the cold builds in its timed `text_search_build` line and
+# clears these memos (clear_search_memos) before every attempt, so
+# nothing is cached across runs and per-entry timings measure marginal
+# cost.
+_SEARCH_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# (applicationId, sf_dir) -> (qids, cm, cnorm, bc) or None (no BM25
+# top-k doc has an embedding). bc ships (qids, cm, cnorm) to the dense
+# corpus pass — ONE broadcast per session (the _query_block discipline).
+_ROCCHIO_MEMO: dict[tuple[str, str], tuple | None] = {}
+
+
+def _search_memoized(tag: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    from .dedup import _local_checkpoint_stats_clean
+
+    key = (tag, spark.sparkContext.applicationId, sf_dir)
+    got = _SEARCH_MEMO.get(key)
+    if got is None:
+        got = _local_checkpoint_stats_clean(build(), eager=False)
+        _SEARCH_MEMO[key] = got
+    return got
+
+
+def clear_search_memos() -> None:
+    """Destroy the memoized Rocchio broadcast, then drop the search
+    memos (the ADVICE r13 broadcast-lifecycle discipline — see
+    similarity.clear_ann_memos)."""
+    for got in _ROCCHIO_MEMO.values():
+        if got is not None:
+            try:
+                got[3].destroy()
+            except Exception:  # noqa: BLE001 — a dead context must not block the reset
+                pass
+    _ROCCHIO_MEMO.clear()
+    _SEARCH_MEMO.clear()
+
+
 def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized keyword retrieval result — see _keyword_search_topk_build."""
+    return _search_memoized(
+        "keyword", spark, sf_dir, lambda: _keyword_search_topk_build(spark, sf_dir)
+    )
+
+
+def _keyword_search_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index keyword retrieval — the SEARCH shape (query → ranked
     documents) next to tfidf_top_terms' per-doc keyword extraction. The
     query workload derives from the corpus itself so the entry is closed:
@@ -2159,6 +2206,13 @@ BM25_SCALE = 1 << 20
 
 
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized BM25 retrieval result — see _bm25_search_topk_build."""
+    return _search_memoized(
+        "bm25", spark, sf_dir, lambda: _bm25_search_topk_build(spark, sf_dir)
+    )
+
+
+def _bm25_search_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval over the inverted index — same corpus-derived 8-query
     workload and salted two-phase top-k as text_keyword_search_topk, with
     dl/avgdl length normalization from the existing token stats.
@@ -2598,6 +2652,51 @@ registry.register("text_hybrid_rrf_topk", hybrid_rrf_topk, HYBRID_RRF_SQL)
 # single IEEE divisions summed in fixed order.
 
 
+def _rocchio_block(spark: SparkSession, sf_dir: str):
+    """(qids, cm, cnorm, bc) for the pseudo-relevance-feedback query
+    centroids, or None when no BM25 top-k doc has an embedding —
+    memoized per (session, sf_dir) like similarity._query_block: the
+    block is deterministic standing state derived from the memoized BM25
+    result, so each session pays its bounded |queries|×64 collect and
+    its broadcast exactly once. bc ships (qids, cm, cnorm)."""
+    import numpy as np
+
+    from .similarity import _emb, _quantized
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _ROCCHIO_MEMO:
+        return _ROCCHIO_MEMO[key]
+    b = bm25_search_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    e = _quantized(_emb(spark, sf_dir))
+    members = F.broadcast(b).join(
+        e.select(F.col("vec_id").alias("doc_id"), "q"), "doc_id"
+    )
+    cent = (
+        members.select("query_id", F.posexplode("q").alias("pos", "x"))
+        .groupBy("query_id", "pos")
+        .agg(F.sum("x").alias("s"))
+    )
+    cpdf = cent.toPandas()  # bounded: |queries| × 64 rows
+    if cpdf.empty:
+        _ROCCHIO_MEMO[key] = None
+        return None
+    qids = np.sort(cpdf["query_id"].unique()).astype(np.int64)
+    dims = int(cpdf["pos"].max()) + 1
+    cm = np.zeros((len(qids), dims), dtype=np.int64)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    cm[
+        cpdf["query_id"].map(qpos).to_numpy(np.int64),
+        cpdf["pos"].to_numpy(np.int64),
+    ] = cpdf["s"].to_numpy(np.int64)
+    cnorm = (cm * cm).sum(axis=1)  # exact int64 (≤ 64·(k·QUANT)² ≈ 2^40)
+    bc = spark.sparkContext.broadcast((qids, cm, cnorm))
+    got = (qids, cm, cnorm, bc)
+    _ROCCHIO_MEMO[key] = got
+    return got
+
+
 def hybrid_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 + pseudo-relevance-feedback dense retrieval, RRF-fused.
 
@@ -2618,44 +2717,23 @@ def hybrid_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ranking import scalable_topk_per_group
     from .similarity import _emb, _quantized
 
-    from .dedup import _local_checkpoint_stats_clean
-
-    # Checkpointed: the ≤ |queries|·k BM25 result feeds BOTH the centroid
-    # build (executed via the bounded toPandas below) and the fusion —
-    # without it the whole BM25 corpus pass runs twice.
-    b = _local_checkpoint_stats_clean(
-        bm25_search_topk(spark, sf_dir).select(
-            "query_id", "doc_id", F.col("rank").alias("bm25_rank")
-        ),
-        eager=False,
+    # The BM25 result is the memoized checkpointed search table (it
+    # feeds the fusion here AND the Rocchio centroid build); the Rocchio
+    # block is the memoized driver-side query state — ONE collect + ONE
+    # broadcast per session (VERDICT r13 #4, the _query_block pattern).
+    b = bm25_search_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("bm25_rank")
     )
-    e = _quantized(_emb(spark, sf_dir))
-    members = F.broadcast(b).join(
-        e.select(F.col("vec_id").alias("doc_id"), "q"), "doc_id"
-    )
-    cent = (
-        members.select("query_id", F.posexplode("q").alias("pos", "x"))
-        .groupBy("query_id", "pos")
-        .agg(F.sum("x").alias("s"))
-    )
-    cpdf = cent.toPandas()  # bounded: |queries| × 64 rows
-    if cpdf.empty:
+    block = _rocchio_block(spark, sf_dir)
+    if block is None:
         # No BM25 top-k doc has an embedding (or the BM25 leg itself is
         # empty): skip the dense leg and fuse the BM25 ranking alone with
         # emb_rank null — the oracle's full-outer-join semantics, which
         # still emit the BM25-only fused result (ADVICE r12 #1).
         dense = spark.createDataFrame([], "query_id long, doc_id long, emb_rank long")
         return _hybrid_fuse(b, dense)
-    qids = np.sort(cpdf["query_id"].unique()).astype(np.int64)
-    dims = int(cpdf["pos"].max()) + 1
-    cm = np.zeros((len(qids), dims), dtype=np.int64)
-    qpos = {int(q): i for i, q in enumerate(qids)}
-    cm[
-        cpdf["query_id"].map(qpos).to_numpy(np.int64),
-        cpdf["pos"].to_numpy(np.int64),
-    ] = cpdf["s"].to_numpy(np.int64)
-    cnorm = (cm * cm).sum(axis=1)  # exact int64 (≤ 64·(k·QUANT)² ≈ 2^40)
-    bc = spark.sparkContext.broadcast((qids, cm, cnorm))
+    _qids, _cm, _cnorm, bc = block
+    e = _quantized(_emb(spark, sf_dir))
     k = SEARCH_TOP_K
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -112,11 +112,22 @@ def get_spark(app_name: str = "nrtdw_spark", shuffle_partitions: int | None = No
     # state-I/O-heavy entries while the CPU calibration stayed flat,
     # i.e. /tmp's backing disk is the noisy resource. Periodic GC (above)
     # keeps the ContextCleaner deleting finished shuffle files, so
-    # occupancy stays a few hundred MB. Env-overridable; on hosts
-    # without /dev/shm Spark's default local dir applies.
-    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or (
-        "/dev/shm/nrtdw_spark_local" if os.path.isdir("/dev/shm") else ""
-    )
+    # occupancy stays a few hundred MB. Env-overridable
+    # (SPARK_GRAFT_LOCAL_DIR always wins); the /dev/shm DEFAULT is
+    # additionally gated on free tmpfs headroom (ADVICE r13): tmpfs is
+    # capped (typically 50 % of RAM) and shuffle bytes there compete
+    # with process memory, so a shuffle larger than free tmpfs fails
+    # with ENOSPC instead of spilling to disk. 32 GiB free ≈ 45× this
+    # workload's total shuffle write; a host that can't clear it keeps
+    # Spark's disk-backed default and its graceful-spill semantics.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 32 * 1024**3:
+                local_dir = "/dev/shm/nrtdw_spark_local"
+        except OSError:
+            pass
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
@@ -139,10 +150,8 @@ def clear_query_memos() -> None:
     dedup._PAIRS_MEMO.clear()
     dedup._COMPONENTS_MEMO.clear()
     dedup._NEW_PAIRS_MEMO.clear()
-    similarity._RESULT_MEMO.clear()
-    similarity._CENTROID_MEMO.clear()
-    similarity._EMB_COUNT_MEMO.clear()
-    similarity._QUERY_BLOCK_MEMO.clear()
+    similarity.clear_ann_memos()  # destroys the query-block broadcasts too
     text._BPE_TRAIN_MEMO.clear()
+    text.clear_search_memos()  # destroys the Rocchio broadcast too
     clustering._KMEANS_STATE_MEMO.clear()
     star._STAR_CACHE.clear()

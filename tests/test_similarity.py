@@ -1065,3 +1065,24 @@ def test_ivf_probe_sweep_numpy_replay_and_displacement(spark):
             order = sorted(zip(-cs, cand))[: sim.TOP_K]
             topk = {v for _, v in order}
             assert (tset & set(cand)) <= topk, (p, q)
+
+
+def test_query_block_cap_asserts_loudly(spark, tmp_path):
+    """VERDICT r13 #5: the driver-side ANN math assumes the collected
+    query block is bounded by QUERY_CAP; a corpus with duplicated
+    vec_ids would silently collect more — the guard must raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import similarity as S
+
+    base = S._emb(spark, "/root/testdata/sf0.001").filter(
+        F.col("vec_id") < S.QUERY_CAP
+    )
+    dup = base.unionByName(base)  # every query id twice
+    dup.write.parquet(f"{tmp_path}/embeddings.parquet")
+    with pytest.raises(RuntimeError, match="QUERY_CAP"):
+        S._query_block(spark, str(tmp_path))
+    # and the clean fixture path stays under the cap and memoizes
+    got = S._query_block(spark, "/root/testdata/sf0.001")
+    assert len(got[0]) <= S.QUERY_CAP
