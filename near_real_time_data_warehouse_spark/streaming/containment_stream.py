@@ -68,7 +68,6 @@ def merge_containment_batch(
     links_dir = f"{state_dir}/links"
 
     arrs = _shingle_arrays(batch.select("doc_id", "text")).localCheckpoint(eager=True)
-    batch_arrs = arrs.withColumn("is_batch", F.lit(True))
 
     if path_exists(spark, sh_dir):
         state_arrs = (
@@ -77,29 +76,30 @@ def merge_containment_batch(
             .select("doc_id", "arr", "n")
             # replay may re-deliver docs already in older epochs too
             .join(arrs.select("doc_id").distinct(), "doc_id", "left_anti")
-            .withColumn("is_batch", F.lit(False))
         )
-        all_arrs = state_arrs.unionByName(batch_arrs).localCheckpoint(eager=True)
+        all_arrs = state_arrs.unionByName(arrs).localCheckpoint(eager=True)
     else:
         # cold start: the union IS the (already checkpointed) batch —
         # a second checkpoint would just copy it (opt guide §1.2)
-        all_arrs = batch_arrs
+        all_arrs = arrs
 
-    # the inverted index is a narrow explode of the one materialized
-    # array frame — the batch/corpus posting legs are FILTERS of the same
-    # scan (is_batch), not two separately-checkpointed tables
-    sh_flagged = all_arrs.select(
-        "doc_id", "is_batch", F.explode("arr").alias("shingle")
-    )
-    df_ = sh_flagged.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # the inverted-index legs are narrow explodes of the materialized
+    # array frames (no separately-checkpointed exploded tables): the
+    # BATCH leg explodes the batch checkpoint — keeping it a small,
+    # broadcastable join side — and both legs semi-join the same `rare`
+    # subtree
+    batch_sh = arrs.select("doc_id", F.explode("arr").alias("shingle"))
+    all_sh = all_arrs.select("doc_id", F.explode("arr").alias("shingle"))
+    df_ = all_sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = df_.filter(
         (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
     ).select("shingle")
-    posting = sh_flagged.join(rare, "shingle", "left_semi")
+    batch_posting = batch_sh.join(rare, "shingle", "left_semi")
+    all_posting = all_sh.join(rare, "shingle", "left_semi")
     cand = (
-        posting.filter(F.col("is_batch")).alias("a")
+        batch_posting.alias("a")
         .join(
-            posting.alias("b"),
+            all_posting.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
@@ -112,7 +112,7 @@ def merge_containment_batch(
     # links' lineage reads only the LOCALLY-CHECKPOINTED all_arrs/arrs,
     # never sh_dir — so it needs no checkpoint of its own before the state
     # overwrite; and the two state writes are independent jobs (§2.6).
-    links = _verified_pairs(all_arrs.select("doc_id", "arr", "n"), cand)
+    links = _verified_pairs(all_arrs, cand)
 
     _run_concurrent(
         lambda: _overwrite_epoch(spark, links, links_dir, epoch_id),

@@ -21,7 +21,12 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:] or None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r13")
+    out_dir = os.path.join(
+        os.path.dirname(__file__),
+        "..",
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from near_real_time_data_warehouse_spark import driver_api
