@@ -368,6 +368,8 @@ def main() -> None:
 
         for m in (
             dedup._SHINGLE_MEMO,
+            dedup._ARRAYS_MEMO,
+            dedup._SIG_MEMO,
             dedup._BANDS_MEMO,
             dedup._PAIRS_MEMO,
             dedup._COMPONENTS_MEMO,

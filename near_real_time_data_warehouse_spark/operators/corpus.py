@@ -18,9 +18,10 @@ from pyspark.sql import functions as F
 from . import registry
 from .dedup import (
     _SHINGLES_SQL,
+    _arrays_materialized,
     _bands_materialized,
     _shingles_materialized,
-    _verify_jaccard,
+    _verify_jaccard_from_arrays,
 )
 from .text import _NORM_SQL, _docs, _norm_col
 
@@ -131,7 +132,7 @@ def fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     split is a fixed 1/10 of the corpus, which scales with it."""
     from .text import shard_split
 
-    sh = _shingles_materialized(spark, sf_dir)
+    arrs = _arrays_materialized(spark, sf_dir)
     split = shard_split(spark, sf_dir).select("doc_id", "split")
     bands = _bands_materialized(spark, sf_dir).join(split, "doc_id")
     ev = bands.filter(F.col("split") == "test").select(
@@ -141,7 +142,9 @@ def fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_a"), "band", "band_sig"
     )
     cand = tr.join(ev, ["band", "band_sig"]).select("doc_a", "doc_b").distinct()
-    pairs = _verify_jaccard(sh, cand)
+    # r14: array verification kernel — same jaccard values, same pair
+    # set (bit-equality pinned in test_dedup_guards), ~4 fewer exchanges
+    pairs = _verify_jaccard_from_arrays(arrs, cand)
     # argmax via struct-max: ties on jaccard break toward the larger
     # eval doc_id — mirrored in the oracle's MAX(doc_b | jaccard = max).
     mx = F.max(F.struct(F.col("jaccard"), F.col("doc_b")))

@@ -57,18 +57,47 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keyed on (session, sf_dir, cap) makes repeat calls free. At cluster
 # scale the same role is played by a bucketed intermediate table.
 _SHINGLE_MEMO: dict[tuple[str, str, int | None], DataFrame] = {}
+_ARRAYS_MEMO: dict[tuple[str, str, int | None], DataFrame] = {}
+
+
+def _arrays_materialized(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    """Per-doc distinct-shingle ARRAY sketch (doc_id, arr, n) — ONE
+    tokenize pass per (session, sf_dir), locally checkpointed; the single
+    standing artifact every shingle consumer derives from (r14): the
+    exploded inverted-index form is a narrow explode of this frame, the
+    signature/band chain maps over ``arr``, and the verification kernels
+    join the arrays directly (guide §1.2: don't compute the same
+    tokenization three times; §2.3: shuffle one array per doc, not one
+    row per (doc, shingle))."""
+    key = (spark.sparkContext.applicationId, sf_dir, cap)
+    arrs = _ARRAYS_MEMO.get(key)
+    if arrs is None:
+        d = _docs(spark, sf_dir)
+        if cap is not None:
+            d = d.filter(F.col("doc_id") < cap)
+        arrs = _local_checkpoint_stats_clean(_shingle_arrays(d), eager=False)
+        _ARRAYS_MEMO[key] = arrs
+    return arrs
 
 
 def _shingles_materialized(
     spark: SparkSession, sf_dir: str, cap: int | None = None
 ) -> DataFrame:
+    """Exploded (doc_id, shingle) inverted-index form — derived as a
+    narrow explode of the materialized array sketch, so the tokenize
+    pass is shared with the signature/band chain and the array
+    verification kernels. Content is bit-identical to the direct
+    exploded build: ``_shingles`` IS explode(array_distinct(...)) with a
+    ``size >= n`` filter, and the sketch's empty arrays (short/NULL
+    docs) explode to no rows — the same absence."""
     key = (spark.sparkContext.applicationId, sf_dir, cap)
     sh = _SHINGLE_MEMO.get(key)
     if sh is None:
-        d = _docs(spark, sf_dir)
-        if cap is not None:
-            d = d.filter(F.col("doc_id") < cap)
-        sh = _local_checkpoint_stats_clean(_shingles(d), eager=False)
+        sh = _arrays_materialized(spark, sf_dir, cap).select(
+            "doc_id", F.explode("arr").alias("shingle")
+        )
         _SHINGLE_MEMO[key] = sh
     return sh
 
@@ -323,6 +352,22 @@ def _bands_from_sig(with_sig: DataFrame) -> DataFrame:
     )
 
 
+# Signature memo: the per-doc MinHash signature (32 permutation mins)
+# feeds the band build AND the prefiltered entry's estimate join — one
+# checkpointed hash-array build per (session, sf_dir), derived from the
+# shared array sketch (one tokenize pass total; r14).
+_SIG_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _sigs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sig = _SIG_MEMO.get(key)
+    if sig is None:
+        sig = _signature_table_from_arrays(_arrays_materialized(spark, sf_dir))
+        _SIG_MEMO[key] = sig
+    return sig
+
+
 # Band table memo: the signature tree (32 permutation mins + 8 band
 # md5s) feeds the LSH self-join, the ingestion-time cross-join, and the
 # components family — one checkpointed build per (session, sf_dir).
@@ -334,7 +379,7 @@ def _bands_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _BANDS_MEMO.get(key)
     if bands is None:
         bands = _local_checkpoint_stats_clean(
-            _band_signatures_from_docs(_docs(spark, sf_dir)), eager=False
+            _bands_from_sig(_sigs_materialized(spark, sf_dir)), eager=False
         )
         _BANDS_MEMO[key] = bands
     return bands
@@ -403,11 +448,31 @@ def _verify_jaccard(sh: DataFrame, cand: DataFrame) -> DataFrame:
     return out.select("doc_a", "doc_b", "jaccard")
 
 
+def _verify_jaccard_from_arrays(arrs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Array twin of :func:`_verify_jaccard` — the same jaccard division
+    of the same integer counts, the same ≥-threshold filter, the same
+    (doc_a, doc_b, jaccard) output. A zero-intersection candidate, which
+    the exploded path drops at its inner join, scores jaccard 0 here and
+    is dropped by the same filter (see _pair_overlap_counts for the
+    count-equivalence argument)."""
+    c = _pair_overlap_counts(arrs, cand)
+    return (
+        c.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def _minhash_lsh_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_materialized(spark, sf_dir)
+    arrs = _arrays_materialized(spark, sf_dir)
     cand = _band_candidates(_bands_materialized(spark, sf_dir))
-    # Verify candidates with true Jaccard (candidates only — cheap).
-    return _verify_jaccard(sh, cand)
+    # Verify candidates with true Jaccard (candidates only — cheap);
+    # r14: over the array sketch (two doc-level joins + a map-side
+    # intersect) instead of the five-exchange exploded chain.
+    return _verify_jaccard_from_arrays(arrs, cand)
 
 
 def _minhash_bands_sql() -> str:
@@ -501,14 +566,13 @@ def minhash_prefiltered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate at a cost of 32 integer compares per candidate; at 100 TB the
     signature table is the standing per-doc sketch (N_PERM longs/doc)
     a real pipeline already persists."""
-    sh = _shingles_materialized(spark, sf_dir)
+    arrs = _arrays_materialized(spark, sf_dir)
     cand = _band_candidates(_bands_materialized(spark, sf_dir))
-    # checkpointed: the candidate join consumes sig on BOTH sides; the
-    # cut shares one zero-shuffle build (and stops projection collapse
-    # from inlining the md5 transform per reference)
-    sigs = _local_checkpoint_stats_clean(
-        _signature_table_from_docs(_docs(spark, sf_dir)), eager=False
-    ).select("doc_id", "sig")
+    # the memoized signature table (shared with the band build — r14:
+    # one hash-array materialization per session instead of a private
+    # re-tokenize + re-checkpoint here); the candidate join consumes sig
+    # on BOTH sides of one zero-shuffle build
+    sigs = _sigs_materialized(spark, sf_dir).select("doc_id", "sig")
     agree = F.aggregate(
         F.zip_with(
             F.col("a.sig"),
@@ -524,7 +588,7 @@ def minhash_prefiltered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", agree.alias("n_agree"))
     )
     surv = est.filter(F.col("n_agree") >= PREFILTER_MIN_AGREE)
-    verified = _verify_jaccard(sh, surv.select("doc_a", "doc_b"))
+    verified = _verify_jaccard_from_arrays(arrs, surv.select("doc_a", "doc_b"))
     return verified.join(surv, ["doc_a", "doc_b"]).select(
         "doc_a",
         "doc_b",
@@ -1338,7 +1402,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("_hit").isNotNull().alias("is_exact_dup"))
     )
 
-    sh = _shingles_materialized(spark, sf_dir)
+    arrs = _arrays_materialized(spark, sf_dir)
     bands = _bands_materialized(spark, sf_dir)
     cand = (
         bands.filter(F.col("doc_id") % _BATCH_MOD == 0)
@@ -1350,17 +1414,14 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    verified = (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
-        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    # r14: array verification kernel (two doc-level joins + map-side
+    # intersect) instead of the inline exploded chain. Only the
+    # ≥-threshold slice of `verified` is consumed below, so the array
+    # path's extra jaccard-0 rows (zero-overlap candidates the exploded
+    # inner join dropped early) change nothing.
+    verified = _pair_overlap_counts(arrs, cand).withColumn(
+        "jaccard",
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
     )
     per_doc = (
         cand.groupBy("doc_a").agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -1418,7 +1479,9 @@ def _jaccard_pairs(sh: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
-def _pair_overlap_counts(arrs: DataFrame, cand: DataFrame) -> DataFrame:
+def _pair_overlap_counts(
+    arrs: DataFrame, cand: DataFrame, n_parts: int | None = None
+) -> DataFrame:
     """(doc_a, doc_b, n_common, n_a, n_b) for candidate pairs over a
     per-doc distinct-shingle ARRAY frame (:func:`_shingle_arrays`' shape)
     — the array twin of the exploded verification kernels
@@ -1449,16 +1512,24 @@ def _pair_overlap_counts(arrs: DataFrame, cand: DataFrame) -> DataFrame:
         F.col("arr").alias("arr_b"),
         F.col("n").cast("long").alias("n_b"),
     )
-    return (
-        cand.join(aa, "doc_a")
-        .join(bb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias("n_common"),
-            "n_a",
-            "n_b",
-        )
+    if n_parts:
+        # scan-size-knee widening, the verified_containment discipline:
+        # the pair rows carry whole shingle arrays through the two
+        # joins, so their sort runs must stay a few MB per task at any
+        # SF; the aliases preserve the explicit partitioning, so each
+        # join is co-partitioned with no extra exchange.
+        cand = cand.repartition(n_parts, "doc_a")
+        aa = aa.repartition(n_parts, "doc_a")
+        bb = bb.repartition(n_parts, "doc_b")
+    j = cand.join(aa, "doc_a")
+    if n_parts:
+        j = j.repartition(n_parts, "doc_b")
+    return j.join(bb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias("n_common"),
+        "n_a",
+        "n_b",
     )
 
 
@@ -1480,12 +1551,14 @@ def _jaccard_pairs_from_arrays(arrs: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
-def verified_containment_from_arrays(arrs: DataFrame, cand: DataFrame) -> DataFrame:
+def verified_containment_from_arrays(
+    arrs: DataFrame, cand: DataFrame, n_parts: int | None = None
+) -> DataFrame:
     """Exact containment verification over a shingle-ARRAY frame — the
     array twin of :func:`verified_containment` (same ratio expressions
     over the same integer counts → bit-identical link set; see
     _pair_overlap_counts for the count-equivalence argument)."""
-    c = _pair_overlap_counts(arrs, cand)
+    c = _pair_overlap_counts(arrs, cand, n_parts=n_parts)
     return (
         c.withColumn("containment_a", F.col("n_common") / F.col("n_a"))
         .withColumn("containment_b", F.col("n_common") / F.col("n_b"))
@@ -1566,7 +1639,7 @@ def batch_new_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if got is not None:
         return got
     in_batch = F.col("doc_id") % _BATCH_MOD == 0
-    sh = _shingles_materialized(spark, sf_dir)
+    arrs = _arrays_materialized(spark, sf_dir)
     bands = _bands_materialized(spark, sf_dir)
     cand_new = (
         bands.filter(in_batch)
@@ -1583,7 +1656,7 @@ def batch_new_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    got = _jaccard_pairs(sh, cand_new).localCheckpoint(eager=False)
+    got = _jaccard_pairs_from_arrays(arrs, cand_new).localCheckpoint(eager=False)
     _NEW_PAIRS_MEMO[key] = got
     return got
 
@@ -1765,6 +1838,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         _shingles_materialized(spark, sf_dir),
         n_parts=_containment_partitions(spark, sf_dir),
+        arrs=_arrays_materialized(spark, sf_dir),
     )
 
 
@@ -1820,12 +1894,16 @@ def verified_containment(
     )
 
 
-def containment_pairs(sh: DataFrame, n_parts: int | None = None) -> DataFrame:
+def containment_pairs(
+    sh: DataFrame, n_parts: int | None = None, arrs: DataFrame | None = None
+) -> DataFrame:
     """The containment kernel over any (doc_id, shingle) table. With
     ``n_parts`` the posting self-join and the pair DISTINCT run on
     knee-widened explicit exchanges (both join legs are the same subtree
     over the same exchange, so ReuseExchange shuffles the posting list
-    once)."""
+    once). With ``arrs`` (the per-doc shingle-array twin of ``sh``),
+    verification runs the array kernel — bit-identical links, ~4 fewer
+    exchanges (r14)."""
     df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = df_.filter(
         (F.col("df") >= RARE_DF_MIN) & (F.col("df") <= RARE_DF_MAX)
@@ -1845,7 +1923,11 @@ def containment_pairs(sh: DataFrame, n_parts: int | None = None) -> DataFrame:
     if n_parts:
         cand = cand.repartition(n_parts, "doc_a", "doc_b")
     cand = cand.distinct()
-    j = verified_containment(sh, cand, n_parts=n_parts)
+    j = (
+        verified_containment_from_arrays(arrs, cand, n_parts=n_parts)
+        if arrs is not None
+        else verified_containment(sh, cand, n_parts=n_parts)
+    )
     direction = (
         F.when(
             (F.col("containment_a") >= CONTAINMENT_THRESHOLD)

@@ -146,6 +146,8 @@ def clear_query_memos() -> None:
     from .plans import star
 
     dedup._SHINGLE_MEMO.clear()
+    dedup._ARRAYS_MEMO.clear()
+    dedup._SIG_MEMO.clear()
     dedup._BANDS_MEMO.clear()
     dedup._PAIRS_MEMO.clear()
     dedup._COMPONENTS_MEMO.clear()

@@ -678,3 +678,54 @@ def test_pagerank_driver_path_matches_distributed(spark, monkeypatch):
     }
     assert got == want
     assert len(got) == 10
+
+
+def test_unified_array_sketch_derivations_match_direct_builds(spark):
+    """r14 (second pass): every shingle artifact now derives from ONE
+    materialized per-doc array sketch. The derived exploded form, the
+    sig/band chain over the memoized sketch, and the jaccard-bearing
+    array verify must be bit-equal to the direct builds they replaced."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    dd._ARRAYS_MEMO.clear()
+    dd._SHINGLE_MEMO.clear()
+    dd._SIG_MEMO.clear()
+    dd._BANDS_MEMO.clear()
+    docs = dd._docs(spark, sf).select("doc_id", "text")
+
+    # 1. derived exploded form == direct exploded build
+    got_sh = {
+        (r.doc_id, r.shingle)
+        for r in dd._shingles_materialized(spark, sf).collect()
+    }
+    want_sh = {(r.doc_id, r.shingle) for r in dd._shingles(docs).collect()}
+    assert got_sh == want_sh and want_sh
+
+    # 2. memoized sig/band chain == direct from-docs build
+    got_b = {
+        (r.doc_id, r.band, r.band_sig)
+        for r in dd._bands_materialized(spark, sf).collect()
+    }
+    want_b = {
+        (r.doc_id, r.band, r.band_sig)
+        for r in dd._band_signatures_from_docs(docs).collect()
+    }
+    assert got_b == want_b and want_b
+
+    # 3. jaccard-bearing array verify == exploded verify, values included
+    cand = dd._band_candidates(dd._bands_materialized(spark, sf)).localCheckpoint()
+    assert cand.count() > 0
+    arrs = dd._arrays_materialized(spark, sf)
+    sh = dd._shingles_materialized(spark, sf)
+    got_v = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd._verify_jaccard_from_arrays(arrs, cand).collect()
+    }
+    want_v = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dd._verify_jaccard(sh, cand).collect()
+    }
+    assert got_v == want_v and want_v
