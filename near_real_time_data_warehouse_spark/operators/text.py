@@ -2411,18 +2411,28 @@ def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bm25_batch_tfdl(batch: DataFrame) -> DataFrame:
     """(doc_id, term, tf, dl) for one document batch — the per-batch half
-    of the BM25 ingestion screen, shared with the streaming fold."""
-    from pyspark.sql import Window
+    of the BM25 ingestion screen, shared with the streaming fold.
 
-    toks = (
-        batch.select(
-            "doc_id", F.explode(F.split(_norm_col(), " ")).alias("term")
-        )
-        .filter(F.col("term") != "")
-        .repartition("doc_id")
+    r14: ``dl`` (the doc's token count) is a scan-side projection of the
+    token array — size(filter(tokens, <> '')) — carried through the tf
+    groupBy as a grouping key (functionally dependent on doc_id), which
+    is bit-identical to the replaced sum(tf)-over-doc window: dl = total
+    non-empty tokens = Σ tf. One map-side-combined exchange replaces
+    repartition(doc_id) + groupBy + window sort, and the shuffle carries
+    per-(doc, term) partial counts instead of one row per token
+    instance (guide §2.3 'aggregate before you shuffle', §2.4)."""
+    base = batch.select(
+        "doc_id",
+        F.filter(F.split(_norm_col(), " "), lambda t: t != "").alias("t"),
     )
-    tfb = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    return tfb.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    toks = base.select(
+        "doc_id", F.size("t").cast("long").alias("dl"), F.explode("t").alias("term")
+    )
+    return (
+        toks.groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc_id", "term", "tf", "dl")
+    )
 
 
 def bm25_score_with_stats(
