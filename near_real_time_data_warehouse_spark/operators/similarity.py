@@ -509,8 +509,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_planes, corpus_b = _lsh_corpus_bucketed(spark, sf_dir)
     # Bucket the tiny query block separately — bucketing is deterministic,
     # so this matches the corpus pass without streaming the corpus twice.
-    probes = _bucketed(emb.filter(F.col("vec_id") < QUERY_CAP), n_planes=n_planes).select(
-        F.col("vec_id").alias("query_id"), "tbl", F.col("bucket").alias("qbucket")
+    # carry_all rides along for the emit-once candidate discipline
+    # (r14 second pass — see _lsh_topk_from_probes).
+    probes = _bucketed(
+        emb.filter(F.col("vec_id") < QUERY_CAP), n_planes=n_planes, carry_all=True
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "tbl",
+        F.col("bucket").alias("qbucket"),
+        F.col("all_buckets").alias("q_all_buckets"),
     )
     return _lsh_topk_from_probes(
         spark, emb, probes, n_planes=n_planes, sf_dir=sf_dir, corpus_bucketed=corpus_b
@@ -525,11 +532,15 @@ def _lsh_corpus_bucketed(spark: SparkSession, sf_dir: str) -> tuple[int, DataFra
     persisted index table an ANN service maintains; bench bills the cold
     build under ann_index_build with the other shared ANN state."""
     n_planes = _ann_planes(_emb_count(spark, sf_dir))
+    # carry_all (the per-vec bucket list across all tables) rides in the
+    # index so the query path can emit each candidate pair exactly once
+    # — at its first agreeing table — instead of DISTINCTing (r14 second
+    # pass; the same discipline the neardup self-join already used).
     corpus = _memoized(
         "lsh_corpus",
         spark,
         sf_dir,
-        lambda: _bucketed(_emb(spark, sf_dir), n_planes=n_planes),
+        lambda: _bucketed(_emb(spark, sf_dir), n_planes=n_planes, carry_all=True),
     )
     return n_planes, corpus
 
@@ -541,20 +552,44 @@ def _lsh_topk_from_probes(
     n_planes: int = N_PLANES,
     sf_dir: str | None = None,
     corpus_bucketed: DataFrame | None = None,
+    max_hamming: int = 0,
 ) -> DataFrame:
-    """Shared LSH query path: join a (query_id, tbl, qbucket) probe set
-    against the bucketed corpus and score the candidates — one
+    """Shared LSH query path: join a (query_id, tbl, qbucket[, q_all_buckets])
+    probe set against the bucketed corpus and score the candidates — one
     definition for the single-probe and multi-probe entries (review
-    finding: a fix to the candidate join must not need making twice)."""
+    finding: a fix to the candidate join must not need making twice).
+
+    Emit-once candidate discipline (r14 second pass, guide §2.4): both
+    sides carry their full per-table bucket lists and a pair is emitted
+    only at its FIRST agreeing table, replacing the (query, neighbor)
+    DISTINCT exchange — the same trick the neardup self-join's carry_all
+    already used. Within ONE table a corpus bucket can agree with at
+    most one probe (the multiprobe XOR masks are distinct, so
+    qb^m1 = qb^m2 ⇔ m1 = m2), so first-table uniqueness IS pair
+    uniqueness; "agrees at table t" is bucket equality for single probe
+    (max_hamming=0) and popcount(xor) ≤ 1 for Hamming-1 multiprobe —
+    exactly the probe fan-out's coverage."""
     bucketed = (
         corpus_bucketed
         if corpus_bucketed is not None
-        else _bucketed(emb, n_planes=n_planes)
+        else _bucketed(emb, n_planes=n_planes, carry_all=True)
     )
     corpus = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
+        F.col("vec_id").alias("neighbor_id"), "tbl", "bucket", "all_buckets"
     ).alias("cs")
     probes = probes.alias("qs")
+    if max_hamming == 0:
+        agree = lambda a, b: a == b  # noqa: E731
+    else:
+        agree = lambda a, b: F.bit_count(a.bitwiseXOR(b)) <= max_hamming  # noqa: E731
+    earlier_agrees = F.exists(
+        F.zip_with(
+            F.slice(F.col("cs.all_buckets"), 1, F.col("cs.tbl")),
+            F.slice(F.col("qs.q_all_buckets"), 1, F.col("cs.tbl")),
+            agree,
+        ),
+        lambda x: x,
+    )
     cand = (
         corpus.join(
             F.broadcast(probes),
@@ -562,8 +597,8 @@ def _lsh_topk_from_probes(
             & (F.col("cs.bucket") == F.col("qs.qbucket"))
             & (F.col("qs.query_id") != F.col("cs.neighbor_id")),
         )
+        .filter(~earlier_agrees)
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     return _topk_over_candidates(spark, emb, cand, sf_dir=sf_dir)
 
@@ -965,8 +1000,13 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry (ANN_TARGET_N)."""
     emb = _emb(spark, sf_dir)
     n_planes, corpus_b = _lsh_corpus_bucketed(spark, sf_dir)
-    queries = _bucketed(emb.filter(F.col("vec_id") < QUERY_CAP), n_planes=n_planes).select(
-        F.col("vec_id").alias("query_id"), "tbl", F.col("bucket").alias("qbucket")
+    queries = _bucketed(
+        emb.filter(F.col("vec_id") < QUERY_CAP), n_planes=n_planes, carry_all=True
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "tbl",
+        F.col("bucket").alias("qbucket"),
+        F.col("all_buckets").alias("q_all_buckets"),
     )
     probes = queries.select(
         "query_id",
@@ -980,9 +1020,16 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
         ).alias("qbucket"),
+        "q_all_buckets",
     )
     return _lsh_topk_from_probes(
-        spark, emb, probes, n_planes=n_planes, sf_dir=sf_dir, corpus_bucketed=corpus_b
+        spark,
+        emb,
+        probes,
+        n_planes=n_planes,
+        sf_dir=sf_dir,
+        corpus_bucketed=corpus_b,
+        max_hamming=1,
     )
 
 
