@@ -1086,3 +1086,84 @@ def test_query_block_cap_asserts_loudly(spark, tmp_path):
     # and the clean fixture path stays under the cap and memoizes
     got = S._query_block(spark, "/root/testdata/sf0.001")
     assert len(got[0]) <= S.QUERY_CAP
+
+
+def test_lsh_emit_once_candidates_match_distinct(spark):
+    """r14 second pass: the emit-once candidate discipline (keep a pair
+    at its FIRST agreeing table, no DISTINCT) must produce exactly the
+    distinct candidate set of the replaced join+DISTINCT — for both the
+    single-probe and the Hamming-1 multiprobe probe fan-outs."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import similarity as sm
+
+    sf = SF_SMALL
+    emb = sm._emb(spark, sf)
+    n_planes = sm._ann_planes(sm._emb_count(spark, sf))
+    corpus = sm._bucketed(emb, n_planes=n_planes, carry_all=True).localCheckpoint()
+    qb = sm._bucketed(
+        emb.filter(F.col("vec_id") < sm.QUERY_CAP), n_planes=n_planes, carry_all=True
+    ).localCheckpoint()
+
+    for max_h in (0, 1):
+        if max_h == 0:
+            probes = qb.select(
+                F.col("vec_id").alias("query_id"),
+                "tbl",
+                F.col("bucket").alias("qbucket"),
+                F.col("all_buckets").alias("q_all_buckets"),
+            )
+        else:
+            probes = qb.select(
+                F.col("vec_id").alias("query_id"),
+                "tbl",
+                F.explode(
+                    F.array(
+                        F.col("bucket"),
+                        *[
+                            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                            for p in range(n_planes)
+                        ],
+                    )
+                ).alias("qbucket"),
+                F.col("all_buckets").alias("q_all_buckets"),
+            )
+        cs = corpus.select(
+            F.col("vec_id").alias("neighbor_id"), "tbl", "bucket", "all_buckets"
+        ).alias("cs")
+        qs = probes.alias("qs")
+        join_cond = (
+            (F.col("cs.tbl") == F.col("qs.tbl"))
+            & (F.col("cs.bucket") == F.col("qs.qbucket"))
+            & (F.col("qs.query_id") != F.col("cs.neighbor_id"))
+        )
+        # the replaced shape: emit per agreeing (tbl, probe), DISTINCT after
+        want = {
+            (r.query_id, r.neighbor_id)
+            for r in cs.join(qs, join_cond)
+            .select("query_id", "neighbor_id")
+            .distinct()
+            .collect()
+        }
+        # the emit-once shape (the production path's filter, verbatim)
+        if max_h == 0:
+            agree = lambda a, b: a == b  # noqa: E731
+        else:
+            agree = lambda a, b: F.bit_count(a.bitwiseXOR(b)) <= max_h  # noqa: E731
+        earlier = F.exists(
+            F.zip_with(
+                F.slice(F.col("cs.all_buckets"), 1, F.col("cs.tbl")),
+                F.slice(F.col("qs.q_all_buckets"), 1, F.col("cs.tbl")),
+                agree,
+            ),
+            lambda x: x,
+        )
+        rows = (
+            cs.join(qs, join_cond)
+            .filter(~earlier)
+            .select("query_id", "neighbor_id")
+            .collect()
+        )
+        got = {(r.query_id, r.neighbor_id) for r in rows}
+        assert len(rows) == len(got), "emit-once must yield each pair exactly once"
+        assert got == want and want
