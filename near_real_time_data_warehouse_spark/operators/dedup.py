@@ -791,8 +791,6 @@ def connected_components(
         seeds = vertices.select("doc_id", "label")
     else:
         seeds = vertices.select(F.col("doc_id"), F.col("doc_id").alias("label"))
-    endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
-    passive = seeds.join(endpoints, "doc_id", "left_anti")
     # Hybrid fast path: if the (deduplicated, undirected) edge list fits
     # under CC_COLLECT_CAP, one driver-side union-find replaces the
     # whole iterative loop. The seed list it needs is endpoint-sized
@@ -806,18 +804,39 @@ def connected_components(
     )
     taken = half.take(CC_COLLECT_CAP + 1)
     if len(taken) <= CC_COLLECT_CAP:
-        seed_rows = seeds.join(endpoints, "doc_id", "left_semi").collect()
+        # Endpoint set derived ON THE DRIVER from the just-collected edge
+        # list (r14: one exchange less per consumer action): edges arrive
+        # in both directions, so {src} ∪ {dst} of the canonical half IS
+        # edges' distinct-src set — minus vertices whose only edge is a
+        # self-loop, which the resolve would return at their seed label
+        # anyway, i.e. exactly the passive leg's row for them. The seed
+        # fetch and every consumer's passive leg then probe a broadcast
+        # LOCAL relation (bounded ≤ 2·CC_COLLECT_CAP rows) instead of
+        # re-running an edges-lineage scan + distinct exchange per action.
+        import pandas as pd
+
+        spark = vertices.sparkSession
+        ep_ids = sorted({e for r in taken for e in (r.src, r.dst)})
+        ep = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": pd.Series(ep_ids, dtype="int64")}),
+                "doc_id long",
+            )
+        )
+        seed_rows = seeds.join(ep, "doc_id", "left_semi").collect()
         resolved_rows = _cc_driver_resolve(
             [(r.src, r.dst) for r in taken],
             [(r.doc_id, r.label) for r in seed_rows],
         )
-        spark = vertices.sparkSession
         resolved = spark.createDataFrame(
             resolved_rows, "doc_id long, label long"
         )
+        passive = seeds.join(ep, "doc_id", "left_anti")
         return resolved.unionByName(passive).select(
             "doc_id", F.col("label").alias("component")
         )
+    endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
+    passive = seeds.join(endpoints, "doc_id", "left_anti")
     labels = _local_checkpoint_stats_clean(
         seeds.join(endpoints, "doc_id", "left_semi")
     )
@@ -1496,10 +1515,12 @@ def _pair_overlap_counts(
     shuffled rows carry one array per doc instead of one row per
     (doc, shingle). Equivalence is pinned by
     tests/test_dedup_guards.py::test_array_verification_kernels_match_exploded."""
-    touched = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # No distinct on the probe side (r14): left_semi dedupes inherently
+    # (its build side is a hash SET), so the pre-aggregation exchange
+    # bought nothing — the union's ≤ 2·|cand| rows feed the semi join
+    # directly, one exchange less per verification call.
+    touched = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"))
     )
     t = arrs.join(touched, "doc_id", "left_semi")
     aa = t.select(
@@ -1681,22 +1702,52 @@ def merge_components_with_edges(current: DataFrame, new_pairs: DataFrame) -> Dat
     broadcast-sized result. Min-of-mins keeps the output equal to a
     from-scratch CC over the union graph."""
     spark = current.sparkSession
-    lmap_a = current.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("la"))
-    lmap_b = current.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("lb"))
-    qedges_half = (
-        new_pairs.join(lmap_a, "doc_a")
-        .join(lmap_b, "doc_b")
-        .filter(F.col("la") != F.col("lb"))
-        .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
-        .distinct()
-    )
-    taken = qedges_half.take(QUOTIENT_COLLECT_CAP + 1)
-    if len(taken) <= QUOTIENT_COLLECT_CAP:
-        qcomp_rows = _union_find_min([(r.src, r.dst) for r in taken])
+    # Driver-first (r14): probe the NEW pairs directly — when they fit
+    # under the cap (the operating assumption the quotient path already
+    # makes), the edge→label mapping needs ONE bounded scan of
+    # ``current`` semi-filtered by a broadcast local endpoint relation,
+    # instead of two full lmap join legs + a distinct exchange feeding
+    # the old take. The mapped/deduplicated quotient edges are then pure
+    # driver arithmetic; results are bit-identical (same label pairs,
+    # same DSU).
+    pair_rows = new_pairs.select("doc_a", "doc_b").take(QUOTIENT_COLLECT_CAP + 1)
+    if len(pair_rows) <= QUOTIENT_COLLECT_CAP:
+        import pandas as pd
+
+        ep_ids = sorted({e for r in pair_rows for e in (r.doc_a, r.doc_b)})
+        ep = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": pd.Series(ep_ids, dtype="int64")}),
+                "doc_id long",
+            )
+        )
+        lab = {
+            r["doc_id"]: r["label"]
+            for r in current.join(ep, "doc_id", "left_semi").collect()
+        }
+        qedges = {
+            (lab[r.doc_a], lab[r.doc_b])
+            for r in pair_rows
+            if r.doc_a in lab and r.doc_b in lab and lab[r.doc_a] != lab[r.doc_b]
+        }
+        qcomp_rows = _union_find_min(sorted(qedges))
         if not qcomp_rows:
             return current.select("doc_id", F.col("label").alias("component"))
         qcomp = spark.createDataFrame(qcomp_rows, "label long, qcomp long")
     else:  # pathological batch: resolve distributed, same semantics
+        lmap_a = current.select(
+            F.col("doc_id").alias("doc_a"), F.col("label").alias("la")
+        )
+        lmap_b = current.select(
+            F.col("doc_id").alias("doc_b"), F.col("label").alias("lb")
+        )
+        qedges_half = (
+            new_pairs.join(lmap_a, "doc_a")
+            .join(lmap_b, "doc_b")
+            .filter(F.col("la") != F.col("lb"))
+            .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+            .distinct()
+        )
         qedges = qedges_half.unionByName(
             qedges_half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
@@ -1857,10 +1908,10 @@ def verified_containment(
     the scan-size knee so their sort runs stay a few MB per task at any
     SF (the projection aliases preserve the explicit partitioning, so
     each join is co-partitioned with no extra exchange)."""
-    touched = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # No distinct on the probe side (r14): left_semi dedupes inherently —
+    # see _pair_overlap_counts.
+    touched = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"))
     )
     sh = sh.join(touched, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

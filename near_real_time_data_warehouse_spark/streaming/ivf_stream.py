@@ -68,8 +68,11 @@ def merge_ivf_batch(
     cent_dir = f"{state_dir}/centroids"
     assign_dir = f"{state_dir}/assignments"
 
-    batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
+    batch = batch.select("vec_id", "embedding")
     if not path_exists(spark, cent_dir):
+        # cold start: the batch feeds TWO consumers (training + the
+        # assignment write) — materialize it once
+        batch = batch.localCheckpoint(eager=True)
         cmat = _train_centroids_on_sample(batch)
         # the centroid write and the assignment write are independent
         # jobs once cmat is on the driver — submit concurrently (§2.6)
@@ -80,6 +83,8 @@ def merge_ivf_batch(
         )
         return
 
+    # warm path: the batch feeds exactly ONE consumer (the assignment
+    # write scans it once) — skip the checkpoint (r14, guide §1.2)
     cmat = _load_centroids(spark, cent_dir)
     assigned = _assign_lists(spark, batch, cmat)
     _overwrite_epoch(spark, assigned, assign_dir, epoch_id)

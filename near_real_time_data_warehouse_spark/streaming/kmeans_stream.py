@@ -71,8 +71,11 @@ def merge_kmeans_batch(
     cent_dir = f"{state_dir}/centroids"
     assign_dir = f"{state_dir}/assignments"
 
-    batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
+    batch = batch.select("vec_id", "embedding")
     if not path_exists(spark, cent_dir):
+        # cold start: the batch feeds TWO consumers (training + the
+        # assignment write) — materialize it once
+        batch = batch.localCheckpoint(eager=True)
         ids, m = _train_state_on(batch)
         # the centroid-state write and the assignment write are
         # independent jobs once (ids, m) is on the driver (§2.6)
@@ -83,6 +86,9 @@ def merge_kmeans_batch(
         )
         return
 
+    # warm path: the batch feeds exactly ONE consumer (the assignment
+    # write scans it once) — a checkpoint would materialize it only to
+    # re-read it once, a whole wasted job per merge (r14, guide §1.2)
     ids, m = _load_state(spark, cent_dir)
     assigned = _assign_frame(batch, ids, m)
     _overwrite_epoch(spark, assigned, assign_dir, epoch_id)

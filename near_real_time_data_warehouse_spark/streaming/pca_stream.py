@@ -80,9 +80,13 @@ def merge_pca_batch(
         eager=True
     )
     gram_dir, scores_dir = f"{state_dir}/gram", f"{state_dir}/scores"
-    batch_rows = _gram_agg(batch).collect()  # 2080 rows, bounded
-    parts = [batch_rows]
     if path_exists(spark, gram_dir):
+        # the batch's Gram reduction and the standing-state merge are
+        # independent Spark jobs (checkpointed batch vs. gram parquet) —
+        # collect them concurrently so the second doesn't queue behind
+        # the first's stage tail (§2.6; both are 2080-row bounded)
+        from concurrent.futures import ThreadPoolExecutor
+
         standing = (
             spark.read.parquet(gram_dir)
             .filter(F.col("_epoch") != epoch_id)
@@ -94,7 +98,14 @@ def merge_pca_batch(
                 F.sum("sum_prod").alias("sum_prod"),
             )
         )
-        parts.append(standing.collect())
+        with ThreadPoolExecutor(2) as pool:
+            f_batch = pool.submit(_gram_agg(batch).collect)
+            f_standing = pool.submit(standing.collect)
+            batch_rows = f_batch.result()  # 2080 rows, bounded
+            parts = [batch_rows, f_standing.result()]
+    else:
+        batch_rows = _gram_agg(batch).collect()  # 2080 rows, bounded
+        parts = [batch_rows]
     v, sums, n = _pca_eigvec_ints(_merged_cov_rows(parts))
     const = sum(v[j] * sums[j] for j in range(EMB_DIM))
     den = float(n * QUANT * PCA_SCALE)

@@ -80,11 +80,16 @@ def merge_semdedup_batch(
     mem_dir = f"{state_dir}/members"
     pair_dir = f"{state_dir}/pairs"
 
-    batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
+    batch = batch.select("vec_id", "embedding")
     cold_start = not path_exists(spark, cent_dir)
     if cold_start:
+        # two consumers (training + the assignment pass) — materialize once
+        batch = batch.localCheckpoint(eager=True)
         ids, m = _train_state_on(batch)
     else:
+        # warm path: the batch feeds exactly ONE consumer (the assignment
+        # pass, which is itself checkpointed) — skip the batch checkpoint
+        # (r14, guide §1.2)
         ids, m = _load_state(spark, cent_dir)
 
     assigned = batch.mapInPandas(
@@ -108,13 +113,6 @@ def merge_semdedup_batch(
         union = new_flagged.unionByName(old)
     else:
         union = new_flagged
-
-    # Same executor-memory guard as the batch kernel: a skew-hot
-    # cluster's union (standing members + batch) above the cap is
-    # hash-split into block pairs; each group holds ≤ 2·cap rows. The
-    # NEW×partner emission rule is per-pair, so it is split-invariant —
-    # a (new, x) pair lives in exactly one (shard_new, shard_x) group.
-    shards = _shard_counts(union)
 
     def _pairs_block(key_cluster: int, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
@@ -143,13 +141,21 @@ def merge_semdedup_batch(
             columns=["vec_a", "vec_b", "cluster_id", "cosine"],
         )
 
-    if all(v == 1 for v in shards.values()):
+    def _build_pairs() -> DataFrame:
+        # Same executor-memory guard as the batch kernel: a skew-hot
+        # cluster's union (standing members + batch) above the cap is
+        # hash-split into block pairs; each group holds ≤ 2·cap rows. The
+        # NEW×partner emission rule is per-pair, so it is split-invariant —
+        # a (new, x) pair lives in exactly one (shard_new, shard_x) group.
+        shards = _shard_counts(union)
+        if all(v == 1 for v in shards.values()):
 
-        def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            return _pairs_block(int(key[0]), pdf)
+            def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                return _pairs_block(int(key[0]), pdf)
 
-        pairs = union.groupBy("cluster_id").applyInPandas(per_cluster, _PAIR_SCHEMA)
-    else:
+            return union.groupBy("cluster_id").applyInPandas(
+                per_cluster, _PAIR_SCHEMA
+            )
 
         def explode_blocks(it):
             for pdf in it:
@@ -229,24 +235,28 @@ def merge_semdedup_batch(
                 )
             return pd.concat(frames, ignore_index=True)
 
-        pairs = exploded.groupBy("cluster_id", "bi", "bj").applyInPandas(
+        return exploded.groupBy("cluster_id", "bi", "bj").applyInPandas(
             per_block, _PAIR_SCHEMA
         )
+
     if cold_start:
-        # no standing members yet: the pair pass reads only the assigned
-        # checkpoint, so the centroid-state write, the pair write, and
-        # the member write are three independent jobs (§2.6)
+        # no standing members yet: the pair pass AND the shard-count
+        # probe read only the assigned checkpoint, so the centroid-state
+        # write, the member write, and the whole count→pair→write chain
+        # are three independent jobs (§2.6) — the shard-count collect
+        # now overlaps the other two writes instead of gating them (r14)
         _run_concurrent(
             lambda: _save_state(spark, ids, m, cent_dir),
-            lambda: _overwrite_epoch(spark, pairs, pair_dir, epoch_id),
+            lambda: _overwrite_epoch(spark, _build_pairs(), pair_dir, epoch_id),
             lambda: _overwrite_cluster_epoch(spark, assigned, mem_dir, epoch_id),
         )
     else:
-        # warm path stays sequential: the pair pass READS mem_dir (the
-        # standing members) while the member write REWRITES this epoch's
-        # partitions of the same store — overlapping them would race the
-        # reader's file listing against the writer's partition commit
-        _overwrite_epoch(spark, pairs, pair_dir, epoch_id)
+        # warm path stays sequential: the shard probe and the pair pass
+        # READ mem_dir (the standing members) while the member write
+        # REWRITES this epoch's partitions of the same store —
+        # overlapping them would race the reader's file listing against
+        # the writer's partition commit
+        _overwrite_epoch(spark, _build_pairs(), pair_dir, epoch_id)
         _overwrite_cluster_epoch(spark, assigned, mem_dir, epoch_id)
 
 

@@ -64,6 +64,79 @@ def test_seeded_components_equal_unseeded(spark):
     assert got_dist == want
 
 
+def test_cc_driver_endpoints_cover_selfloops_and_foreign(spark):
+    """r14: the CC fast path derives the endpoint set on the driver from
+    the collected canonical half (src < dst), which drops self-loops —
+    a vertex whose ONLY edge is a self-loop must still come back at its
+    seed label (via the passive leg now, the resolve leg before), and a
+    foreign endpoint (edge id absent from ``vertices``) must still be
+    excluded from the output. Duplicate edges are exercised too. Pinned
+    against the distributed loop (cap forced to 0)."""
+    from pyspark.sql import functions as F
+
+    from near_real_time_data_warehouse_spark.operators import dedup
+
+    vertices = spark.range(6).withColumnRenamed("id", "doc_id")
+    # 0-1 duplicated, self-loop on 2 (its only edge), edge 3-99 to a
+    # foreign endpoint, 4 and 5 passive
+    raw = [(0, 1), (0, 1), (2, 2), (3, 99)]
+    edges = spark.createDataFrame(
+        raw + [(b, a) for a, b in raw], "src long, dst long"
+    )
+    seeded = vertices.withColumn(
+        "label", F.when(F.col("doc_id") == 2, F.lit(0)).otherwise(F.col("doc_id"))
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in connected_components(seeded, edges).collect()
+    }
+    orig = dedup.CC_COLLECT_CAP
+    try:
+        dedup.CC_COLLECT_CAP = 0
+        want = {
+            (r.doc_id, r.component)
+            for r in connected_components(seeded, edges).collect()
+        }
+    finally:
+        dedup.CC_COLLECT_CAP = orig
+    assert got == want
+    assert {d for d, _ in got} == set(range(6))  # no foreign rows, none lost
+    assert (2, 0) in got  # self-loop-only vertex keeps its seed label
+
+
+def test_quotient_merge_driver_first_matches_distributed(spark):
+    """r14: merge_components_with_edges resolves the quotient on the
+    driver from the RAW pair probe (one bounded label fetch) — pairs with
+    foreign endpoints are dropped exactly as the old lmap inner joins
+    dropped them, duplicates collapse, and the result matches the
+    distributed fallback (cap forced to 0) bit-for-bit."""
+    from near_real_time_data_warehouse_spark.operators import dedup
+
+    current = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 3), (4, 4)], "doc_id long, label long"
+    )
+    # duplicate pair, a pair inside one component (la == lb), a foreign
+    # endpoint pair (99 absent from current), and a real merge 2-3
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (0, 1), (3, 99), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in dedup.merge_components_with_edges(current, pairs).collect()
+    }
+    orig = dedup.QUOTIENT_COLLECT_CAP
+    try:
+        dedup.QUOTIENT_COLLECT_CAP = 0
+        want = {
+            (r.doc_id, r.component)
+            for r in dedup.merge_components_with_edges(current, pairs).collect()
+        }
+    finally:
+        dedup.QUOTIENT_COLLECT_CAP = orig
+    assert got == want
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 4)}
+
+
 def test_graph_incremental_equals_full_rebuild(spark):
     """The maintained state (corpus components + batch merged via the
     quotient graph) is bit-equal to rebuilding the full MinHash-LSH
