@@ -196,10 +196,28 @@ def curation_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed_tokens",
         F.md5("cleaned_text").alias("fingerprint"),
     )
-    groups = fp.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("n_copies")
+    # ONE map-side-combined aggregation keeps the representative row AND
+    # the copy count (r14): min_by over the unique doc_id replaces the
+    # groupBy + fingerprint self-join (two exchanges of the same rows →
+    # one). doc_id is unique per fp row, so min_by is deterministic and
+    # the kept (n_tokens, n_removed_tokens) are exactly the min-doc_id
+    # row's — bit-identical to the join + rep filter.
+    out = (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "n_tokens", "n_removed_tokens"), F.col("doc_id")
+            ).alias("rep"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.col("rep.doc_id").alias("doc_id"),
+            F.col("rep.n_tokens").alias("n_tokens"),
+            F.col("rep.n_removed_tokens").alias("n_removed_tokens"),
+            "fingerprint",
+            "n_copies",
+        )
     )
-    out = fp.join(groups, "fingerprint").filter(F.col("doc_id") == F.col("rep_id"))
     bucket = F.pmod(
         F.conv(
             F.substring(
